@@ -1,0 +1,217 @@
+"""Flagship pipeline: web pages → knowledge graph (the graft's north star).
+
+Re-expresses the reference's four workflow stages (fetch → extract/transform
+→ build → serve; kgw/__init__.py:1-9, SURVEY.md §3) as one streaming Ray
+Data DAG over Common-Crawl-style Parquet pages:
+
+    pages(url, warc_ts, html, text, lang)
+      → HtmlExtract (actor pool, byte-identical text per url)
+      → extract_triples_batch (stateless vectorized map)
+      → link_triples_batch (broadcast-dictionary entity link)
+      → partial pre-aggregation per batch (combiner)
+      → groupby (subj_id, pred, obj_id) merge  [the ONE shuffle]
+      → edges + nodes Parquet hub (partitioned, manifested)
+
+Scale notes: the per-batch combiner collapses each batch to ≤ |distinct
+triples in batch| rows before the shuffle, so the all-to-all exchange moves
+partial aggregates, not raw mentions. Node/edge id spaces are strings; the
+hub layout hash-partitions edges by source_id (the reference's
+idx_edges_source analog, kgw/_shared/transform.py:27-28).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from kgw_ray.functions.scalars import json_dumps
+from kgw_ray.sources.pages import pages_dataset, url_for
+from kgw_ray.stages.extract import HtmlExtract
+from kgw_ray.stages.linking import link_triples_batch
+from kgw_ray.stages.triples import ENTITY_TYPE, extract_triples_batch
+
+
+def extracted_pages(sf_dir: str, *, concurrency: int = 8) -> rd.Dataset:
+    """pages → +extracted_text (actor pool; regexes compiled once per actor).
+
+    ``concurrency`` is the pool MAX; the pool autoscales from 1 so it never
+    reserves every CPU and starves the upstream read (a fixed-size pool equal
+    to num_cpus deadlocks the streaming executor).
+    """
+    pages = pages_dataset(sf_dir)
+    return pages.map_batches(
+        HtmlExtract,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, concurrency),
+    )
+
+
+def triples_dataset(sf_dir: str, *, concurrency: int = 4) -> rd.Dataset:
+    """pages → linked triple mentions (doc_id, subj, pred, obj, pos, subj_id, obj_id)."""
+    ds = extracted_pages(sf_dir, concurrency=concurrency)
+    ds = ds.map_batches(extract_triples_batch, batch_format="pyarrow")
+    return ds.map_batches(link_triples_batch, batch_format="pyarrow")
+
+
+def _edge_partials(batch: pa.Table) -> pa.Table:
+    """Combiner: collapse a mention batch to per-triple partial aggregates."""
+    df = batch.select(["subj_id", "pred", "obj_id", "doc_id"]).to_pandas()
+    g = (
+        df.groupby(["subj_id", "pred", "obj_id"], sort=False)
+        .agg(n_obs=("doc_id", "size"), first_doc=("doc_id", "min"))
+        .reset_index()
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _edge_merge(g: pd.DataFrame) -> pd.DataFrame:
+    first = g["first_doc"].min()
+    return pd.DataFrame(
+        {
+            "source_id": [g["subj_id"].iloc[0]],
+            "target_id": [g["obj_id"].iloc[0]],
+            "type": [g["pred"].iloc[0]],
+            "n_obs": [int(g["n_obs"].sum())],
+            "first_doc": [int(first)],
+        }
+    )
+
+
+def edges_from_triples(triples: rd.Dataset) -> rd.Dataset:
+    """Triple dedup + provenance merge (the Oregano triple-dedup analog,
+    kgw/biomedicine/_oregano.py:226-237, as a partial-agg shuffle).
+
+    Output: edges(source_id, target_id, type, properties) with properties a
+    canonical JSON string {"n_obs": N, "first_doc": D} — the unified-IR edge
+    shape (kgw/_shared/transform.py:18-25).
+    """
+    partials = triples.map_batches(_edge_partials, batch_format="pyarrow")
+    merged = partials.groupby(["subj_id", "pred", "obj_id"]).map_groups(
+        _edge_merge, batch_format="pandas"
+    )
+
+    def render(batch: pa.Table) -> pa.Table:
+        props = [
+            json_dumps({"n_obs": int(n), "first_doc": int(d)})
+            for n, d in zip(
+                batch.column("n_obs").to_pylist(), batch.column("first_doc").to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "source_id": batch.column("source_id"),
+                "target_id": batch.column("target_id"),
+                "type": batch.column("type"),
+                "properties": pa.array(props, pa.string()),
+            }
+        )
+
+    return merged.map_batches(render, batch_format="pyarrow")
+
+
+def _node_partials(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch mention counts per entity (subj and obj sides)."""
+    df = batch.select(["subj", "obj"]).to_pandas()
+    counts = pd.concat([df["subj"], df["obj"]], ignore_index=True).value_counts()
+    return pa.table(
+        {
+            "surface": pa.array(counts.index.to_list(), pa.string()),
+            "n_partial": pa.array(counts.to_list(), pa.int64()),
+        }
+    )
+
+
+def nodes_from_triples(triples: rd.Dataset) -> rd.Dataset:
+    """Distinct entities with types + mention counts → unified-IR node rows
+    (id, type, properties) per kgw/_shared/transform.py:12-16.
+    """
+    from ray.data.aggregate import Sum
+
+    partials = triples.map_batches(_node_partials, batch_format="pyarrow")
+    counts = partials.groupby("surface").aggregate(Sum("n_partial", alias_name="n_mentions"))
+
+    def render(batch: pa.Table) -> pa.Table:
+        surfaces = batch.column("surface").to_pylist()
+        n = batch.column("n_mentions").to_pylist()
+        return pa.table(
+            {
+                "id": pa.array([f"E:{s}" for s in surfaces], pa.string()),
+                "type": pa.array([ENTITY_TYPE[s] for s in surfaces], pa.string()),
+                "properties": pa.array(
+                    [
+                        json_dumps({"surface": s, "n_mentions": int(c)})
+                        for s, c in zip(surfaces, n)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return counts.map_batches(render, batch_format="pyarrow")
+
+
+def build_webkg(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    concurrency: int = 4,
+    resume: bool = True,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """End-to-end: pages → nodes/edges Parquet hub with resume manifests.
+
+    Returns (nodes_ds, edges_ds) reading from the committed hub. With
+    ``resume=True`` a rerun with the same input fingerprint skips completed
+    stages (reference resume semantics, kgw/_shared/tasks.py:75-83).
+    """
+    from kgw_ray.state.manifest import resumable_stage
+
+    fingerprint = f"webkg:{os.path.abspath(sf_dir)}"
+    triples = triples_dataset(sf_dir, concurrency=concurrency)
+
+    edges = resumable_stage(
+        os.path.join(out_dir, "edges"),
+        "edges",
+        fingerprint if resume else f"{fingerprint}:{os.getpid()}",
+        lambda: edges_from_triples(triples),
+    )
+    nodes = resumable_stage(
+        os.path.join(out_dir, "nodes"),
+        "nodes",
+        fingerprint if resume else f"{fingerprint}:{os.getpid()}",
+        lambda: nodes_from_triples(triples),
+    )
+    return nodes, edges
+
+
+def edges_with_provenance_url(edges: rd.Dataset, sf_dir: str) -> rd.Dataset:
+    """Attach first_url provenance by broadcasting the (small) doc→source map.
+
+    At web scale the doc→url map is NOT small; there the url is carried
+    through the triple combiner instead (arg-min on doc_id). Kept separate
+    so the hot path stays two-column.
+    """
+    import ray
+
+    from kgw_ray.sources.readers import read_table
+
+    doc_src = read_table(sf_dir, "documents", columns=["doc_id", "source"]).to_pandas()
+    ref = ray.put(dict(zip(doc_src["doc_id"], doc_src["source"])))
+
+    class AddUrl:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from kgw_ray.functions.scalars import json_loads
+
+            urls = []
+            for p in batch.column("properties").to_pylist():
+                d = json_loads(p)
+                urls.append(url_for(d["first_doc"], self.m[d["first_doc"]]))
+            return batch.append_column("first_url", pa.array(urls, pa.string()))
+
+    return edges.map_batches(AddUrl, batch_format="pyarrow", concurrency=(1, 2))

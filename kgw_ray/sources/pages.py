@@ -1,0 +1,106 @@
+"""Deterministic Common-Crawl-style web-page synthesis.
+
+``BASELINE.json input_hint`` defines the flagship input table:
+``pages(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)``. No external data is allowed, so pages are synthesized
+deterministically from the driver-generated ``documents`` table
+(doc_id, text, lang, source, n_chars): one page per document, with the
+document text embedded in boilerplate-laden HTML such that
+``extract_text(render_html(text)) == text`` byte-identically — the per-row
+invariant the correctness gate checks.
+
+Determinism: url/warc_ts/html are pure functions of (doc_id, source, text);
+no randomness, no wall clock.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import ray.data as rd
+
+# epoch for warc_ts: fixed, timezone-naive (matches Arrow/DuckDB defaults)
+_WARC_EPOCH = datetime(2024, 1, 1, 0, 0, 0)
+
+_HEAD = (
+    "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>"
+    "<title>doc {doc_id}</title>"
+    "<script>window.__boiler={{v:1,id:{doc_id}}};</script>"
+    "<style>.main{{margin:0}}</style></head>"
+)
+_NAV = "<body><nav><a href=\"/\">home</a> | <a href=\"/about\">about</a></nav>"
+_FOOT = "<footer>&copy; {source} crawl archive</footer></body></html>"
+
+
+def url_for(doc_id: int, source: str) -> str:
+    return f"https://{source}.example.org/doc/{doc_id:08d}"
+
+
+def warc_ts_for(doc_id: int) -> datetime:
+    return _WARC_EPOCH + timedelta(seconds=int(doc_id))
+
+
+def render_html(doc_id: int, source: str, text: str) -> bytes:
+    """Render deterministic HTML embedding ``text`` inside ``<div id="main">``.
+
+    The escaped text is chunked into ``<p>`` paragraphs at a width that varies
+    by doc_id; the extractor concatenates paragraph contents (no separator)
+    and unescapes, recovering the text byte-identically for ANY input string.
+    """
+    esc = _html.escape(text, quote=False)
+    width = 60 + (doc_id % 7) * 17  # deterministic paragraph width per doc
+    # chunk the ESCAPED text, but never split inside an entity (&amp; &lt; &gt;)
+    paras = []
+    i, n = 0, len(esc)
+    while i < n:
+        j = min(i + width, n)
+        # if the cut lands inside an entity, extend to its terminating ';'
+        amp = esc.rfind("&", max(i, j - 5), j)
+        if amp != -1 and ";" not in esc[amp:j]:
+            j = esc.index(";", amp) + 1
+        paras.append(f"<p>{esc[i:j]}</p>")
+        i = j
+    body = (
+        _HEAD.format(doc_id=doc_id)
+        + _NAV
+        + f"<div id=\"main\">{''.join(paras)}</div>"
+        + "<aside>related: <a href=\"/doc/0\">doc 0</a></aside>"
+        + _FOOT.format(source=source)
+    )
+    return body.encode("utf-8")
+
+
+def synth_pages(batch: pa.Table) -> pa.Table:
+    """map_batches fn: documents batch → pages batch (Arrow in/out)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang")
+    sources = batch.column("source").to_pylist()
+    urls = [url_for(d, s) for d, s in zip(doc_ids, sources)]
+    ts = [warc_ts_for(d) for d in doc_ids]
+    htmls = [render_html(d, s, t) for d, s, t in zip(doc_ids, sources, texts)]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": batch.column("text"),
+            "lang": langs,
+            "doc_id": batch.column("doc_id"),  # provenance join key for oracles
+        }
+    )
+
+
+def pages_dataset(sf_dir: str, *, override_num_blocks: int | None = None) -> rd.Dataset:
+    """documents.parquet → pages Dataset of the input_hint shape (+doc_id)."""
+    from kgw_ray.sources.readers import read_table
+
+    docs = read_table(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=override_num_blocks,
+    )
+    return docs.map_batches(synth_pages, batch_format="pyarrow")

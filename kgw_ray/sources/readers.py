@@ -1,0 +1,51 @@
+"""Source readers over the driver-generated Parquet tables (TESTDATA.md).
+
+The reference's Extract stage pulls raw files over HTTP and decompresses them
+(kgw/_shared/extract.py:176-200, tasks.py:96-128). In this sealed environment
+all inputs are local Parquet; the reader's job is column pruning and
+row-filter pushdown so only the needed bytes leave storage.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+import ray.data as rd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(
+    sf_dir: str,
+    name: str,
+    *,
+    columns: Optional[Sequence[str]] = None,
+    filter: Any = None,
+    override_num_blocks: Optional[int] = None,
+) -> rd.Dataset:
+    """Read one table with column pruning + row-group pushdown.
+
+    ``filter`` is a ``pyarrow.dataset`` expression (e.g. ``pc.field("lang") == "en"``)
+    pushed down to the Parquet scan.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    kwargs: dict[str, Any] = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    if filter is not None:
+        kwargs["filter"] = filter
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return rd.read_parquet(path, **kwargs)

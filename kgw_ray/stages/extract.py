@@ -1,0 +1,50 @@
+"""HTML → text extraction (trafilatura-style main-content extraction).
+
+The flagship analog of the reference's Transform-stage per-record parsers
+(e.g. kgw/biomedicine/_hetionet.py:104-130 parse JSON → unified rows): a
+stateful actor-pool ``map_batches`` stage that compiles its patterns once per
+actor (``__init__``) and processes Arrow batches of raw HTML bytes.
+
+Guarantee (BASELINE.json input_hint): for pages produced by
+``kgw_ray.sources.pages.render_html`` the extracted text is byte-identical to
+the original document text per url. Boilerplate (<script>, <style>, <nav>,
+<aside>, <footer>) is discarded; only ``<div id="main">`` paragraph content
+survives.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pyarrow as pa
+
+
+class HtmlExtract:
+    """Actor-pool batch fn: pages(html: binary, ...) → +extracted_text.
+
+    Use as ``ds.map_batches(HtmlExtract, batch_format="pyarrow",
+    concurrency=N, batch_size=B)`` — regex compilation happens once per
+    actor, not once per batch.
+    """
+
+    def __init__(self) -> None:
+        self._main = re.compile(rb'<div id="main">(.*?)</div>', re.DOTALL)
+        self._para = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+        self._drop = re.compile(
+            rb"<(script|style|nav|aside|footer)\b.*?</\1>", re.DOTALL
+        )
+
+    def extract_one(self, html_bytes: bytes) -> str:
+        m = self._main.search(html_bytes)
+        if m is None:
+            # fall back: strip boilerplate tags, keep paragraph content anywhere
+            html_bytes = self._drop.sub(b"", html_bytes)
+            frags = self._para.findall(html_bytes)
+        else:
+            frags = self._para.findall(m.group(1))
+        return _html.unescape(b"".join(frags).decode("utf-8"))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [self.extract_one(h) for h in batch.column("html").to_pylist()]
+        return batch.append_column("extracted_text", pa.array(texts, pa.string()))

@@ -1,0 +1,93 @@
+"""Flagship pipeline tests: byte-identical extraction, triple extraction,
+graph build, resume semantics."""
+
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from kgw_ray.sources.pages import render_html, url_for
+from kgw_ray.stages.extract import HtmlExtract
+from kgw_ray.stages.triples import ENTITIES, RELATIONS, extract_triples_batch
+import pyarrow as pa
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "hello & < > world",
+        "a" * 500,
+        "x & y; &amp; <p>test</p>",
+        "",
+        "tab\tand\nnewline  double-space",
+        "unicode: café ☃ \U0001f600",
+    ],
+)
+def test_extract_byte_identity(text):
+    hx = HtmlExtract()
+    for doc_id in (0, 3, 6):
+        assert hx.extract_one(render_html(doc_id, "srcX", text)) == text
+
+
+def test_extract_byte_identity_dataset(sf_smoke):
+    from kgw_ray.pipelines.webkg import extracted_pages
+
+    ep = extracted_pages(sf_smoke)
+    bad = ep.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["text"], t["extracted_text"]))),
+        batch_format="pyarrow",
+    ).count()
+    assert bad == 0
+
+
+def test_triple_extraction_small():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["customer join part the fast table scan row", "slow merge key"],
+        }
+    )
+    out = extract_triples_batch(batch)
+    rows = out.to_pylist()
+    # doc 1: (customer join part) at pos 0, (table scan row) at pos 5
+    assert {(r["doc_id"], r["subj"], r["pred"], r["obj"], r["pos"]) for r in rows} == {
+        (1, "customer", "join", "part", 0),
+        (1, "table", "scan", "row", 5),
+    }
+
+
+def test_triples_do_not_cross_doc_boundary():
+    # 'customer' at end of doc 1, 'join part' at start of doc 2 must not match
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["big slow customer", "join part value"],
+        }
+    )
+    assert extract_triples_batch(batch).num_rows == 0
+
+
+def test_lexicons_disjoint():
+    assert not (ENTITIES & RELATIONS)
+
+
+def test_build_webkg_and_resume(sf_smoke, tmp_path):
+    from kgw_ray.pipelines.webkg import build_webkg
+    from kgw_ray.state.manifest import read_manifest
+
+    out = str(tmp_path / "hub")
+    nodes, edges = build_webkg(sf_smoke, out)
+    n_nodes, n_edges = nodes.count(), edges.count()
+    assert n_nodes > 0 and n_edges > 0
+    m = read_manifest(os.path.join(out, "edges"))
+    assert m is not None and m.num_rows == n_edges and m.wall_time_sec > 0
+
+    # resume: manifest mtime unchanged → stage skipped
+    mtime = os.path.getmtime(os.path.join(out, "edges", "_MANIFEST.json"))
+    nodes2, edges2 = build_webkg(sf_smoke, out)
+    assert os.path.getmtime(os.path.join(out, "edges", "_MANIFEST.json")) == mtime
+    assert edges2.count() == n_edges
+
+
+def test_url_for_zero_pad():
+    assert url_for(7, "src1") == "https://src1.example.org/doc/00000007"
