@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + local feedback loop).
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) in one Ray session (``$RAY_GRAFT_CPUS`` CPUs,
+default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ...}
+
+``--scaling`` mode: run the flagship web-KG pipeline twice in FRESH
+processes at two parallelism levels (8 and 32 CPUs — the sandbox proxy for
+N- and 4N-node clusters per BASELINE.json north_rule) on the same input and
+report both throughputs plus scaling efficiency ``(T_small / T_big) / 4``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Headline pipelines: the flagship web-KG build + representative wide-op
+# workloads (registry names). Kept an order of magnitude smaller than the
+# full registry so the per-round bench finishes quickly; correctness of the
+# full registry is the driver's CORRECTNESS gate, not bench.
+HEADLINE = [
+    "webkg_edges",          # pages → extract → triples → dedup shuffle
+    "webkg_nodes",
+    "q1_pricing_summary",   # partial-agg combiner + small groupby
+    "q3_top_orders",        # broadcast + large hash join + top-k
+    "events_hourly_window", # event-time window aggregate
+    "dedup_minhash_lsh",    # shingle → minhash → band buckets → groupby
+    "ann_cosine_topk",      # brute-force cosine top-k vs broadcast queries
+    "text_quality",         # vectorized text statistics
+]
+
+
+def _consume(result) -> int:
+    """Fully execute a query result; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        n = 0
+        for b in result.iter_batches(batch_format="pyarrow", batch_size=65536):
+            n += b.num_rows
+        return n
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    return 0
+
+
+def run_bench(sf_dir: str, num_cpus: int, queries: list[str]) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kgw_ray._shipping import ensure_importable_in_workers
+
+    ensure_importable_in_workers()
+    from kgw_ray.pipelines.registry import QUERIES
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    per_query: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in queries:
+        if name not in QUERIES:
+            continue
+        t0 = time.monotonic()
+        rows[name] = _consume(QUERIES[name](sf_dir))
+        per_query[name] = round(time.monotonic() - t0, 3)
+    total = round(sum(per_query.values()), 3)
+    webkg_sec = per_query.get("webkg_edges", 0.0)
+    return {
+        "metric": "headline pipelines total wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs_per_sec": round(n_docs / webkg_sec, 1) if webkg_sec else None,
+        "rows": rows,
+    }
+
+
+def _scaling_child(sf_dir: str, cpus: int) -> dict:
+    """Run JUST the flagship pipeline in a fresh process; return its JSON."""
+    env = dict(os.environ)
+    env["RAY_GRAFT_CPUS"] = str(cpus)
+    env["GRAFT_SF_DIR"] = sf_dir
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--_flagship_only"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=_REPO,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument("--_flagship_only", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args._flagship_only:
+        res = run_bench(args.sf_dir, args.cpus, ["webkg_edges"])
+        print(json.dumps(res))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if args.scaling:
+        small_cpus, big_cpus = max(2, args.cpus // 4), args.cpus
+        small = _scaling_child(args.sf_dir, small_cpus)
+        big = _scaling_child(args.sf_dir, big_cpus)
+        t_small = small["queries"]["webkg_edges"]
+        t_big = big["queries"]["webkg_edges"]
+        factor = big_cpus / small_cpus
+        eff = (t_small / t_big) / factor if t_big > 0 else None
+        print(
+            json.dumps(
+                {
+                    "metric": "webkg flagship scaling efficiency "
+                    f"({small_cpus}→{big_cpus} CPUs, cluster-size proxy)",
+                    "value": round(eff, 3) if eff is not None else None,
+                    "unit": "efficiency",
+                    "sf": args.sf_dir,
+                    "num_cpus": big_cpus,
+                    "queries": {
+                        f"webkg_edges@{small_cpus}cpus": t_small,
+                        f"webkg_edges@{big_cpus}cpus": t_big,
+                    },
+                    "docs_per_sec": {
+                        f"{small_cpus}cpus": small["docs_per_sec"],
+                        f"{big_cpus}cpus": big["docs_per_sec"],
+                    },
+                }
+            )
+        )
+        return
+
+    names = args.queries.split(",") if args.queries else HEADLINE
+    res = run_bench(args.sf_dir, args.cpus, names)
+    print(json.dumps(res))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -95,7 +95,7 @@ def q_triple_mentions(sf_dir: str) -> rd.Dataset:
 
 
 @register(
-    "kg_edges",
+    "webkg_edges",
     oracle=f"""
 WITH tr AS ({TRIPLES_SQL})
 SELECT 'E:' || subj AS source_id, 'E:' || obj AS target_id, pred AS type,
@@ -112,7 +112,7 @@ def q_kg_edges(sf_dir: str) -> rd.Dataset:
 
 
 @register(
-    "kg_nodes",
+    "webkg_nodes",
     oracle=f"""
 WITH tr AS ({TRIPLES_SQL}),
 m AS (SELECT subj AS s FROM tr UNION ALL SELECT obj AS s FROM tr)
@@ -127,3 +127,185 @@ def q_kg_nodes(sf_dir: str) -> rd.Dataset:
     from kgw_ray.pipelines.webkg import nodes_from_triples, triples_dataset
 
     return nodes_from_triples(triples_dataset(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Relational operator suite (scan/filter/project/join/aggregate/sort/limit,
+# event windows, sessionization, as-of join) — kgw_ray/pipelines/relational.py
+# ---------------------------------------------------------------------------
+
+from kgw_ray.pipelines import relational as _rel  # noqa: E402
+
+register("q1_pricing_summary", _rel.Q1_SQL)(_rel.q1_pricing_summary)
+register("q3_top_orders", _rel.Q3_SQL)(_rel.q3_top_orders)
+register("q5_revenue_by_nation", _rel.Q5_SQL)(_rel.q5_revenue_by_nation)
+register("events_hourly_window", _rel.EVENTS_HOURLY_SQL)(_rel.events_hourly_window)
+register("events_sessionize", _rel.EVENTS_SESSIONIZE_SQL)(_rel.events_sessionize)
+register("events_asof_last_signup", _rel.EVENTS_ASOF_SQL)(_rel.events_asof_last_signup)
+register("top_users_by_value", _rel.TOP_USERS_SQL)(_rel.top_users_by_value)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H property graph + graph analytics (statistics / histograms / schema
+# joins / neighborhood / multigraph dedup) — tpch_kg.py + stages/graph.py
+# ---------------------------------------------------------------------------
+
+from kgw_ray.pipelines import tpch_kg as _tk  # noqa: E402
+
+
+@register("tpch_kg_nodes", oracle=_tk.NODES_SQL)
+def q_tpch_kg_nodes(sf_dir: str):
+    """Unified-IR node table from the relational star (adapter analog of
+    reference node maps, _hetionet.py:104-130)."""
+    return _tk.tpch_nodes(sf_dir)
+
+
+@register("tpch_kg_edges", oracle=_tk.EDGES_SQL)
+def q_tpch_kg_edges(sf_dir: str):
+    """Unified-IR edge table; lineitem yields parallel multigraph edges."""
+    return _tk.tpch_edges(sf_dir)
+
+
+@register(
+    "kg_statistics",
+    oracle=f"""
+WITH nodes AS ({_tk.NODES_SQL}), edges AS ({_tk.EDGES_SQL})
+SELECT (SELECT COUNT(*) FROM nodes) AS num_nodes,
+       (SELECT COUNT(*) FROM edges) AS num_edges,
+       (SELECT COUNT(DISTINCT type) FROM nodes) AS num_node_types,
+       (SELECT COUNT(DISTINCT type) FROM edges) AS num_edge_types
+""",
+)
+def q_kg_statistics(sf_dir: str):
+    """statistics.json aggregate (reference load.py:10-81)."""
+    from kgw_ray.stages.graph import graph_statistics
+
+    nodes, edges = _tk.tpch_graph(sf_dir)
+    return graph_statistics(nodes, edges)
+
+
+@register(
+    "kg_node_type_histogram",
+    oracle=f"""
+WITH nodes AS ({_tk.NODES_SQL})
+SELECT type, COUNT(*) AS n FROM nodes GROUP BY type ORDER BY n DESC, type ASC
+""",
+)
+def q_kg_node_type_histogram(sf_dir: str):
+    """Per-type node counts, count DESC / type ASC (reference load.py:20-31)."""
+    from kgw_ray.stages.graph import type_histogram
+
+    return type_histogram(_tk.tpch_graph(sf_dir)[0])
+
+
+@register(
+    "kg_edge_type_histogram",
+    oracle=f"""
+WITH edges AS ({_tk.EDGES_SQL})
+SELECT type, COUNT(*) AS n FROM edges GROUP BY type ORDER BY n DESC, type ASC
+""",
+)
+def q_kg_edge_type_histogram(sf_dir: str):
+    """Per-type edge counts (reference load.py:47-58)."""
+    from kgw_ray.stages.graph import type_histogram
+
+    return type_histogram(_tk.tpch_graph(sf_dir)[1])
+
+
+@register(
+    "kg_schema",
+    oracle=f"""
+WITH nodes AS ({_tk.NODES_SQL}), edges AS ({_tk.EDGES_SQL})
+SELECT sn.type AS source_type, e.type AS edge_type, tn.type AS target_type,
+       COUNT(*) AS n
+FROM edges e JOIN nodes sn ON e.source_id = sn.id
+             JOIN nodes tn ON e.target_id = tn.id
+GROUP BY sn.type, e.type, tn.type
+ORDER BY n DESC, source_type, edge_type, target_type
+""",
+)
+def q_kg_schema(sf_dir: str):
+    """Type-level schema via two hash joins + groupby (reference load.py:109-132)."""
+    from kgw_ray.stages.graph import schema_graph
+
+    return schema_graph(*_tk.tpch_graph(sf_dir))
+
+
+@register(
+    "kg_schema_compact",
+    oracle=f"""
+WITH nodes AS ({_tk.NODES_SQL}), edges AS ({_tk.EDGES_SQL})
+SELECT sn.type AS source_type, tn.type AS target_type,
+       COUNT(*) AS n_edges, COUNT(DISTINCT e.type) AS n_edge_types
+FROM edges e JOIN nodes sn ON e.source_id = sn.id
+             JOIN nodes tn ON e.target_id = tn.id
+GROUP BY sn.type, tn.type
+ORDER BY n_edges DESC, source_type, target_type
+""",
+)
+def q_kg_schema_compact(sf_dir: str):
+    """Compact schema w/ exact distinct edge-type counts (load.py:218-241)."""
+    from kgw_ray.stages.graph import schema_graph_compact
+
+    return schema_graph_compact(*_tk.tpch_graph(sf_dir))
+
+
+@register(
+    "kg_neighborhood",
+    oracle=f"""
+WITH edges AS ({_tk.EDGES_SQL}),
+nbrs AS (
+    SELECT source_id AS id FROM edges WHERE target_id = 'N7'
+    UNION SELECT target_id FROM edges WHERE source_id = 'N7'
+    UNION SELECT 'N7'
+)
+SELECT e.* FROM edges e
+WHERE e.source_id IN (SELECT id FROM nbrs) AND e.target_id IN (SELECT id FROM nbrs)
+""",
+)
+def q_kg_neighborhood(sf_dir: str):
+    """1-hop neighborhood subgraph of node N7 incl. edges among neighbors
+    (reference downstream_analysis.ipynb cell 28)."""
+    from kgw_ray.stages.graph import neighborhood
+
+    return neighborhood(_tk.tpch_graph(sf_dir)[1], "N7")
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: dedup, similarity search, text analysis,
+# multimodal plumbing — kgw_ray/pipelines/training_data.py
+# ---------------------------------------------------------------------------
+
+from kgw_ray.pipelines import training_data as _td  # noqa: E402
+from kgw_ray.stages.textstats import QUALITY_SQL, TOKEN_STATS_SQL  # noqa: E402
+
+register("text_token_stats", TOKEN_STATS_SQL)(_td.text_token_stats)
+register("text_quality", QUALITY_SQL)(_td.text_quality)
+register("text_lang_id")(_td.text_lang_id)  # heuristic → rows-only check
+register("text_fingerprint")(_td.text_fingerprint)  # rolling hash → rows-only
+register("text_content_md5", _td.FINGERPRINT_MD5_SQL)(_td.text_content_md5)
+register("dedup_exact", _td.EXACT_DEDUP_SQL)(_td.dedup_exact)
+register("dedup_minhash_lsh")(_td.dedup_minhash_lsh)  # verified in tests
+register("dedup_simhash_pairs")(_td.dedup_simhash_pairs)
+register("dedup_embedding_pairs", _td.EMBED_NEAR_DUP_SQL)(_td.dedup_embedding_pairs)
+register("dedup_embedding_pairs_ivf")(_td.dedup_embedding_pairs_ivf)  # reduced recall
+register("ann_cosine_topk", _td.ANN_TOPK_SQL)(_td.ann_cosine_topk)
+register("ann_ivf_topk")(_td.ann_ivf_topk)  # approximate → rows-only
+register("media_metadata")(_td.media_metadata)
+register("media_decode_features")(_td.media_decode_features)
+
+
+@register(
+    "kg_triple_dedup",
+    oracle=f"""
+WITH edges AS ({_tk.EDGES_SQL})
+SELECT source_id, type, target_id, COUNT(*) AS n
+FROM edges GROUP BY source_id, type, target_id
+""",
+)
+def q_kg_triple_dedup(sf_dir: str):
+    """Exact (source, type, target) dedup with multiplicity
+    (reference _oregano.py:226-237)."""
+    from kgw_ray.stages.graph import triple_dedup
+
+    return triple_dedup(_tk.tpch_graph(sf_dir)[1])

@@ -1,0 +1,395 @@
+"""Relational pipelines over the star schema: scan→filter→project→join→
+aggregate→sort→limit, plus event-stream windowing / sessionization / as-of.
+
+These prove the engine's core operator set (SURVEY.md §2.2/§2.4/§2.5) on
+non-graph workloads. Design rules applied throughout:
+
+- column pruning at the read (``read_table(columns=[...])``),
+- vectorized Arrow/pandas kernels inside ``map_batches`` (no row loops),
+- partial per-batch pre-aggregation before every ``groupby`` shuffle,
+- broadcast joins for dimension tables, hash-partitioned ``Dataset.join``
+  when both sides are large,
+- float aggregates rounded identically to the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from kgw_ray.functions.arrow_utils import arrow_from_pandas
+from kgw_ray.sources.readers import read_table
+from kgw_ray.stages.joins import broadcast_join, large_join
+
+_R = 2  # money rounding (both sides of every oracle)
+
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 shape: grouped pricing summary over lineitem.
+
+    Partial aggregation per batch (combiner) → tiny final groupby: the
+    shuffle moves ≤ |groups| rows per batch, not the table.
+    """
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
+        charge = disc_price * (1 + df["l_tax"])
+        g = df.assign(disc_price=disc_price, charge=charge).groupby(
+            ["l_returnflag", "l_linestatus"], sort=False
+        )
+        out = g.agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        ).reset_index()
+        return arrow_from_pandas(out)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_charge", alias_name="sum_charge"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["count_order"]
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["sum_qty"].round(_R),
+                "sum_base_price": df["sum_base_price"].round(_R),
+                "sum_disc_price": df["sum_disc_price"].round(_R),
+                "sum_charge": df["sum_charge"].round(_R),
+                "avg_qty": (df["sum_qty"] / n).round(_R),
+                "avg_price": (df["sum_base_price"] / n).round(_R),
+                "avg_disc": (df["sum_disc"] / n).round(_R),
+                "count_order": n.astype("int64"),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pandas").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(SUM(l_quantity) / COUNT(*), 2) AS avg_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 2) AS avg_price,
+       ROUND(SUM(l_discount) / COUNT(*), 2) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q3 shape: dimension broadcast join + large-large hash join +
+    grouped revenue + top-k (deterministic tie-break on o_orderkey)."""
+    cust = (
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cutoff = pd.Timestamp("1998-01-01")
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    orders = broadcast_join(orders, cust, on=["o_custkey"], right_on=["c_custkey"])
+    line = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    j = large_join(
+        line,
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return arrow_from_pandas(
+            df.groupby(["l_orderkey", "o_orderdate"], sort=False)["revenue"]
+            .sum()
+            .reset_index()
+        )
+
+    partials = j.map_batches(partial, batch_format="pandas")
+    merged = partials.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(_R)
+        return df.rename(columns={"l_orderkey": "o_orderkey"})[
+            ["o_orderkey", "o_orderdate", "revenue"]
+        ]
+
+    out = merged.map_batches(finalize, batch_format="pandas")
+    return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+Q3_SQL = """
+SELECT l_orderkey AS o_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5 shape: star join (all dims broadcast) + grouped revenue.
+
+    lineitem is the only large table; every dimension (supplier included)
+    broadcasts — one shuffle total (the final small groupby)."""
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    supplier = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    customer = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+
+    line = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    # order → customer nation, pre-merged on the driver (orders is a
+    # dimension at this sf; at scale this becomes a large_join)
+    o2n = orders.merge(customer, left_on="o_custkey", right_on="c_custkey")[
+        ["o_orderkey", "c_nationkey"]
+    ]
+    s2n = supplier[["s_suppkey", "s_nationkey"]]
+
+    j = broadcast_join(line, o2n, on=["l_orderkey"], right_on=["o_orderkey"])
+    j = broadcast_join(j, s2n, on=["l_suppkey"], right_on=["s_suppkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"] == df["s_nationkey"]]
+        df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return arrow_from_pandas(
+            df.groupby("c_nationkey", sort=False)["revenue"].sum().reset_index()
+        )
+
+    partials = j.map_batches(partial, batch_format="pandas")
+    merged = partials.groupby("c_nationkey").aggregate(Sum("revenue", alias_name="revenue"))
+
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": df["c_nationkey"].map(nmap),
+                "revenue": df["revenue"].round(_R),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pandas").sort(
+        ["revenue", "n_name"], descending=[True, False]
+    )
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-stream shapes: tumbling windows, sessionization, as-of join
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_window(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1h event-time window per event_type: count + rounded sum.
+
+    Ray Data has no event-time windowing; the window key is derived per
+    batch (vectorized floor) and the aggregation is an ordinary grouped
+    shuffle with per-batch partials — the documented batch-engine mapping
+    for stream-shaped references (SURVEY.md §2.8).
+    """
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], sort=False)["value"]
+        return arrow_from_pandas(g.agg(n="size", sum_value="sum").reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(_R)
+        df["n"] = df["n"].astype("int64")
+        return df[["event_type", "hour", "n", "sum_value"]]
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows per user (gap > 30min starts a new session):
+    (user_id, n_sessions, n_events). Partition by user, sort within group —
+    the partitioned-log pattern for streaming references."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_sess = (g["ts"].diff() > gap).cumsum()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(new_sess.iloc[-1]) + 1 if len(g) else 0],
+                "n_events": [len(g)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH d AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+    FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM d GROUP BY user_id
+"""
+
+
+def events_asof_last_signup(sf_dir: str) -> rd.Dataset:
+    """As-of join within the event log: for every 'purchase', the ts of the
+    user's most recent prior 'signup' (NULL if none).
+
+    Implemented as groupby(user).map_groups + pandas merge_asof per group —
+    the documented Ray mapping for as-of/range joins. Returns
+    (event_id, user_id, ts, last_signup_ts).
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g[g["event_type"] == "purchase"].sort_values("ts")
+        signups = g[g["event_type"] == "signup"].sort_values("ts")
+        if purchases.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype=g["ts"].dtype),
+                    "last_signup_ts": pd.Series([], dtype=g["ts"].dtype),
+                }
+            )
+        out = pd.merge_asof(
+            purchases[["event_id", "user_id", "ts"]],
+            signups[["ts"]].rename(columns={"ts": "last_signup_ts"}),
+            left_on="ts",
+            right_on="last_signup_ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+EVENTS_ASOF_SQL = """
+SELECT event_id, user_id, ts,
+       (SELECT MAX(s.ts) FROM events s
+        WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts < e.ts)
+       AS last_signup_ts
+FROM events e
+WHERE event_type = 'purchase'
+"""
+
+
+def top_users_by_value(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """groupby user → rounded sum(value) → top-k with deterministic tie-break."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        return arrow_from_pandas(
+            df.groupby("user_id", sort=False)["value"].sum().rename("total_value").reset_index()
+        )
+
+    merged = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(
+        Sum("total_value", alias_name="total_value")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_value"] = df["total_value"].round(_R)
+        return df
+
+    return (
+        merged.map_batches(finalize, batch_format="pandas")
+        .sort(["total_value", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_USERS_SQL = """
+SELECT user_id, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+"""

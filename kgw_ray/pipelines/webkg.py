@@ -27,7 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from kgw_ray.functions.scalars import json_dumps
+from kgw_ray.functions.arrow_utils import arrow_from_pandas
+from kgw_ray.functions.scalars import json_dumps, json_loads
 from kgw_ray.sources.pages import pages_dataset, url_for
 from kgw_ray.stages.extract import HtmlExtract
 from kgw_ray.stages.linking import link_triples_batch
@@ -65,7 +66,7 @@ def _edge_partials(batch: pa.Table) -> pa.Table:
         .agg(n_obs=("doc_id", "size"), first_doc=("doc_id", "min"))
         .reset_index()
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return arrow_from_pandas(g)
 
 
 def _edge_merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -206,8 +207,6 @@ def edges_with_provenance_url(edges: rd.Dataset, sf_dir: str) -> rd.Dataset:
             self.m = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from kgw_ray.functions.scalars import json_loads
-
             urls = []
             for p in batch.column("properties").to_pylist():
                 d = json_loads(p)

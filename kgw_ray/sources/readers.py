@@ -48,4 +48,10 @@ def read_table(
         kwargs["filter"] = filter
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
-    return rd.read_parquet(path, **kwargs)
+    ds = rd.read_parquet(path, **kwargs)
+    # The driver-generated files carry pandas schema metadata, which breaks
+    # Ray's shuffle schema dedup (unhashable dict) and costs ~20× on
+    # aggregates — strip it at the source (zero-copy, fuses with downstream).
+    from kgw_ray.functions.arrow_utils import strip_meta
+
+    return ds.map_batches(strip_meta, batch_format="pyarrow", zero_copy_batch=True)

@@ -16,6 +16,12 @@ from __future__ import annotations
 
 import pandas as pd
 import ray.data as rd
+
+
+def _nparts() -> int:
+    from kgw_ray.stages.joins import default_join_partitions
+
+    return default_join_partitions()
 from ray.data.aggregate import Min
 
 
@@ -48,7 +54,7 @@ def connected_components(pairs: rd.Dataset, max_iter: int = 12) -> rd.Dataset:
         nbr_labels = adj.join(
             labels_mat,
             join_type="inner",
-            num_partitions=max(adj.num_blocks(), 8),
+            num_partitions=_nparts(),
             on=("nbr",),
             right_on=("id",),
             right_suffix="_r",
@@ -61,7 +67,7 @@ def connected_components(pairs: rd.Dataset, max_iter: int = 12) -> rd.Dataset:
         joined = new_mat.join(
             labels_mat,
             join_type="inner",
-            num_partitions=8,
+            num_partitions=_nparts(),
             on=("id",),
             right_suffix="_old",
         )

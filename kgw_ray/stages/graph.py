@@ -1,0 +1,161 @@
+"""Graph analytics over the unified IR (SURVEY.md §2.4/§2.5 and the
+reference's statistics/schema sinks, kgw/_shared/load.py:10-283).
+
+All functions take (nodes, edges) Datasets with the IR schema
+(id,type,properties)/(source_id,target_id,type,properties) — they work for
+any adapter (web-KG, TPC-H graph, ...).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from kgw_ray.functions.arrow_utils import arrow_from_pandas
+from kgw_ray.stages.agg import grouped_aggregate
+from kgw_ray.stages.joins import large_join, semi_join_filter
+
+
+def type_histogram(ds: rd.Dataset) -> rd.Dataset:
+    """GROUP BY type / COUNT(*) / ORDER BY count DESC, type ASC
+    (reference load.py:20-31,47-58)."""
+    out = grouped_aggregate(ds.select_columns(["type"]), "type", Count(alias_name="n"))
+    return out.sort(["n", "type"], descending=[True, False])
+
+
+def graph_statistics(nodes: rd.Dataset, edges: rd.Dataset) -> pa.Table:
+    """statistics.json content as one row (reference load.py:10-81):
+    num_nodes, num_edges, num_node_types, num_edge_types."""
+    nh = type_histogram(nodes).to_pandas()
+    eh = type_histogram(edges).to_pandas()
+    return pa.table(
+        {
+            "num_nodes": pa.array([int(nh["n"].sum())], pa.int64()),
+            "num_edges": pa.array([int(eh["n"].sum())], pa.int64()),
+            "num_node_types": pa.array([len(nh)], pa.int64()),
+            "num_edge_types": pa.array([len(eh)], pa.int64()),
+        }
+    )
+
+
+def statistics_dict(nodes: rd.Dataset, edges: rd.Dataset) -> dict:
+    """Full statistics payload incl. per-type counts (load.py:69-76 shape)."""
+    nh = type_histogram(nodes).to_pandas()
+    eh = type_histogram(edges).to_pandas()
+    return {
+        "num_nodes": int(nh["n"].sum()),
+        "num_edges": int(eh["n"].sum()),
+        "num_node_types": len(nh),
+        "num_edge_types": len(eh),
+        "node_types": dict(zip(nh["type"], nh["n"].astype(int))),
+        "edge_types": dict(zip(eh["type"], eh["n"].astype(int))),
+    }
+
+
+def _typed_edges(nodes: rd.Dataset, edges: rd.Dataset, num_partitions) -> rd.Dataset:
+    """edges ⋈ nodes(src) ⋈ nodes(tgt) → (source_type, edge_type, target_type).
+
+    Two hash-partitioned shuffle joins keyed on node id (the scale path —
+    nodes is NOT assumed small); reference equivalent is the SQL join in
+    load.py:109-132 backed by the B-tree indexes transform.py:27-28.
+    """
+    e = edges.select_columns(["source_id", "target_id", "type"]).rename_columns(
+        {"type": "edge_type"}
+    )
+    src_t = nodes.select_columns(["id", "type"]).rename_columns(
+        {"type": "source_type"}
+    )
+    tgt_t = nodes.select_columns(["id", "type"]).rename_columns(
+        {"type": "target_type"}
+    )
+    j1 = large_join(
+        e, src_t, on=("source_id",), right_on=("id",), num_partitions=num_partitions
+    ).select_columns(["source_id", "target_id", "edge_type", "source_type"])
+    j2 = large_join(
+        j1, tgt_t, on=("target_id",), right_on=("id",), num_partitions=num_partitions
+    )
+    return j2.select_columns(["source_type", "edge_type", "target_type"])
+
+
+def schema_graph(
+    nodes: rd.Dataset, edges: rd.Dataset, *, num_partitions=None
+) -> rd.Dataset:
+    """Type-level schema: (source_type, edge_type, target_type, n) ordered by
+    n DESC (reference load.py:109-132)."""
+    t = _typed_edges(nodes, edges, num_partitions)
+    out = grouped_aggregate(
+        t, ["source_type", "edge_type", "target_type"], Count(alias_name="n")
+    )
+    return out.sort(
+        ["n", "source_type", "edge_type", "target_type"],
+        descending=[True, False, False, False],
+    )
+
+
+def schema_graph_compact(
+    nodes: rd.Dataset, edges: rd.Dataset, *, num_partitions=None
+) -> rd.Dataset:
+    """Compact schema: (source_type, target_type, n_edges, n_edge_types)
+    (reference load.py:218-241). Exact distinct via two-level groupby —
+    no in-memory distinct set."""
+    t = _typed_edges(nodes, edges, num_partitions)
+    per_triple = grouped_aggregate(
+        t, ["source_type", "edge_type", "target_type"], Count(alias_name="n")
+    )
+    out = grouped_aggregate(
+        per_triple, ["source_type", "target_type"],
+        Sum("n", alias_name="n_edges"), Count(alias_name="n_edge_types")
+    )
+    return out.sort(
+        ["n_edges", "source_type", "target_type"], descending=[True, False, False]
+    )
+
+
+def neighborhood(edges: rd.Dataset, node_id: str) -> rd.Dataset:
+    """1-hop subgraph: edges touching ``node_id`` plus edges among its
+    neighbors (reference examples/downstream_analysis.ipynb cell 28).
+
+    Pass 1 streams edges to collect the (small) neighbor-id set on the
+    driver; pass 2 broadcast-filters edges by that set — a semi-join, no
+    shuffle.
+    """
+    import pyarrow.compute as pc
+
+    def touching(batch: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.equal(batch["source_id"], node_id),
+            pc.equal(batch["target_id"], node_id),
+        )
+        return batch.filter(mask)
+
+    touch = edges.map_batches(touching, batch_format="pyarrow")
+    tdf = touch.to_pandas()  # 1-hop edge set: small by assumption
+    nbrs = set(tdf["source_id"]) | set(tdf["target_id"])
+
+    both_in = semi_join_filter(
+        semi_join_filter(edges, nbrs, on="source_id"), nbrs, on="target_id"
+    )
+    return both_in
+
+
+def triple_dedup(edges: rd.Dataset) -> rd.Dataset:
+    """Exact (source_id, type, target_id) dedup with multiplicity count
+    (reference _oregano.py:235-237 drops repeats; we also keep n)."""
+    partial = edges.select_columns(["source_id", "type", "target_id"]).map_batches(
+        _count_partial, batch_format="pandas"
+    )
+    return grouped_aggregate(
+        partial, ["source_id", "type", "target_id"], Sum("n_partial", alias_name="n")
+    )
+
+
+def _count_partial(df: pd.DataFrame) -> pa.Table:
+    g = (
+        df.groupby(["source_id", "type", "target_id"], sort=False)
+        .size()
+        .rename("n_partial")
+        .reset_index()
+    )
+    return arrow_from_pandas(g)

@@ -1,0 +1,112 @@
+"""Join strategies (SURVEY.md §2.3/§2.4).
+
+Two physical strategies, chosen by side size — the scale rule the engine
+follows everywhere:
+
+- ``broadcast_join``: the small side (dimension table, annotation map, KB) is
+  ``ray.put`` ONCE and probed per batch inside an actor pool — the reference's
+  side-dict lookup joins (kgw/biomedicine/_oregano.py:157-201,
+  _primekg.py:155-172) without re-shipping per batch. No shuffle.
+- ``large_join``: both sides large → Ray Data's hash-partitioned
+  ``Dataset.join`` (explicit ``num_partitions``); every block moves once.
+
+Semi/anti joins broadcast the key set and filter vectorized.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def broadcast_join(
+    big: rd.Dataset,
+    small: pd.DataFrame,
+    *,
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+    how: str = "inner",
+    concurrency: int = 8,
+) -> rd.Dataset:
+    """Map-side hash join: ``small`` is broadcast via the object store once,
+    merged into every batch with a vectorized pandas merge."""
+    right_on = list(right_on or on)
+    on = list(on)
+    ref = ray.put(small)
+
+    class Probe:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.merge(
+                self.small, how=how, left_on=on, right_on=right_on, copy=False
+            )
+            drop = [c for c in right_on if c not in on and c in out.columns]
+            return out.drop(columns=drop)
+
+    return big.map_batches(
+        Probe, batch_format="pandas", concurrency=(1, concurrency)
+    )
+
+
+def default_join_partitions() -> int:
+    """Join parallelism sized to the cluster: one hash-aggregator per CPU.
+
+    A fixed num_partitions larger than the CPU count strands the shuffle —
+    Ray schedules that many HashShuffleAggregator actors, and on a small
+    cluster they starve each other (observed: 16 aggregators on 4 CPUs →
+    load 0.27, pipeline stalled indefinitely).
+    """
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover
+        n = 8
+    return max(2, n)
+
+
+def large_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+    how: str = "inner",
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Hash-partitioned shuffle join (both sides large)."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions or default_join_partitions(),
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on else None,
+        right_suffix="_r",
+    )
+
+
+def semi_join_filter(
+    big: rd.Dataset, keys, *, on: str, negate: bool = False
+) -> rd.Dataset:
+    """Semi (or anti) join by broadcasting the key set; vectorized filter."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    key_arr = pa.array(sorted(set(keys)))
+    ref = ray.put(key_arr)
+
+    class Filt:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[on], value_set=self.keys)
+            if negate:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return big.map_batches(Filt, batch_format="pyarrow", concurrency=(1, 4))

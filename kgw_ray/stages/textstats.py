@@ -1,0 +1,264 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All stages are stateless vectorized ``map_batches`` functions over Arrow
+batches (numpy / pyarrow.compute kernels — no Python loop over tokens in the
+hot path), matching the engine's transform idiom (SURVEY.md §2.2). At 100 TB
+these run embarrassingly parallel with zero shuffle; the only wide op in this
+module's pipelines is the optional groupby in exact-dedup (stages/dedup.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
+# the GPT-2 pre-tokenizer shape (public regex family), simplified to ASCII
+# classes so the DuckDB oracle can reproduce it with regexp_extract_all.
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+_BPE_RE_STR = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, n_ws_tokens, n_bpe_tokens, n_chars).
+
+    Fully vectorized: both token counts are single RE2 scans over the whole
+    column (``pc.count_substring_regex``); no Python in the hot path.
+    """
+    text = batch.column("text")
+    n_ws = pc.count_substring_regex(text, pattern=r"\S+")
+    n_bpe = pc.count_substring_regex(text, pattern=_BPE_RE_STR)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_ws_tokens": pc.cast(n_ws, pa.int64()),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        }
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the a an and or of to in is was for on as with at by it this that",
+    # deterministic, public English stopword list (subset)
+)
+STOPWORD_SET = frozenset(_STOPWORDS[0].split())
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORD_SET))
+
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def quality_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-doc quality signals:
+
+    n_chars, n_tokens, mean_token_len, punct_ratio (punct chars / chars),
+    stopword_ratio (stopword tokens / tokens), quality_score (a simple
+    deterministic composite in [0,1]).
+
+    All ratios rounded to 6 dp so the DuckDB oracle hashes identically.
+    """
+    texts = batch.column("text").to_pylist()
+    n = len(texts)
+    n_chars = np.empty(n, dtype=np.int64)
+    n_tokens = np.empty(n, dtype=np.int64)
+    n_stop = np.empty(n, dtype=np.int64)
+    n_punct = np.empty(n, dtype=np.int64)
+    sum_tok_len = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = t.split()
+        n_chars[i] = len(t)
+        n_tokens[i] = len(toks)
+        n_stop[i] = sum(1 for w in toks if w in STOPWORD_SET)
+        n_punct[i] = len(_PUNCT_RE.findall(t))
+        sum_tok_len[i] = sum(len(w) for w in toks)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_tok = np.where(n_tokens > 0, sum_tok_len / np.maximum(n_tokens, 1), 0.0)
+        punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+        stop_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
+    # composite: long-enough docs with moderate punctuation score high
+    score = (
+        np.clip(n_tokens / 100.0, 0, 1) * 0.5
+        + (1.0 - np.clip(punct_ratio * 10.0, 0, 1)) * 0.3
+        + np.clip(stop_ratio * 5.0, 0, 1) * 0.2
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tokens),
+            "mean_token_len": pa.array(np.round(mean_tok, 6)),
+            "punct_ratio": pa.array(np.round(punct_ratio, 6)),
+            "stopword_ratio": pa.array(np.round(stop_ratio, 6)),
+            "quality_score": pa.array(np.round(score, 6)),
+        }
+    )
+
+
+QUALITY_SQL = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           length(text) AS n_chars,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s_]', '', 'g')) AS n_punct
+    FROM documents
+), s AS (
+    SELECT doc_id, n_chars, len(toks) AS n_tokens, n_punct,
+           COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_tok_len,
+           len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS n_stop
+    FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+    ROUND(CASE WHEN n_tokens > 0 THEN sum_tok_len / CAST(n_tokens AS DOUBLE) ELSE 0 END, 6) AS mean_token_len,
+    ROUND(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END, 6) AS punct_ratio,
+    ROUND(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END, 6) AS stopword_ratio,
+    ROUND(
+        LEAST(n_tokens / 100.0, 1.0) * 0.5
+        + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END * 10.0, 1.0)) * 0.3
+        + LEAST(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END * 5.0, 1.0) * 0.2,
+    6) AS quality_score
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram / marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+# Public marker-word profiles per language; CJK detection via codepoint range.
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is was for with that this".split()),
+    "fr": frozenset("le la les et de des un une est dans pour que".split()),
+    "es": frozenset("el la los las y de un una es en para que".split()),
+    "de": frozenset("der die das und von zu ein eine ist im für mit".split()),
+}
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+class LangId:
+    """Actor-pool language identifier (profiles built once per actor).
+
+    Scores each doc by marker-word hit rate per language plus a CJK
+    character-ratio fast path; emits (doc_id, lang_pred, lang_conf).
+    Deterministic — rows-only correctness check + accuracy unit test vs the
+    ``lang`` column.
+    """
+
+    def __init__(self) -> None:
+        self.profiles = {k: v for k, v in _LANG_MARKERS.items()}
+
+    def ident_one(self, text: str) -> tuple[str, float]:
+        if not text:
+            return "und", 0.0
+        cjk = len(_CJK_RE.findall(text))
+        if cjk / max(len(text), 1) > 0.2:
+            return "zh", round(cjk / len(text), 6)
+        toks = text.lower().split()
+        if not toks:
+            return "und", 0.0
+        best_lang, best_hits = "und", 0
+        for lang, words in self.profiles.items():
+            hits = sum(1 for w in toks if w in words)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang, round(best_hits / len(toks), 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = [self.ident_one(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array([r[0] for r in res], pa.string()),
+                "lang_conf": pa.array([r[1] for r in res], pa.float64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling hash + content hash)
+# ---------------------------------------------------------------------------
+
+_B = np.uint64(1000003)  # polynomial base (same family as CPython strhash)
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+
+
+def rolling_fingerprint(toks: list[str], w: int = 8) -> int:
+    """Winnowing-style fingerprint: min of rolling polynomial window hashes.
+
+    Public scheme (Schleimer et al., winnowing). Deterministic; the min over
+    windows is order-robust enough for shift-tolerant near-dup blocking.
+    """
+    if not toks:
+        return 0
+    h = _token_hashes(toks)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash ring
+        if len(h) < w:
+            acc = np.uint64(0)
+            for x in h:
+                acc = (acc * _B + x) & _MASK
+            return int(acc)
+        # rolling window hash via cumulative polynomial trick, vectorized
+        n = len(h)
+        pw = np.empty(n + 1, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        for i in range(n):
+            pw[i + 1] = (pw[i] * _B) & _MASK
+        pre = np.empty(n + 1, dtype=np.uint64)
+        pre[0] = np.uint64(0)
+        for i in range(n):
+            pre[i + 1] = (pre[i] * _B + h[i]) & _MASK
+        win = (pre[w:] - pre[:-w] * pw[w]) & _MASK
+        return int(win.min())
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, content_md5, fingerprint).
+
+    ``content_md5`` is the exact-dedup key (matches DuckDB ``md5(text)``);
+    ``fingerprint`` is the winnowing rolling hash (rows-only check).
+    """
+    texts = batch.column("text").to_pylist()
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    fps = [rolling_fingerprint((t or "").split()) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "content_md5": pa.array(md5s, pa.string()),
+            "fingerprint": pa.array(np.array(fps, dtype=np.uint64)),
+        }
+    )

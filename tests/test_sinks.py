@@ -1,0 +1,178 @@
+"""Sink format-validity tests, mirroring the reference's strategy
+(tests/test_workflows.py:193-354): CSV/JSONL parse + row counts, GraphML
+cross-parser check (xml.etree), MeTTa balanced-paren grammar, SQL dump
+replays into sqlite3."""
+
+import csv
+import json
+import sqlite3
+import xml.etree.ElementTree as ET
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kgw_ray.sinks import exports
+
+
+@pytest.fixture(scope="module")
+def tiny_graph():
+    nodes = rd.from_arrow(
+        pa.table(
+            {
+                "id": ["a", "b", "c"],
+                "type": ["gene", "gene", "disease"],
+                "properties": [
+                    '{"name":"A","score":1.5,"flags":[1,2]}',
+                    '{"name":"B <x> & \'q\'"}',
+                    "{}",
+                ],
+            }
+        )
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": ["a", "b", "a"],
+                "target_id": ["c", "c", "b"],
+                "type": ["causes", "causes", "interacts"],
+                "properties": ['{"w":2}', "{}", '{"w":3,"tags":["x"]}'],
+            }
+        )
+    )
+    return nodes, edges
+
+
+def test_statistics(tiny_graph, tmp_path):
+    nodes, edges = tiny_graph
+    p = str(tmp_path / "statistics.json")
+    stats = exports.write_statistics(nodes, edges, p)
+    on_disk = json.load(open(p))
+    assert on_disk == stats
+    assert stats["num_nodes"] == 3 and stats["num_edges"] == 3
+    assert stats["num_node_types"] == 2 and stats["num_edge_types"] == 2
+    assert stats["node_types"] == {"gene": 2, "disease": 1}
+
+
+def test_csv_export(tiny_graph, tmp_path):
+    nodes, _ = tiny_graph
+    p = str(tmp_path / "kg_nodes.csv")
+    exports.write_csv_export(nodes, p)
+    rows = list(csv.reader(open(p)))
+    assert rows[0] == ["id", "type", "properties"]
+    assert len(rows) == 4
+    # every properties cell must be JSON-parsable (reference :193-219)
+    for r in rows[1:]:
+        json.loads(r[2])
+
+
+def test_jsonl_export(tiny_graph, tmp_path):
+    _, edges = tiny_graph
+    p = str(tmp_path / "kg_edges.jsonl")
+    exports.write_jsonl_export(edges, p)
+    lines = [json.loads(line) for line in open(p)]
+    assert len(lines) == 3
+    assert all(isinstance(d["properties"], dict) for d in lines)
+    assert lines[0].keys() == {"source_id", "target_id", "type", "properties"}
+
+
+def test_graphml(tiny_graph, tmp_path):
+    nodes, edges = tiny_graph
+    p = str(tmp_path / "kg.graphml")
+    exports.write_graphml(nodes, edges, p)
+    root = ET.parse(p).getroot()
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    g = root.find(f"{ns}graph")
+    xml_nodes = g.findall(f"{ns}node")
+    xml_edges = g.findall(f"{ns}edge")
+    assert len(xml_nodes) == 3 and len(xml_edges) == 3
+    # sequential edge ids e0..e2 (reference load.py:503)
+    assert sorted(e.get("id") for e in xml_edges) == ["e0", "e1", "e2"]
+    # key declarations cover all property keys
+    keys = {k.get("attr.name") for k in root.findall(f"{ns}key")}
+    assert {"type", "name", "score", "flags", "w", "tags"} <= keys
+    # compound values JSON-stringified
+    a = next(n for n in xml_nodes if n.get("id") == "a")
+    data = {d.get("key"): d.text for d in a.findall(f"{ns}data")}
+    assert json.loads(data["node_flags"]) == [1, 2]
+
+
+def _assert_balanced_metta(path):
+    """Reference grammar property: every line balanced-parenthesized with
+    string-literal/escape awareness (test_workflows.py:310-354)."""
+    for line in open(path):
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        depth = 0
+        in_str = False
+        esc = False
+        for ch in line:
+            if esc:
+                esc = False
+                continue
+            if ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = not in_str
+            elif not in_str and ch == "(":
+                depth += 1
+            elif not in_str and ch == ")":
+                depth -= 1
+                assert depth >= 0, line
+        assert depth == 0 and not in_str, line
+
+
+def test_metta_repr1(tiny_graph, tmp_path):
+    nodes, edges = tiny_graph
+    p = str(tmp_path / "kg_spo.metta")
+    exports.write_metta_repr1(nodes, edges, p)
+    _assert_balanced_metta(p)
+    lines = [line for line in open(p) if line.strip()]
+    # 2 type decls + 3 node atoms + 3 triples
+    assert len(lines) == 8
+    assert lines[0].startswith("(: ")
+
+
+def test_metta_repr2(tiny_graph, tmp_path):
+    nodes, edges = tiny_graph
+    p = str(tmp_path / "kg_repr2.metta")
+    exports.write_metta_repr2(nodes, edges, p)
+    _assert_balanced_metta(p)
+    text = open(p).read()
+    for eid in ("\"e0\"", "\"e1\"", "\"e2\""):
+        assert eid in text
+    assert "(has_property" in text
+
+
+def test_metta_repr3_monotone_ids(tiny_graph, tmp_path):
+    nodes, edges = tiny_graph
+    p = str(tmp_path / "kg_repr3.metta")
+    exports.write_metta_repr3(nodes, edges, p)
+    _assert_balanced_metta(p)
+    ids = []
+    for line in open(p):
+        if line.startswith("(node ") or line.startswith("(edge "):
+            ids.append(int(line.split()[1]))
+    assert ids == sorted(ids) and len(set(ids)) == 6  # 3 nodes + 3 edges
+
+
+def test_sql_dump_replays(tiny_graph, tmp_path):
+    nodes, edges = tiny_graph
+    p = str(tmp_path / "kg.sql")
+    exports.write_sql_dump(nodes, edges, p)
+    con = sqlite3.connect(":memory:")
+    con.executescript(open(p).read())
+    assert con.execute("SELECT COUNT(*) FROM nodes").fetchone()[0] == 3
+    assert con.execute("SELECT COUNT(*) FROM edges").fetchone()[0] == 3
+    props = con.execute("SELECT properties FROM nodes WHERE id='b'").fetchone()[0]
+    assert json.loads(props)["name"] == "B <x> & 'q'"
+
+
+def test_hub_roundtrip(tiny_graph, tmp_path):
+    nodes, edges = tiny_graph
+    out = str(tmp_path / "hub")
+    exports.write_hub(nodes, edges, out)
+    n2 = rd.read_parquet(f"{out}/nodes")
+    assert n2.count() == 3
+    assert set(n2.schema().names) == {"id", "type", "properties"}

@@ -1,0 +1,166 @@
+"""Training-data operator tests: dedup correctness vs brute force, ANN
+recall, lang-ID accuracy, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kgw_ray.sources.readers import read_table
+
+
+def test_minhash_signature_jaccard_estimate():
+    """Minhash agreement rate estimates Jaccard (property of the scheme)."""
+    from kgw_ray.stages.dedup import minhash_signature, shingle_hashes
+
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox leaps over the lazy dog " * 5
+    sa, sb = shingle_hashes(a), shingle_hashes(b)
+    inter = np.intersect1d(sa, sb).size
+    true_j = inter / (len(sa) + len(sb) - inter)
+    ma, mb = minhash_signature(sa, 256), minhash_signature(sb, 256)
+    est = (ma == mb).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_minhash_dedup_matches_bruteforce(sf_smoke):
+    """LSH+verify survivors == brute-force O(n²) Jaccard dedup survivors.
+
+    At threshold 0.5 with 16 bands × 4 rows the LSH detection probability at
+    J=0.5 is ~0.8 per pair, but verified pairs are exact — compare against
+    brute force on the same corpus and allow only missed-pair slack."""
+    from kgw_ray.stages.dedup import minhash_dedup_keep, shingle_hashes
+
+    docs = read_table(sf_smoke, "documents", columns=["doc_id", "text"])
+    df = docs.to_pandas().sort_values("doc_id")
+    ids = df["doc_id"].to_numpy()
+    sh = [shingle_hashes(t) for t in df["text"]]
+
+    # brute-force pair set at J >= 0.5
+    true_pairs = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = sh[i], sh[j]
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if inter / (len(sa) + len(sb) - inter) >= 0.5:
+                true_pairs.add((ids[i], ids[j]))
+
+    survivors = set(
+        minhash_dedup_keep(docs, threshold=0.5).to_pandas()["doc_id"]
+    )
+    # survivors must include every doc not in any true pair
+    paired = {x for p in true_pairs for x in p}
+    assert set(ids) - paired <= survivors
+    # and never keep two docs of the same true pair IF LSH found the pair
+    # (verified pairs are a subset of true pairs: no false positives)
+    dropped = set(ids) - survivors
+    for d in dropped:
+        assert d in paired
+
+
+def test_exact_dedup_counts(sf_smoke):
+    from kgw_ray.stages.dedup import exact_dedup_keep
+
+    docs = read_table(sf_smoke, "documents", columns=["doc_id", "text"])
+    n_distinct = docs.to_pandas()["text"].nunique()
+    keep = exact_dedup_keep(docs)
+    assert keep.count() == n_distinct
+
+
+def test_simhash_hamming_blocking_guarantee():
+    """Pairs with Hamming ≤ 3 must share ≥1 of the 4 16-bit bands."""
+    from kgw_ray.stages.dedup import simhash64
+
+    a = simhash64("the quick brown fox jumps over the lazy dog extra pad".split())
+    # flip 3 bits
+    b = a ^ 0b101 ^ (1 << 40)
+    bands_a = [(a >> (16 * i)) & 0xFFFF for i in range(4)]
+    bands_b = [(b >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert any(x == y for x, y in zip(bands_a, bands_b))
+
+
+def test_ann_ivf_recall(sf_smoke):
+    """IVF top-k must reach ≥0.6 mean recall vs brute force at nprobe=4/16."""
+    from kgw_ray.pipelines.training_data import ann_cosine_topk, ann_ivf_topk
+
+    exact = ann_cosine_topk(sf_smoke).to_pandas()
+    approx = ann_ivf_topk(sf_smoke).to_pandas()
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_lang_id_deterministic_and_correct_on_real_markers(sf_smoke):
+    """The synthetic corpus's ``lang`` column is uncorrelated with its text
+    (all docs share one English-ish vocabulary), so accuracy-vs-column is
+    meaningless; instead: (a) distributed output == single-process output,
+    (b) classifier is right on texts with genuine language markers."""
+    from kgw_ray.pipelines.training_data import text_lang_id
+    from kgw_ray.stages.textstats import LangId
+
+    pred = text_lang_id(sf_smoke).to_pandas().sort_values("doc_id")
+    docs = (
+        read_table(sf_smoke, "documents", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    li = LangId()
+    local = [li.ident_one(t)[0] for t in docs["text"]]
+    assert list(pred["lang_pred"]) == local
+
+    assert li.ident_one("the cat and the dog of the house")[0] == "en"
+    assert li.ident_one("le chat et la maison des gens est dans")[0] == "fr"
+    assert li.ident_one("el gato y la casa de los hombres es")[0] == "es"
+    assert li.ident_one("der Hund und die Katze von dem Haus ist")[0] == "de"
+    assert li.ident_one("这是一个中文句子的测试文本")[0] == "zh"
+
+
+def test_quality_stats_vectorized_sanity():
+    from kgw_ray.stages.textstats import quality_stats_batch
+
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["the cat, sat!", ""]})
+    out = quality_stats_batch(b).to_pylist()
+    r = out[0]
+    assert r["n_tokens"] == 3
+    assert r["stopword_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["punct_ratio"] == pytest.approx(2 / 13, abs=1e-6)
+    assert out[1]["n_tokens"] == 0 and out[1]["quality_score"] == pytest.approx(0.3)
+
+
+def test_rolling_fingerprint_shift_invariance():
+    """Winnowing min-hash is stable under prefix insertion when the window
+    set overlaps (common-substring property)."""
+    from kgw_ray.stages.textstats import rolling_fingerprint
+
+    base = ("w%d " % i for i in range(50))
+    toks = [f"w{i}" for i in range(50)]
+    f1 = rolling_fingerprint(toks)
+    f2 = rolling_fingerprint(["zzz"] * 3 + toks)
+    # the min window of f1 is still present among f2's windows
+    # (not strictly guaranteed equal, but the min can only decrease)
+    assert f2 <= f1 or f1 == f2
+
+
+def test_media_plumbing(sf_smoke):
+    from kgw_ray.pipelines.training_data import media_decode_features, media_metadata
+
+    meta = media_metadata(sf_smoke).to_pandas()
+    assert (meta["n_bytes"] > 0).all()
+    assert meta["sha256"].str.len().eq(64).all()
+
+    feats = media_decode_features(sf_smoke).to_pandas()
+    assert len(feats) == len(meta)
+    assert feats["feature"].map(len).eq(8).all()
+
+
+def test_media_decode_stub_raises():
+    from kgw_ray.stages.multimodal import DecodeImage
+
+    dec = DecodeImage(use_fake=False)
+    with pytest.raises(NotImplementedError):
+        dec(pa.table({"payload": pa.array([b"x"], pa.binary())}))
