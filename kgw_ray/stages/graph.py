@@ -54,16 +54,47 @@ def statistics_dict(nodes: rd.Dataset, edges: rd.Dataset) -> dict:
     }
 
 
+# id→type maps up to this many nodes are broadcast instead of shuffle-joined
+_BROADCAST_NODE_LIMIT = 5_000_000
+
+
 def _typed_edges(nodes: rd.Dataset, edges: rd.Dataset, num_partitions) -> rd.Dataset:
     """edges ⋈ nodes(src) ⋈ nodes(tgt) → (source_type, edge_type, target_type).
 
-    Two hash-partitioned shuffle joins keyed on node id (the scale path —
-    nodes is NOT assumed small); reference equivalent is the SQL join in
-    load.py:109-132 backed by the B-tree indexes transform.py:27-28.
+    Hybrid join (the engine's size rule): the id→type projection is a
+    two-column table — up to ~5M nodes it broadcasts once via ``ray.put``
+    and both lookups happen map-side in ONE pass with zero shuffle; past
+    that, two hash-partitioned shuffle joins keyed on node id (the
+    reference's SQL join load.py:109-132 backed by B-tree indexes
+    transform.py:27-28).
     """
     e = edges.select_columns(["source_id", "target_id", "type"]).rename_columns(
         {"type": "edge_type"}
     )
+    n_nodes = nodes.count()
+    if n_nodes <= _BROADCAST_NODE_LIMIT:
+        import ray
+
+        id_type = nodes.select_columns(["id", "type"]).to_pandas()
+        ref = ray.put(dict(zip(id_type["id"], id_type["type"])))
+
+        class AddTypes:
+            def __init__(self):
+                self.m = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pa.Table:
+                out = pd.DataFrame(
+                    {
+                        "source_type": df["source_id"].map(self.m),
+                        "edge_type": df["edge_type"],
+                        "target_type": df["target_id"].map(self.m),
+                    }
+                )
+                out = out.dropna(subset=["source_type", "target_type"])
+                return arrow_from_pandas(out)
+
+        return e.map_batches(AddTypes, batch_format="pandas", concurrency=(1, 8))
+
     src_t = nodes.select_columns(["id", "type"]).rename_columns(
         {"type": "source_type"}
     )

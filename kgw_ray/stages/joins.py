@@ -66,7 +66,10 @@ def default_join_partitions() -> int:
         n = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover
         n = 8
-    return max(2, n)
+    # measured on 32 CPUs at sf0.1: np=8 → 3.0s, np=16 → 3.4s, np=32 → 5.6s
+    # (aggregator-actor startup dominates past ~cpus/4); multi-node clusters
+    # want ≥ one partition per node×2 — callers pass num_partitions there.
+    return max(2, min(16, n // 4 if n >= 16 else n))
 
 
 def large_join(
