@@ -110,13 +110,105 @@ def run_bench(sf_dir: str, num_cpus: int, queries: list[str]) -> dict:
     }
 
 
-def _scaling_child(sf_dir: str, cpus: int) -> dict:
+def _prepare_scaled_corpus(sf_dir: str, repeat: int) -> str:
+    """Materialize the corpus replicated ``repeat``× (distinct doc_id space
+    per replica) to a cached parquet dir — BOTH scaling levels then run the
+    IDENTICAL materialized input with naturally sized blocks (a lazily
+    replicated input bundles into too few tasks and hides parallelism)."""
+    if repeat <= 1:
+        return sf_dir
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = f"/tmp/kgw_bench/{os.path.basename(os.path.normpath(sf_dir))}_x{repeat}"
+    out = os.path.join(out_dir, "documents.parquet")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        # one shard file per (replica, quarter): a single parquet file reads
+        # as ONE Ray task that streams its split-blocks serially — the read
+        # becomes the pipeline's serial floor; many files = parallel read
+        # (the real Common-Crawl shape: thousands of shard files)
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang", "source"],
+        )
+        quarters = 4
+        qsize = t.num_rows // quarters
+        for r in range(repeat):
+            rep = t.set_column(
+                0, "doc_id", pa.compute.add(t.column("doc_id"), r * 100_000_000)
+            )
+            for q in range(quarters):
+                sl = rep.slice(q * qsize, qsize if q < quarters - 1 else None)
+                pq.write_table(sl, os.path.join(out, f"part-{r:03d}-{q}.parquet"))
+        open(done, "w").write("")
+    return out_dir
+
+
+def run_flagship(sf_dir: str, num_cpus: int, repeat: int) -> dict:
+    """The scaling workload: the flagship webkg_edges pipeline over the
+    corpus replicated ``repeat``× (distinct doc_id spaces) — enough work to
+    saturate the larger parallelism level; both levels run the IDENTICAL
+    input."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from kgw_ray._shipping import ensure_importable_in_workers
+
+    ensure_importable_in_workers()
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+
+    import pyarrow.parquet as pq
+
+    sf_dir = _prepare_scaled_corpus(sf_dir, repeat)
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(doc_path):
+        n_docs = sum(
+            pq.read_metadata(os.path.join(doc_path, f)).num_rows
+            for f in os.listdir(doc_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n_docs = pq.read_metadata(doc_path).num_rows
+    # warmup: spin up the worker pool + ship code once, then measure
+    # steady-state throughput (the north_rule's regime — a 10^12-doc job is
+    # never cold-start-bound)
+    _consume(edges_from_triples(triples_dataset("/root/testdata/sf0.001")))
+    t0 = time.monotonic()
+    n_rows = _consume(edges_from_triples(triples_dataset(sf_dir)))
+    sec = round(time.monotonic() - t0, 3)
+    return {
+        "queries": {"webkg_edges": sec},
+        "docs_per_sec": round(n_docs / sec, 1),
+        "rows": {"webkg_edges": n_rows},
+        "n_docs": n_docs,
+        "num_cpus": num_cpus,
+    }
+
+
+def _scaling_child(sf_dir: str, cpus: int, repeat: int) -> dict:
     """Run JUST the flagship pipeline in a fresh process; return its JSON."""
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(cpus)
     env["GRAFT_SF_DIR"] = sf_dir
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--_flagship_only"],
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--_flagship_only",
+            "--repeat",
+            str(repeat),
+        ],
         capture_output=True,
         text=True,
         env=env,
@@ -132,11 +224,17 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=int(os.environ.get("BENCH_REPEAT", "32")),
+        help="corpus replication factor for the scaling workload",
+    )
     ap.add_argument("--_flagship_only", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args._flagship_only:
-        res = run_bench(args.sf_dir, args.cpus, ["webkg_edges"])
+        res = run_flagship(args.sf_dir, args.cpus, args.repeat)
         print(json.dumps(res))
         import ray
 
@@ -145,8 +243,8 @@ def main() -> None:
 
     if args.scaling:
         small_cpus, big_cpus = max(2, args.cpus // 4), args.cpus
-        small = _scaling_child(args.sf_dir, small_cpus)
-        big = _scaling_child(args.sf_dir, big_cpus)
+        small = _scaling_child(args.sf_dir, small_cpus, args.repeat)
+        big = _scaling_child(args.sf_dir, big_cpus, args.repeat)
         t_small = small["queries"]["webkg_edges"]
         t_big = big["queries"]["webkg_edges"]
         factor = big_cpus / small_cpus
@@ -155,11 +253,13 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "webkg flagship scaling efficiency "
-                    f"({small_cpus}→{big_cpus} CPUs, cluster-size proxy)",
+                    f"({small_cpus}→{big_cpus} CPUs, cluster-size proxy; "
+                    f"corpus×{args.repeat})",
                     "value": round(eff, 3) if eff is not None else None,
                     "unit": "efficiency",
                     "sf": args.sf_dir,
                     "num_cpus": big_cpus,
+                    "n_docs": big["n_docs"],
                     "queries": {
                         f"webkg_edges@{small_cpus}cpus": t_small,
                         f"webkg_edges@{big_cpus}cpus": t_big,

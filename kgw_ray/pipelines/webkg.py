@@ -35,25 +35,53 @@ from kgw_ray.stages.linking import link_triples_batch
 from kgw_ray.stages.triples import ENTITY_TYPE, extract_triples_batch
 
 
-def extracted_pages(sf_dir: str, *, concurrency: int = 8) -> rd.Dataset:
+def _pool_max() -> int:
+    """Actor-pool MAX sized to the cluster (3/4 of CPUs, leaving headroom
+    for the read + downstream stages). A fixed cap (e.g. 8) throttles the
+    hot extract stage on bigger clusters — measured: 32-CPU run no faster
+    than 8-CPU until this scaled."""
+    import ray
+
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover
+        n = 8
+    return max(2, (n * 3) // 4)
+
+
+def extracted_pages(
+    sf_dir: str, *, concurrency: int | None = None, repeat: int = 1
+) -> rd.Dataset:
     """pages → +extracted_text (actor pool; regexes compiled once per actor).
 
-    ``concurrency`` is the pool MAX; the pool autoscales from 1 so it never
-    reserves every CPU and starves the upstream read (a fixed-size pool equal
-    to num_cpus deadlocks the streaming executor).
+    ``concurrency`` is the pool MAX (default: scaled to the cluster); the
+    pool autoscales from 1 so it never reserves every CPU and starves the
+    upstream read (a fixed-size pool equal to num_cpus deadlocks the
+    streaming executor). ``repeat`` deterministically replicates the corpus
+    (distinct doc_ids per replica) — the bench knob that scales work without
+    external data.
     """
-    pages = pages_dataset(sf_dir)
-    return pages.map_batches(
-        HtmlExtract,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, concurrency),
-    )
+    pages = pages_dataset(sf_dir, repeat=repeat)
+    if concurrency:
+        # explicit actor-pool mode (the heavy-state configuration)
+        return pages.map_batches(
+            HtmlExtract,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(max(1, concurrency // 3), concurrency),
+        )
+    # default: task map with per-process singleton state — scales elastically
+    # (see stages/extract.py:extract_batch for the actor-vs-task rule)
+    from kgw_ray.stages.extract import extract_batch
+
+    return pages.map_batches(extract_batch, batch_format="pyarrow")
 
 
-def triples_dataset(sf_dir: str, *, concurrency: int = 4) -> rd.Dataset:
+def triples_dataset(
+    sf_dir: str, *, concurrency: int | None = None, repeat: int = 1
+) -> rd.Dataset:
     """pages → linked triple mentions (doc_id, subj, pred, obj, pos, subj_id, obj_id)."""
-    ds = extracted_pages(sf_dir, concurrency=concurrency)
+    ds = extracted_pages(sf_dir, concurrency=concurrency, repeat=repeat)
     ds = ds.map_batches(extract_triples_batch, batch_format="pyarrow")
     return ds.map_batches(link_triples_batch, batch_format="pyarrow")
 

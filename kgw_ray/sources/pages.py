@@ -93,9 +93,35 @@ def synth_pages(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_dataset(sf_dir: str, *, override_num_blocks: int | None = None) -> rd.Dataset:
-    """documents.parquet → pages Dataset of the input_hint shape (+doc_id)."""
+_REPEAT_STRIDE = 100_000_000  # doc_id offset per replica (distinct id space)
+
+
+def pages_dataset(
+    sf_dir: str,
+    *,
+    override_num_blocks: int | None = None,
+    repeat: int = 1,
+) -> rd.Dataset:
+    """documents.parquet → pages Dataset of the input_hint shape (+doc_id).
+
+    ``repeat`` > 1 deterministically replicates the corpus with a distinct
+    doc_id space per replica (offset ``r × 10^8``) — scales benchmark work
+    without external data; every replica synthesizes different page HTML
+    (doc_id feeds the paragraph-width variation) but identical text.
+    """
     from kgw_ray.sources.readers import read_table
+
+    if override_num_blocks is None and repeat > 1:
+        # the single small parquet file reads as ~8 blocks, which caps task
+        # parallelism of the whole downstream chain — fan the read out to
+        # ≥2 blocks per CPU so replicas saturate the cluster
+        import ray
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # pragma: no cover
+            cpus = 8
+        override_num_blocks = 2 * cpus
 
     docs = read_table(
         sf_dir,
@@ -103,4 +129,20 @@ def pages_dataset(sf_dir: str, *, override_num_blocks: int | None = None) -> rd.
         columns=["doc_id", "text", "lang", "source"],
         override_num_blocks=override_num_blocks,
     )
+    if repeat > 1:
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            parts = []
+            for r in range(repeat):
+                t = batch.set_column(
+                    batch.column_names.index("doc_id"),
+                    "doc_id",
+                    pc.add(batch.column("doc_id"), r * _REPEAT_STRIDE),
+                )
+                parts.append(t)
+            return pa.concat_tables(parts)
+
+        docs = docs.map_batches(replicate, batch_format="pyarrow")
     return docs.map_batches(synth_pages, batch_format="pyarrow")

@@ -48,3 +48,22 @@ class HtmlExtract:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [self.extract_one(h) for h in batch.column("html").to_pylist()]
         return batch.append_column("extracted_text", pa.array(texts, pa.string()))
+
+
+_SINGLETON: HtmlExtract | None = None
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Task-map variant of ``HtmlExtract``: per-PROCESS singleton state.
+
+    The extract state (three compiled regexes) is microseconds to build, so
+    a task map with a lazily built process-wide singleton outperforms an
+    actor pool — Ray reuses worker processes, giving actor-like warm state
+    without pool-rampup/startup cost, and task scheduling scales elastically
+    with the cluster. Reserve actor pools for HEAVY state (EntityLinker's
+    KB index, model weights) where per-process duplication matters.
+    """
+    global _SINGLETON
+    if _SINGLETON is None:
+        _SINGLETON = HtmlExtract()
+    return _SINGLETON(batch)

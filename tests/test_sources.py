@@ -1,0 +1,114 @@
+"""File-source tests: TSV reader, JSON document reader, archive
+decompression, checksums, generic adapter normalizers (SURVEY.md §2.1/§2.2)."""
+
+import bz2
+import gzip
+import hashlib
+import json
+import tarfile
+import zipfile
+
+import pytest
+
+from kgw_ray.sources import files as fs
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("src")
+    (d / "t.tsv").write_text("id\tname\tscore\na\tAlice\t1.5\nb\tBob\t\n")
+    doc = [
+        {"entity": "e1", "type": "gene", "name": "G1", "empty": "", "nan": None},
+        {"entity": "e2", "type": "disease", "name": "D1"},
+    ]
+    (d / "doc.json").write_text(json.dumps({"records": doc}))
+    (d / "list.json").write_text(json.dumps(doc))
+    payload = b"hello compressed world" * 10
+    (d / "x.bz2").write_bytes(bz2.compress(payload))
+    (d / "x.txt.gz").write_bytes(gzip.compress(payload))
+    with zipfile.ZipFile(d / "x.zip", "w") as zf:
+        zf.writestr("inner/a.txt", payload)
+        zf.writestr("b.txt", b"second")
+    with tarfile.open(d / "x.tar.gz", "w:gz") as tf:
+        import io
+
+        info = tarfile.TarInfo("member.txt")
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    return d, payload
+
+
+def test_read_tsv(data_dir):
+    d, _ = data_dir
+    ds = fs.read_tsv(str(d / "t.tsv"), columns=["id", "score"])
+    rows = ds.to_pandas()
+    assert list(rows.columns) == ["id", "score"]
+    assert rows["score"].tolist()[0] == 1.5
+
+
+def test_read_json_documents(data_dir):
+    d, _ = data_dir
+    ds = fs.read_json_documents(str(d / "doc.json"), records_key="records")
+    recs = [json.loads(r) for r in ds.to_pandas()["record"]]
+    assert {r["entity"] for r in recs} == {"e1", "e2"}
+    ds2 = fs.read_json_documents(str(d / "list.json"))
+    assert ds2.count() == 2
+
+
+def test_archives(data_dir):
+    d, payload = data_dir
+    for name, n_members in [("x.bz2", 1), ("x.txt.gz", 1), ("x.zip", 2), ("x.tar.gz", 1)]:
+        ds = fs.read_archive_members(str(d / name))
+        rows = ds.to_pandas()
+        assert len(rows) == n_members, name
+        contents = set(rows["bytes"])
+        assert payload in contents, name
+
+
+def test_checksums(data_dir):
+    d, _ = data_dir
+    ds = fs.checksum_files(str(d / "t.tsv"))
+    row = ds.to_pandas().iloc[0]
+    raw = (d / "t.tsv").read_bytes()
+    assert row["md5"] == hashlib.md5(raw).hexdigest()
+    assert row["sha256"] == hashlib.sha256(raw).hexdigest()
+    assert row["n_bytes"] == len(raw)
+
+
+def test_json_record_nodes(data_dir):
+    """Adapter semantics replicate the reference (_hald.py:79-108): id/type
+    projected out, informative-only properties kept."""
+    d, _ = data_dir
+    recs = fs.read_json_documents(str(d / "doc.json"), records_key="records")
+    nodes = fs.json_record_nodes(recs, id_key="entity", type_key="type")
+    rows = {r["id"]: r for r in nodes.to_pandas().to_dict(orient="records")}
+    assert rows["e1"]["type"] == "gene"
+    props = json.loads(rows["e1"]["properties"])
+    assert props == {"name": "G1"}  # empty + None dropped (is_informative)
+
+
+def test_tsv_edges(data_dir):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = rd.from_arrow(
+        pa.table(
+            {
+                "subject": ["a", "b"],
+                "object": ["x", "y"],
+                "predicate": ["rel1", "rel2"],
+                "extra": ["k", ""],
+            }
+        )
+    )
+    edges = fs.tsv_edges(
+        rows, source_col="subject", target_col="object", type_col="predicate"
+    )
+    out = edges.to_pandas().sort_values("source_id").to_dict(orient="records")
+    assert out[0] == {
+        "source_id": "a",
+        "target_id": "x",
+        "type": "rel1",
+        "properties": '{"extra":"k"}',
+    }
+    assert json.loads(out[1]["properties"]) == {}  # "" dropped
