@@ -271,6 +271,26 @@ def q_kg_neighborhood(sf_dir: str):
     return neighborhood(_tk.tpch_graph(sf_dir)[1], "N7")
 
 
+@register("webkg_entity_linking")
+def q_webkg_entity_linking(sf_dir: str) -> rd.Dataset:
+    """MinHash-LSH blocked + cosine-scored entity linking of noisy mention
+    surfaces (actor pool holding the KB index; north-star stage 3).
+    Rows-only check; accuracy asserted in tests/test_linking.py."""
+    from kgw_ray.pipelines.webkg import linked_mentions
+
+    return linked_mentions(sf_dir)
+
+
+@register("webkg_canonicalize")
+def q_webkg_canonicalize(sf_dir: str) -> rd.Dataset:
+    """Union-find canonicalization of surface forms via distributed
+    min-label propagation (north-star stage 4). Rows-only check;
+    component correctness asserted in tests/test_linking.py."""
+    from kgw_ray.pipelines.webkg import canonical_entities
+
+    return canonical_entities(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators: dedup, similarity search, text analysis,
 # multimodal plumbing — kgw_ray/pipelines/training_data.py

@@ -242,3 +242,169 @@ def edges_with_provenance_url(edges: rd.Dataset, sf_dir: str) -> rd.Dataset:
             return batch.append_column("first_url", pa.array(urls, pa.string()))
 
     return edges.map_batches(AddUrl, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def build_webkg_partitioned(
+    document_files: list[str],
+    out_dir: str,
+    *,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Shard-partitioned flagship build with per-partition checkpoints.
+
+    Input document shard files are assigned deterministically to
+    ``num_partitions`` partitions; each partition runs the full
+    pages→extract→triples→partial-aggregate pipeline and commits its own
+    ``part=<i>/`` Parquet + manifest (lineage, rows, latency). A killed run
+    resumes from the first incomplete partition. A final (cheap) global
+    merge re-aggregates the per-partition partials into the edges table —
+    the only cross-partition shuffle, over pre-collapsed rows.
+    """
+    import ray.data as rd
+
+    from kgw_ray.sources.readers import read_table  # noqa: F401 (docs parity)
+    from kgw_ray.state.manifest import (
+        partition_input_shards,
+        resumable_partitioned_run,
+        resumable_stage,
+    )
+
+    shards = partition_input_shards(document_files, num_partitions)
+    fingerprint = f"webkg_part:{len(document_files)}"
+
+    def per_partition(paths: list[str]) -> rd.Dataset:
+        docs = rd.read_parquet(paths, columns=["doc_id", "text", "lang", "source"])
+        from kgw_ray.functions.arrow_utils import strip_meta
+        from kgw_ray.sources.pages import synth_pages
+        from kgw_ray.stages.extract import extract_batch
+        from kgw_ray.stages.linking import link_triples_batch
+        from kgw_ray.stages.triples import extract_triples_batch
+
+        pages = docs.map_batches(strip_meta, batch_format="pyarrow").map_batches(
+            synth_pages, batch_format="pyarrow"
+        )
+        triples = (
+            pages.map_batches(extract_batch, batch_format="pyarrow")
+            .map_batches(extract_triples_batch, batch_format="pyarrow")
+            .map_batches(link_triples_batch, batch_format="pyarrow")
+        )
+        return triples.map_batches(_edge_partials, batch_format="pyarrow")
+
+    partials = resumable_partitioned_run(
+        os.path.join(out_dir, "edge_partials"),
+        "edge_partials",
+        fingerprint,
+        shards,
+        per_partition,
+    )
+
+    def merge() -> rd.Dataset:
+        merged = partials.groupby(["subj_id", "pred", "obj_id"]).map_groups(
+            _edge_merge, batch_format="pandas"
+        )
+
+        def render(batch: pa.Table) -> pa.Table:
+            props = [
+                json_dumps({"n_obs": int(n), "first_doc": int(d)})
+                for n, d in zip(
+                    batch.column("n_obs").to_pylist(),
+                    batch.column("first_doc").to_pylist(),
+                )
+            ]
+            return pa.table(
+                {
+                    "source_id": batch.column("source_id"),
+                    "target_id": batch.column("target_id"),
+                    "type": batch.column("type"),
+                    "properties": pa.array(props, pa.string()),
+                }
+            )
+
+        return merged.map_batches(render, batch_format="pyarrow")
+
+    return resumable_stage(
+        os.path.join(out_dir, "edges"), "edges", fingerprint, merge
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity linking + canonicalization queries (north-star stages 3-4)
+# ---------------------------------------------------------------------------
+
+
+def _variant_surface(surface: str, doc_id: int) -> str:
+    """Deterministic noisy mention: doc_id selects a char to drop/duplicate
+    (simulates scraped-text surface variation without external data)."""
+    if len(surface) < 4:
+        return surface
+    k = doc_id % (2 * len(surface))
+    if k < len(surface):
+        return surface[:k] + surface[k + 1 :]  # deletion
+    k -= len(surface)
+    return surface[:k] + surface[k] + surface[k:]  # duplication
+
+
+def linked_mentions(sf_dir: str) -> rd.Dataset:
+    """Noisy mention surfaces → canonical entity ids via the MinHash-LSH +
+    embedding-cosine EntityLinker actor pool (stages/linking.py).
+
+    The KB is the entity lexicon (id ``E:<word>``, aliases = the word);
+    mention surfaces are deterministic noisy variants — the linker must
+    recover the entity despite the corruption. Output:
+    (doc_id, surface, variant, entity_id, link_score).
+    """
+    import ray
+
+    from kgw_ray.stages.linking import EntityLinker
+    from kgw_ray.stages.triples import ENTITIES
+
+    kb = [{"entity_id": f"E:{w}", "aliases": [w]} for w in sorted(ENTITIES)]
+    kb_ref = ray.put(kb)
+
+    triples = triples_dataset(sf_dir)
+
+    def make_variants(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        surfaces = batch.column("subj").to_pylist()
+        variants = [_variant_surface(s, d) for s, d in zip(surfaces, doc_ids)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "surface": pa.array(surfaces, pa.string()),
+                "variant": pa.array(variants, pa.string()),
+            }
+        )
+
+    mentions = triples.map_batches(make_variants, batch_format="pyarrow")
+    return mentions.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"kb_ref": kb_ref, "column": "variant"},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+def canonical_entities(sf_dir: str) -> rd.Dataset:
+    """Canonicalization: union-find over surface-form match pairs
+    (north-star stage 4; distributed min-label propagation,
+    stages/canonicalize.py).
+
+    Pairs = (variant, linked entity surface) from the linker — components
+    merge every observed corruption of an entity with its canonical form.
+    Output: (id, component) where component is the canonical (min) surface.
+    """
+    from kgw_ray.stages.canonicalize import connected_components
+
+    linked = linked_mentions(sf_dir)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.is_valid(batch.column("entity_id"))
+        b = batch.filter(ok)
+        canon = pc.utf8_replace_slice(b.column("entity_id"), 0, 2, "")  # strip E:
+        return pa.table({"a": b.column("variant"), "b": canon})
+
+    pair_ds = linked.map_batches(pairs, batch_format="pyarrow")
+    return connected_components(pair_ds)

@@ -97,7 +97,11 @@ class EntityLinker:
     column : the surface-form column to link.
     """
 
-    def __init__(self, kb_ref, column: str = "surface", num_perm: int = 16, bands: int = 8):
+    def __init__(self, kb_ref, column: str = "surface", num_perm: int = 16, bands: int = 16):
+        # default r=1 (one minhash per band): detection ≈ 1-(1-J)^16, i.e.
+        # >99% at J≥0.3 — typo-level variants block reliably; candidate sets
+        # grow accordingly, fine for alias KBs (they are small relative to
+        # the corpus); raise rows-per-band for stricter blocking.
         import ray
 
         kb = ray.get(kb_ref)

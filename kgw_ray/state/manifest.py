@@ -84,3 +84,99 @@ def resumable_stage(
         shutil.rmtree(out_dir)
     os.replace(tmp_dir, out_dir)
     return rd.read_parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Per-partition resume (the north-star checkpoint contract)
+# ---------------------------------------------------------------------------
+
+
+def partition_input_shards(input_paths, num_partitions: int) -> list[list[str]]:
+    """Deterministically assign input files to partitions (round-robin over
+    the sorted listing — stable across runs for the same input set)."""
+    paths = sorted(input_paths)
+    shards: list[list[str]] = [[] for _ in range(num_partitions)]
+    for i, p in enumerate(paths):
+        shards[i % num_partitions].append(p)
+    return [s for s in shards if s]
+
+
+def resumable_partitioned_run(
+    out_dir: str,
+    stage: str,
+    fingerprint: str,
+    shards: list[list[str]],
+    fn: Callable[[list[str]], rd.Dataset],
+    *,
+    on_partition_done: Optional[Callable[[int, StageManifest], None]] = None,
+) -> rd.Dataset:
+    """Run ``fn(shard_paths)`` per partition, each committed independently
+    (``part=<i>/`` dir + manifest with lineage, row count, wall time).
+
+    A killed run resumes without recomputing completed partitions: on
+    restart, partitions whose manifest matches (fingerprint + shard list)
+    are skipped and only the missing ones execute — the partition-level
+    generalization of the reference's file-existence task targets
+    (kgw/_shared/tasks.py:75-83). Returns the union Dataset over all
+    committed partition outputs.
+
+    On a multi-node cluster each ``fn(shard)`` is itself a parallel Ray
+    Data pipeline; partitions run sequentially on the driver so the
+    streaming executor owns the whole cluster per partition (inter-partition
+    parallelism would fragment the resource pool; intra-partition
+    parallelism is where the cluster-wide win is).
+    """
+    part_dirs = []
+    for i, shard in enumerate(shards):
+        pdir = os.path.join(out_dir, f"part={i:05d}")
+        part_dirs.append(pdir)
+        part_fp = f"{fingerprint}|shard={','.join(shard)}"
+        m = read_manifest(pdir)
+        if m is not None and m.fingerprint == part_fp and m.stage == stage:
+            continue
+        tmp_dir = f"{pdir}.tmp-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        t0 = time.monotonic()
+        ds = fn(shard)
+        ds.write_parquet(tmp_dir)
+        wall = time.monotonic() - t0
+        n = rd.read_parquet(tmp_dir).count()
+        manifest = StageManifest(
+            stage=stage,
+            fingerprint=part_fp,
+            num_rows=n,
+            wall_time_sec=wall,
+            extra={"partition": i, "n_input_files": len(shard)},
+        )
+        with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:
+            json.dump(asdict(manifest), f)
+        if os.path.exists(pdir):
+            shutil.rmtree(pdir)
+        os.replace(tmp_dir, pdir)
+        if on_partition_done is not None:
+            on_partition_done(i, manifest)
+    # read_parquet rejects a list of directories — enumerate the part files
+    files = [
+        os.path.join(pdir, f)
+        for pdir in part_dirs
+        for f in sorted(os.listdir(pdir))
+        if f.endswith(".parquet")
+    ]
+    return rd.read_parquet(files)
+
+
+def partition_metrics(out_dir: str) -> list[dict]:
+    """All partition manifests of a stage dir (lineage + row counts +
+    latency — the run's metrics record)."""
+    out = []
+    if not os.path.isdir(out_dir):
+        return out
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("part="):
+            m = read_manifest(os.path.join(out_dir, name))
+            if m is not None:
+                d = asdict(m)
+                d["partition_dir"] = name
+                out.append(d)
+    return out
