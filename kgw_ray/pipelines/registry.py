@@ -143,6 +143,14 @@ register("events_hourly_window", _rel.EVENTS_HOURLY_SQL)(_rel.events_hourly_wind
 register("events_sessionize", _rel.EVENTS_SESSIONIZE_SQL)(_rel.events_sessionize)
 register("events_asof_last_signup", _rel.EVENTS_ASOF_SQL)(_rel.events_asof_last_signup)
 register("top_users_by_value", _rel.TOP_USERS_SQL)(_rel.top_users_by_value)
+register("events_rank_in_user", _rel.EVENTS_RANK_SQL)(_rel.events_rank_in_user)
+register("events_users_no_purchase", _rel.EVENTS_NO_PURCHASE_SQL)(
+    _rel.events_users_no_purchase
+)
+register("distinct_event_types", _rel.DISTINCT_EVENT_TYPES_SQL)(
+    _rel.distinct_event_types
+)
+register("events_sliding_window", _rel.EVENTS_SLIDING_SQL)(_rel.events_sliding_window)
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +277,33 @@ def q_kg_neighborhood(sf_dir: str):
     from kgw_ray.stages.graph import neighborhood
 
     return neighborhood(_tk.tpch_graph(sf_dir)[1], "N7")
+
+
+@register(
+    "webkg_edges_provenance",
+    oracle=f"""
+WITH tr AS ({TRIPLES_SQL}),
+g AS (SELECT subj, pred, obj, COUNT(*) AS n_obs, MIN(doc_id) AS first_doc
+      FROM tr GROUP BY subj, pred, obj)
+SELECT 'E:' || subj AS source_id, 'E:' || obj AS target_id, pred AS type,
+       '{{"n_obs":' || n_obs || ',"first_doc":' || first_doc || '}}' AS properties,
+       'https://' || d.source || '.example.org/doc/' || lpad(CAST(first_doc AS VARCHAR), 8, '0') AS first_url,
+       TIMESTAMP '2024-01-01' + first_doc * INTERVAL 1 SECOND AS first_warc_ts
+FROM g JOIN documents d ON d.doc_id = g.first_doc
+""",
+)
+def q_webkg_edges_provenance(sf_dir: str) -> rd.Dataset:
+    """Edge table with provenance url + warc_ts (BASELINE.json north_star:
+    'edge table with provenance url + warc_ts'): first observation's page
+    url and crawl timestamp attached via a broadcast doc→source map."""
+    from kgw_ray.pipelines.webkg import (
+        edges_from_triples,
+        edges_with_provenance_url,
+        triples_dataset,
+    )
+
+    edges = edges_from_triples(triples_dataset(sf_dir))
+    return edges_with_provenance_url(edges, sf_dir)
 
 
 @register("webkg_entity_linking")

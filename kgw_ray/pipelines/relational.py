@@ -393,3 +393,108 @@ FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id
 LIMIT 10
 """
+
+
+def events_rank_in_user(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Window-rank shape: top-k events per user by value (ROW_NUMBER
+    analog): groupby(user).map_groups with a vectorized sort per group."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = (g.index + 1).astype("int64")
+        return g
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+EVENTS_RANK_SQL = """
+SELECT event_id, user_id, value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+FROM events
+QUALIFY rnk <= 3
+"""
+
+
+def events_users_no_purchase(sf_dir: str) -> rd.Dataset:
+    """Anti-join shape: users who have events but never a 'purchase'
+    (broadcast the purchase-user key set, vectorized negated filter)."""
+    from kgw_ray.stages.joins import semi_join_filter
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    buyers = set(
+        ds.filter(expr="event_type == 'purchase'")
+        .select_columns(["user_id"])
+        .to_pandas()["user_id"]
+    )
+    non_buyers = semi_join_filter(ds, buyers, on="user_id", negate=True)
+    vals = non_buyers.unique("user_id") or []  # None when the filter empties
+    return pa.table({"user_id": pa.array(sorted(vals), pa.int64())})
+
+
+EVENTS_NO_PURCHASE_SQL = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
+def distinct_event_types(sf_dir: str) -> pa.Table:
+    """DISTINCT shape (reference load.py:557: SELECT DISTINCT type).
+    ``Dataset.unique`` runs the distributed distinct and returns the (small)
+    value list to the driver."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return pa.table({"event_type": pa.array(sorted(ds.unique("event_type")))})
+
+
+DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def events_sliding_window(sf_dir: str) -> rd.Dataset:
+    """Sliding 1h window advancing 30min: each event belongs to 2 windows
+    (flat-map the window starts per batch, then an ordinary grouped
+    partial-agg shuffle — the batch-engine mapping for sliding windows)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        half = df["ts"].dt.floor("30min")
+        w1 = half  # window starting at this half-hour
+        w2 = half - pd.Timedelta(minutes=30)
+        out = pd.concat(
+            [
+                pd.DataFrame({"window_start": w1, "value": df["value"].values}),
+                pd.DataFrame({"window_start": w2, "value": df["value"].values}),
+            ],
+            ignore_index=True,
+        )
+        g = out.groupby("window_start", sort=False)["value"]
+        return arrow_from_pandas(g.agg(n="size", sum_value="sum").reset_index())
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(expand, batch_format="pandas")
+    merged = partials.groupby("window_start").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        df["sum_value"] = df["sum_value"].round(_R)
+        return df[["window_start", "n", "sum_value"]]
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+EVENTS_SLIDING_SQL = """
+WITH e AS (
+    SELECT value, date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+           THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS half
+    FROM events
+), w AS (
+    SELECT half AS window_start, value FROM e
+    UNION ALL
+    SELECT half - INTERVAL 30 MINUTE, value FROM e
+)
+SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM w GROUP BY window_start
+"""

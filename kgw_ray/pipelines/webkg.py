@@ -29,7 +29,7 @@ import ray.data as rd
 
 from kgw_ray.functions.arrow_utils import arrow_from_pandas
 from kgw_ray.functions.scalars import json_dumps, json_loads
-from kgw_ray.sources.pages import pages_dataset, url_for
+from kgw_ray.sources.pages import pages_dataset, url_for, warc_ts_for
 from kgw_ray.stages.extract import HtmlExtract
 from kgw_ray.stages.linking import link_triples_batch
 from kgw_ray.stages.triples import ENTITY_TYPE, extract_triples_batch
@@ -235,11 +235,14 @@ def edges_with_provenance_url(edges: rd.Dataset, sf_dir: str) -> rd.Dataset:
             self.m = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            urls = []
+            urls, ts = [], []
             for p in batch.column("properties").to_pylist():
                 d = json_loads(p)
                 urls.append(url_for(d["first_doc"], self.m[d["first_doc"]]))
-            return batch.append_column("first_url", pa.array(urls, pa.string()))
+                ts.append(warc_ts_for(d["first_doc"]))
+            return batch.append_column(
+                "first_url", pa.array(urls, pa.string())
+            ).append_column("first_warc_ts", pa.array(ts, pa.timestamp("us")))
 
     return edges.map_batches(AddUrl, batch_format="pyarrow", concurrency=(1, 2))
 
