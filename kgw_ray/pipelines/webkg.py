@@ -97,16 +97,17 @@ def _edge_partials(batch: pa.Table) -> pa.Table:
     return arrow_from_pandas(g)
 
 
-def _edge_merge(g: pd.DataFrame) -> pd.DataFrame:
-    first = g["first_doc"].min()
-    return pd.DataFrame(
-        {
-            "source_id": [g["subj_id"].iloc[0]],
-            "target_id": [g["obj_id"].iloc[0]],
-            "type": [g["pred"].iloc[0]],
-            "n_obs": [int(g["n_obs"].sum())],
-            "first_doc": [int(first)],
-        }
+def _merge_edge_partials(partials: rd.Dataset) -> rd.Dataset:
+    """Final reduce of the triple combiner: native hash aggregates
+    (Sum/Min), NOT groupby().map_groups — per-group Python over thousands
+    of tiny groups is the measured slow pattern (see stages/agg.py)."""
+    from ray.data.aggregate import Min, Sum
+
+    merged = partials.groupby(["subj_id", "pred", "obj_id"]).aggregate(
+        Sum("n_obs", alias_name="n_obs"), Min("first_doc", alias_name="first_doc")
+    )
+    return merged.rename_columns(
+        {"subj_id": "source_id", "obj_id": "target_id", "pred": "type"}
     )
 
 
@@ -119,9 +120,7 @@ def edges_from_triples(triples: rd.Dataset) -> rd.Dataset:
     shape (kgw/_shared/transform.py:18-25).
     """
     partials = triples.map_batches(_edge_partials, batch_format="pyarrow")
-    merged = partials.groupby(["subj_id", "pred", "obj_id"]).map_groups(
-        _edge_merge, batch_format="pandas"
-    )
+    merged = _merge_edge_partials(partials)
 
     def render(batch: pa.Table) -> pa.Table:
         props = [
@@ -302,9 +301,7 @@ def build_webkg_partitioned(
     )
 
     def merge() -> rd.Dataset:
-        merged = partials.groupby(["subj_id", "pred", "obj_id"]).map_groups(
-            _edge_merge, batch_format="pandas"
-        )
+        merged = _merge_edge_partials(partials)
 
         def render(batch: pa.Table) -> pa.Table:
             props = [
