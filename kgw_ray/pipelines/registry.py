@@ -138,6 +138,14 @@ from kgw_ray.pipelines import relational as _rel  # noqa: E402
 
 register("q1_pricing_summary", _rel.Q1_SQL)(_rel.q1_pricing_summary)
 register("q3_top_orders", _rel.Q3_SQL)(_rel.q3_top_orders)
+
+
+@register("join_lineitem_orders_hash", _rel.Q3_SQL)
+def q_join_hash(sf_dir: str):
+    """Same result as q3 but with the hash-partitioned shuffle join forced —
+    keeps the large-join machinery under the value-parity gate even when
+    the size-hybrid planner would broadcast at test scale."""
+    return _rel.q3_top_orders(sf_dir, force_hash_join=True)
 register("q5_revenue_by_nation", _rel.Q5_SQL)(_rel.q5_revenue_by_nation)
 register("events_hourly_window", _rel.EVENTS_HOURLY_SQL)(_rel.events_hourly_window)
 register("events_sessionize", _rel.EVENTS_SESSIONIZE_SQL)(_rel.events_sessionize)

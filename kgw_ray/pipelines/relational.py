@@ -115,9 +115,20 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def q3_top_orders(sf_dir: str) -> rd.Dataset:
-    """TPC-H Q3 shape: dimension broadcast join + large-large hash join +
-    grouped revenue + top-k (deterministic tie-break on o_orderkey)."""
+# filtered join sides below this row count broadcast instead of hash-joining
+_BROADCAST_SIDE_LIMIT = 5_000_000
+
+
+def q3_top_orders(sf_dir: str, *, force_hash_join: bool = False) -> rd.Dataset:
+    """TPC-H Q3 shape: dimension broadcast join + size-hybrid fact join +
+    grouped revenue + top-k (deterministic tie-break on o_orderkey).
+
+    The filtered orders side is counted after the selective predicates; if
+    it broadcasts (≤5M rows — at sf0.1 it is ~14k) the lineitem join is a
+    map-side merge with zero shuffle, otherwise a hash-partitioned
+    ``Dataset.join``. ``force_hash_join`` pins the shuffle path (used by
+    the ``join_lineitem_orders_hash`` oracle query so the hash-join
+    machinery stays under the correctness gate)."""
     cust = (
         read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
         .to_pandas()
@@ -135,12 +146,18 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
     line = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    j = large_join(
-        line,
-        orders.select_columns(["o_orderkey", "o_orderdate"]),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    orders_side = orders.select_columns(["o_orderkey", "o_orderdate"]).materialize()
+    if not force_hash_join and orders_side.count() <= _BROADCAST_SIDE_LIMIT:
+        j = broadcast_join(
+            line, orders_side.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"]
+        )
+    else:
+        j = large_join(
+            line,
+            orders_side,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])

@@ -50,3 +50,51 @@ def grouped_map_groups(
     num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     return ds.groupby(keys).map_groups(fn, batch_format=batch_format)
+
+
+def salted_aggregate(
+    ds: rd.Dataset,
+    keys: Union[str, Sequence[str]],
+    sum_cols: Sequence[str],
+    *,
+    salt: int = 16,
+) -> rd.Dataset:
+    """Two-phase aggregation with salted keys for head-key skew
+    (BASELINE.json north_rule: 'salted-key handling for head-entity skew').
+
+    A single groupby on a skewed key sends every row of the hot key to ONE
+    reduce partition — that partition becomes the straggler. Salting splits
+    each key into ``salt`` sub-keys:
+
+        phase 1: groupby(keys + _salt) — the hot key's rows spread over
+                 ``salt`` partitions, each producing one partial row
+        phase 2: groupby(keys) over ≤ salt rows per key — trivially small
+
+    Works for decomposable aggregates (sum/count/min/max; this helper does
+    sums — extend per aggregate). The per-batch combiner pattern used by the
+    flagship (``_edge_partials``) makes salting unnecessary when partials
+    fit per batch; salting is for groupby paths that CANNOT pre-combine
+    (e.g. ``map_groups`` bodies needing all rows of a key, or aggregate
+    states too large to merge per batch).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # deterministic per-row salt: spreads every key's rows uniformly
+        n = batch.num_rows
+        s = (np.arange(n, dtype=np.int64) * 2654435761 % salt).astype(np.int64)
+        return batch.append_column("_salt", pa.array(s))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    phase1 = salted.groupby(key_list + ["_salt"]).aggregate(
+        *[Sum(c, alias_name=c) for c in sum_cols]
+    )
+    phase2 = phase1.groupby(key_list).aggregate(
+        *[Sum(c, alias_name=c) for c in sum_cols]
+    )
+    return phase2

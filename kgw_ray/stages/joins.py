@@ -38,20 +38,17 @@ def broadcast_join(
     on = list(on)
     ref = ray.put(small)
 
-    class Probe:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        # task map, not an actor pool: the broadcast side lives in the
+        # object store once; ray.get per task is a zero-copy plasma read
+        # (pandas reconstruction is cheap relative to the merge), and task
+        # maps scale elastically with zero pool-startup/rampup cost
+        side = ray.get(ref)
+        out = batch.merge(side, how=how, left_on=on, right_on=right_on, copy=False)
+        drop = [c for c in right_on if c not in on and c in out.columns]
+        return out.drop(columns=drop)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.merge(
-                self.small, how=how, left_on=on, right_on=right_on, copy=False
-            )
-            drop = [c for c in right_on if c not in on and c in out.columns]
-            return out.drop(columns=drop)
-
-    return big.map_batches(
-        Probe, batch_format="pandas", concurrency=(1, concurrency)
-    )
+    return big.map_batches(probe, batch_format="pandas")
 
 
 def default_join_partitions() -> int:

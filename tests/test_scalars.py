@@ -21,3 +21,29 @@ def test_clean_golden():
 def test_filter_informative_preserves_order():
     d = {"b": 1, "a": None, "c": "", "d": "x"}
     assert list(filter_informative(d).items()) == [("b", 1), ("d", "x")]
+
+
+def test_salted_aggregate_equivalence(sf_smoke):
+    """Salted two-phase sums == plain groupby sums (skew-path correctness)."""
+    import pandas as pd
+
+    from kgw_ray.sources.readers import read_table
+    from kgw_ray.stages.agg import salted_aggregate
+
+    ds = read_table(sf_smoke, "events", columns=["event_type", "value"])
+    got = (
+        salted_aggregate(ds, "event_type", ["value"], salt=8)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        ds.to_pandas()
+        .groupby("event_type", as_index=False)["value"]
+        .sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(
+        got["value"].round(6), want["value"].round(6), check_names=False
+    )
