@@ -159,6 +159,10 @@ register("distinct_event_types", _rel.DISTINCT_EVENT_TYPES_SQL)(
     _rel.distinct_event_types
 )
 register("events_sliding_window", _rel.EVENTS_SLIDING_SQL)(_rel.events_sliding_window)
+register("docs_english_short", _rel.DOCS_EN_SHORT_SQL)(_rel.docs_english_short)
+register("events_value_quantiles", _rel.EVENTS_QUANTILES_SQL)(
+    _rel.events_value_quantiles
+)
 
 
 # ---------------------------------------------------------------------------

@@ -515,3 +515,46 @@ WITH e AS (
 SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
 FROM w GROUP BY window_start
 """
+
+
+def docs_english_short(sf_dir: str) -> rd.Dataset:
+    """Predicate + projection pushdown at the Parquet scan: only ``en`` rows
+    and two columns leave storage (``read_table(filter=...)`` maps to
+    pyarrow dataset row-group pruning — reference analog: header-index
+    projection in the TSV readers, _monarchkg.py:125-149)."""
+    import pyarrow.dataset as pads
+
+    expr = (pads.field("lang") == "en") & (pads.field("n_chars") < 200)
+    return read_table(sf_dir, "documents", columns=["doc_id", "n_chars"], filter=expr)
+
+
+DOCS_EN_SHORT_SQL = """
+SELECT doc_id, n_chars FROM documents WHERE lang = 'en' AND n_chars < 200
+"""
+
+
+def events_value_quantiles(sf_dir: str) -> rd.Dataset:
+    """Per-type value quantiles (p50/p95): groupby + per-group vectorized
+    quantile — each group fits a worker by the grouping contract; a
+    corpus-wide quantile at 100 TB would use a t-digest sketch merge
+    instead (same partial/merge shape as the combiners)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [round(g["value"].quantile(0.5), 2)],
+                "p95": [round(g["value"].quantile(0.95), 2)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 2) AS p50,
+       ROUND(quantile_cont(value, 0.95), 2) AS p95
+FROM events GROUP BY event_type
+"""
