@@ -180,13 +180,18 @@ def run_flagship(sf_dir: str, num_cpus: int, repeat: int) -> dict:
         )
     else:
         n_docs = pq.read_metadata(doc_path).num_rows
-    # warmup: spin up the worker pool + ship code once, then measure
-    # steady-state throughput (the north_rule's regime — a 10^12-doc job is
-    # never cold-start-bound)
+    # warmup: spin up the worker pool + ship code once, then take the
+    # MEDIAN of 3 timed runs — steady-state throughput (the north_rule's
+    # regime; a 10^12-doc job is never cold-start-bound) with run-to-run
+    # scheduler variance averaged out
     _consume(edges_from_triples(triples_dataset("/root/testdata/sf0.001")))
-    t0 = time.monotonic()
-    n_rows = _consume(edges_from_triples(triples_dataset(sf_dir)))
-    sec = round(time.monotonic() - t0, 3)
+    times = []
+    n_rows = 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        n_rows = _consume(edges_from_triples(triples_dataset(sf_dir)))
+        times.append(time.monotonic() - t0)
+    sec = round(sorted(times)[1], 3)
     return {
         "queries": {"webkg_edges": sec},
         "docs_per_sec": round(n_docs / sec, 1),
@@ -227,7 +232,7 @@ def main() -> None:
     ap.add_argument(
         "--repeat",
         type=int,
-        default=int(os.environ.get("BENCH_REPEAT", "32")),
+        default=int(os.environ.get("BENCH_REPEAT", "64")),
         help="corpus replication factor for the scaling workload",
     )
     ap.add_argument("--_flagship_only", action="store_true", help=argparse.SUPPRESS)
