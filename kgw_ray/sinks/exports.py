@@ -519,8 +519,72 @@ def write_sql_dump(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def write_hub(nodes: rd.Dataset, edges: rd.Dataset, out_dir: str) -> None:
-    """Partitioned Parquet hub — the kg.sqlite analog (transform.py:10-30):
-    resumable, partitioned, streaming. Other sinks read from here."""
-    nodes.write_parquet(os.path.join(out_dir, "nodes"))
-    edges.write_parquet(os.path.join(out_dir, "edges"))
+def _bucket_of(ids, num_buckets: int):
+    """Deterministic hash bucket of a string-id column (stable across
+    processes — NOT Python hash())."""
+    import pandas as pd
+
+    h = pd.util.hash_array(
+        ids.to_numpy(zero_copy_only=False), hash_key="kgw_ray_bucket00"
+    )
+    return (h % num_buckets).astype("int64")
+
+
+def write_hub(
+    nodes: rd.Dataset,
+    edges: rd.Dataset,
+    out_dir: str,
+    *,
+    num_buckets: int = 0,
+) -> None:
+    """Partitioned Parquet hub — the kg.sqlite analog (transform.py:10-30).
+
+    With ``num_buckets`` > 0, edges are written under
+    ``edges/bucket=<hash(source_id) % B>/`` — the reference's
+    ``idx_edges_source`` B-tree analog (transform.py:27-28): an adjacency
+    lookup then reads ONE bucket directory instead of the whole table
+    (``read_adjacency``). Nodes are bucketed by id the same way. At 100 TB,
+    B is sized so one bucket ≈ a few GB (e.g. B=4096)."""
+    if num_buckets <= 0:
+        nodes.write_parquet(os.path.join(out_dir, "nodes"))
+        edges.write_parquet(os.path.join(out_dir, "edges"))
+        return
+
+    def tag(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "bucket", pa.array(_bucket_of(batch.column(col), num_buckets))
+            )
+
+        return fn
+
+    nodes.map_batches(tag("id"), batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "nodes"), partition_cols=["bucket"]
+    )
+    edges.map_batches(tag("source_id"), batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "edges"), partition_cols=["bucket"]
+    )
+
+
+def read_adjacency(out_dir: str, node_id: str, *, num_buckets: int) -> rd.Dataset:
+    """Out-edges of ``node_id`` reading ONLY its hash bucket (partition
+    pruning at the path level — the point of the bucketed hub layout)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import numpy as np
+
+    # modulo on the ARRAY: a numpy uint64 SCALAR % python int promotes to
+    # float64 and corrupts the bucket number
+    b = int(
+        (
+            pd.util.hash_array(
+                np.array([node_id], dtype=object), hash_key="kgw_ray_bucket00"
+            )
+            % num_buckets
+        )[0]
+    )
+    ds = rd.read_parquet(os.path.join(out_dir, "edges", f"bucket={b}"))
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["source_id"], node_id)),
+        batch_format="pyarrow",
+    )

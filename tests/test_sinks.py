@@ -176,3 +176,18 @@ def test_hub_roundtrip(tiny_graph, tmp_path):
     n2 = rd.read_parquet(f"{out}/nodes")
     assert n2.count() == 3
     assert set(n2.schema().names) == {"id", "type", "properties"}
+
+
+def test_bucketed_hub_and_adjacency(tiny_graph, tmp_path):
+    """Bucketed hub layout: adjacency lookup reads only the node's hash
+    bucket and returns exactly its out-edges."""
+    nodes, edges = tiny_graph
+    out = str(tmp_path / "hub_bucketed")
+    exports.write_hub(nodes, edges, out, num_buckets=4)
+    adj = exports.read_adjacency(out, "a", num_buckets=4).to_pandas()
+    assert sorted(adj["target_id"]) == ["b", "c"]
+    assert set(adj["source_id"]) == {"a"}
+    # bucket dirs exist on disk (path-level pruning is real)
+    import os
+
+    assert any(d.startswith("bucket=") for d in os.listdir(f"{out}/edges"))
