@@ -359,6 +359,7 @@ register("dedup_embedding_pairs_ivf")(_td.dedup_embedding_pairs_ivf)  # reduced 
 register("ann_cosine_topk", _td.ANN_TOPK_SQL)(_td.ann_cosine_topk)
 register("ann_ivf_topk")(_td.ann_ivf_topk)  # approximate → rows-only
 register("media_metadata")(_td.media_metadata)
+register("curate_documents")(_td.curate_documents)  # composite; stages oracle'd individually
 register("media_decode_features")(_td.media_decode_features)
 
 
@@ -376,3 +377,18 @@ def q_kg_triple_dedup(sf_dir: str):
     from kgw_ray.stages.graph import triple_dedup
 
     return triple_dedup(_tk.tpch_graph(sf_dir)[1])
+
+
+@register(
+    "kg_degree_distribution",
+    oracle=f"""
+WITH edges AS ({_tk.EDGES_SQL}),
+deg AS (SELECT source_id, COUNT(*) AS degree FROM edges GROUP BY source_id)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
+""",
+)
+def q_kg_degree_distribution(sf_dir: str):
+    """Out-degree histogram (two-level aggregation over the edge table)."""
+    from kgw_ray.stages.graph import degree_distribution
+
+    return degree_distribution(_tk.tpch_graph(sf_dir)[1])

@@ -219,3 +219,43 @@ def media_decode_features(sf_dir: str) -> rd.Dataset:
         batch_size=32,
         concurrency=(1, 4),
     )
+
+
+def curate_documents(sf_dir: str) -> rd.Dataset:
+    """End-to-end training-data curation: quality filter → exact dedup →
+    MinHash near-dedup, returning surviving (doc_id, n_tokens,
+    quality_score). The composite pipeline a 100 TB pretraining corpus
+    runs; each stage is the operator verified individually above.
+
+    Ordering note: cheap vectorized filters run FIRST so the expensive
+    shingle/LSH stage sees only the quality-surviving subset.
+    """
+    from kgw_ray.stages.dedup import exact_dedup_keep, minhash_dedup_keep
+    from kgw_ray.stages.textstats import quality_stats_batch
+
+    docs = _docs(sf_dir)
+    stats = docs.map_batches(quality_stats_batch, batch_format="pyarrow")
+    good = stats.filter(expr="n_tokens >= 10 and quality_score >= 0.2")
+
+    import pyarrow.compute as pc
+
+    good_ids = pa.array(sorted(good.select_columns(["doc_id"]).to_pandas()["doc_id"]))
+    good_docs = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=good_ids)),
+        batch_format="pyarrow",
+    )
+    exact_ids = set(exact_dedup_keep(good_docs).to_pandas()["doc_id"])
+    exact_docs = good_docs.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["doc_id"], value_set=pa.array(sorted(exact_ids)))
+        ),
+        batch_format="pyarrow",
+    )
+    survivors = set(minhash_dedup_keep(exact_docs, threshold=0.5).to_pandas()["doc_id"])
+    out = good.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["doc_id"], value_set=pa.array(sorted(survivors)))
+        ),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["doc_id", "n_tokens", "quality_score"])

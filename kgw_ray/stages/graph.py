@@ -190,3 +190,15 @@ def _count_partial(df: pd.DataFrame) -> pa.Table:
         .reset_index()
     )
     return arrow_from_pandas(g)
+
+
+def degree_distribution(edges: rd.Dataset) -> rd.Dataset:
+    """Out-degree histogram: two-level aggregation (per-node degree →
+    per-degree node count) — both shuffles move pre-collapsed rows."""
+    deg = grouped_aggregate(
+        edges.select_columns(["source_id"]), "source_id", Count(alias_name="degree")
+    )
+    out = grouped_aggregate(
+        deg.select_columns(["degree"]), "degree", Count(alias_name="n_nodes")
+    )
+    return out.sort("degree")
