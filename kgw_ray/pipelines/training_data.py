@@ -164,9 +164,19 @@ ORDER BY query_id, rank
 
 
 def _query_matrix(sf_dir: str):
+    """Driver-side input prep (4 query vectors) — a direct pyarrow read
+    with a pushed filter, not a Ray pipeline execution."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
     qt = (
-        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .filter(expr=f"vec_id < {_N_QUERIES}")
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=pads.field("vec_id") < _N_QUERIES,
+        )
         .to_pandas()
         .sort_values("vec_id")
     )
