@@ -88,6 +88,11 @@ def run_bench(sf_dir: str, num_cpus: int, queries: list[str]) -> dict:
 
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
+    # warmup: spin up the Ray worker pool and ship library code once so the
+    # timings measure steady-state pipeline cost, not session cold-start
+    # (matches the --scaling methodology)
+    _consume(QUERIES["webkg_edges"]("/root/testdata/sf0.001"))
+
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in queries:
