@@ -360,6 +360,10 @@ register("ann_cosine_topk", _td.ANN_TOPK_SQL)(_td.ann_cosine_topk)
 register("ann_ivf_topk")(_td.ann_ivf_topk)  # approximate → rows-only
 register("media_metadata")(_td.media_metadata)
 register("curate_documents")(_td.curate_documents)  # composite; stages oracle'd individually
+register("shuffle_documents", _td.SHUFFLE_DOCS_SQL)(_td.shuffle_documents)
+register("sample_documents_every_k", _td.SAMPLE_DOCS_SQL)(
+    _td.sample_documents_every_k
+)
 register("media_decode_features")(_td.media_decode_features)
 
 

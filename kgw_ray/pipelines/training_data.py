@@ -269,3 +269,34 @@ def curate_documents(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
     )
     return out.select_columns(["doc_id", "n_tokens", "quality_score"])
+
+
+def shuffle_documents(sf_dir: str) -> rd.Dataset:
+    """Seeded global corpus shuffle (`Dataset.random_shuffle`) — the
+    pre-training epoch-order op. All-to-all exchange; at 100 TB prefer
+    `randomize_block_order` + windowed local shuffles unless a true global
+    permutation is required. Oracle compares the multiset (order-insensitive
+    driver check); permutation-ness asserted in tests."""
+    return _docs(sf_dir, cols=("doc_id",)).random_shuffle(seed=42)
+
+
+SHUFFLE_DOCS_SQL = "SELECT doc_id FROM documents"
+
+
+def sample_documents_every_k(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Deterministic systematic sample (reference tests/utils.py:60-61 takes
+    evenly spaced samples): every k-th doc_id, as a pushed-down filter."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        # modulo never prunes row groups (every group holds multiples of k),
+        # so a vectorized in-map filter IS the pushdown-equivalent here
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % k == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SAMPLE_DOCS_SQL = "SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0"

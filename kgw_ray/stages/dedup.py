@@ -358,15 +358,14 @@ def minhash_dedup_keep(
 
     from kgw_ray.stages.canonicalize import connected_components
 
+    # task map, not an actor pool: MinHashLSH state is a few integers
+    # (construction is microseconds) — same actor-vs-task rule as
+    # stages/extract.py:extract_batch
+    def band_fn(batch: pa.Table) -> pa.Table:
+        return MinHashLSH(num_perm, bands, shingle_k)(batch)
+
     band_rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        MinHashLSH,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "bands": bands,
-            "shingle_k": shingle_k,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        band_fn, batch_format="pyarrow"
     )
     cands = lsh_candidate_pairs(band_rows)
     verified = jaccard_verify_pairs(

@@ -164,3 +164,13 @@ def test_media_decode_stub_raises():
     dec = DecodeImage(use_fake=False)
     with pytest.raises(NotImplementedError):
         dec(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_shuffle_is_permutation(sf_smoke):
+    from kgw_ray.pipelines.training_data import shuffle_documents
+
+    a = shuffle_documents(sf_smoke).to_pandas()["doc_id"].tolist()
+    assert sorted(a) == list(range(len(a)))  # same multiset
+    assert a != sorted(a)  # actually permuted
+    b = shuffle_documents(sf_smoke).to_pandas()["doc_id"].tolist()
+    assert a == b  # seeded → deterministic
