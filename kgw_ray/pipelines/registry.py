@@ -163,6 +163,12 @@ register("docs_english_short", _rel.DOCS_EN_SHORT_SQL)(_rel.docs_english_short)
 register("events_value_quantiles", _rel.EVENTS_QUANTILES_SQL)(
     _rel.events_value_quantiles
 )
+register("top_users_by_value_salted", _rel.TOP_USERS_SQL)(
+    _rel.top_users_by_value_salted
+)
+register("events_minmax_by_type", _rel.EVENTS_MINMAX_SQL)(
+    _rel.events_minmax_by_type
+)
 
 
 # ---------------------------------------------------------------------------

@@ -558,3 +558,50 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.95), 2) AS p95
 FROM events GROUP BY event_type
 """
+
+
+def top_users_by_value_salted(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Same result as top_users_by_value but through the salted two-phase
+    aggregation (stages/agg.py:salted_aggregate) — puts the skew path under
+    the value-parity gate."""
+    from kgw_ray.stages.agg import salted_aggregate
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"]).rename_columns(
+        {"value": "total_value"}
+    )
+    merged = salted_aggregate(ds, "user_id", ["total_value"], salt=16)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_value"] = df["total_value"].round(_R)
+        return df
+
+    return (
+        merged.map_batches(finalize, batch_format="pandas")
+        .sort(["total_value", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_minmax_by_type(sf_dir: str) -> rd.Dataset:
+    """Min/Max/Count aggregate family per event type."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Count(alias_name="n"),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["min_value"] = df["min_value"].round(_R)
+        df["max_value"] = df["max_value"].round(_R)
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+EVENTS_MINMAX_SQL = """
+SELECT event_type, ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""

@@ -327,6 +327,94 @@ def build_webkg_partitioned(
     )
 
 
+def build_webkg_partitioned_full(
+    document_files: list[str],
+    out_dir: str,
+    *,
+    num_partitions: int = 8,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Partitioned flagship producing BOTH hub tables (nodes + edges).
+
+    Edge partials come from ``build_webkg_partitioned`` (per-partition
+    checkpoints + resume); node partials are a second per-partition stage
+    over the same shard assignment — a rerun reuses every completed
+    partition of both stages. Returns (nodes, edges).
+    """
+    import ray.data as rd
+
+    from kgw_ray.state.manifest import (
+        partition_input_shards,
+        resumable_partitioned_run,
+        resumable_stage,
+    )
+
+    edges = build_webkg_partitioned(
+        document_files, out_dir, num_partitions=num_partitions
+    )
+
+    shards = partition_input_shards(document_files, num_partitions)
+    fingerprint = f"webkg_part:{len(document_files)}"
+
+    def per_partition_nodes(paths: list[str]) -> rd.Dataset:
+        docs = rd.read_parquet(paths, columns=["doc_id", "text", "lang", "source"])
+        from kgw_ray.functions.arrow_utils import strip_meta
+        from kgw_ray.sources.pages import synth_pages
+        from kgw_ray.stages.extract import extract_batch
+        from kgw_ray.stages.linking import link_triples_batch
+        from kgw_ray.stages.triples import extract_triples_batch
+
+        pages = docs.map_batches(strip_meta, batch_format="pyarrow").map_batches(
+            synth_pages, batch_format="pyarrow"
+        )
+        triples = (
+            pages.map_batches(extract_batch, batch_format="pyarrow")
+            .map_batches(extract_triples_batch, batch_format="pyarrow")
+            .map_batches(link_triples_batch, batch_format="pyarrow")
+        )
+        return triples.map_batches(_node_partials, batch_format="pyarrow")
+
+    node_partials = resumable_partitioned_run(
+        os.path.join(out_dir, "node_partials"),
+        "node_partials",
+        fingerprint,
+        shards,
+        per_partition_nodes,
+    )
+
+    def merge_nodes() -> rd.Dataset:
+        from ray.data.aggregate import Sum
+
+        counts = node_partials.groupby("surface").aggregate(
+            Sum("n_partial", alias_name="n_mentions")
+        )
+
+        def render(batch: pa.Table) -> pa.Table:
+            surfaces = batch.column("surface").to_pylist()
+            n = batch.column("n_mentions").to_pylist()
+            return pa.table(
+                {
+                    "id": pa.array([f"E:{s}" for s in surfaces], pa.string()),
+                    "type": pa.array(
+                        [ENTITY_TYPE.get(s, "code") for s in surfaces], pa.string()
+                    ),
+                    "properties": pa.array(
+                        [
+                            json_dumps({"surface": s, "n_mentions": int(c)})
+                            for s, c in zip(surfaces, n)
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        return counts.map_batches(render, batch_format="pyarrow")
+
+    nodes = resumable_stage(
+        os.path.join(out_dir, "nodes"), "nodes", fingerprint, merge_nodes
+    )
+    return nodes, edges
+
+
 # ---------------------------------------------------------------------------
 # Entity linking + canonicalization queries (north-star stages 3-4)
 # ---------------------------------------------------------------------------

@@ -138,3 +138,33 @@ def test_build_webkg_partitioned(tmp_path):
     )
     assert got.equals(want)
     assert len(partition_metrics(os.path.join(out, "edge_partials"))) == 3
+
+
+def test_build_webkg_partitioned_full(tmp_path):
+    """Partitioned nodes+edges == streaming flagship nodes+edges."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    files = []
+    t = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
+    half = t.num_rows // 2
+    for i in range(2):
+        p = str(tmp_path / f"docs-{i}.parquet")
+        pq.write_table(t.slice(i * half, half if i < 1 else None), p)
+        files.append(p)
+
+    from kgw_ray.pipelines.webkg import (
+        build_webkg_partitioned_full,
+        nodes_from_triples,
+        triples_dataset,
+    )
+
+    out = str(tmp_path / "out")
+    nodes, edges = build_webkg_partitioned_full(files, out, num_partitions=2)
+    got = nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    want = (
+        nodes_from_triples(triples_dataset("/root/testdata/sf0.001"))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert edges.count() > 0
