@@ -169,6 +169,9 @@ register("top_users_by_value_salted", _rel.TOP_USERS_SQL)(
 register("events_minmax_by_type", _rel.EVENTS_MINMAX_SQL)(
     _rel.events_minmax_by_type
 )
+register("events_props_extract", _rel.EVENTS_PROPS_SQL)(
+    _rel.events_props_extract
+)
 
 
 # ---------------------------------------------------------------------------

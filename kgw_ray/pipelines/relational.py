@@ -605,3 +605,42 @@ SELECT event_type, ROUND(MIN(value), 2) AS min_value,
        ROUND(MAX(value), 2) AS max_value, COUNT(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+def events_props_extract(sf_dir: str) -> rd.Dataset:
+    """JSON property extraction on the data plane (§2.7; the reference
+    parses/merges JSON property columns per record, _pharmebinet.py:168-178):
+    pull ``k`` out of the events ``props`` JSON column, vectorized orjson
+    per batch, and aggregate per event_type."""
+    from kgw_ray.functions.scalars import json_loads
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = [json_loads(p).get("k", 0) for p in batch.column("props").to_pylist()]
+        df = pd.DataFrame(
+            {"event_type": batch.column("event_type").to_pylist(), "k": ks}
+        )
+        g = df.groupby("event_type", sort=False)["k"]
+        return arrow_from_pandas(g.agg(sum_k="sum", n="size").reset_index())
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_k"] = df["sum_k"].astype("int64")
+        df["n"] = df["n"].astype("int64")
+        return df[["event_type", "sum_k", "n"]]
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
