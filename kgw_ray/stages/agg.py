@@ -98,3 +98,29 @@ def salted_aggregate(
         *[Sum(c, alias_name=c) for c in sum_cols]
     )
     return phase2
+
+
+def resilient_map_batches(
+    ds: rd.Dataset,
+    fn,
+    *,
+    max_retries: int = 3,
+    batch_format: str = "pyarrow",
+    **kwargs,
+):
+    """map_batches with task-level exception retries (the engine's
+    fault-tolerance default for stages touching flaky externals — model
+    servers, object stores; reference analog: 3 download retries,
+    kgw/_shared/tasks.py:104).
+
+    Ray retries worker CRASHES automatically; user exceptions need
+    ``retry_exceptions`` opted in — this wrapper is that opt-in.
+    """
+    # map_batches forwards extra kwargs straight to the remote task options
+    return ds.map_batches(
+        fn,
+        batch_format=batch_format,
+        retry_exceptions=True,
+        max_retries=max_retries,
+        **kwargs,
+    )
