@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash_lsh",    # shingle → minhash → band buckets → groupby
     "ann_cosine_topk",      # brute-force cosine top-k vs broadcast queries
     "text_quality",         # vectorized text statistics
+    "curate_documents",     # composite: quality filter → exact → near dedup
 ]
 
 

@@ -464,12 +464,17 @@ def linked_mentions(sf_dir: str) -> rd.Dataset:
         )
 
     mentions = triples.map_batches(make_variants, batch_format="pyarrow")
+    # heavy-state actor pool (KB index built once per actor). num_gpus=0
+    # here; with a neural scorer this same call carries num_gpus=1 and the
+    # pool schedules onto GPU workers (BASELINE.json north_star's
+    # "embedding-cosine scoring on GPU actors" slot).
     return mentions.map_batches(
         EntityLinker,
         fn_constructor_kwargs={"kb_ref": kb_ref, "column": "variant"},
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=(1, 8),
+        num_gpus=0,
     )
 
 
