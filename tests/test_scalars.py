@@ -73,3 +73,25 @@ def test_resilient_map_retries_transient_failures(sf_smoke, tmp_path):
     import os
 
     assert os.path.exists(flag)  # the failure really happened
+
+
+def test_tuning_profiles(ray_session):
+    from ray.data import DataContext
+
+    from kgw_ray.tuning import MiB, configure, recommended_batch_size
+
+    before = DataContext.get_current().target_max_block_size
+    try:
+        ctx = configure("binary")
+        assert ctx.target_max_block_size == 32 * MiB
+        configure("text")
+        assert DataContext.get_current().target_max_block_size == 128 * MiB
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown profile"):
+            configure("nope")
+    finally:
+        DataContext.get_current().target_max_block_size = before
+
+    # 5 MB payloads, 8 actors, 2 GiB heap, 8x working set → 6 rows
+    assert recommended_batch_size(5 * MiB, concurrency=8) == 6
