@@ -80,7 +80,14 @@ def extracted_pages(
 def triples_dataset(
     sf_dir: str, *, concurrency: int | None = None, repeat: int = 1
 ) -> rd.Dataset:
-    """pages → linked triple mentions (doc_id, subj, pred, obj, pos, subj_id, obj_id)."""
+    """pages → linked triple mentions (doc_id, subj, pred, obj, pos, subj_id, obj_id).
+
+    No explicit projection between extract and triples: the map stages FUSE
+    into one task chain (verified in ds.stats()), so intermediate columns
+    never cross the object store — an added select_columns would break
+    fusion and cost an extra operator round (measured +0.4s at sf0.1×64).
+    The extractor itself drops raw html (stages/extract.py), which is what
+    matters on the non-fused actor-pool path."""
     ds = extracted_pages(sf_dir, concurrency=concurrency, repeat=repeat)
     ds = ds.map_batches(extract_triples_batch, batch_format="pyarrow")
     return ds.map_batches(link_triples_batch, batch_format="pyarrow")

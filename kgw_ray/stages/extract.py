@@ -47,7 +47,12 @@ class HtmlExtract:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [self.extract_one(h) for h in batch.column("html").to_pylist()]
-        return batch.append_column("extracted_text", pa.array(texts, pa.string()))
+        # drop the raw html immediately: carrying it downstream doubles the
+        # bytes through the object store for every later stage (at 10^12
+        # docs the raw-bytes column dominates block size)
+        return batch.drop_columns(["html"]).append_column(
+            "extracted_text", pa.array(texts, pa.string())
+        )
 
 
 _SINGLETON: HtmlExtract | None = None
