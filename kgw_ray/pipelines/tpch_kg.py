@@ -173,9 +173,19 @@ def tpch_graph(sf_dir: str):
 
     key = os.path.abspath(sf_dir)
     if key not in _GRAPH_CACHE:
+        import ray
+
+        try:
+            n = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # pragma: no cover
+            n = 8
+        # coalesce to ~1 block per CPU at materialize time: the lazy union
+        # yields hundreds of tiny blocks and every downstream groupby pays
+        # per-block reduce overhead (measured: type histogram 6s → 0.5s at
+        # sf0.1/32cpus with a 32-block hub)
         _GRAPH_CACHE[key] = (
-            tpch_nodes(sf_dir).materialize(),
-            tpch_edges(sf_dir).materialize(),
+            tpch_nodes(sf_dir).repartition(n).materialize(),
+            tpch_edges(sf_dir).repartition(n).materialize(),
         )
     return _GRAPH_CACHE[key]
 

@@ -29,15 +29,22 @@ def grouped_aggregate(
     keys: Union[str, Sequence[str]],
     *aggs,
     num_partitions: Optional[int] = None,
+    materialize_partials: bool = True,
 ) -> rd.Dataset:
     """groupby(keys).aggregate(aggs) over pre-aggregated partials.
 
-    NOTE (measured at sf0.01): do NOT insert a ``repartition`` before the
-    groupby — chaining two AllToAll operators in one streaming execution
-    degrades ~30× (59s vs 2s). A single sort-based aggregate over many small
-    partial blocks is fine; the pathology to avoid is an all-to-all fed by a
-    LAZY union (materialize the hub first, see tpch_graph).
+    The partials are MATERIALIZED before the shuffle by default: a
+    sort-based aggregate consuming a lazy map chain degrades catastrophically
+    (measured at sf0.1/32cpus: 65s lazy vs 0.8s materialize + 11s aggregate
+    on 766k rows; same family as the lazy-union pathology noted at
+    tpch_graph). Partials are collapsed by construction, so pinning them in
+    the object store is cheap relative to the exchange; Ray spills if not.
+
+    Do NOT chain ``repartition`` in front instead — an all-to-all fed by a
+    lazy pandas map shows the same degradation (measured 64s).
     """
+    if materialize_partials:
+        partials = partials.materialize()
     return partials.groupby(keys).aggregate(*aggs)
 
 

@@ -173,12 +173,16 @@ def neighborhood(edges: rd.Dataset, node_id: str) -> rd.Dataset:
 
 def triple_dedup(edges: rd.Dataset) -> rd.Dataset:
     """Exact (source_id, type, target_id) dedup with multiplicity count
-    (reference _oregano.py:235-237 drops repeats; we also keep n)."""
-    partial = edges.select_columns(["source_id", "type", "target_id"]).map_batches(
-        _count_partial, batch_format="pandas"
-    )
+    (reference _oregano.py:235-237 drops repeats; we also keep n).
+
+    No per-batch pre-aggregation: triple keys are nearly unique within a
+    batch (multigraph edges), so a combiner shuffles the same rows and only
+    adds a pandas pass — direct Count aggregate on the 3-column projection
+    instead (measured 11s vs 65s at sf0.1)."""
     return grouped_aggregate(
-        partial, ["source_id", "type", "target_id"], Sum("n_partial", alias_name="n")
+        edges.select_columns(["source_id", "type", "target_id"]),
+        ["source_id", "type", "target_id"],
+        Count(alias_name="n"),
     )
 
 
