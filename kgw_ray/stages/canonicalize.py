@@ -36,15 +36,54 @@ def _symmetrize(pairs: rd.Dataset) -> rd.Dataset:
     return pairs.map_batches(both, batch_format="pandas")
 
 
+_DRIVER_PAIR_LIMIT = 5_000_000
+
+
 def connected_components(pairs: rd.Dataset, max_iter: int = 12) -> rd.Dataset:
     """Min-label propagation. pairs: columns (a, b). Returns (id, component).
 
-    Each round: label(id) = min(label(id), min over neighbors' labels);
-    labels propagate along edges, so after r rounds every id knows the min
-    id within distance 2^r (pointer-jumping via the label table join).
-    Partition key throughout: ``id`` — one hash shuffle per round over a
-    table that is ≤ |pairs| rows, not the full corpus.
+    Small-graph fast path: a pair set ≤ 5M rows is merged with driver-side
+    union-find (candidate-match pair sets are tiny relative to the corpus —
+    seconds vs a dozen join rounds). Beyond that, distributed min-label
+    propagation: each round label(id) = min over neighbors' labels, so after
+    r rounds every id knows the min id within distance 2^r. Partition key
+    throughout: ``id`` — one hash shuffle per round over a table that is ≤
+    |pairs| rows, not the full corpus.
     """
+    import pyarrow as pa
+
+    pairs_df = None
+    n_pairs = pairs.count()
+    if n_pairs <= _DRIVER_PAIR_LIMIT:
+        pairs_df = pairs.select_columns(["a", "b"]).to_pandas()
+    if pairs_df is not None:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(pairs_df["a"], pairs_df["b"]):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        members = sorted(set(pairs_df["a"]) | set(pairs_df["b"]))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(members),
+                    "component": pa.array([find(m) for m in members]),
+                }
+            )
+        )
+
     adj = _symmetrize(pairs).materialize()
     # initial label = min neighbor (includes self)
     labels = adj.groupby("id").aggregate(Min("nbr", alias_name="component"))

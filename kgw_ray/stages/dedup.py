@@ -491,42 +491,76 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 
 
 def simhash_near_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
-    """SimHash blocking + exact Hamming verify → (a, b, hamming) pairs."""
+    """SimHash blocking + exact Hamming verify → (a, b, hamming) pairs.
+
+    ONE shuffle: rows are melted to (band_idx, band_value, doc_id, simhash)
+    and grouped by ``band_idx`` (4 coarse groups) with vectorized
+    bucket-run expansion inside — the per-bucket map_groups variant (65k
+    tiny groups per band) pays per-group scheduling overhead instead
+    (measured 8.7s vs ~2s at sf0.1)."""
     sh = docs.select_columns(["doc_id", "text"]).map_batches(
         simhash_batch, batch_format="pyarrow"
-    ).materialize()
+    )
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy(dtype=np.uint64)
-        m = len(ids)
-        if m < 2:
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False)
+        parts = {
+            "band_idx": np.repeat(np.arange(4, dtype=np.int32), n),
+            "band_value": np.concatenate(
+                [batch.column(f"band{b}").to_numpy(zero_copy_only=False) for b in range(4)]
+            ),
+            "doc_id": np.tile(ids, 4),
+            "simhash": np.tile(hs, 4),
+        }
+        return pa.table({k: pa.array(v) for k, v in parts.items()})
+
+    melted = sh.map_batches(melt, batch_format="pyarrow")
+
+    def pairs_of_band(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        order = np.lexsort((g["doc_id"].to_numpy(), g["band_value"].to_numpy()))
+        ids = g["doc_id"].to_numpy()[order]
+        vals = g["band_value"].to_numpy()[order]
+        hs = g["simhash"].to_numpy(dtype=np.uint64)[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(np.diff(vals))[0] + 1, [len(vals)])
+        )
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            x = hs[s:e][iu] ^ hs[s:e][ju]
+            ham = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = ham <= max_hamming
+            out_a.append(ids[s:e][iu[keep]])
+            out_b.append(ids[s:e][ju[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
                  "hamming": pd.Series([], dtype="int64")}
             )
-        iu, ju = np.triu_indices(m, k=1)
-        x = hs[iu] ^ hs[ju]
-        ham = np.zeros(len(x), dtype=np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": ham[keep]})
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
 
-    all_pairs = []
-    for b in range(4):
-        p = sh.groupby(f"band{b}").map_groups(pairs_of_group, batch_format="pandas")
-        all_pairs.append(p)
     from ray.data.aggregate import Min
 
-    return (
-        all_pairs[0]
-        .union(*all_pairs[1:])
-        .groupby(["a", "b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    pairs = melted.groupby("band_idx").map_groups(
+        pairs_of_band, batch_format="pandas"
     )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------------------
