@@ -67,7 +67,7 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
         return arrow_from_pandas(out)
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    merged = partials.materialize().groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_price", alias_name="sum_base_price"),
         Sum("sum_disc_price", alias_name="sum_disc_price"),
@@ -168,7 +168,7 @@ def q3_top_orders(sf_dir: str, *, force_hash_join: bool = False) -> rd.Dataset:
         )
 
     partials = j.map_batches(partial, batch_format="pandas")
-    merged = partials.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+    merged = partials.materialize().groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("revenue", alias_name="revenue")
     )
 
@@ -231,7 +231,7 @@ def q5_revenue_by_nation(sf_dir: str) -> rd.Dataset:
         )
 
     partials = j.map_batches(partial, batch_format="pandas")
-    merged = partials.groupby("c_nationkey").aggregate(Sum("revenue", alias_name="revenue"))
+    merged = partials.materialize().groupby("c_nationkey").aggregate(Sum("revenue", alias_name="revenue"))
 
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
@@ -281,7 +281,7 @@ def events_hourly_window(sf_dir: str) -> rd.Dataset:
         return arrow_from_pandas(g.agg(n="size", sum_value="sum").reset_index())
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    merged = partials.groupby(["event_type", "hour"]).aggregate(
+    merged = partials.materialize().groupby(["event_type", "hour"]).aggregate(
         Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
     )
 
@@ -389,8 +389,11 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> rd.Dataset:
             df.groupby("user_id", sort=False)["value"].sum().rename("total_value").reset_index()
         )
 
-    merged = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(
-        Sum("total_value", alias_name="total_value")
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .materialize()  # lazy partials into an AllToAll degrade ~4x (agg.py)
+        .groupby("user_id")
+        .aggregate(Sum("total_value", alias_name="total_value"))
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -490,7 +493,7 @@ def events_sliding_window(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(expand, batch_format="pandas")
-    merged = partials.groupby("window_start").aggregate(
+    merged = partials.materialize().groupby("window_start").aggregate(
         Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
     )
 
@@ -626,6 +629,7 @@ def events_props_extract(sf_dir: str) -> rd.Dataset:
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
+        .materialize()
         .groupby("event_type")
         .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
     )
