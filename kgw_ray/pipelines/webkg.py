@@ -193,7 +193,12 @@ def nodes_from_triples(triples: rd.Dataset) -> rd.Dataset:
         return pa.table(
             {
                 "id": pa.array([f"E:{s}" for s in surfaces], pa.string()),
-                "type": pa.array([ENTITY_TYPE[s] for s in surfaces], pa.string()),
+                "type": pa.array(
+                    # .get fallback keeps this path aligned with the
+                    # partitioned variant and the oracle's ELSE 'code' branch
+                    [ENTITY_TYPE.get(s, "code") for s in surfaces],
+                    pa.string(),
+                ),
                 "properties": pa.array(
                     [
                         json_dumps({"surface": s, "n_mentions": int(c)})

@@ -16,11 +16,15 @@ writes the reference's output formats:
 - ``write_sql_dump`` — CREATE TABLE + INSERT statements (load.py:286-291)
 
 Physical strategy: **render-parallel, assemble-serial**. Row formatting runs
-distributed in ``map_batches`` (each block → one rendered UTF-8 fragment);
-the driver streams fragments IN ORDER to the single output file with O(block)
-memory, assigning global sequential counters (GraphML edge ids, MeTTa
-repr2/3 ids) from a running offset as it goes — the "single writer owns the
-counter" strategy for order-dependent formats (SURVEY.md §7 hard part 1/3).
+distributed (each block → one rendered UTF-8 fragment); the driver streams
+fragments IN ORDER to the single output file with O(window) memory.
+
+Order-dependent formats (GraphML edge ids, MeTTa repr2/3 ids) use the
+**counted two-pass** scheme: pass 1 takes per-block row counts from the
+materialized block refs (tiny remote tasks — no data to the driver), the
+prefix sum gives each block its global id offset, and pass 2 renders every
+block IN PARALLEL with final ids baked in. The driver's only serial work is
+ordered file I/O — no string processing (SURVEY.md §7 hard part 1/3).
 All files are written atomically (temp + rename), mirroring the reference's
 ``temp_output_path`` (kgw/_shared/tasks.py:13-28).
 """
@@ -62,6 +66,61 @@ def _stream_fragments(frags: rd.Dataset) -> Iterator[str]:
     for b in frags.iter_batches(batch_format="pyarrow", batch_size=1):
         for s in b.column("frag").to_pylist():
             yield s
+
+
+# --- counted two-pass assembly for order-dependent formats -----------------
+
+import ray  # noqa: E402
+
+
+@ray.remote
+def _block_num_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _render_block(tbl: pa.Table, render: Callable[[pa.Table, int], str], start: int) -> str:
+    return render(tbl, start)
+
+
+def _counted_fragments(
+    ds: rd.Dataset,
+    render: Callable[[pa.Table, int], str],
+    start: int = 0,
+    *,
+    window: int = 32,
+) -> tuple[Iterator[str], int]:
+    """Counted two-pass parallel render with global per-row counters.
+
+    Pass 1: materialize → ordered Arrow block refs → per-block row counts
+    via tiny remote tasks (counts travel, blocks don't). The prefix sum
+    assigns each block its id offset. Pass 2: every block renders in
+    parallel with ``render(block, global_start_row)`` baking final ids in;
+    the driver consumes fragments in dataset order with at most ``window``
+    render tasks outstanding (bounds object-store residency for single-file
+    exports — which are a small-graph surface anyway; the 100 TB sink is
+    the partitioned Parquet hub below).
+
+    Returns ``(ordered fragment iterator, total_row_count)``; the total is
+    known immediately so a second dataset can chain its counter (MeTTa
+    repr3 numbers nodes then edges from one sequence, load.py:795-840).
+    """
+    refs = ds.materialize().to_arrow_refs()
+    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    offsets = [start]
+    for c in counts:
+        offsets.append(offsets[-1] + c)
+
+    def frag_iter() -> Iterator[str]:
+        pending = []
+        for i, r in enumerate(refs):
+            pending.append(_render_block.remote(r, render, offsets[i]))
+            if len(pending) >= window:
+                yield ray.get(pending.pop(0))
+        while pending:
+            yield ray.get(pending.pop(0))
+
+    return frag_iter(), offsets[-1]
 
 
 # ---------------------------------------------------------------------------
@@ -190,6 +249,13 @@ def _esc(s) -> str:
     return saxutils.escape(str(s))
 
 
+def _attr(s) -> str:
+    """Escape for XML *attribute* position: also encodes double quotes,
+    which ``saxutils.escape`` alone does not — an id containing ``"`` would
+    otherwise produce malformed ``id="a"b"`` markup."""
+    return saxutils.escape(str(s), {'"': "&quot;"})
+
+
 def _graphml_value(v) -> str:
     if isinstance(v, (list, dict)):
         return _esc(json_dumps(v))  # compound → JSON string (load.py:376-378)
@@ -199,8 +265,9 @@ def _graphml_value(v) -> str:
 
 
 def write_graphml(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
-    """GraphML export: 2 passes (attribute schema, then streamed rendering
-    with a single-writer sequential edge counter — load.py:503)."""
+    """GraphML export: attribute-schema pass, then parallel rendering with
+    sequential edge ids (load.py:503) assigned by the counted two-pass
+    scheme — each block knows its global edge offset up front."""
     node_attrs = _collect_attr_schema(nodes, "node")
     edge_attrs = _collect_attr_schema(edges, "edge")
 
@@ -211,33 +278,35 @@ def write_graphml(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
             batch.column("type").to_pylist(),
             batch.column("properties").to_pylist(),
         ):
-            out.append(f'    <node id="{_esc(nid)}">')
+            out.append(f'    <node id="{_attr(nid)}">')
             out.append(f'      <data key="node_type">{_esc(ntype)}</data>')
             if props:
                 for k, v in json_loads(props).items():
                     out.append(
-                        f'      <data key="node_{_esc(k)}">{_graphml_value(v)}</data>'
+                        f'      <data key="node_{_attr(k)}">{_graphml_value(v)}</data>'
                     )
             out.append("    </node>")
         return "\n".join(out) + "\n" if out else ""
 
-    # edges carry a per-row placeholder; the driver rewrites ids in order
-    def edge_frag(batch: pa.Table) -> str:
+    # final edge ids baked in per block from the block's global row offset
+    def edge_frag(batch: pa.Table, start: int) -> str:
         out = []
-        for s, t, etype, props in zip(
-            batch.column("source_id").to_pylist(),
-            batch.column("target_id").to_pylist(),
-            batch.column("type").to_pylist(),
-            batch.column("properties").to_pylist(),
+        for i, (s, t, etype, props) in enumerate(
+            zip(
+                batch.column("source_id").to_pylist(),
+                batch.column("target_id").to_pylist(),
+                batch.column("type").to_pylist(),
+                batch.column("properties").to_pylist(),
+            )
         ):
             out.append(
-                f'    <edge id="\x00" source="{_esc(s)}" target="{_esc(t)}">'
+                f'    <edge id="e{start + i}" source="{_attr(s)}" target="{_attr(t)}">'
             )
             out.append(f'      <data key="edge_type">{_esc(etype)}</data>')
             if props:
                 for k, v in json_loads(props).items():
                     out.append(
-                        f'      <data key="edge_{_esc(k)}">{_graphml_value(v)}</data>'
+                        f'      <data key="edge_{_attr(k)}">{_graphml_value(v)}</data>'
                     )
             out.append("    </edge>")
         return "\n".join(out) + "\n" if out else ""
@@ -254,26 +323,18 @@ def write_graphml(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
         yield '  <key id="edge_type" for="edge" attr.name="type" attr.type="string"/>\n'
         for k, owner, t in node_attrs:
             yield (
-                f'  <key id="node_{_esc(k)}" for="node" attr.name="{_esc(k)}" '
+                f'  <key id="node_{_attr(k)}" for="node" attr.name="{_attr(k)}" '
                 f'attr.type="{t}"/>\n'
             )
         for k, owner, t in edge_attrs:
             yield (
-                f'  <key id="edge_{_esc(k)}" for="edge" attr.name="{_esc(k)}" '
+                f'  <key id="edge_{_attr(k)}" for="edge" attr.name="{_attr(k)}" '
                 f'attr.type="{t}"/>\n'
             )
         yield '  <graph edgedefault="directed">\n'
         yield from _stream_fragments(_fragments(nodes, node_frag))
-        # single-writer counter: replace placeholders in order
-        counter = 0
-        for frag in _stream_fragments(_fragments(edges, edge_frag)):
-            parts = frag.split("\x00")
-            buf = [parts[0]]
-            for p in parts[1:]:
-                buf.append(f"e{counter}")
-                buf.append(p)
-                counter += 1
-            yield "".join(buf)
+        edge_frags, _ = _counted_fragments(edges, edge_frag)
+        yield from edge_frags
         yield "  </graph>\n</graphml>\n"
 
     _atomic_write(path, chunks())
@@ -289,8 +350,10 @@ def _distinct_types(ds: rd.Dataset) -> list[str]:
 
 
 def write_metta_repr1(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
-    """repr1 "spo": type decls, node type atoms, (s p o) triples
-    (load.py:548-607)."""
+    """repr1 "spo" (load.py:548-607): ``; Types`` / ``; Nodes`` / ``; Edges``
+    sections, node-type decls, node type atoms, (s p o) triples. Type decls
+    render in sorted order (the reference emits SQLite's DISTINCT order,
+    which is storage-dependent)."""
     ntypes = _distinct_types(nodes)
 
     def node_frag(batch: pa.Table) -> str:
@@ -316,17 +379,31 @@ def write_metta_repr1(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
         )
 
     def chunks():
+        yield "; Types\n"
+        yield "(: NodeType Type)\n"
         for t in ntypes:
             yield f"(: {clean(t)} NodeType)\n"
+        yield "; Nodes\n"
         yield from _stream_fragments(_fragments(nodes, node_frag))
+        yield "; Edges\n"
         yield from _stream_fragments(_fragments(edges, edge_frag))
 
     _atomic_write(path, chunks())
 
 
 def write_metta_repr2(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
-    """repr2: + (has_property id (k v)) lines and synthetic edge ids e{i}
-    assigned by the single writer (load.py:610-716)."""
+    """repr2 (load.py:610-716): Types section (NodeType/EdgeType decls +
+    per-type atoms), node atoms with ``("has_property" id (k v))`` lines,
+    and edges in prefix notation ``("eN" (pred subj obj))`` with a typed
+    ``(: "eN" pred)`` decl per edge.
+
+    Deviation from the reference (documented): edge ids are GLOBALLY
+    monotone via the counted two-pass scheme; the reference's ``enumerate``
+    restarts per 10k-row fetch batch (load.py:691-694), repeating ids —
+    a bug we do not reproduce."""
+    ntypes = _distinct_types(nodes)
+    etypes = _distinct_types(edges)
+    prop_rel = '"has_property"'
 
     def node_frag(batch: pa.Table) -> str:
         out = []
@@ -338,114 +415,136 @@ def write_metta_repr2(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
             out.append(f"(: {clean(nid)} {clean(ntype)})")
             if props:
                 for k, v in json_loads(props).items():
-                    out.append(f"(has_property {clean(nid)} ({clean(k)} {clean(v)}))")
+                    out.append(f"({prop_rel} {clean(nid)} ({clean(k)} {clean(v)}))")
         return "\n".join(out) + "\n" if out else ""
 
-    def edge_frag(batch: pa.Table) -> str:
+    def edge_frag(batch: pa.Table, start: int) -> str:
         out = []
-        for s, t, o, props in zip(
-            batch.column("source_id").to_pylist(),
-            batch.column("type").to_pylist(),
-            batch.column("target_id").to_pylist(),
-            batch.column("properties").to_pylist(),
+        for i, (s, t, o, props) in enumerate(
+            zip(
+                batch.column("source_id").to_pylist(),
+                batch.column("type").to_pylist(),
+                batch.column("target_id").to_pylist(),
+                batch.column("properties").to_pylist(),
+            )
         ):
-            out.append(f"(: \x00 {clean(t)})")
-            out.append(f"(source \x00 {clean(s)})")
-            out.append(f"(target \x00 {clean(o)})")
+            eid = f'"e{start + i}"'
+            out.append(f"(: {eid} {clean(t)})")
+            out.append(f"({eid} ({clean(t)} {clean(s)} {clean(o)}))")
             if props:
                 for k, v in json_loads(props).items():
-                    out.append(f"(has_property \x00 ({clean(k)} {clean(v)}))")
-            out.append("\x01")  # end-of-edge marker
+                    out.append(f"({prop_rel} {eid} ({clean(k)} {clean(v)}))")
         return "\n".join(out) + "\n" if out else ""
 
     def chunks():
+        yield "; Types\n"
+        yield "(: NodeType Type)\n"
+        yield "(: EdgeType Type)\n"
+        for t in ntypes:
+            yield f"(: {clean(t)} NodeType)\n"
+        for t in etypes:
+            yield f"(: {clean(t)} EdgeType)\n"
+        yield "; Nodes\n"
         yield from _stream_fragments(_fragments(nodes, node_frag))
-        counter = 0
-        for frag in _stream_fragments(_fragments(edges, edge_frag)):
-            # one edge id per \x01-delimited segment; all \x00 in a segment
-            # share the same id
-            segs = frag.split("\x01")
-            out = []
-            for seg in segs[:-1]:
-                out.append(seg.replace("\x00", f'"e{counter}"').rstrip("\n"))
-                counter += 1
-            tailing = segs[-1]
-            out.append(tailing.lstrip("\n"))
-            yield "\n".join(s for s in out if s or s == "")
+        yield "; Edges\n"
+        edge_frags, _ = _counted_fragments(edges, edge_frag)
+        yield from edge_frags
 
     _atomic_write(path, chunks())
 
 
-def write_metta_repr3(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
-    """repr3: fully expanded nested-property S-expressions with global
-    monotone numeric ids (load.py:719-842); nesting walker ≤ 5 list levels."""
+# --- repr3 nested-property walker (reference load.py:720-789) --------------
 
-    def expand(eid: int, d: dict) -> list[str]:
-        out = []
 
-        def walk(prefix: str, v, depth: int = 0):
-            if isinstance(v, dict):
-                for k, vv in v.items():
-                    walk(f"{prefix} {clean(k)}", vv, depth)
-            elif isinstance(v, list) and depth < 5:
-                for i, vv in enumerate(v):
-                    walk(f"{prefix} {i}", vv, depth + 1)
+def _dict_gen(d, pre: list):
+    """Path generator over nested dicts/lists, matching the reference's
+    ``dict_generator``: dict keys extend the path; (nested) list indices
+    collapse into one ``(key, i0, i1, …)`` tuple path element; scalar
+    leaves terminate the path."""
+    if isinstance(d, dict):
+        for key, value in d.items():
+            if isinstance(value, dict):
+                yield from _dict_gen(value, pre + [key])
+            elif isinstance(value, (list, tuple)):
+                yield from _list_gen(key, value, pre)
             else:
-                out.append(f"({eid}{prefix} {clean(v)})")
+                yield pre + [key, value]
+    else:
+        yield pre + [d]
 
-        walk("", d)
-        return out
 
-    def node_frag(batch: pa.Table) -> str:
+def _list_gen(key, value, pre: list, idx: tuple = ()):
+    if len(idx) >= 5:  # same nesting ceiling as the reference (load.py:744)
+        raise NotImplementedError("list nesting deeper than 5 levels")
+    for k, v in enumerate(value):
+        if isinstance(v, (list, tuple)):
+            yield from _list_gen(key, v, pre, idx + (k,))
+        else:
+            yield from _dict_gen(v, pre + [(key, *idx, k)])
+
+
+def _path_to_line(path: list) -> str:
+    """Reference ``dict_to_metta`` line rendering: strings cleaned, numbers
+    verbatim, path elements wrapped innermost-out."""
+    s = path[-1]
+    if isinstance(s, str):
+        s = clean(s)
+    for item in reversed(path[:-1]):
+        if isinstance(item, tuple):
+            item_str = " ".join(clean(x) for x in item)
+            s = f"({item_str} {s})"
+        else:
+            s = f"({clean(item)} {s})"
+    return s
+
+
+def write_metta_repr3(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
+    """repr3 (load.py:719-842): fully expanded nested-property
+    S-expressions — every record becomes ``{cnt: {...record dict...}}``
+    walked to one line per scalar leaf, with ONE global monotone counter
+    across nodes then edges, assigned by the counted two-pass scheme."""
+
+    def node_frag(batch: pa.Table, start: int) -> str:
         out = []
-        for nid, ntype, props in zip(
-            batch.column("id").to_pylist(),
-            batch.column("type").to_pylist(),
-            batch.column("properties").to_pylist(),
+        for i, (nid, ntype, props) in enumerate(
+            zip(
+                batch.column("id").to_pylist(),
+                batch.column("type").to_pylist(),
+                batch.column("properties").to_pylist(),
+            )
         ):
-            out.append(f"(node \x00 {clean(nid)} {clean(ntype)})")
-            if props:
-                for k, v in json_loads(props).items():
-                    out.append(f"(prop \x00 {clean(k)} {clean(json_dumps(v)) if isinstance(v,(list,dict)) else clean(v)})")
-            out.append("\x01")
+            rec = {
+                "id": nid,
+                "type": ntype,
+                "properties": json_loads(props) if props else {},
+            }
+            out.extend(_path_to_line(p) for p in _dict_gen({start + i: rec}, []))
         return "\n".join(out) + "\n" if out else ""
 
-    def edge_frag(batch: pa.Table) -> str:
+    def edge_frag(batch: pa.Table, start: int) -> str:
         out = []
-        for s, t, o, props in zip(
-            batch.column("source_id").to_pylist(),
-            batch.column("type").to_pylist(),
-            batch.column("target_id").to_pylist(),
-            batch.column("properties").to_pylist(),
+        for i, (s, t, o, props) in enumerate(
+            zip(
+                batch.column("source_id").to_pylist(),
+                batch.column("target_id").to_pylist(),
+                batch.column("type").to_pylist(),
+                batch.column("properties").to_pylist(),
+            )
         ):
-            out.append(f"(edge \x00 {clean(s)} {clean(t)} {clean(o)})")
-            if props:
-                for k, v in json_loads(props).items():
-                    out.append(f"(prop \x00 {clean(k)} {clean(json_dumps(v)) if isinstance(v,(list,dict)) else clean(v)})")
-            out.append("\x01")
+            rec = {
+                "source_id": s,
+                "target_id": t,
+                "type": o,
+                "properties": json_loads(props) if props else {},
+            }
+            out.extend(_path_to_line(p) for p in _dict_gen({start + i: rec}, []))
         return "\n".join(out) + "\n" if out else ""
-
-    def numbered(frag_ds: rd.Dataset, start: int):
-        counter = start
-        for frag in _stream_fragments(frag_ds):
-            segs = frag.split("\x01")
-            out = []
-            for seg in segs[:-1]:
-                out.append(seg.replace("\x00", str(counter)).rstrip("\n"))
-                counter += 1
-            tail = segs[-1].lstrip("\n")
-            out.append(tail)
-            yield "\n".join(s for s in out if s), counter
 
     def chunks():
-        counter = 0
-        for text, counter2 in numbered(_fragments(nodes, node_frag), 0):
-            counter = counter2
-            if text:
-                yield text + "\n"
-        for text, _ in numbered(_fragments(edges, edge_frag), counter):
-            if text:
-                yield text + "\n"
+        node_frags, n_nodes = _counted_fragments(nodes, node_frag)
+        yield from node_frags
+        edge_frags, _ = _counted_fragments(edges, edge_frag, n_nodes)
+        yield from edge_frags
 
     _atomic_write(path, chunks())
 

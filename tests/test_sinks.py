@@ -128,10 +128,13 @@ def test_metta_repr1(tiny_graph, tmp_path):
     p = str(tmp_path / "kg_spo.metta")
     exports.write_metta_repr1(nodes, edges, p)
     _assert_balanced_metta(p)
-    lines = [line for line in open(p) if line.strip()]
-    # 2 type decls + 3 node atoms + 3 triples
-    assert len(lines) == 8
-    assert lines[0].startswith("(: ")
+    lines = [line.rstrip("\n") for line in open(p) if line.strip()]
+    # reference layout (load.py:548-607): 3 section comments + NodeType decl
+    # + 2 type decls + 3 node atoms + 3 triples
+    assert len(lines) == 12
+    assert lines[0] == "; Types"
+    assert lines[1] == "(: NodeType Type)"
+    assert "; Nodes" in lines and "; Edges" in lines
 
 
 def test_metta_repr2(tiny_graph, tmp_path):
@@ -140,21 +143,85 @@ def test_metta_repr2(tiny_graph, tmp_path):
     exports.write_metta_repr2(nodes, edges, p)
     _assert_balanced_metta(p)
     text = open(p).read()
-    for eid in ("\"e0\"", "\"e1\"", "\"e2\""):
+    # Types section with both decl kinds (load.py:617-646)
+    assert "(: NodeType Type)" in text and "(: EdgeType Type)" in text
+    assert '(: "causes" EdgeType)' in text
+    for eid in ('"e0"', '"e1"', '"e2"'):
         assert eid in text
-    assert "(has_property" in text
+        assert f"(: {eid} " in text  # typed edge-id decl
+    # prefix notation: ("eN" (pred subj obj)) — load.py:700-702
+    assert '("e2" ("interacts" "a" "b"))' in text
+    assert '("has_property"' in text  # quoted property relation (load.py:611)
 
 
 def test_metta_repr3_monotone_ids(tiny_graph, tmp_path):
+    import re
+
     nodes, edges = tiny_graph
     p = str(tmp_path / "kg_repr3.metta")
     exports.write_metta_repr3(nodes, edges, p)
     _assert_balanced_metta(p)
     ids = []
     for line in open(p):
-        if line.startswith("(node ") or line.startswith("(edge "):
-            ids.append(int(line.split()[1]))
+        m = re.match(r"\((\d+) ", line)
+        if m and (not ids or int(m.group(1)) != ids[-1]):
+            ids.append(int(m.group(1)))
     assert ids == sorted(ids) and len(set(ids)) == 6  # 3 nodes + 3 edges
+    text = open(p).read()
+    # reference record expansion (load.py:795-811): (cnt ("id" val)) etc. —
+    # keys are clean()ed, i.e. JSON-quoted, exactly like the reference
+    assert '(0 ("id" "a"))' in text and '(0 ("type" "gene"))' in text
+    # nested list property fully expanded: flags [1,2] → the index tuple and
+    # leaf share one paren group, as in the reference: ("flags" i v)
+    assert '(0 ("properties" ("flags" 0 1)))' in text
+    assert '(0 ("properties" ("flags" 1 2)))' in text
+
+
+def test_metta_repr3_deep_nesting_walker():
+    """The repr3 walker collapses nested list indices into one tuple path
+    (reference dict_generator, load.py:720-773) and refuses >5 levels."""
+    import pytest
+
+    lines = [
+        exports._path_to_line(p)
+        for p in exports._dict_gen({7: {"properties": {"m": [[1, 2], [3]]}}}, [])
+    ]
+    assert lines == [
+        '(7 ("properties" ("m" 0 0 1)))',
+        '(7 ("properties" ("m" 0 1 2)))',
+        '(7 ("properties" ("m" 1 0 3)))',
+    ]
+    too_deep = {0: {"p": {"k": [[[[[[1]]]]]]}}}
+    with pytest.raises(NotImplementedError):
+        list(exports._dict_gen(too_deep, []))
+
+
+def test_graphml_quote_in_id(tmp_path):
+    """Attribute-position values escape double quotes (quoteattr semantics) —
+    an id like a"b must still yield well-formed XML."""
+    nodes = rd.from_arrow(
+        pa.table(
+            {"id": ['a"b', "c"], "type": ["t", "t"], "properties": ["{}", "{}"]}
+        )
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": ['a"b'],
+                "target_id": ["c"],
+                "type": ["r"],
+                "properties": ["{}"],
+            }
+        )
+    )
+    p = str(tmp_path / "q.graphml")
+    exports.write_graphml(nodes, edges, p)
+    root = ET.parse(p).getroot()  # parse fails on malformed attributes
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    g = root.find(f"{ns}graph")
+    assert {n.get("id") for n in g.findall(f"{ns}node")} == {'a"b', "c"}
+    e = g.find(f"{ns}edge")
+    assert e.get("source") == 'a"b' and e.get("target") == "c"
 
 
 def test_sql_dump_replays(tiny_graph, tmp_path):
