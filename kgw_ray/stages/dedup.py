@@ -490,14 +490,38 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def simhash_near_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
+def _hamming64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of uint64 XORs."""
+    ham = np.zeros(len(x), dtype=np.int64)
+    x = x.copy()
+    while x.any():
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return ham
+
+
+def simhash_near_dup_pairs(
+    docs: rd.Dataset,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+    n_shards: int = 16,
+) -> rd.Dataset:
     """SimHash blocking + exact Hamming verify → (a, b, hamming) pairs.
 
-    ONE shuffle: rows are melted to (band_idx, band_value, doc_id, simhash)
-    and grouped by ``band_idx`` (4 coarse groups) with vectorized
-    bucket-run expansion inside — the per-bucket map_groups variant (65k
-    tiny groups per band) pays per-group scheduling overhead instead
-    (measured 8.7s vs ~2s at sf0.1)."""
+    ONE shuffle: rows are melted to (shard, band_value, doc_id, simhash)
+    where ``shard = band_idx * n_shards + band_value % n_shards`` — the
+    sharded-coarse grouping: 4·n_shards groups of ~|corpus|/n_shards rows
+    each (a pure band_idx grouping puts the WHOLE corpus in each of 4
+    groups; per-(band,value) grouping pays per-group scheduling on 65k+
+    tiny groups, measured 8.7s vs ~2s at sf0.1). band_value determines its
+    shard, so equal-value runs never split across groups. Scale n_shards up
+    with corpus size to bound group memory.
+
+    Degenerate buckets (boilerplate: many docs sharing a band value) are
+    capped at ``max_bucket``: larger runs emit CHAIN pairs (run[i],
+    run[i+1]) instead of O(m²) triu pairs — connectivity-preserving
+    truncation, same guard as ``_bucket_pairs``."""
     sh = docs.select_columns(["doc_id", "text"]).map_batches(
         simhash_batch, batch_format="pyarrow"
     )
@@ -506,11 +530,13 @@ def simhash_near_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Data
         n = batch.num_rows
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         hs = batch.column("simhash").to_numpy(zero_copy_only=False)
+        band_idx = np.repeat(np.arange(4, dtype=np.int64), n)
+        band_value = np.concatenate(
+            [batch.column(f"band{b}").to_numpy(zero_copy_only=False) for b in range(4)]
+        )
         parts = {
-            "band_idx": np.repeat(np.arange(4, dtype=np.int32), n),
-            "band_value": np.concatenate(
-                [batch.column(f"band{b}").to_numpy(zero_copy_only=False) for b in range(4)]
-            ),
+            "shard": band_idx * n_shards + band_value % n_shards,
+            "band_value": band_value,
             "doc_id": np.tile(ids, 4),
             "simhash": np.tile(hs, 4),
         }
@@ -518,7 +544,8 @@ def simhash_near_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Data
 
     melted = sh.map_batches(melt, batch_format="pyarrow")
 
-    def pairs_of_band(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # one shard holds one band_idx, so a doc appears at most once
         g = g.drop_duplicates("doc_id")
         order = np.lexsort((g["doc_id"].to_numpy(), g["band_value"].to_numpy()))
         ids = g["doc_id"].to_numpy()[order]
@@ -532,12 +559,12 @@ def simhash_near_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Data
             m = e - s
             if m < 2:
                 continue
-            iu, ju = np.triu_indices(m, k=1)
-            x = hs[s:e][iu] ^ hs[s:e][ju]
-            ham = np.zeros(len(x), dtype=np.int64)
-            while x.any():
-                ham += (x & np.uint64(1)).astype(np.int64)
-                x >>= np.uint64(1)
+            if m > max_bucket:
+                iu = np.arange(m - 1)
+                ju = iu + 1
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+            ham = _hamming64(hs[s:e][iu] ^ hs[s:e][ju])
             keep = ham <= max_hamming
             out_a.append(ids[s:e][iu[keep]])
             out_b.append(ids[s:e][ju[keep]])
@@ -557,8 +584,8 @@ def simhash_near_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3) -> rd.Data
 
     from ray.data.aggregate import Min
 
-    pairs = melted.groupby("band_idx").map_groups(
-        pairs_of_band, batch_format="pandas"
+    pairs = melted.groupby("shard").map_groups(
+        pairs_of_shard, batch_format="pandas"
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 

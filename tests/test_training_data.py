@@ -80,6 +80,72 @@ def test_simhash_hamming_blocking_guarantee():
     assert any(x == y for x, y in zip(bands_a, bands_b))
 
 
+def test_simhash_pairs_bounded_on_degenerate_corpus():
+    """The web-scale skew guard: a degenerate corpus (every doc identical →
+    one bucket per band holding ALL docs) must emit O(m) chain pairs, not
+    O(m²) triu pairs, and the chain must keep the duplicate component
+    connected."""
+    import ray.data as rd
+
+    from kgw_ray.stages.dedup import simhash_near_dup_pairs
+
+    m = 400
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(m)), pa.int64()),
+                "text": ["the same boilerplate text repeated here"] * m,
+            }
+        )
+    )
+    pairs = simhash_near_dup_pairs(docs, max_bucket=64).to_pandas()
+    # chain pairs: m-1 per band, identical chains across bands dedup to m-1
+    assert m - 1 <= len(pairs) < 2 * m, len(pairs)
+    assert (pairs["hamming"] == 0).all()
+    # connectivity: union-find over emitted pairs → one component
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[ra] = rb
+    assert len({find(i) for i in range(m)}) == 1
+
+
+def test_simhash_pairs_find_near_dups():
+    """Non-degenerate path: near-identical docs pair up with small Hamming,
+    unrelated docs don't."""
+    import ray.data as rd
+
+    from kgw_ray.stages.dedup import simhash_near_dup_pairs
+
+    # 25 distinct words × 16 reps: every simhash bit-sum is a multiple of 16
+    # away from an odd total, so changing ONE occurrence (shift ≤ 2) cannot
+    # flip any bit — the near doc collides at Hamming 0 by construction
+    base = [f"w{i}" for i in range(25)] * 16
+    near = list(base)
+    near[3] = "CHANGED"
+    other = [f"v{i}" for i in range(25)] * 16
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": [" ".join(base), " ".join(near), " ".join(other)],
+            }
+        )
+    )
+    pairs = simhash_near_dup_pairs(docs).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
 def test_ann_ivf_recall(sf_smoke):
     """IVF top-k must reach ≥0.6 mean recall vs brute force at nprobe=4/16."""
     from kgw_ray.pipelines.training_data import ann_cosine_topk, ann_ivf_topk
