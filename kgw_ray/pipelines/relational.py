@@ -129,11 +129,16 @@ def q3_top_orders(sf_dir: str, *, force_hash_join: bool = False) -> rd.Dataset:
     ``Dataset.join``. ``force_hash_join`` pins the shuffle path (used by
     the ``join_lineitem_orders_hash`` oracle query so the hash-join
     machinery stays under the correctness gate)."""
-    cust = (
-        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-        .to_pandas()
-    )
-    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    import pyarrow.dataset as pads
+
+    # predicate + projection pushed into the Parquet scan: only the ~1/5
+    # matching keys of ONE column leave storage (row-group pruning)
+    cust = read_table(
+        sf_dir,
+        "customer",
+        columns=["c_custkey"],
+        filter=(pads.field("c_mktsegment") == "BUILDING"),
+    ).to_pandas()
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
@@ -194,11 +199,16 @@ LIMIT 10
 """
 
 
-def q5_revenue_by_nation(sf_dir: str) -> rd.Dataset:
-    """TPC-H Q5 shape: star join (all dims broadcast) + grouped revenue.
+def q5_revenue_by_nation(sf_dir: str, *, force_hash_join: bool = False) -> rd.Dataset:
+    """TPC-H Q5 shape: star join + grouped revenue.
 
-    lineitem is the only large table; every dimension (supplier included)
-    broadcasts — one shuffle total (the final small groupby)."""
+    True dimensions (nation, supplier, customer) broadcast; ORDERS is a
+    fact table, so the orders→customer nation map is built distributed
+    (broadcast-join of the customer dim into the orders scan) and the
+    lineitem⋈orders join follows the q3 size-hybrid rule: count the
+    (o_orderkey, c_nationkey) side, broadcast under the limit, else a
+    hash-partitioned ``large_join``. ``force_hash_join`` pins the shuffle
+    path (the ``q5_revenue_by_nation_hash`` oracle query)."""
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     supplier = read_table(
         sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
@@ -206,21 +216,28 @@ def q5_revenue_by_nation(sf_dir: str) -> rd.Dataset:
     customer = read_table(
         sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     line = read_table(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    # order → customer nation, pre-merged on the driver (orders is a
-    # dimension at this sf; at scale this becomes a large_join)
-    o2n = orders.merge(customer, left_on="o_custkey", right_on="c_custkey")[
-        ["o_orderkey", "c_nationkey"]
-    ]
+    # order → customer nation, distributed: broadcast the customer dim into
+    # the orders scan (never pull the fact table to the driver)
+    o2n = (
+        broadcast_join(orders, customer, on=["o_custkey"], right_on=["c_custkey"])
+        .map_batches(
+            lambda df: arrow_from_pandas(df[["o_orderkey", "c_nationkey"]]),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if not force_hash_join and o2n.count() <= _BROADCAST_SIDE_LIMIT:
+        j = broadcast_join(line, o2n.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"])
+    else:
+        j = large_join(line, o2n, on=("l_orderkey",), right_on=("o_orderkey",))
     s2n = supplier[["s_suppkey", "s_nationkey"]]
-
-    j = broadcast_join(line, o2n, on=["l_orderkey"], right_on=["o_orderkey"])
     j = broadcast_join(j, s2n, on=["l_suppkey"], right_on=["s_suppkey"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

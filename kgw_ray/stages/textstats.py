@@ -69,7 +69,16 @@ _STOPWORDS = (
 STOPWORD_SET = frozenset(_STOPWORDS[0].split())
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORD_SET))
 
-_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_PUNCT_RE_STR = r"[^\w\s]"  # RE2 \w = [0-9A-Za-z_], same class as the oracle
+_STOP_ARR = pa.array(sorted(STOPWORD_SET), pa.string())
+
+
+def _segment_sums(values: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Per-document sums over a flattened token-level array, via prefix-sum
+    differences (robust for zero-token documents, unlike ``reduceat``)."""
+    cums = np.concatenate(([0], np.cumsum(values, dtype=np.int64)))
+    offs = np.concatenate(([0], np.cumsum(sizes, dtype=np.int64)))
+    return cums[offs[1:]] - cums[offs[:-1]]
 
 
 def quality_stats_batch(batch: pa.Table) -> pa.Table:
@@ -79,23 +88,33 @@ def quality_stats_batch(batch: pa.Table) -> pa.Table:
     stopword_ratio (stopword tokens / tokens), quality_score (a simple
     deterministic composite in [0,1]).
 
-    All ratios rounded to 6 dp so the DuckDB oracle hashes identically.
+    Fully vectorized (the ``token_stats_batch`` idiom): char/punct counts
+    are single RE2 column scans; token-level stats flatten ONE
+    ``utf8_split_whitespace`` list column and segment-sum it back per doc —
+    no Python loop over tokens. All ratios rounded to 6 dp so the DuckDB
+    oracle hashes identically.
     """
-    texts = batch.column("text").to_pylist()
-    n = len(texts)
-    n_chars = np.empty(n, dtype=np.int64)
-    n_tokens = np.empty(n, dtype=np.int64)
-    n_stop = np.empty(n, dtype=np.int64)
-    n_punct = np.empty(n, dtype=np.int64)
-    sum_tok_len = np.empty(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        toks = t.split()
-        n_chars[i] = len(t)
-        n_tokens[i] = len(toks)
-        n_stop[i] = sum(1 for w in toks if w in STOPWORD_SET)
-        n_punct[i] = len(_PUNCT_RE.findall(t))
-        sum_tok_len[i] = sum(len(w) for w in toks)
+    text = pc.fill_null(batch.column("text"), "")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+    n_punct = pc.cast(
+        pc.count_substring_regex(text, pattern=_PUNCT_RE_STR), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    splits = pc.utf8_split_whitespace(text)
+    sizes = pc.cast(pc.list_value_length(splits), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    flat = pc.list_flatten(splits)
+    tok_len = pc.cast(pc.utf8_length(flat), pa.int64()).to_numpy(zero_copy_only=False)
+    # leading/trailing whitespace yields empty split tokens; Python .split()
+    # drops them — mask by length>0 so both tokenizations agree
+    nonempty = (tok_len > 0).astype(np.int64)
+    is_stop = (
+        pc.is_in(flat, value_set=_STOP_ARR).to_numpy(zero_copy_only=False).astype(np.int64)
+        * nonempty
+    )
+    n_tokens = _segment_sums(nonempty, sizes)
+    n_stop = _segment_sums(is_stop, sizes)
+    sum_tok_len = _segment_sums(tok_len, sizes)
     with np.errstate(divide="ignore", invalid="ignore"):
         mean_tok = np.where(n_tokens > 0, sum_tok_len / np.maximum(n_tokens, 1), 0.0)
         punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
