@@ -237,38 +237,51 @@ def curate_documents(sf_dir: str) -> rd.Dataset:
     quality_score). The composite pipeline a 100 TB pretraining corpus
     runs; each stage is the operator verified individually above.
 
+    Fully distributed chain — the corpus is read ONCE, stats + content
+    hash come from one enrichment pass, the quality filter runs inline,
+    exact-dedup winners semi-join back via the size-hybrid
+    ``semi_join_dataset`` (broadcast ids under the limit, hash join
+    beyond), and the near-dup stage filters map-side with the small
+    drop set. No driver-side O(N) id materialization anywhere; the two
+    ``materialize()`` calls are object-store checkpoints for datasets
+    consumed twice (they spill, never sit in driver heap).
+
     Ordering note: cheap vectorized filters run FIRST so the expensive
     shingle/LSH stage sees only the quality-surviving subset.
     """
-    from kgw_ray.stages.dedup import exact_dedup_keep, minhash_dedup_keep
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    from kgw_ray.stages.dedup import minhash_dedup_keep
+    from kgw_ray.stages.joins import semi_join_dataset
     from kgw_ray.stages.textstats import quality_stats_batch
 
-    docs = _docs(sf_dir)
-    stats = docs.map_batches(quality_stats_batch, batch_format="pyarrow")
-    good = stats.filter(expr="n_tokens >= 10 and quality_score >= 0.2")
+    def enrich(batch: pa.Table) -> pa.Table:
+        # ONE pass: quality stats + exact-dedup hash, text kept for LSH
+        stats = quality_stats_batch(batch)
+        md5s = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return stats.append_column(
+            "content_md5", pa.array(md5s, pa.string())
+        ).append_column("text", batch.column("text"))
 
-    import pyarrow.compute as pc
-
-    good_ids = pa.array(sorted(good.select_columns(["doc_id"]).to_pandas()["doc_id"]))
-    good_docs = docs.map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=good_ids)),
-        batch_format="pyarrow",
+    enriched = _docs(sf_dir).map_batches(enrich, batch_format="pyarrow")
+    good = enriched.filter(expr="n_tokens >= 10 and quality_score >= 0.2").materialize()
+    # exact dedup: first-wins winner ids (16-byte keys shuffle, never text)
+    winners = (
+        good.groupby("content_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
     )
-    exact_ids = set(exact_dedup_keep(good_docs).to_pandas()["doc_id"])
-    exact_docs = good_docs.map_batches(
-        lambda t: t.filter(
-            pc.is_in(t["doc_id"], value_set=pa.array(sorted(exact_ids)))
-        ),
-        batch_format="pyarrow",
+    exact_docs = semi_join_dataset(good, winners, on="doc_id").materialize()
+    return minhash_dedup_keep(
+        exact_docs,
+        threshold=0.5,
+        keep_columns=["doc_id", "n_tokens", "quality_score"],
     )
-    survivors = set(minhash_dedup_keep(exact_docs, threshold=0.5).to_pandas()["doc_id"])
-    out = good.map_batches(
-        lambda t: t.filter(
-            pc.is_in(t["doc_id"], value_set=pa.array(sorted(survivors)))
-        ),
-        batch_format="pyarrow",
-    )
-    return out.select_columns(["doc_id", "n_tokens", "quality_score"])
 
 
 def shuffle_documents(sf_dir: str) -> rd.Dataset:

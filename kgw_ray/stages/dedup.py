@@ -258,30 +258,58 @@ def lsh_candidate_pairs(
     """
     if coarse_groups:
 
-        def pairs_of_band(g: pd.DataFrame) -> pd.DataFrame:
-            return _bucket_pairs(
-                g["doc_id"].to_numpy(), g["bucket"].to_numpy(), max_bucket
+        def pairs_of_band(g: pd.DataFrame) -> pa.Table:
+            # arrow_from_pandas strips pandas schema metadata, which breaks
+            # schema dedup in downstream hash shuffles (~20x slower)
+            return arrow_from_pandas(
+                _bucket_pairs(
+                    g["doc_id"].to_numpy(), g["bucket"].to_numpy(), max_bucket
+                )
             )
 
         return band_rows.groupby("band").map_groups(
             pairs_of_band, batch_format="pandas"
         )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_of_bucket(g: pd.DataFrame) -> pa.Table:
         ids = np.unique(g["doc_id"].to_numpy())
         m = len(ids)
         if m < 2:
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
             )
-        if m > max_bucket:
-            return pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
-        iu, ju = np.triu_indices(m, k=1)
-        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+        elif m > max_bucket:
+            out = pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
+        else:
+            iu, ju = np.triu_indices(m, k=1)
+            out = pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+        return arrow_from_pandas(out)
 
     return band_rows.groupby(["band", "bucket"]).map_groups(
         pairs_of_bucket, batch_format="pandas"
     )
+
+
+def _jaccard_of_shingle_lists(sa_list, sb_list) -> np.ndarray:
+    """Exact Jaccard per (shingle-set, shingle-set) row pair. Accepts
+    uint64 arrays or their ``tobytes()`` encoding (the shuffle-join path
+    ships sets as binary — Arrow's hash join rejects list payloads)."""
+    jac = np.empty(len(sa_list), dtype=np.float64)
+    for i, (sa, sb) in enumerate(zip(sa_list, sb_list)):
+        if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
+            jac[i] = 0.0
+            continue
+        if isinstance(sa, (bytes, bytearray)):
+            sa = np.frombuffer(sa, dtype=np.uint64)
+        else:
+            sa = np.asarray(sa, dtype=np.uint64)
+        if isinstance(sb, (bytes, bytearray)):
+            sb = np.frombuffer(sb, dtype=np.uint64)
+        else:
+            sb = np.asarray(sb, dtype=np.uint64)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        jac[i] = inter / (len(sa) + len(sb) - inter)
+    return jac
 
 
 def jaccard_verify_pairs(
@@ -291,56 +319,142 @@ def jaccard_verify_pairs(
     threshold: float = 0.5,
     shingle_k: int = 5,
     text_col: str = "text",
+    broadcast_limit: int = 500_000,
+    force_shuffle: bool = False,
 ) -> rd.Dataset:
     """Exact n-gram Jaccard for candidate pairs; keep pairs ≥ threshold.
+    Returns (a, b, jaccard) with jaccard rounded to 6 dp.
 
-    The doc texts are broadcast as a doc_id→shingle-set map built ONCE per
-    actor from the (filtered, candidate-only) docs — a broadcast semi-join.
-    At 10^12 docs this becomes a shuffle join of pairs against shingle
-    signatures partitioned by doc_id; the candidate set after LSH is ~0.1%
-    of the corpus, so the broadcast path holds far up the scale curve.
+    Two physical paths, chosen by candidate-pair count:
+
+    - **broadcast** (≤ ``broadcast_limit`` pairs): candidate ids are pulled
+      once, the candidate-only docs are semi-join-filtered (value-set built
+      once per actor), and their shingle sets are put in the object store
+      as one map probed per verify batch. Zero shuffle.
+    - **shuffle join** (beyond, or ``force_shuffle``): pairs are deduped
+      with a native hash aggregate, candidate shingle sets are computed as
+      a (doc_id, shingles) Dataset, and two hash-partitioned joins attach
+      each side's shingles to its pairs — nothing corpus-sized ever
+      touches the driver. The 10^12-doc path.
     """
     import ray
 
-    cand_ids_tbl = pairs.select_columns(["a", "b"]).to_pandas().drop_duplicates(
-        ignore_index=True
-    )
-    # re-feed the deduped (small) pair set so cross-band duplicates are
-    # verified once; verification itself stays distributed
-    pairs = rd.from_arrow(arrow_from_pandas(cand_ids_tbl))
-    cand_ids = set(cand_ids_tbl["a"]) | set(cand_ids_tbl["b"])
-
     import pyarrow.compute as pc
 
-    docs_small = docs.map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=pa.array(sorted(cand_ids)))),
-        batch_format="pyarrow",
-    ).select_columns(["doc_id", text_col])
-    sh_map = {}
-    for b in docs_small.iter_batches(batch_format="pyarrow"):
-        for d, t in zip(b.column("doc_id").to_pylist(), b.column(text_col).to_pylist()):
-            sh_map[d] = shingle_hashes(t or "", shingle_k)
-    ref = ray.put(sh_map)
+    from kgw_ray.stages.joins import large_join, semi_join_dataset
 
-    class Verify:
-        def __init__(self):
-            self.sh = ray.get(ref)
+    # candidate pairs are compact (two int64 per row) — materialize once so
+    # the size probe and the chosen path don't re-execute the LSH pipeline
+    pairs = pairs.materialize()
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("a").to_pylist()
-            b = batch.column("b").to_pylist()
-            jac = np.empty(len(a), dtype=np.float64)
-            for i, (x, y) in enumerate(zip(a, b)):
-                sa, sb = self.sh.get(x), self.sh.get(y)
-                if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
-                    jac[i] = 0.0
-                    continue
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                jac[i] = inter / (len(sa) + len(sb) - inter)
-            out = batch.append_column("jaccard", pa.array(np.round(jac, 6)))
-            return out.filter(pa.array(jac >= threshold))
+    if not force_shuffle and pairs.count() <= broadcast_limit:
+        cand_ids_tbl = pairs.select_columns(["a", "b"]).to_pandas().drop_duplicates(
+            ignore_index=True
+        )
+        # re-feed the deduped (small) pair set so cross-band duplicates are
+        # verified once; verification itself stays distributed
+        pairs = rd.from_arrow(arrow_from_pandas(cand_ids_tbl))
+        cand_ids = set(cand_ids_tbl["a"]) | set(cand_ids_tbl["b"])
+        id_arr_ref = ray.put(pa.array(sorted(cand_ids)))
 
-    return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+        class FilterCands:
+            def __init__(self):
+                self.ids = ray.get(id_arr_ref)  # value-set built ONCE per actor
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_in(t["doc_id"], value_set=self.ids))
+
+        docs_small = docs.map_batches(
+            FilterCands, batch_format="pyarrow", concurrency=(1, 4)
+        ).select_columns(["doc_id", text_col])
+        sh_map = {}
+        for b in docs_small.iter_batches(batch_format="pyarrow"):
+            for d, t in zip(
+                b.column("doc_id").to_pylist(), b.column(text_col).to_pylist()
+            ):
+                sh_map[d] = shingle_hashes(t or "", shingle_k)
+        ref = ray.put(sh_map)
+
+        class Verify:
+            def __init__(self):
+                self.sh = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = batch.column("a").to_pylist()
+                b = batch.column("b").to_pylist()
+                jac = _jaccard_of_shingle_lists(
+                    [self.sh.get(x) for x in a], [self.sh.get(y) for y in b]
+                )
+                out = batch.append_column("jaccard", pa.array(np.round(jac, 6)))
+                return out.filter(pa.array(jac >= threshold))
+
+        return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+    # ---- shuffle-join path: nothing corpus-sized on the driver ----------
+    from ray.data.aggregate import Count
+
+    pairs = (
+        pairs.select_columns(["a", "b"])
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def melt_ids(t: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"doc_id": pa.array(np.unique(ids), pa.int64())})
+
+    cand_ids_ds = (
+        pairs.map_batches(melt_ids, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    cand_docs = semi_join_dataset(docs, cand_ids_ds, on="doc_id")
+
+    def shingles_of(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        flat, offs = batch_shingle_hashes(texts, shingle_k)
+        # binary encoding: Arrow's hash join rejects list<> payload columns
+        sets = [
+            np.unique(flat[offs[i] : offs[i + 1]]).tobytes()
+            for i in range(len(texts))
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shingles": pa.array(sets, pa.large_binary()),
+            }
+        )
+
+    # candidate-only intermediates are small; materializing them runs the
+    # two hash shuffles one at a time (concurrent aggregator-actor sets
+    # starve each other on small clusters — stages/joins.py note)
+    sh_ds = cand_docs.map_batches(shingles_of, batch_format="pyarrow").materialize()
+    sh_a = sh_ds.rename_columns({"doc_id": "a", "shingles": "sh_a"})
+    sh_b = sh_ds.rename_columns({"doc_id": "b", "shingles": "sh_b"})
+    j = large_join(pairs, sh_a, on=("a",)).materialize()
+    j = large_join(j, sh_b, on=("b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        jac = _jaccard_of_shingle_lists(
+            batch.column("sh_a").to_pylist(), batch.column("sh_b").to_pylist()
+        )
+        out = pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "jaccard": pa.array(np.round(jac, 6)),
+            }
+        )
+        return out.filter(pa.array(jac >= threshold))
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_dedup_keep(
@@ -350,9 +464,18 @@ def minhash_dedup_keep(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    keep_columns: Optional[list] = None,
+    verify_broadcast_limit: int = 500_000,
+    force_shuffle_verify: bool = False,
 ) -> rd.Dataset:
     """Full near-dup dedup: LSH candidates → Jaccard verify → connected
-    components → keep min doc_id per component. Returns (doc_id,) survivors.
+    components → keep min doc_id per component.
+
+    Returns (doc_id,) survivors by default; ``keep_columns`` returns those
+    columns of the surviving input rows instead (the drop-set filter is
+    map-side either way — only near-dup members ever reach the driver).
+    ``force_shuffle_verify`` / ``verify_broadcast_limit`` select the
+    verify path (see ``jaccard_verify_pairs``).
     """
     from ray.data.aggregate import Min
 
@@ -369,7 +492,12 @@ def minhash_dedup_keep(
     )
     cands = lsh_candidate_pairs(band_rows)
     verified = jaccard_verify_pairs(
-        cands, docs, threshold=threshold, shingle_k=shingle_k
+        cands,
+        docs,
+        threshold=threshold,
+        shingle_k=shingle_k,
+        broadcast_limit=verify_broadcast_limit,
+        force_shuffle=force_shuffle_verify,
     )
 
     # Verified near-dup pairs are a tiny fraction of the corpus (LSH + exact
@@ -430,10 +558,11 @@ def minhash_dedup_keep(
 
     import pyarrow.compute as pc
 
-    return docs.map_batches(
+    survivors = docs.map_batches(
         lambda t: t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=drop))),
         batch_format="pyarrow",
-    ).select_columns(["doc_id"])
+    )
+    return survivors.select_columns(keep_columns or ["doc_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -570,17 +699,20 @@ def simhash_near_dup_pairs(
             out_b.append(ids[s:e][ju[keep]])
             out_h.append(ham[keep])
         if not out_a:
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
                  "hamming": pd.Series([], dtype="int64")}
             )
-        return pd.DataFrame(
-            {
-                "a": np.concatenate(out_a),
-                "b": np.concatenate(out_b),
-                "hamming": np.concatenate(out_h),
-            }
-        )
+        else:
+            out = pd.DataFrame(
+                {
+                    "a": np.concatenate(out_a),
+                    "b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_h),
+                }
+            )
+        # strip pandas metadata before the (a, b) hash aggregate
+        return arrow_from_pandas(out)
 
     from ray.data.aggregate import Min
 

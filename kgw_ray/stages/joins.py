@@ -89,6 +89,49 @@ def large_join(
     )
 
 
+def semi_join_dataset(
+    big: rd.Dataset,
+    keys_ds: rd.Dataset,
+    *,
+    on: str,
+    key_col: Optional[str] = None,
+    broadcast_limit: int = 5_000_000,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Size-hybrid distributed semi join: keep ``big`` rows whose ``on``
+    value appears in ``keys_ds[key_col]`` (keys must be unique).
+
+    Below ``broadcast_limit`` keys: the key column is pulled ONCE, put in
+    the object store, and probed by an actor pool whose value-set is built
+    in ``__init__`` (never per batch) — zero shuffle. Above it: a
+    hash-partitioned ``Dataset.join`` (both sides shuffle once), the
+    10^12-row path."""
+    key_col = key_col or on
+    keys_small = keys_ds.select_columns([key_col])
+    if keys_small.count() <= broadcast_limit:
+        key_arr = keys_small.to_pandas()[key_col].to_numpy()
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ref = ray.put(pa.array(np.sort(key_arr)))
+
+        class Probe:
+            def __init__(self):
+                self.keys = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch[on], value_set=self.keys))
+
+        return big.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+    return large_join(
+        big,
+        keys_small,
+        on=(on,),
+        right_on=(key_col,),
+        num_partitions=num_partitions,
+    )
+
+
 def semi_join_filter(
     big: rd.Dataset, keys, *, on: str, negate: bool = False
 ) -> rd.Dataset:

@@ -59,6 +59,21 @@ def test_minhash_dedup_matches_bruteforce(sf_smoke):
         assert d in paired
 
 
+def test_minhash_shuffle_verify_path_parity(sf_smoke):
+    """The distributed shuffle-join verify path (forced) must produce the
+    same survivor set as the broadcast verify path — the 10^12-doc plan
+    under the same gate as the default."""
+    from kgw_ray.stages.dedup import minhash_dedup_keep
+
+    docs = read_table(sf_smoke, "documents", columns=["doc_id", "text"])
+    broadcast = set(minhash_dedup_keep(docs, threshold=0.5).to_pandas()["doc_id"])
+    shuffled = set(
+        minhash_dedup_keep(docs, threshold=0.5, force_shuffle_verify=True)
+        .to_pandas()["doc_id"]
+    )
+    assert broadcast == shuffled
+
+
 def test_exact_dedup_counts(sf_smoke):
     from kgw_ray.stages.dedup import exact_dedup_keep
 
