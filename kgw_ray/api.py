@@ -151,21 +151,30 @@ class Project:
 
         return self._append("sql", "kg.sql", write_sql_dump)
 
-    def to_schema(self):
-        """Type-level schema as JSON (the reference renders interactive HTML
-        via gravis, load.py:84-184 — not available here; same aggregate)."""
+    def to_schema(self, *, compact: bool = False):
+        """Interactive type-level schema as a self-contained HTML document
+        (reference ``sqlite_to_schema`` / ``sqlite_to_schema_compact``,
+        load.py:84-283 — rendered dependency-free here, sinks/schema_html.py)
+        plus a ``schema.json`` sidecar with the raw rows for machine
+        consumers (non-compact only)."""
         import json
 
+        from kgw_ray.sinks.schema_html import write_schema_html
         from kgw_ray.stages.graph import schema_graph
 
         def write(n, e, p):
-            rows = schema_graph(n, e).to_pandas().to_dict(orient="records")
-            tmp = f"{p}.partial"
-            with open(tmp, "w") as f:
-                json.dump(rows, f, indent=2)
-            os.replace(tmp, p)
+            write_schema_html(n, e, p, compact=compact)
+            if not compact:
+                rows = schema_graph(n, e).to_pandas().to_dict(orient="records")
+                jpath = os.path.join(os.path.dirname(p), "schema.json")
+                tmp = f"{jpath}.partial"
+                with open(tmp, "w") as f:
+                    json.dump(rows, f, indent=2)
+                os.replace(tmp, jpath)
 
-        return self._append("schema", "schema.json", write)
+        if compact:
+            return self._append("schema_compact", "schema_compact.html", write)
+        return self._append("schema", "schema.html", write)
 
 
 def run(workflow, *, num_workers: Optional[int] = None) -> bool:

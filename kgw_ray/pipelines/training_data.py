@@ -195,13 +195,18 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
 
 
 def ann_ivf_topk(sf_dir: str) -> pa.Table:
-    """IVF approximate top-k (same queries; recall measured in tests)."""
+    """IVF approximate top-k (same queries; recall measured in tests).
+    Cell count auto-scales to ~sqrt(N); nprobe scales with it so the
+    probed fraction stays roughly constant."""
     from kgw_ray.stages.similarity import IVFIndex
 
     Q, qids = _query_matrix(sf_dir)
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    idx = IVFIndex.build(emb, n_cells=16)
-    return idx.topk(Q, qids, k=_TOPK, nprobe=4)
+    idx = IVFIndex.build(emb)
+    # ~1/3 of cells: the synthetic embeddings are near-uniform (worst case
+    # for IVF), so a constant probed FRACTION keeps recall stable as cells
+    # scale; clustered real data can probe far fewer
+    return idx.topk(Q, qids, k=_TOPK, nprobe=max(4, -(-idx.n_cells // 3)))
 
 
 # ---------------------------------------------------------------------------

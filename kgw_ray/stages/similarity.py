@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -130,18 +132,30 @@ class IVFIndex:
         self.id_col = id_col
         self.vec_col = vec_col
 
+    @property
+    def n_cells(self) -> int:
+        return len(self.centroids)
+
     @classmethod
     def build(
         cls,
         embeds: rd.Dataset,
         *,
-        n_cells: int = 16,
+        n_cells: Optional[int] = None,
         sample_n: int = 2048,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IVFIndex":
+        """``n_cells=None`` scales the cell count to the corpus:
+        ``clamp(sqrt(N), 16, 4096)`` (the faiss nlist rule of thumb), so a
+        cell holds ~sqrt(N) vectors instead of N/16 — a fixed 16 puts
+        1/16th of a web-scale corpus in ONE map_groups group."""
         import ray
 
+        if n_cells is None:
+            n = embeds.count()
+            n_cells = int(min(4096, max(16, round(np.sqrt(max(n, 1))))))
+        sample_n = max(sample_n, 16 * n_cells)
         sample = embeds.limit(sample_n).to_pandas()
         M = _normalize(np.vstack(sample[vec_col].to_numpy()).astype(np.float64))
         C = _centroids_from_sample(M, n_cells)
@@ -233,28 +247,55 @@ def ivf_near_dup_pairs(
     embeds: rd.Dataset,
     *,
     threshold: float = 0.9,
-    n_cells: int = 16,
+    n_cells: Optional[int] = None,
+    cell_cap: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> rd.Dataset:
     """Near-dup pairs via cell blocking: exact cosine only WITHIN each IVF
     cell (groupby(cell).map_groups) — recall trades against the all-pairs
-    matmul; cross-cell near-dups are missed by design (bench reports it)."""
+    matmul; cross-cell near-dups are missed by design (bench reports it).
+
+    ``cell_cap`` guards degenerate cells (e.g. a boilerplate cluster): a
+    cell larger than the cap splits into contiguous id-ordered chunks and
+    expands pairs only within each chunk — O(m·cap) instead of O(m²),
+    with documented additional recall loss on the oversized cell."""
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
     idx = IVFIndex.build(embeds, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
 
-    def pairs_of_cell(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_of_cell(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        V = _normalize(np.vstack(g[vec_col].to_numpy()).astype(np.float64))
-        S = V @ V.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = S[iu, ju] >= threshold
-        return pd.DataFrame(
-            {
-                "a": ids[iu[keep]],
-                "b": ids[ju[keep]],
-                "cosine": np.round(S[iu, ju][keep], 6),
-            }
-        )
+        ids_all = g[id_col].to_numpy()
+        V_all = _normalize(np.vstack(g[vec_col].to_numpy()).astype(np.float64))
+        outs = []
+        for s in range(0, len(ids_all), cell_cap):
+            ids = ids_all[s : s + cell_cap]
+            V = V_all[s : s + cell_cap]
+            if len(ids) < 2:
+                continue
+            S = V @ V.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = S[iu, ju] >= threshold
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a": ids[iu[keep]],
+                        "b": ids[ju[keep]],
+                        "cosine": np.round(S[iu, ju][keep], 6),
+                    }
+                )
+            )
+        if not outs:
+            outs = [
+                pd.DataFrame(
+                    {
+                        "a": pd.Series([], dtype="int64"),
+                        "b": pd.Series([], dtype="int64"),
+                        "cosine": pd.Series([], dtype="float64"),
+                    }
+                )
+            ]
+        return arrow_from_pandas(pd.concat(outs, ignore_index=True))
 
     return idx.assigned.groupby("cell").map_groups(pairs_of_cell, batch_format="pandas")

@@ -224,6 +224,54 @@ def test_graphml_quote_in_id(tmp_path):
     assert e.get("source") == 'a"b' and e.get("target") == "c"
 
 
+def test_schema_html(tiny_graph, tmp_path):
+    """schema.html is a well-formed, self-contained document whose SVG
+    contains every type-level node and arrow from the (oracle-verified)
+    schema_graph aggregate."""
+    from kgw_ray.sinks.schema_html import write_schema_html
+    from kgw_ray.stages.graph import schema_graph
+
+    nodes, edges = tiny_graph
+    p = str(tmp_path / "schema.html")
+    write_schema_html(nodes, edges, p)
+    text = open(p).read()
+    assert "<script" not in text and "http-equiv" not in text  # self-contained
+    root = ET.parse(p).getroot()  # XHTML → must parse as XML
+    svg = root.find(".//{http://www.w3.org/2000/svg}svg")
+    got_nodes = {
+        g.get("data-type")
+        for g in svg.findall(".//{http://www.w3.org/2000/svg}g[@class='node']")
+    }
+    got_edges = {
+        g.get("data-edge")
+        for g in svg.findall(".//{http://www.w3.org/2000/svg}g[@class='edge']")
+    }
+    expect = schema_graph(nodes, edges).to_pandas()
+    assert got_nodes == {"gene", "disease"}
+    assert got_edges == {
+        f"{r.source_type}|{r.edge_type}|{r.target_type}" for r in expect.itertuples()
+    }
+    # hover strings carry the reference's text (load.py:141-148)
+    assert "Node type: gene" in text and "Number of instances: 2" in text
+
+
+def test_schema_html_compact(tiny_graph, tmp_path):
+    from kgw_ray.sinks.schema_html import write_schema_html
+
+    nodes, edges = tiny_graph
+    p = str(tmp_path / "schema_compact.html")
+    write_schema_html(nodes, edges, p, compact=True)
+    root = ET.parse(p).getroot()
+    svg = root.find(".//{http://www.w3.org/2000/svg}svg")
+    got_edges = {
+        g.get("data-edge")
+        for g in svg.findall(".//{http://www.w3.org/2000/svg}g[@class='edge']")
+    }
+    # tiny graph: gene->disease (causes x2) and gene->gene (interacts)
+    assert got_edges == {"gene|*|disease", "gene|*|gene"}
+    assert "Number of edge types: 1" in open(p).read()
+
+
 def test_sql_dump_replays(tiny_graph, tmp_path):
     nodes, edges = tiny_graph
     p = str(tmp_path / "kg.sql")

@@ -175,6 +175,60 @@ def test_ann_ivf_recall(sf_smoke):
     assert np.mean(recalls) >= 0.6, recalls
 
 
+def test_ivf_auto_cells_scale_and_recall():
+    """n_cells=None scales to ~sqrt(N) (must exceed the old fixed 16 on a
+    2k corpus) and top-k with proportionally scaled nprobe keeps recall."""
+    import ray.data as rd
+
+    from kgw_ray.stages.similarity import IVFIndex, brute_force_topk
+
+    rng = np.random.default_rng(7)
+    n, d = 2000, 16
+    M = rng.normal(size=(n, d))
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    idx = IVFIndex.build(emb)
+    assert idx.n_cells > 16, idx.n_cells  # sqrt(2000) ≈ 45
+    Q, qids = M[:3], np.arange(3)
+    exact = brute_force_topk(emb, Q, qids, k=10).to_pandas()
+    approx = idx.topk(Q, qids, k=10, nprobe=max(4, -(-idx.n_cells // 3))).to_pandas()
+    recalls = []
+    for q in range(3):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_ivf_near_dup_cell_cap_bounds_fanout():
+    """A degenerate corpus (all vectors identical → one cell) must emit
+    O(m·cap) chunked pairs, never the O(m²) all-pairs expansion."""
+    import ray.data as rd
+
+    from kgw_ray.stages.similarity import ivf_near_dup_pairs
+
+    m = 600
+    v = [1.0, 0.0, 0.0, 0.0]
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(m), pa.int64()),
+                "embedding": pa.array([v] * m, pa.list_(pa.float64())),
+            }
+        )
+    )
+    pairs = ivf_near_dup_pairs(emb, threshold=0.9, n_cells=4, cell_cap=100).to_pandas()
+    # 6 chunks of ≤100 → ≤ 6 * C(100,2) pairs, far under C(600,2) = 179700
+    assert 0 < len(pairs) <= 6 * (100 * 99) // 2
+    assert (pairs["cosine"] >= 0.9).all()
+
+
 def test_lang_id_deterministic_and_correct_on_real_markers(sf_smoke):
     """The synthetic corpus's ``lang`` column is uncorrelated with its text
     (all docs share one English-ish vocabulary), so accuracy-vs-column is
