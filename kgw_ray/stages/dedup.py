@@ -355,17 +355,15 @@ def jaccard_verify_pairs(
         # verified once; verification itself stays distributed
         pairs = rd.from_arrow(arrow_from_pandas(cand_ids_tbl))
         cand_ids = set(cand_ids_tbl["a"]) | set(cand_ids_tbl["b"])
+        # value-set built ONCE on the driver; tasks read it zero-copy from
+        # plasma (task map beats an actor pool for trivial state)
         id_arr_ref = ray.put(pa.array(sorted(cand_ids)))
 
-        class FilterCands:
-            def __init__(self):
-                self.ids = ray.get(id_arr_ref)  # value-set built ONCE per actor
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                return t.filter(pc.is_in(t["doc_id"], value_set=self.ids))
+        def filter_cands(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(id_arr_ref)))
 
         docs_small = docs.map_batches(
-            FilterCands, batch_format="pyarrow", concurrency=(1, 4)
+            filter_cands, batch_format="pyarrow"
         ).select_columns(["doc_id", text_col])
         sh_map = {}
         for b in docs_small.iter_batches(batch_format="pyarrow"):

@@ -107,7 +107,9 @@ def semi_join_dataset(
     hash-partitioned ``Dataset.join`` (both sides shuffle once), the
     10^12-row path."""
     key_col = key_col or on
-    keys_small = keys_ds.select_columns([key_col])
+    # materialize once: the count probe and the key pull must not execute
+    # the (possibly expensive) keys pipeline twice
+    keys_small = keys_ds.select_columns([key_col]).materialize()
     if keys_small.count() <= broadcast_limit:
         key_arr = keys_small.to_pandas()[key_col].to_numpy()
         import numpy as np
@@ -115,14 +117,14 @@ def semi_join_dataset(
 
         ref = ray.put(pa.array(np.sort(key_arr)))
 
-        class Probe:
-            def __init__(self):
-                self.keys = ray.get(ref)
+        def probe(batch: pa.Table) -> pa.Table:
+            # task map, not an actor pool: ray.get(ref) per task is a
+            # zero-copy plasma read; pools pay startup+rampup (broadcast_join
+            # note above — same measured trade)
+            keys = ray.get(ref)
+            return batch.filter(pc.is_in(batch[on], value_set=keys))
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                return batch.filter(pc.is_in(batch[on], value_set=self.keys))
-
-        return big.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+        return big.map_batches(probe, batch_format="pyarrow")
     return large_join(
         big,
         keys_small,
