@@ -454,20 +454,38 @@ QUALIFY rnk <= 3
 """
 
 
-def events_users_no_purchase(sf_dir: str) -> rd.Dataset:
-    """Anti-join shape: users who have events but never a 'purchase'
-    (broadcast the purchase-user key set, vectorized negated filter)."""
-    from kgw_ray.stages.joins import semi_join_filter
+def events_users_no_purchase(sf_dir: str, *, force_shuffle: bool = False) -> rd.Dataset:
+    """Anti-join shape: users who have events but never a 'purchase'.
+
+    Fully distributed: distinct users and distinct buyers come from native
+    hash aggregates, then the size-hybrid ``anti_join`` (broadcast negated
+    filter under the limit, hash-partitioned ``left_anti`` beyond — the
+    10^9-user path, pinned by ``force_shuffle`` in tests)."""
+    from ray.data.aggregate import Count as _Count
+
+    from kgw_ray.stages.joins import anti_join
 
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
-    buyers = set(
-        ds.filter(expr="event_type == 'purchase'")
-        .select_columns(["user_id"])
-        .to_pandas()["user_id"]
+    distinct_users = (
+        ds.groupby("user_id").aggregate(_Count(alias_name="_n")).drop_columns(["_n"])
     )
-    non_buyers = semi_join_filter(ds, buyers, on="user_id", negate=True)
-    vals = non_buyers.unique("user_id") or []  # None when the filter empties
-    return pa.table({"user_id": pa.array(sorted(vals), pa.int64())})
+    buyers = (
+        ds.filter(expr="event_type == 'purchase'")
+        .groupby("user_id")
+        .aggregate(_Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    out = anti_join(
+        distinct_users,
+        buyers,
+        on="user_id",
+        broadcast_limit=0 if force_shuffle else 5_000_000,
+    ).to_pandas()
+    # empty Ray results drop their schema on to_pandas; pin the output
+    # column so the driver's schema compare holds (the pull is the final
+    # RESULT, not an intermediate — bounded by the non-buyer count)
+    ids = sorted(out["user_id"]) if "user_id" in out.columns else []
+    return pa.table({"user_id": pa.array(ids, pa.int64())})
 
 
 EVENTS_NO_PURCHASE_SQL = """

@@ -130,6 +130,43 @@ def semi_join_dataset(
         keys_small,
         on=(on,),
         right_on=(key_col,),
+        how="left_semi",
+        num_partitions=num_partitions,
+    )
+
+
+def anti_join(
+    big: rd.Dataset,
+    keys_ds: rd.Dataset,
+    *,
+    on: str,
+    key_col: Optional[str] = None,
+    broadcast_limit: int = 5_000_000,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Size-hybrid distributed anti join: keep ``big`` rows whose ``on``
+    value does NOT appear in ``keys_ds[key_col]``. Broadcast negated filter
+    below the limit; hash-partitioned ``left_anti`` join beyond (the
+    10^9-key path)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    key_col = key_col or on
+    keys_small = keys_ds.select_columns([key_col]).materialize()
+    if keys_small.count() <= broadcast_limit:
+        ref = ray.put(pa.array(np.sort(keys_small.to_pandas()[key_col].to_numpy())))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[on], value_set=ray.get(ref))
+            return batch.filter(pc.invert(mask))
+
+        return big.map_batches(probe, batch_format="pyarrow")
+    return large_join(
+        big,
+        keys_small,
+        on=(on,),
+        right_on=(key_col,),
+        how="left_anti",
         num_partitions=num_partitions,
     )
 

@@ -19,3 +19,32 @@ def test_rows_only_queries_run(name, sf_smoke):
     """Queries without a SQL oracle must at least run and return rows."""
     df = to_pandas(QUERIES[name](sf_smoke))
     assert df is not None and len(df.columns) > 0
+
+
+def test_anti_join_shuffle_path_parity(sf_correct):
+    """The left_anti shuffle path must agree with the broadcast path and
+    the oracle (pins the 10^9-key physical plan)."""
+    from kgw_ray.pipelines.relational import (
+        EVENTS_NO_PURCHASE_SQL,
+        events_users_no_purchase,
+    )
+
+    a = to_pandas(events_users_no_purchase(sf_correct))
+    b = to_pandas(events_users_no_purchase(sf_correct, force_shuffle=True))
+    oracle = run_oracle(EVENTS_NO_PURCHASE_SQL, sf_correct)
+    assert sorted(a["user_id"]) == sorted(b["user_id"]) == sorted(oracle["user_id"])
+
+
+def test_anti_join_both_paths_nonempty():
+    """Synthetic case with real non-buyers: both anti-join paths return
+    exactly the keyless rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.joins import anti_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array(range(10), pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([0, 2, 4, 6, 8], pa.int64())}))
+    bc = sorted(anti_join(left, right, on="k").to_pandas()["k"])
+    sh = sorted(anti_join(left, right, on="k", broadcast_limit=0).to_pandas()["k"])
+    assert bc == sh == [1, 3, 5, 7, 9]

@@ -112,3 +112,63 @@ def test_tsv_edges(data_dir):
         "properties": '{"extra":"k"}',
     }
     assert json.loads(out[1]["properties"]) == {}  # "" dropped
+
+
+def test_fetch_url_table_file_scheme(tmp_path):
+    """The real fetch branch (urllib) exercised via file:// urls — retries,
+    checksum validation and the Range-ignored fallback all run for real."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.sources.http import fetch_url, fetch_url_table
+
+    p1 = tmp_path / "a.bin"
+    p1.write_bytes(b"hello kgw_ray " * 10)
+    p2 = tmp_path / "b.bin"
+    p2.write_bytes(b"other content")
+    urls = rd.from_arrow(
+        pa.table({"url": [p1.as_uri(), p2.as_uri()]})
+    )
+    out = fetch_url_table(urls).to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(out["n_bytes"]) == [140, 13]
+    assert bytes(out["content"][0]) == p1.read_bytes()
+    # checksum validation (reference DownloadFile.run)
+    md5 = hashlib.md5(p1.read_bytes()).hexdigest()
+    st, data = fetch_url(p1.as_uri(), md5=md5)
+    assert data == p1.read_bytes()
+    # resume offset: file:// ignores Range; the fallback slices locally
+    st, tail = fetch_url(p1.as_uri(), offset=100)
+    assert tail == p1.read_bytes()[100:]
+
+
+def test_fetch_url_retry_then_record_error(tmp_path):
+    import time
+
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from kgw_ray.sources.http import fetch_url, fetch_url_table
+
+    missing = (tmp_path / "nope.bin").as_uri()
+    t0 = time.time()
+    with pytest.raises(Exception):
+        fetch_url(missing, max_retries=3, backoff_s=0.05)
+    assert time.time() - t0 >= 0.15 - 0.01  # 0.05 + 0.1 backoff ran
+    out = fetch_url_table(
+        rd.from_arrow(pa.table({"url": [missing]})), max_retries=1
+    ).to_pandas()
+    assert list(out["status"]) == [-1] and list(out["n_bytes"]) == [0]
+
+
+def test_fetch_url_fake_mode_deterministic():
+    from kgw_ray.sources.http import fetch_url
+
+    s1, d1 = fetch_url("https://example.org/x", fake=True)
+    s2, d2 = fetch_url("https://example.org/x", fake=True)
+    _, d3 = fetch_url("https://example.org/y", fake=True)
+    assert d1 == d2 and d1 != d3 and len(d1) == 256
+    _, tail = fetch_url("https://example.org/x", fake=True, offset=200)
+    assert tail == d1[200:]
