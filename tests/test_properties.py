@@ -97,3 +97,99 @@ def test_informative_value_semantics(v):
         or (isinstance(v, float) and math.isnan(v))
     )
     assert is_informative_value(v) is expect
+
+
+_json_leaf = st.one_of(
+    st.integers(min_value=-(10**6), max_value=10**6),
+    st.booleans(),
+    st.text(max_size=12),
+)
+_json_value = st.recursive(
+    _json_leaf,
+    lambda ch: st.one_of(
+        st.lists(ch, max_size=3),
+        st.dictionaries(st.text(min_size=1, max_size=6), ch, max_size=3),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(props=st.dictionaries(st.text(min_size=1, max_size=6), _json_value, max_size=4))
+def test_repr3_walker_matches_naive_reference_walk(props):
+    """The iterative repr3 walker (sinks/exports.py:_dict_gen) must emit the
+    same lines as a direct transliteration of the reference's
+    dict_generator/dict_to_metta (load.py:720-789) for arbitrary nested
+    JSON-ish property dicts (≤5 list levels by construction here)."""
+    from kgw_ray.sinks import exports
+
+    def ref_gen(d, pre=None):
+        pre = pre[:] if pre else []
+        if isinstance(d, dict):
+            for key, value in d.items():
+                if isinstance(value, dict):
+                    yield from ref_gen(value, pre + [key])
+                elif isinstance(value, (list, tuple)):
+                    for k0, v0 in enumerate(value):
+                        if isinstance(v0, (list, tuple)):
+                            for k1, v1 in enumerate(v0):
+                                if isinstance(v1, (list, tuple)):
+                                    for k2, v2 in enumerate(v1):
+                                        assert not isinstance(v2, (list, tuple))
+                                        yield from ref_gen(v2, pre + [(key, k0, k1, k2)])
+                                else:
+                                    yield from ref_gen(v1, pre + [(key, k0, k1)])
+                        else:
+                            yield from ref_gen(v0, pre + [(key, k0)])
+                else:
+                    yield pre + [key, value]
+        else:
+            yield pre + [d]
+
+    item = {0: {"id": "x", "properties": props}}
+    got = [exports._path_to_line(p) for p in exports._dict_gen(item, [])]
+    want = [exports._path_to_line(p) for p in ref_gen(item)]
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quality_stats_vectorized_matches_python_loop(texts):
+    """The RE2/flatten quality kernel must agree with a straight Python
+    reimplementation on arbitrary ASCII text (unicode letters differ by
+    design: RE2 \\w is ASCII, matching the DuckDB oracle)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from kgw_ray.stages.textstats import STOPWORD_SET, quality_stats_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = quality_stats_batch(batch).to_pandas()
+    punct_re = re.compile(r"[^\w\s]", re.ASCII)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        assert out.n_chars[i] == len(t)
+        assert out.n_tokens[i] == len(toks)
+        n_stop = sum(1 for w in toks if w in STOPWORD_SET)
+        exp_stop = round(n_stop / len(toks), 6) if toks else 0.0
+        assert abs(out.stopword_ratio[i] - exp_stop) < 1e-9
+        exp_mean = round(sum(len(w) for w in toks) / len(toks), 6) if toks else 0.0
+        assert abs(out.mean_token_len[i] - exp_mean) < 1e-9
+        n_punct = len(punct_re.findall(t))
+        exp_punct = round(n_punct / len(t), 6) if t else 0.0
+        assert abs(out.punct_ratio[i] - exp_punct) < 1e-9
