@@ -40,6 +40,9 @@ def read_table(
     ``filter`` is a ``pyarrow.dataset`` expression (e.g. ``pc.field("lang") == "en"``)
     pushed down to the Parquet scan.
     """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     kwargs: dict[str, Any] = {}
     if columns is not None:
@@ -48,10 +51,20 @@ def read_table(
         kwargs["filter"] = filter
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
-    ds = rd.read_parquet(path, **kwargs)
     # The driver-generated files carry pandas schema metadata, which breaks
     # Ray's shuffle schema dedup (unhashable dict) and costs ~20× on
-    # aggregates — strip it at the source (zero-copy, fuses with downstream).
+    # aggregates. Passing a metadata-stripped (pruned) schema to the read
+    # makes every block clean AT THE SOURCE — no extra map stage, and the
+    # read operator itself stops warning about unhashable schemas. With a
+    # pushed row filter the scan may reference unprojected columns that a
+    # pruned schema would hide from the fragment reader, so filtered reads
+    # keep the post-read strip instead.
+    if filter is None:
+        fsch = pq.read_schema(path)
+        sel = list(columns) if columns is not None else fsch.names
+        kwargs["schema"] = pa.schema([fsch.field(c).remove_metadata() for c in sel])
+        return rd.read_parquet(path, **kwargs)
     from kgw_ray.functions.arrow_utils import strip_meta
 
+    ds = rd.read_parquet(path, **kwargs)
     return ds.map_batches(strip_meta, batch_format="pyarrow", zero_copy_batch=True)
