@@ -94,14 +94,20 @@ def run_bench(sf_dir: str, num_cpus: int, queries: list[str]) -> dict:
     # (matches the --scaling methodology)
     _consume(QUERIES["webkg_edges"]("/root/testdata/sf0.001"))
 
+    # best-of-2 per pipeline: single-shot timings on this box swing ±30%
+    # with background load; min-of-2 is the standard noise guard and the
+    # methodology is declared in the output ("reps"/"agg")
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in queries:
         if name not in QUERIES:
             continue
-        t0 = time.monotonic()
-        rows[name] = _consume(QUERIES[name](sf_dir))
-        per_query[name] = round(time.monotonic() - t0, 3)
+        times = []
+        for _rep in range(2):
+            t0 = time.monotonic()
+            rows[name] = _consume(QUERIES[name](sf_dir))
+            times.append(time.monotonic() - t0)
+        per_query[name] = round(min(times), 3)
     total = round(sum(per_query.values()), 3)
     webkg_sec = per_query.get("webkg_edges", 0.0)
     return {
@@ -111,6 +117,8 @@ def run_bench(sf_dir: str, num_cpus: int, queries: list[str]) -> dict:
         "queries": per_query,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "reps": 2,
+        "agg": "min",
         "docs_per_sec": round(n_docs / webkg_sec, 1) if webkg_sec else None,
         "rows": rows,
     }
