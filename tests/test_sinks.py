@@ -306,3 +306,51 @@ def test_bucketed_hub_and_adjacency(tiny_graph, tmp_path):
     import os
 
     assert any(d.startswith("bucket=") for d in os.listdir(f"{out}/edges"))
+
+
+def test_counted_two_pass_ids_across_many_blocks(tmp_path):
+    """Sequential ids must be continuous and in dataset order when the
+    edge table spans MANY blocks (the counted two-pass offsets are per
+    block — this is the case the single-block tiny_graph can't catch)."""
+    n = 1000
+    nodes = rd.from_arrow(
+        pa.table(
+            {
+                "id": [f"n{i}" for i in range(10)],
+                "type": ["t"] * 10,
+                "properties": ["{}"] * 10,
+            }
+        )
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": [f"n{i % 10}" for i in range(n)],
+                "target_id": [f"n{(i + 1) % 10}" for i in range(n)],
+                "type": [f"r{i}" for i in range(n)],  # per-row marker
+                "properties": ["{}"] * n,
+            }
+        )
+    ).repartition(16)
+    p = str(tmp_path / "many.graphml")
+    exports.write_graphml(nodes, edges, p)
+    root = ET.parse(p).getroot()
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    xml_edges = root.find(f"{ns}graph").findall(f"{ns}edge")
+    assert len(xml_edges) == n
+    ids = [e.get("id") for e in xml_edges]
+    assert ids == [f"e{i}" for i in range(n)]  # continuous, file order
+    # and each id is attached to the row the dataset order dictates
+    types = [e.find(f"{ns}data").text for e in xml_edges]
+    assert types == [f"r{i}" for i in range(n)]
+
+    p3 = str(tmp_path / "many_repr3.metta")
+    exports.write_metta_repr3(nodes, edges, p3)
+    import re
+
+    recs = []
+    for line in open(p3):
+        m = re.match(r"\((\d+) ", line)
+        if m and (not recs or int(m.group(1)) != recs[-1]):
+            recs.append(int(m.group(1)))
+    assert recs == list(range(10 + n))  # nodes 0..9 then edges continue
