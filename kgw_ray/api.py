@@ -163,14 +163,20 @@ class Project:
         from kgw_ray.stages.graph import schema_graph
 
         def write(n, e, p):
-            write_schema_html(n, e, p, compact=compact)
-            if not compact:
-                rows = schema_graph(n, e).to_pandas().to_dict(orient="records")
-                jpath = os.path.join(os.path.dirname(p), "schema.json")
-                tmp = f"{jpath}.partial"
-                with open(tmp, "w") as f:
-                    json.dump(rows, f, indent=2)
-                os.replace(tmp, jpath)
+            if compact:
+                write_schema_html(n, e, p, compact=True)
+                return
+            # one distributed aggregate serves both files; the sidecar is
+            # written FIRST — run() resumes on the task target (schema.html),
+            # so a crash between the two writes must not leave a skipped
+            # rerun permanently missing schema.json
+            rows_df = schema_graph(n, e).to_pandas()
+            jpath = os.path.join(os.path.dirname(p), "schema.json")
+            tmp = f"{jpath}.partial"
+            with open(tmp, "w") as f:
+                json.dump(rows_df.to_dict(orient="records"), f, indent=2)
+            os.replace(tmp, jpath)
+            write_schema_html(n, e, p, schema_rows=rows_df)
 
         if compact:
             return self._append("schema_compact", "schema_compact.html", write)

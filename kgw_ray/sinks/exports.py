@@ -485,7 +485,13 @@ def _list_gen(key, value, pre: list, idx: tuple = ()):
 
 def _path_to_line(path: list) -> str:
     """Reference ``dict_to_metta`` line rendering: strings cleaned, numbers
-    verbatim, path elements wrapped innermost-out."""
+    verbatim, path elements wrapped innermost-out.
+
+    Parity note: ONLY str leaves are cleaned (load.py:779-781), so a JSON
+    ``null`` renders as the bare atom ``None`` — matching the reference's
+    repr3 byte-for-byte even though its own repr2 cleans the same value to
+    ``"null"``; the inconsistency is the reference's, reproduced on purpose.
+    """
     s = path[-1]
     if isinstance(s, str):
         s = clean(s)

@@ -59,6 +59,7 @@ def write_schema_html(
     *,
     compact: bool = False,
     node_type_to_color: dict | None = None,
+    schema_rows=None,
 ) -> None:
     """Render the type-level schema graph to a self-contained HTML file.
 
@@ -66,6 +67,11 @@ def write_schema_html(
     with its triple count (reference sqlite_to_schema). ``compact=True``:
     parallel arrows condensed per (source_type, target_type) with edge and
     edge-type counts (reference sqlite_to_schema_compact).
+
+    ``schema_rows`` optionally supplies the already-computed edge aggregate
+    (a pandas frame in ``schema_graph[_compact]`` layout) so callers that
+    need the rows anyway (e.g. the schema.json sidecar) don't run the
+    distributed aggregate twice.
     """
     from kgw_ray.stages.graph import (
         schema_graph,
@@ -81,7 +87,11 @@ def write_schema_html(
         colors.setdefault(t, _PALETTE[i % len(_PALETTE)])
 
     if compact:
-        df = schema_graph_compact(nodes, edges).to_pandas()
+        df = (
+            schema_rows
+            if schema_rows is not None
+            else schema_graph_compact(nodes, edges).to_pandas()
+        )
         edge_items = [
             {
                 "source": r.source_type,
@@ -99,7 +109,11 @@ def write_schema_html(
             for r in df.itertuples()
         ]
     else:
-        df = schema_graph(nodes, edges).to_pandas()
+        df = (
+            schema_rows
+            if schema_rows is not None
+            else schema_graph(nodes, edges).to_pandas()
+        )
         edge_items = [
             {
                 "source": r.source_type,

@@ -67,10 +67,16 @@ def fetch_url(
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                 status = getattr(resp, "status", 200) or 200
                 data = resp.read()
+            # checksums validate whenever the FULL body is in hand: always
+            # for offset==0, and for resumed fetches whose server ignored
+            # Range (status 200 → full body received, then sliced). A true
+            # 206 partial cannot be validated here — the caller validates
+            # the assembled file, as the reference does after fetch_file
+            # completes (tasks.py:117-127).
+            full = data if (offset == 0 or status == 200) else None
             if offset > 0 and status == 200:
                 # server ignored Range (file:// always does): slice locally
                 data = data[offset:]
-            full = data if offset == 0 else None
             if md5 and full is not None and hashlib.md5(full).hexdigest() != md5:
                 raise ValueError(f"MD5 mismatch for {url}")
             if (

@@ -346,6 +346,18 @@ def jaccard_verify_pairs(
     # candidate pairs are compact (two int64 per row) — materialize once so
     # the size probe and the chosen path don't re-execute the LSH pipeline
     pairs = pairs.materialize()
+    if pairs.count() == 0:
+        # dup-free corpus: no candidates at all (an empty Ray dataset loses
+        # its schema on to_pandas, so return an explicitly-typed empty set)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     if not force_shuffle and pairs.count() <= broadcast_limit:
         cand_ids_tbl = pairs.select_columns(["a", "b"]).to_pandas().drop_duplicates(

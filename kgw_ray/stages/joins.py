@@ -110,7 +110,12 @@ def semi_join_dataset(
     # materialize once: the count probe and the key pull must not execute
     # the (possibly expensive) keys pipeline twice
     keys_small = keys_ds.select_columns([key_col]).materialize()
-    if keys_small.count() <= broadcast_limit:
+    n_keys = keys_small.count()
+    if n_keys == 0:
+        # empty Ray datasets drop their schema on to_pandas — handle the
+        # degenerate case explicitly: semi join against nothing keeps nothing
+        return big.limit(0)
+    if n_keys <= broadcast_limit:
         key_arr = keys_small.to_pandas()[key_col].to_numpy()
         import numpy as np
         import pyarrow.compute as pc
@@ -153,7 +158,12 @@ def anti_join(
 
     key_col = key_col or on
     keys_small = keys_ds.select_columns([key_col]).materialize()
-    if keys_small.count() <= broadcast_limit:
+    n_keys = keys_small.count()
+    if n_keys == 0:
+        # anti join against an empty key set keeps everything (the empty
+        # to_pandas would otherwise KeyError — schema drops on empty pulls)
+        return big
+    if n_keys <= broadcast_limit:
         ref = ray.put(pa.array(np.sort(keys_small.to_pandas()[key_col].to_numpy())))
 
         def probe(batch: pa.Table) -> pa.Table:

@@ -48,3 +48,17 @@ def test_anti_join_both_paths_nonempty():
     bc = sorted(anti_join(left, right, on="k").to_pandas()["k"])
     sh = sorted(anti_join(left, right, on="k", broadcast_limit=0).to_pandas()["k"])
     assert bc == sh == [1, 3, 5, 7, 9]
+
+
+def test_semi_and_anti_join_empty_keys():
+    """Empty key sets: semi keeps nothing, anti keeps everything — both
+    previously KeyError'd on the schema-less empty to_pandas (review)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.joins import anti_join, semi_join_dataset
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    empty = left.filter(expr="k > 99")
+    assert semi_join_dataset(left, empty, on="k").count() == 0
+    assert sorted(anti_join(left, empty, on="k").to_pandas()["k"]) == [1, 2, 3]

@@ -172,3 +172,21 @@ def test_fetch_url_fake_mode_deterministic():
     assert d1 == d2 and d1 != d3 and len(d1) == 256
     _, tail = fetch_url("https://example.org/x", fake=True, offset=200)
     assert tail == d1[200:]
+
+
+def test_fetch_url_resume_validates_when_range_ignored(tmp_path):
+    """A resumed fetch whose server ignores Range (full body received)
+    must still validate checksums against the full body (review)."""
+    import hashlib
+
+    import pytest
+
+    from kgw_ray.sources.http import fetch_url
+
+    p = tmp_path / "c.bin"
+    p.write_bytes(b"0123456789abcdef")
+    good = hashlib.md5(p.read_bytes()).hexdigest()
+    st, tail = fetch_url(p.as_uri(), offset=4, md5=good, max_retries=1)
+    assert tail == b"456789abcdef"
+    with pytest.raises(ValueError):
+        fetch_url(p.as_uri(), offset=4, md5="0" * 32, max_retries=1)

@@ -309,3 +309,27 @@ def test_shuffle_is_permutation(sf_smoke):
     assert a != sorted(a)  # actually permuted
     b = shuffle_documents(sf_smoke).to_pandas()["doc_id"].tolist()
     assert a == b  # seeded → deterministic
+
+
+def test_minhash_dedup_dupfree_corpus_keeps_all():
+    """Zero LSH candidates (every doc distinct) must return every doc, not
+    crash on the schema-less empty pair pull (found by review)."""
+    import ray.data as rd
+
+    from kgw_ray.stages.dedup import minhash_dedup_keep
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    "alpha bravo charlie delta echo foxtrot golf hotel",
+                    "one two three four five six seven eight nine",
+                    "red orange yellow green blue indigo violet pink",
+                    "cat dog bird fish horse cow sheep goat llama",
+                ],
+            }
+        )
+    )
+    out = set(minhash_dedup_keep(docs, threshold=0.5).to_pandas()["doc_id"])
+    assert out == {1, 2, 3, 4}
