@@ -62,10 +62,31 @@ def _fragments(ds: rd.Dataset, render: Callable[[pa.Table], str]) -> rd.Dataset:
     return ds.map_batches(to_frag, batch_format="pyarrow")
 
 
+def _preserve_order():
+    """Force deterministic block order for sink execution: Ray's streaming
+    executor consumes blocks in COMPLETION order by default
+    (execution_options.preserve_order=False), which would let export row
+    order — and therefore sequential ids — drift run to run."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        ctx = rd.DataContext.get_current()
+        prev = ctx.execution_options.preserve_order
+        ctx.execution_options.preserve_order = True
+        try:
+            yield
+        finally:
+            ctx.execution_options.preserve_order = prev
+
+    return cm()
+
+
 def _stream_fragments(frags: rd.Dataset) -> Iterator[str]:
-    for b in frags.iter_batches(batch_format="pyarrow", batch_size=1):
-        for s in b.column("frag").to_pylist():
-            yield s
+    with _preserve_order():
+        for b in frags.iter_batches(batch_format="pyarrow", batch_size=1):
+            for s in b.column("frag").to_pylist():
+                yield s
 
 
 # --- counted two-pass assembly for order-dependent formats -----------------
@@ -105,7 +126,8 @@ def _counted_fragments(
     known immediately so a second dataset can chain its counter (MeTTa
     repr3 numbers nodes then edges from one sequence, load.py:795-840).
     """
-    refs = ds.materialize().to_arrow_refs()
+    with _preserve_order():
+        refs = ds.materialize().to_arrow_refs()
     counts = ray.get([_block_num_rows.remote(r) for r in refs])
     offsets = [start]
     for c in counts:

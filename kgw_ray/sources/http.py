@@ -23,6 +23,7 @@ import hashlib
 import time
 import urllib.error
 import urllib.request
+from html.parser import HTMLParser
 
 import pyarrow as pa
 import ray.data as rd
@@ -91,6 +92,96 @@ def fetch_url(
             if attempt + 1 < max_retries:
                 time.sleep(backoff_s * (2**attempt))
     raise last_err
+
+
+class _LinkExtractor(HTMLParser):
+    """Minimal <a href> extractor (the reference uses BeautifulSoup, not
+    available here; stdlib html.parser covers index-page scraping)."""
+
+    def __init__(self):
+        super().__init__()
+        self.links: list[tuple[str, str]] = []  # (href, text)
+        self._href: str | None = None
+        self._text: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._href = dict(attrs).get("href")
+            self._text = []
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._text.append(data)
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._href is not None:
+            self.links.append((self._href, "".join(self._text).strip()))
+            self._href = None
+
+
+def get_versions_from_json_index(
+    url: str, *, version_field: str = "version", fake: bool = False, **fetch_kwargs
+) -> list[str]:
+    """Version list from a JSON API index (reference
+    ``get_versions_from_figshare`` / ``_from_mendeley``, extract.py:220-248,
+    generalized: any endpoint returning a list of objects with a version
+    field)."""
+    import json
+
+    _, data = fetch_url(url, fake=fake, **fetch_kwargs)
+    raw = json.loads(data)
+    return [str(entry[version_field]) for entry in raw]
+
+
+def get_metadata_from_json_index(
+    url: str,
+    *,
+    name_field: str = "name",
+    fields: dict | None = None,
+    fake: bool = False,
+    **fetch_kwargs,
+) -> dict:
+    """Per-file metadata map from a JSON API (reference
+    ``get_metadata_from_figshare``, extract.py:228-240, generalized):
+    returns ``{file_name: {out_key: entry[in_key], ...}}``. ``fields`` maps
+    output keys to entry keys (default url/size/md5 passthrough)."""
+    import json
+
+    fields = fields or {"url": "download_url", "size": "size", "md5": "computed_md5"}
+    _, data = fetch_url(url, fake=fake, **fetch_kwargs)
+    raw = json.loads(data)
+    entries = raw["files"] if isinstance(raw, dict) and "files" in raw else raw
+    out = {}
+    for entry in entries:
+        out[entry[name_field]] = {
+            k: entry.get(src) for k, src in fields.items()
+        }
+    return out
+
+
+def get_versions_from_html_index(
+    url: str,
+    *,
+    text_pattern: str = r"^\d{4}-\d{2}-\d{2}$",
+    href_pattern: str = ".",
+    fake: bool = False,
+    **fetch_kwargs,
+) -> list[str]:
+    """Version list scraped from an HTML index page (reference
+    ``get_versions_from_monarch``, extract.py:269-287, generalized): every
+    <a> whose link TEXT matches ``text_pattern`` and href matches
+    ``href_pattern``."""
+    import re as _re
+
+    _, data = fetch_url(url, fake=fake, **fetch_kwargs)
+    parser = _LinkExtractor()
+    parser.feed(data.decode("utf-8", errors="replace"))
+    t_re, h_re = _re.compile(text_pattern), _re.compile(href_pattern)
+    return [
+        text
+        for href, text in parser.links
+        if href and t_re.match(text) and h_re.search(href)
+    ]
 
 
 def fetch_url_table(

@@ -43,7 +43,9 @@ def test_read_tsv(data_dir):
     ds = fs.read_tsv(str(d / "t.tsv"), columns=["id", "score"])
     rows = ds.to_pandas()
     assert list(rows.columns) == ["id", "score"]
-    assert rows["score"].tolist()[0] == 1.5
+    # row ORDER of a consumed dataset is not guaranteed (streaming executor
+    # preserve_order=False by default) — look the row up by key
+    assert rows.set_index("id").loc["a", "score"] == 1.5
 
 
 def test_read_json_documents(data_dir):
@@ -190,3 +192,50 @@ def test_fetch_url_resume_validates_when_range_ignored(tmp_path):
     assert tail == b"456789abcdef"
     with pytest.raises(ValueError):
         fetch_url(p.as_uri(), offset=4, md5="0" * 32, max_retries=1)
+
+
+def test_version_and_metadata_fetchers(tmp_path):
+    """Generic version/metadata fetchers (reference extract.py:220-301)
+    against local JSON / HTML indexes served over file://."""
+    import json
+
+    from kgw_ray.sources.http import (
+        get_metadata_from_json_index,
+        get_versions_from_html_index,
+        get_versions_from_json_index,
+    )
+
+    vj = tmp_path / "versions.json"
+    vj.write_text(json.dumps([{"version": 1}, {"version": 2}, {"version": 3}]))
+    assert get_versions_from_json_index(vj.as_uri()) == ["1", "2", "3"]
+
+    mj = tmp_path / "meta.json"
+    mj.write_text(
+        json.dumps(
+            {
+                "created_date": "2024-01-01",
+                "files": [
+                    {
+                        "name": "kg.tsv.gz",
+                        "download_url": "https://x/kg.tsv.gz",
+                        "size": 123,
+                        "computed_md5": "ff" * 16,
+                    }
+                ],
+            }
+        )
+    )
+    meta = get_metadata_from_json_index(mj.as_uri())
+    assert meta == {
+        "kg.tsv.gz": {"url": "https://x/kg.tsv.gz", "size": 123, "md5": "ff" * 16}
+    }
+
+    hx = tmp_path / "index.html"
+    hx.write_text(
+        "<html><body>"
+        '<a href="https://d/2024-03-01/index.html">2024-03-01</a>'
+        '<a href="https://d/2024-04-01/index.html">2024-04-01</a>'
+        '<a href="https://d/other">not a version</a>'
+        "</body></html>"
+    )
+    assert get_versions_from_html_index(hx.as_uri()) == ["2024-03-01", "2024-04-01"]
