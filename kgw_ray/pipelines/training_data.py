@@ -39,12 +39,11 @@ def text_quality(sf_dir: str) -> rd.Dataset:
 
 
 def text_lang_id(sf_dir: str) -> rd.Dataset:
-    """Heuristic language ID (actor pool; rows-only check + accuracy test)."""
-    from kgw_ray.stages.textstats import LangId
+    """Heuristic language ID (task map with per-process singleton profiles;
+    rows-only check + accuracy test)."""
+    from kgw_ray.stages.textstats import lang_id_batch
 
-    return _docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    return _docs(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")
 
 
 def text_fingerprint(sf_dir: str) -> rd.Dataset:

@@ -227,40 +227,42 @@ def _graphml_type(v) -> str:
     return "string"
 
 
+def _attr_schema_of_block(batch: pa.Table, start: int) -> dict:
+    """Local (key → (gtype, global_ordinal)) of one block; ``start`` is the
+    block's global row offset so first-seen order is GLOBAL scan order
+    (reference load.py:404-459 walks rows in one sequence)."""
+    seen: dict[str, tuple[str, int]] = {}
+    for base, props in enumerate(batch.column("properties").to_pylist()):
+        if not props:
+            continue
+        d = json_loads(props)
+        for i, (k, v) in enumerate(d.items()):
+            if k not in seen:
+                seen[k] = (_graphml_type(v), (start + base) * 1000 + i)
+    return seen
+
+
+@ray.remote
+def _attr_schema_task(batch: pa.Table, start: int) -> dict:
+    return _attr_schema_of_block(batch, start)
+
+
 def _collect_attr_schema(ds: rd.Dataset, owner: str) -> list[tuple[str, str, str]]:
     """Pass 1: union of property keys + inferred type, first-seen order
-    (reference load.py:404-459). Distributed: each block emits its local
-    (key, type, first_ordinal) set; driver merges by min ordinal."""
-
-    def local(batch: pa.Table) -> pa.Table:
-        seen: dict[str, tuple[str, int]] = {}
-        base = 0
-        for props in batch.column("properties").to_pylist():
-            if not props:
-                base += 1
-                continue
-            d = json_loads(props)
-            for i, (k, v) in enumerate(d.items()):
-                if k not in seen:
-                    seen[k] = (_graphml_type(v), base * 1000 + i)
-            base += 1
-        return pa.table(
-            {
-                "key": pa.array(list(seen.keys()), pa.string()),
-                "gtype": pa.array([v[0] for v in seen.values()], pa.string()),
-                "ord": pa.array([v[1] for v in seen.values()], pa.int64()),
-            }
-        )
-
+    (reference load.py:404-459). Counted two-pass: each block gets its
+    global row offset, emits its local (key, type, first_global_ordinal)
+    map in parallel; the driver merges tiny dicts by min ordinal."""
+    with _preserve_order():
+        refs = ds.materialize().to_arrow_refs()
+    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    offsets = [0]
+    for c in counts:
+        offsets.append(offsets[-1] + c)
     merged: dict[str, tuple[str, int]] = {}
-    for b in ds.map_batches(local, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+    for seen in ray.get(
+        [_attr_schema_task.remote(r, offsets[i]) for i, r in enumerate(refs)]
     ):
-        for k, t, o in zip(
-            b.column("key").to_pylist(),
-            b.column("gtype").to_pylist(),
-            b.column("ord").to_pylist(),
-        ):
+        for k, (t, o) in seen.items():
             if k not in merged or o < merged[k][1]:
                 merged[k] = (t, o)
     ordered = sorted(merged.items(), key=lambda kv: kv[1][1])

@@ -131,3 +131,60 @@ def resilient_map_batches(
         max_retries=max_retries,
         **kwargs,
     )
+
+
+def approx_quantiles(
+    ds: "rd.Dataset",
+    col: str,
+    qs,
+    *,
+    grid: int = 128,
+) -> dict[float, float]:
+    """Mergeable approximate quantiles of a column — the 100 TB analog of a
+    corpus-wide ``quantile_cont`` (events_value_quantiles' per-group exact
+    quantile assumes a group fits one worker; a GLOBAL quantile at web
+    scale cannot).
+
+    Classic mergeable-summary scheme (the GK/t-digest family's simplest
+    member): every block emits its own ``grid``-point equi-probable
+    quantile summary weighted by its row count — a fixed-size sketch per
+    block, so the driver merge sees ``grid × n_blocks`` tiny rows, never
+    the data. The merged weighted sample is then queried by weighted
+    interpolation. Error is bounded by ~1/grid of each block's mass
+    (exact for blocks with ≤ grid distinct values).
+
+    Returns ``{q: value}``. Zero shuffle; one streaming pass.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        n = len(v)
+        if n == 0:
+            return pa.table(
+                {"q": pa.array([], pa.float64()), "w": pa.array([], pa.float64())}
+            )
+        g = min(grid, n)
+        pts = np.quantile(np.sort(v), np.linspace(0.0, 1.0, g))
+        return pa.table(
+            {
+                "q": pa.array(pts, pa.float64()),
+                "w": pa.array(np.full(g, n / g), pa.float64()),
+            }
+        )
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(merged) == 0:
+        return {float(q): float("nan") for q in qs}
+    order = merged["q"].to_numpy().argsort(kind="stable")
+    vals = merged["q"].to_numpy()[order]
+    w = merged["w"].to_numpy()[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    # weighted quantile: position of each sample is the center of its mass
+    centers = (cum - w / 2.0) / total
+    return {
+        float(q): float(np.interp(float(q), centers, vals)) for q in qs
+    }

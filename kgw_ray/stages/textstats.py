@@ -217,6 +217,23 @@ class LangId:
         )
 
 
+_LANGID_SINGLETON: LangId | None = None
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Task-map variant of ``LangId``: per-process singleton profiles.
+
+    The profiles are a few frozensets — trivial state, so a task map with a
+    lazily built process-wide singleton beats an actor pool (pool
+    startup/rampup cost, same measured rule as stages/extract.py). A REAL
+    fasttext-style model would flip back to the actor-pool class above.
+    """
+    global _LANGID_SINGLETON
+    if _LANGID_SINGLETON is None:
+        _LANGID_SINGLETON = LangId()
+    return _LANGID_SINGLETON(batch)
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting (rolling hash + content hash)
 # ---------------------------------------------------------------------------

@@ -333,3 +333,29 @@ def test_minhash_dedup_dupfree_corpus_keeps_all():
     )
     out = set(minhash_dedup_keep(docs, threshold=0.5).to_pandas()["doc_id"])
     assert out == {1, 2, 3, 4}
+
+
+def test_approx_quantiles_close_to_exact(sf_smoke):
+    """Mergeable per-block quantile sketch vs exact quantiles on the events
+    value column — within the documented ~1/grid error."""
+    from kgw_ray.stages.agg import approx_quantiles
+
+    ds = read_table(sf_smoke, "events", columns=["value"])
+    exact = ds.to_pandas()["value"]
+    got = approx_quantiles(ds, "value", (0.1, 0.5, 0.95))
+    spread = float(exact.quantile(0.99) - exact.quantile(0.01))
+    for q, v in got.items():
+        assert abs(v - float(exact.quantile(q))) <= 0.05 * spread, (q, v)
+
+
+def test_approx_quantiles_many_small_blocks():
+    """Merging many tiny block sketches (blocks smaller than the grid) must
+    stay exact-ish — the degenerate per-block path."""
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import approx_quantiles
+
+    vals = np.arange(1000, dtype=np.float64)
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals)})).repartition(40)
+    got = approx_quantiles(ds, "value", (0.5,))
+    assert abs(got[0.5] - 499.5) < 25
