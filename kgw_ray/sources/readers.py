@@ -60,7 +60,18 @@ def read_table(
     # pruned schema would hide from the fragment reader, so filtered reads
     # keep the post-read strip instead.
     if filter is None:
-        fsch = pq.read_schema(path)
+        # a table may be a DIRECTORY of shard files (the Common-Crawl shape;
+        # bench's scaled corpus) — take the schema from any one member
+        schema_src = path
+        if os.path.isdir(path):
+            members = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if members:
+                schema_src = members[0]
+        fsch = pq.read_schema(schema_src)
         sel = list(columns) if columns is not None else fsch.names
         kwargs["schema"] = pa.schema([fsch.field(c).remove_metadata() for c in sel])
         return rd.read_parquet(path, **kwargs)
