@@ -239,3 +239,24 @@ def test_version_and_metadata_fetchers(tmp_path):
         "</body></html>"
     )
     assert get_versions_from_html_index(hx.as_uri()) == ["2024-03-01", "2024-04-01"]
+
+
+def test_read_table_directory_of_shards(tmp_path):
+    """Tables may be DIRECTORIES of shard files (Common-Crawl layout; the
+    scaling bench corpus) — the clean-schema read must handle both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgw_ray.sources.readers import read_table
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([i * 10, i * 10 + 1], pa.int64()),
+                      "text": ["a", "b"]}),
+            d / f"shard_{i}.parquet",
+        )
+    ds = read_table(str(tmp_path), "documents", columns=["doc_id"])
+    assert ds.count() == 6
+    assert ds.schema().names == ["doc_id"]
