@@ -62,31 +62,28 @@ def _fragments(ds: rd.Dataset, render: Callable[[pa.Table], str]) -> rd.Dataset:
     return ds.map_batches(to_frag, batch_format="pyarrow")
 
 
-def _preserve_order():
+def _ordered(ds: rd.Dataset) -> rd.Dataset:
     """Force deterministic block order for sink execution: Ray's streaming
     executor consumes blocks in COMPLETION order by default
     (execution_options.preserve_order=False), which would let export row
-    order — and therefore sequential ids — drift run to run."""
-    import contextlib
+    order — and therefore sequential ids — drift run to run.
 
-    @contextlib.contextmanager
-    def cm():
-        ctx = rd.DataContext.get_current()
-        prev = ctx.execution_options.preserve_order
-        ctx.execution_options.preserve_order = True
-        try:
-            yield
-        finally:
-            ctx.execution_options.preserve_order = prev
-
-    return cm()
+    The flag must be set on the DATASET'S plan context: Ray deep-copies the
+    DataContext into the plan when the ROOT dataset is created, and the
+    executor reads that snapshot — mutating the global context afterwards
+    (the obvious fix) is a no-op. Root and derived datasets share the
+    snapshot object, so setting it here covers the whole lineage."""
+    try:
+        ds._plan._context.execution_options.preserve_order = True
+    except AttributeError:  # pragma: no cover - private-API drift guard
+        rd.DataContext.get_current().execution_options.preserve_order = True
+    return ds
 
 
 def _stream_fragments(frags: rd.Dataset) -> Iterator[str]:
-    with _preserve_order():
-        for b in frags.iter_batches(batch_format="pyarrow", batch_size=1):
-            for s in b.column("frag").to_pylist():
-                yield s
+    for b in _ordered(frags).iter_batches(batch_format="pyarrow", batch_size=1):
+        for s in b.column("frag").to_pylist():
+            yield s
 
 
 # --- counted two-pass assembly for order-dependent formats -----------------
@@ -104,6 +101,39 @@ def _render_block(tbl: pa.Table, render: Callable[[pa.Table, int], str], start: 
     return render(tbl, start)
 
 
+def _blocks_with_offsets(ds: rd.Dataset, start: int = 0) -> tuple[list, list[int]]:
+    """Materialize ``ds`` in dataset order → (block refs, global row
+    offsets). Counts travel via tiny remote tasks; blocks stay put. The
+    shared pass-1 of every counted two-pass consumer below."""
+    refs = _ordered(ds).materialize().to_arrow_refs()
+    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    offsets = [start]
+    for c in counts:
+        offsets.append(offsets[-1] + c)
+    return refs, offsets
+
+
+def _fragments_from_refs(
+    refs: list,
+    offsets: list[int],
+    render: Callable[[pa.Table, int], str],
+    *,
+    window: int = 32,
+) -> Iterator[str]:
+    """Pass 2: render every block IN PARALLEL with its global row offset
+    baked in; the driver consumes fragments in dataset order with at most
+    ``window`` render tasks outstanding (bounds object-store residency for
+    single-file exports — a small-graph surface anyway; the 100 TB sink is
+    the partitioned Parquet hub below)."""
+    pending = []
+    for i, r in enumerate(refs):
+        pending.append(_render_block.remote(r, render, offsets[i]))
+        if len(pending) >= window:
+            yield ray.get(pending.pop(0))
+    while pending:
+        yield ray.get(pending.pop(0))
+
+
 def _counted_fragments(
     ds: rd.Dataset,
     render: Callable[[pa.Table, int], str],
@@ -113,36 +143,12 @@ def _counted_fragments(
 ) -> tuple[Iterator[str], int]:
     """Counted two-pass parallel render with global per-row counters.
 
-    Pass 1: materialize → ordered Arrow block refs → per-block row counts
-    via tiny remote tasks (counts travel, blocks don't). The prefix sum
-    assigns each block its id offset. Pass 2: every block renders in
-    parallel with ``render(block, global_start_row)`` baking final ids in;
-    the driver consumes fragments in dataset order with at most ``window``
-    render tasks outstanding (bounds object-store residency for single-file
-    exports — which are a small-graph surface anyway; the 100 TB sink is
-    the partitioned Parquet hub below).
-
     Returns ``(ordered fragment iterator, total_row_count)``; the total is
     known immediately so a second dataset can chain its counter (MeTTa
     repr3 numbers nodes then edges from one sequence, load.py:795-840).
     """
-    with _preserve_order():
-        refs = ds.materialize().to_arrow_refs()
-    counts = ray.get([_block_num_rows.remote(r) for r in refs])
-    offsets = [start]
-    for c in counts:
-        offsets.append(offsets[-1] + c)
-
-    def frag_iter() -> Iterator[str]:
-        pending = []
-        for i, r in enumerate(refs):
-            pending.append(_render_block.remote(r, render, offsets[i]))
-            if len(pending) >= window:
-                yield ray.get(pending.pop(0))
-        while pending:
-            yield ray.get(pending.pop(0))
-
-    return frag_iter(), offsets[-1]
+    refs, offsets = _blocks_with_offsets(ds, start)
+    return _fragments_from_refs(refs, offsets, render, window=window), offsets[-1]
 
 
 # ---------------------------------------------------------------------------
@@ -230,15 +236,17 @@ def _graphml_type(v) -> str:
 def _attr_schema_of_block(batch: pa.Table, start: int) -> dict:
     """Local (key → (gtype, global_ordinal)) of one block; ``start`` is the
     block's global row offset so first-seen order is GLOBAL scan order
-    (reference load.py:404-459 walks rows in one sequence)."""
-    seen: dict[str, tuple[str, int]] = {}
+    (reference load.py:404-459 walks rows in one sequence). Ordinals are
+    (row, key_index) TUPLES — a row-stride integer would overflow into the
+    next row's range for property dicts with 1000+ keys."""
+    seen: dict[str, tuple[str, tuple[int, int]]] = {}
     for base, props in enumerate(batch.column("properties").to_pylist()):
         if not props:
             continue
         d = json_loads(props)
         for i, (k, v) in enumerate(d.items()):
             if k not in seen:
-                seen[k] = (_graphml_type(v), (start + base) * 1000 + i)
+                seen[k] = (_graphml_type(v), (start + base, i))
     return seen
 
 
@@ -247,18 +255,14 @@ def _attr_schema_task(batch: pa.Table, start: int) -> dict:
     return _attr_schema_of_block(batch, start)
 
 
-def _collect_attr_schema(ds: rd.Dataset, owner: str) -> list[tuple[str, str, str]]:
-    """Pass 1: union of property keys + inferred type, first-seen order
-    (reference load.py:404-459). Counted two-pass: each block gets its
-    global row offset, emits its local (key, type, first_global_ordinal)
-    map in parallel; the driver merges tiny dicts by min ordinal."""
-    with _preserve_order():
-        refs = ds.materialize().to_arrow_refs()
-    counts = ray.get([_block_num_rows.remote(r) for r in refs])
-    offsets = [0]
-    for c in counts:
-        offsets.append(offsets[-1] + c)
-    merged: dict[str, tuple[str, int]] = {}
+def _attr_schema_from_refs(
+    refs: list, offsets: list, owner: str
+) -> list[tuple[str, str, str]]:
+    """Union of property keys + inferred type in first-seen order over
+    already-materialized blocks (pass 1 of GraphML, load.py:404-459):
+    per-block maps computed in parallel, tiny driver merge by min
+    (row, key_index) ordinal."""
+    merged: dict[str, tuple[str, tuple[int, int]]] = {}
     for seen in ray.get(
         [_attr_schema_task.remote(r, offsets[i]) for i, r in enumerate(refs)]
     ):
@@ -267,6 +271,12 @@ def _collect_attr_schema(ds: rd.Dataset, owner: str) -> list[tuple[str, str, str
                 merged[k] = (t, o)
     ordered = sorted(merged.items(), key=lambda kv: kv[1][1])
     return [(k, owner, t) for k, (t, _) in ordered]
+
+
+def _collect_attr_schema(ds: rd.Dataset, owner: str) -> list[tuple[str, str, str]]:
+    """Standalone form of the attribute-schema pass (materializes ``ds``)."""
+    refs, offsets = _blocks_with_offsets(ds)
+    return _attr_schema_from_refs(refs, offsets, owner)
 
 
 def _esc(s) -> str:
@@ -291,11 +301,16 @@ def _graphml_value(v) -> str:
 def write_graphml(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
     """GraphML export: attribute-schema pass, then parallel rendering with
     sequential edge ids (load.py:503) assigned by the counted two-pass
-    scheme — each block knows its global edge offset up front."""
-    node_attrs = _collect_attr_schema(nodes, "node")
-    edge_attrs = _collect_attr_schema(edges, "edge")
+    scheme — each block knows its global edge offset up front.
 
-    def node_frag(batch: pa.Table) -> str:
+    Each input executes ONCE: the materialized block refs feed both the
+    attribute-schema pass and the render pass."""
+    n_refs, n_offs = _blocks_with_offsets(nodes)
+    e_refs, e_offs = _blocks_with_offsets(edges)
+    node_attrs = _attr_schema_from_refs(n_refs, n_offs, "node")
+    edge_attrs = _attr_schema_from_refs(e_refs, e_offs, "edge")
+
+    def node_frag(batch: pa.Table, _start: int) -> str:
         out = []
         for nid, ntype, props in zip(
             batch.column("id").to_pylist(),
@@ -356,9 +371,8 @@ def write_graphml(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
                 f'attr.type="{t}"/>\n'
             )
         yield '  <graph edgedefault="directed">\n'
-        yield from _stream_fragments(_fragments(nodes, node_frag))
-        edge_frags, _ = _counted_fragments(edges, edge_frag)
-        yield from edge_frags
+        yield from _fragments_from_refs(n_refs, n_offs, node_frag)
+        yield from _fragments_from_refs(e_refs, e_offs, edge_frag)
         yield "  </graph>\n</graphml>\n"
 
     _atomic_write(path, chunks())

@@ -106,6 +106,11 @@ class _LinkExtractor(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":
+            # an <a> implicitly closed by the next <a> (missing </a>) must
+            # still be flushed — real index pages do this and BeautifulSoup
+            # (the reference's parser) recovers both links
+            if self._href is not None:
+                self.links.append((self._href, "".join(self._text).strip()))
             self._href = dict(attrs).get("href")
             self._text = []
 

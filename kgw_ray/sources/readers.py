@@ -71,6 +71,14 @@ def read_table(
             )
             if members:
                 schema_src = members[0]
+            else:
+                # nested/hive layouts or extensionless shards: let Ray
+                # resolve the files and strip metadata post-read instead
+                from kgw_ray.functions.arrow_utils import strip_meta
+
+                return rd.read_parquet(path, **kwargs).map_batches(
+                    strip_meta, batch_format="pyarrow", zero_copy_batch=True
+                )
         fsch = pq.read_schema(schema_src)
         sel = list(columns) if columns is not None else fsch.names
         kwargs["schema"] = pa.schema([fsch.field(c).remove_metadata() for c in sel])

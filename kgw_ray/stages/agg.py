@@ -167,7 +167,7 @@ def approx_quantiles(
                 {"q": pa.array([], pa.float64()), "w": pa.array([], pa.float64())}
             )
         g = min(grid, n)
-        pts = np.quantile(np.sort(v), np.linspace(0.0, 1.0, g))
+        pts = np.quantile(v, np.linspace(0.0, 1.0, g))
         return pa.table(
             {
                 "q": pa.array(pts, pa.float64()),

@@ -354,3 +354,16 @@ def test_counted_two_pass_ids_across_many_blocks(tmp_path):
         if m and (not recs or int(m.group(1)) != recs[-1]):
             recs.append(int(m.group(1)))
     assert recs == list(range(10 + n))  # nodes 0..9 then edges continue
+
+
+def test_ordered_sets_plan_context_flag():
+    """The preserve-order knob must land on the DATASET'S plan context —
+    Ray snapshots the DataContext at root creation, so the global flag is
+    a no-op for already-built datasets (guards the private-API mechanism
+    _ordered relies on against Ray upgrades)."""
+    ds = rd.from_arrow(pa.table({"x": [1, 2]})).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    assert ds._plan._context.execution_options.preserve_order is False
+    out = exports._ordered(ds)
+    assert out._plan._context.execution_options.preserve_order is True

@@ -260,3 +260,16 @@ def test_read_table_directory_of_shards(tmp_path):
     ds = read_table(str(tmp_path), "documents", columns=["doc_id"])
     assert ds.count() == 6
     assert ds.schema().names == ["doc_id"]
+
+
+def test_html_index_implicit_anchor_close(tmp_path):
+    """An <a> implicitly closed by the next <a> (missing </a>) must still
+    yield BOTH links, as the reference's BeautifulSoup parser would."""
+    from kgw_ray.sources.http import get_versions_from_html_index
+
+    hx = tmp_path / "sloppy.html"
+    hx.write_text(
+        '<a href="https://d/2024-03-01/">2024-03-01'
+        '<a href="https://d/2024-04-01/">2024-04-01</a>'
+    )
+    assert get_versions_from_html_index(hx.as_uri()) == ["2024-03-01", "2024-04-01"]
