@@ -35,20 +35,6 @@ from kgw_ray.stages.linking import link_triples_batch
 from kgw_ray.stages.triples import ENTITY_TYPE, extract_triples_batch
 
 
-def _pool_max() -> int:
-    """Actor-pool MAX sized to the cluster (3/4 of CPUs, leaving headroom
-    for the read + downstream stages). A fixed cap (e.g. 8) throttles the
-    hot extract stage on bigger clusters — measured: 32-CPU run no faster
-    than 8-CPU until this scaled."""
-    import ray
-
-    try:
-        n = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # pragma: no cover
-        n = 8
-    return max(2, (n * 3) // 4)
-
-
 def extracted_pages(
     sf_dir: str, *, concurrency: int | None = None, repeat: int = 1
 ) -> rd.Dataset:
@@ -134,6 +120,60 @@ def _merge_edge_partials(partials: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _input_fingerprint(prefix: str, paths) -> str:
+    """Stage fingerprint encoding the ACTUAL input lineage: a digest of the
+    ordered path list (a count-only fingerprint would let a same-sized but
+    different input reuse stale merged output)."""
+    import hashlib
+
+    h = hashlib.md5("\n".join(paths).encode("utf-8")).hexdigest()
+    return f"{prefix}:{len(list(paths))}:{h}"
+
+
+def _render_edge_rows(batch: pa.Table) -> pa.Table:
+    """(source_id, target_id, type, n_obs, first_doc) → unified-IR edge rows
+    with canonical JSON properties — shared by the streaming and
+    partitioned builds so the two cannot diverge."""
+    props = [
+        json_dumps({"n_obs": int(n), "first_doc": int(d)})
+        for n, d in zip(
+            batch.column("n_obs").to_pylist(), batch.column("first_doc").to_pylist()
+        )
+    ]
+    return pa.table(
+        {
+            "source_id": batch.column("source_id"),
+            "target_id": batch.column("target_id"),
+            "type": batch.column("type"),
+            "properties": pa.array(props, pa.string()),
+        }
+    )
+
+
+def _render_node_rows(batch: pa.Table) -> pa.Table:
+    """(surface, n_mentions) → unified-IR node rows — shared by every node
+    build path (streaming, partitioned, edges-derived)."""
+    surfaces = batch.column("surface").to_pylist()
+    n = batch.column("n_mentions").to_pylist()
+    return pa.table(
+        {
+            "id": pa.array([f"E:{s}" for s in surfaces], pa.string()),
+            "type": pa.array(
+                # .get fallback matches the oracle's ELSE 'code' branch
+                [ENTITY_TYPE.get(s, "code") for s in surfaces],
+                pa.string(),
+            ),
+            "properties": pa.array(
+                [
+                    json_dumps({"surface": s, "n_mentions": int(c)})
+                    for s, c in zip(surfaces, n)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def edges_from_triples(triples: rd.Dataset) -> rd.Dataset:
     """Triple dedup + provenance merge (the Oregano triple-dedup analog,
     kgw/biomedicine/_oregano.py:226-237, as a partial-agg shuffle).
@@ -144,24 +184,7 @@ def edges_from_triples(triples: rd.Dataset) -> rd.Dataset:
     """
     partials = triples.map_batches(_edge_partials, batch_format="pyarrow")
     merged = _merge_edge_partials(partials)
-
-    def render(batch: pa.Table) -> pa.Table:
-        props = [
-            json_dumps({"n_obs": int(n), "first_doc": int(d)})
-            for n, d in zip(
-                batch.column("n_obs").to_pylist(), batch.column("first_doc").to_pylist()
-            )
-        ]
-        return pa.table(
-            {
-                "source_id": batch.column("source_id"),
-                "target_id": batch.column("target_id"),
-                "type": batch.column("type"),
-                "properties": pa.array(props, pa.string()),
-            }
-        )
-
-    return merged.map_batches(render, batch_format="pyarrow")
+    return merged.map_batches(_render_edge_rows, batch_format="pyarrow")
 
 
 def _node_partials(batch: pa.Table) -> pa.Table:
@@ -186,30 +209,51 @@ def nodes_from_triples(triples: rd.Dataset) -> rd.Dataset:
     counts = _coalesce_partials(partials).groupby("surface").aggregate(
         Sum("n_partial", alias_name="n_mentions")
     )
+    return counts.map_batches(_render_node_rows, batch_format="pyarrow")
 
-    def render(batch: pa.Table) -> pa.Table:
-        surfaces = batch.column("surface").to_pylist()
-        n = batch.column("n_mentions").to_pylist()
+
+def nodes_from_edges(edges: rd.Dataset) -> rd.Dataset:
+    """Node table derived from the MERGED edges table instead of a second
+    corpus pass: every triple mention contributes one subj and one obj
+    occurrence, so n_mentions(s) = Σ n_obs over edges where s is source
+    plus Σ n_obs where s is target — two tiny aggregations over the edge
+    table (identical output to ``nodes_from_triples``; equality-tested).
+    ``build_webkg`` uses this so the expensive pages→extract→link pipeline
+    runs ONCE, not once per hub table."""
+    from ray.data.aggregate import Sum
+
+    def melt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n_obs = batch.column("n_obs").to_numpy(zero_copy_only=False)
+        surfaces = [s[2:] for s in batch.column("source_id").to_pylist()] + [
+            s[2:] for s in batch.column("target_id").to_pylist()
+        ]
         return pa.table(
             {
-                "id": pa.array([f"E:{s}" for s in surfaces], pa.string()),
-                "type": pa.array(
-                    # .get fallback keeps this path aligned with the
-                    # partitioned variant and the oracle's ELSE 'code' branch
-                    [ENTITY_TYPE.get(s, "code") for s in surfaces],
-                    pa.string(),
-                ),
-                "properties": pa.array(
-                    [
-                        json_dumps({"surface": s, "n_mentions": int(c)})
-                        for s, c in zip(surfaces, n)
-                    ],
-                    pa.string(),
-                ),
+                "surface": pa.array(surfaces, pa.string()),
+                "n_partial": pa.array(np.concatenate([n_obs, n_obs]), pa.int64()),
             }
         )
 
-    return counts.map_batches(render, batch_format="pyarrow")
+    def unrender(batch: pa.Table) -> pa.Table:
+        # recover (source_id, target_id, n_obs) from rendered edge rows
+        n_obs = [json_loads(p)["n_obs"] for p in batch.column("properties").to_pylist()]
+        return pa.table(
+            {
+                "source_id": batch.column("source_id"),
+                "target_id": batch.column("target_id"),
+                "n_obs": pa.array(n_obs, pa.int64()),
+            }
+        )
+
+    counts = (
+        edges.map_batches(unrender, batch_format="pyarrow")
+        .map_batches(melt, batch_format="pyarrow")
+        .groupby("surface")
+        .aggregate(Sum("n_partial", alias_name="n_mentions"))
+    )
+    return counts.map_batches(_render_node_rows, batch_format="pyarrow")
 
 
 def build_webkg(
@@ -233,14 +277,18 @@ def build_webkg(
     edges = resumable_stage(
         os.path.join(out_dir, "edges"),
         "edges",
-        fingerprint if resume else f"{fingerprint}:{os.getpid()}",
+        fingerprint,
         lambda: edges_from_triples(triples),
+        force=not resume,
     )
+    # nodes derive from the COMMITTED edges table (nodes_from_edges) — the
+    # pages→extract→link pipeline executes once, not once per hub table
     nodes = resumable_stage(
         os.path.join(out_dir, "nodes"),
         "nodes",
-        fingerprint if resume else f"{fingerprint}:{os.getpid()}",
-        lambda: nodes_from_triples(triples),
+        fingerprint,
+        lambda: nodes_from_edges(edges),
+        force=not resume,
     )
     return nodes, edges
 
@@ -302,7 +350,7 @@ def build_webkg_partitioned(
     )
 
     shards = partition_input_shards(document_files, num_partitions)
-    fingerprint = f"webkg_part:{len(document_files)}"
+    fingerprint = _input_fingerprint("webkg_part", sorted(document_files))
 
     def per_partition(paths: list[str]) -> rd.Dataset:
         docs = rd.read_parquet(paths, columns=["doc_id", "text", "lang", "source"])
@@ -331,26 +379,9 @@ def build_webkg_partitioned(
     )
 
     def merge() -> rd.Dataset:
-        merged = _merge_edge_partials(partials)
-
-        def render(batch: pa.Table) -> pa.Table:
-            props = [
-                json_dumps({"n_obs": int(n), "first_doc": int(d)})
-                for n, d in zip(
-                    batch.column("n_obs").to_pylist(),
-                    batch.column("first_doc").to_pylist(),
-                )
-            ]
-            return pa.table(
-                {
-                    "source_id": batch.column("source_id"),
-                    "target_id": batch.column("target_id"),
-                    "type": batch.column("type"),
-                    "properties": pa.array(props, pa.string()),
-                }
-            )
-
-        return merged.map_batches(render, batch_format="pyarrow")
+        return _merge_edge_partials(partials).map_batches(
+            _render_edge_rows, batch_format="pyarrow"
+        )
 
     return resumable_stage(
         os.path.join(out_dir, "edges"), "edges", fingerprint, merge
@@ -383,7 +414,7 @@ def build_webkg_partitioned_full(
     )
 
     shards = partition_input_shards(document_files, num_partitions)
-    fingerprint = f"webkg_part:{len(document_files)}"
+    fingerprint = _input_fingerprint("webkg_part", sorted(document_files))
 
     def per_partition_nodes(paths: list[str]) -> rd.Dataset:
         docs = rd.read_parquet(paths, columns=["doc_id", "text", "lang", "source"])
@@ -414,30 +445,10 @@ def build_webkg_partitioned_full(
     def merge_nodes() -> rd.Dataset:
         from ray.data.aggregate import Sum
 
-        counts = node_partials.groupby("surface").aggregate(
+        counts = _coalesce_partials(node_partials).groupby("surface").aggregate(
             Sum("n_partial", alias_name="n_mentions")
         )
-
-        def render(batch: pa.Table) -> pa.Table:
-            surfaces = batch.column("surface").to_pylist()
-            n = batch.column("n_mentions").to_pylist()
-            return pa.table(
-                {
-                    "id": pa.array([f"E:{s}" for s in surfaces], pa.string()),
-                    "type": pa.array(
-                        [ENTITY_TYPE.get(s, "code") for s in surfaces], pa.string()
-                    ),
-                    "properties": pa.array(
-                        [
-                            json_dumps({"surface": s, "n_mentions": int(c)})
-                            for s, c in zip(surfaces, n)
-                        ],
-                        pa.string(),
-                    ),
-                }
-            )
-
-        return counts.map_batches(render, batch_format="pyarrow")
+        return counts.map_batches(_render_node_rows, batch_format="pyarrow")
 
     nodes = resumable_stage(
         os.path.join(out_dir, "nodes"), "nodes", fingerprint, merge_nodes

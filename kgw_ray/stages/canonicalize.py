@@ -39,23 +39,36 @@ def _symmetrize(pairs: rd.Dataset) -> rd.Dataset:
 _DRIVER_PAIR_LIMIT = 5_000_000
 
 
-def connected_components(pairs: rd.Dataset, max_iter: int = 12) -> rd.Dataset:
-    """Min-label propagation. pairs: columns (a, b). Returns (id, component).
+def connected_components(pairs: rd.Dataset, max_iter: int = 16) -> rd.Dataset:
+    """Min-label propagation with pointer jumping. pairs: columns (a, b).
+    Returns (id, component).
 
     Small-graph fast path: a pair set ≤ 5M rows is merged with driver-side
     union-find (candidate-match pair sets are tiny relative to the corpus —
-    seconds vs a dozen join rounds). Beyond that, distributed min-label
-    propagation: each round label(id) = min over neighbors' labels, so after
-    r rounds every id knows the min id within distance 2^r. Partition key
+    seconds vs a dozen join rounds). Beyond that, distributed label
+    propagation: each round takes the min over neighbors' labels AND then
+    jumps ``label ← label(label)`` (pointer doubling), so the covered
+    radius roughly doubles per round — ``max_iter=16`` handles component
+    diameters far beyond any real near-dup chain. A non-converged exit
+    RAISES instead of silently returning split components. Partition key
     throughout: ``id`` — one hash shuffle per round over a table that is ≤
     |pairs| rows, not the full corpus.
     """
     import pyarrow as pa
 
+    # compact two-column projection, materialized ONCE: the size probe and
+    # both physical paths must not re-execute the pairs pipeline
+    pairs = pairs.select_columns(["a", "b"]).materialize()
     pairs_df = None
     n_pairs = pairs.count()
     if n_pairs <= _DRIVER_PAIR_LIMIT:
-        pairs_df = pairs.select_columns(["a", "b"]).to_pandas()
+        pairs_df = pairs.to_pandas()
+        if len(pairs_df) == 0 or "a" not in pairs_df.columns:
+            return rd.from_arrow(
+                pa.table(
+                    {"id": pa.array([], pa.string()), "component": pa.array([], pa.string())}
+                )
+            )
     if pairs_df is not None:
         parent: dict = {}
 
@@ -87,8 +100,8 @@ def connected_components(pairs: rd.Dataset, max_iter: int = 12) -> rd.Dataset:
     adj = _symmetrize(pairs).materialize()
     # initial label = min neighbor (includes self)
     labels = adj.groupby("id").aggregate(Min("nbr", alias_name="component"))
+    labels_mat = labels.materialize()
     for _ in range(max_iter):
-        labels_mat = labels.materialize()
         # propagate: join neighbor's current label onto each edge, take min per id
         nbr_labels = adj.join(
             labels_mat,
@@ -100,8 +113,31 @@ def connected_components(pairs: rd.Dataset, max_iter: int = 12) -> rd.Dataset:
         )
         new_labels = nbr_labels.groupby("id").aggregate(
             Min("component", alias_name="component")
+        ).materialize()
+        # pointer jump: component ← label(component). Neighbor-min alone
+        # covers distance r after r rounds; the jump doubles the covered
+        # radius per round (label values are themselves ids in the label
+        # table, so an inner self-join resolves them)
+        lab_of_lab = new_labels.rename_columns(
+            {"id": "component", "component": "component_jump"}
         )
-        new_mat = new_labels.materialize()
+        jumped = new_labels.join(
+            lab_of_lab,
+            join_type="inner",
+            num_partitions=_nparts(),
+            on=("component",),
+            right_suffix="_j",
+        )
+
+        def take_jump(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "id": df["id"],
+                    "component": df[["component", "component_jump"]].min(axis=1),
+                }
+            )
+
+        new_mat = jumped.map_batches(take_jump, batch_format="pandas").materialize()
         # convergence: has any label changed?
         joined = new_mat.join(
             labels_mat,
@@ -116,7 +152,11 @@ def connected_components(pairs: rd.Dataset, max_iter: int = 12) -> rd.Dataset:
             ),
             batch_format="pandas",
         ).sum("n")
-        labels = new_mat
+        labels_mat = new_mat
         if not changed:
-            break
-    return labels
+            return labels_mat
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} pointer-jump "
+        "rounds — component diameter exceeds 2^max_iter or the pair set is "
+        "inconsistent; raise max_iter explicitly"
+    )

@@ -71,11 +71,15 @@ def _typed_edges(nodes: rd.Dataset, edges: rd.Dataset, num_partitions) -> rd.Dat
     e = edges.select_columns(["source_id", "target_id", "type"]).rename_columns(
         {"type": "edge_type"}
     )
-    n_nodes = nodes.count()
+    # materialize the two-column projection ONCE: the size probe and the
+    # chosen path must not execute the (possibly expensive) nodes pipeline
+    # twice (same rule as joins.semi_join_dataset)
+    node_types = nodes.select_columns(["id", "type"]).materialize()
+    n_nodes = node_types.count()
     if n_nodes <= _BROADCAST_NODE_LIMIT:
         import ray
 
-        id_type = nodes.select_columns(["id", "type"]).to_pandas()
+        id_type = node_types.to_pandas()
         ref = ray.put(dict(zip(id_type["id"], id_type["type"])))
 
         class AddTypes:
@@ -95,12 +99,8 @@ def _typed_edges(nodes: rd.Dataset, edges: rd.Dataset, num_partitions) -> rd.Dat
 
         return e.map_batches(AddTypes, batch_format="pandas", concurrency=(1, 8))
 
-    src_t = nodes.select_columns(["id", "type"]).rename_columns(
-        {"type": "source_type"}
-    )
-    tgt_t = nodes.select_columns(["id", "type"]).rename_columns(
-        {"type": "target_type"}
-    )
+    src_t = node_types.rename_columns({"type": "source_type"})
+    tgt_t = node_types.rename_columns({"type": "target_type"})
     j1 = large_join(
         e, src_t, on=("source_id",), right_on=("id",), num_partitions=num_partitions
     ).select_columns(["source_id", "target_id", "edge_type", "source_type"])
@@ -163,6 +163,11 @@ def neighborhood(edges: rd.Dataset, node_id: str) -> rd.Dataset:
 
     touch = edges.map_batches(touching, batch_format="pyarrow")
     tdf = touch.to_pandas()  # 1-hop edge set: small by assumption
+    if len(tdf) == 0 or "source_id" not in tdf.columns:
+        # isolated/unknown node: empty pulls drop their schema, and an
+        # empty value set would make pc.is_in raise (null-typed array) —
+        # return an empty dataset that keeps the edge schema
+        return edges.limit(0)
     nbrs = set(tdf["source_id"]) | set(tdf["target_id"])
 
     both_in = semi_join_filter(
@@ -184,16 +189,6 @@ def triple_dedup(edges: rd.Dataset) -> rd.Dataset:
         ["source_id", "type", "target_id"],
         Count(alias_name="n"),
     )
-
-
-def _count_partial(df: pd.DataFrame) -> pa.Table:
-    g = (
-        df.groupby(["source_id", "type", "target_id"], sort=False)
-        .size()
-        .rename("n_partial")
-        .reset_index()
-    )
-    return arrow_from_pandas(g)
 
 
 def degree_distribution(edges: rd.Dataset) -> rd.Dataset:

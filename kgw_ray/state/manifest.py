@@ -49,6 +49,20 @@ def read_manifest(out_dir: str) -> Optional[StageManifest]:
         return None
 
 
+def _clean_stale_tmps(target: str) -> None:
+    """Remove orphaned ``<target>.tmp-<uuid>`` siblings left by runs killed
+    between ``write_parquet`` and the commit rename — each crash would
+    otherwise leak a full copy of the stage output forever (fresh uuids
+    mean no later run ever reuses them)."""
+    parent = os.path.dirname(os.path.abspath(target))
+    prefix = os.path.basename(target) + ".tmp-"
+    if not os.path.isdir(parent):
+        return
+    for name in os.listdir(parent):
+        if name.startswith(prefix):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def resumable_stage(
     out_dir: str,
     stage: str,
@@ -56,16 +70,21 @@ def resumable_stage(
     fn: Callable[[], rd.Dataset],
     *,
     extra: Optional[dict] = None,
+    force: bool = False,
 ) -> rd.Dataset:
     """Run ``fn`` → write Parquet atomically → manifest; or skip if committed.
 
     ``fingerprint`` encodes the input lineage (paths + params); a manifest
     whose fingerprint differs is treated as stale and the stage reruns.
+    ``force=True`` bypasses the manifest check and recomputes
+    unconditionally (the correct no-resume semantics — a salted
+    fingerprint would still collide within one process).
     """
     m = read_manifest(out_dir)
-    if m is not None and m.fingerprint == fingerprint and m.stage == stage:
+    if not force and m is not None and m.fingerprint == fingerprint and m.stage == stage:
         return rd.read_parquet(out_dir)
 
+    _clean_stale_tmps(out_dir)
     tmp_dir = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
@@ -134,6 +153,7 @@ def resumable_partitioned_run(
         m = read_manifest(pdir)
         if m is not None and m.fingerprint == part_fp and m.stage == stage:
             continue
+        _clean_stale_tmps(pdir)
         tmp_dir = f"{pdir}.tmp-{uuid.uuid4().hex[:8]}"
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)

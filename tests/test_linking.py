@@ -97,3 +97,24 @@ def test_connected_components_reference():
     expect = {x: find(x) for e in edges for x in e}
     got_map = dict(zip(got["id"], got["component"]))
     assert got_map == expect
+
+
+def test_connected_components_distributed_long_chain(monkeypatch):
+    """The distributed label-propagation path (forced) must merge a chain
+    component whose diameter far exceeds the round count that plain
+    neighbor-min propagation could cover — pointer jumping doubles the
+    radius per round."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages import canonicalize as canon
+
+    monkeypatch.setattr(canon, "_DRIVER_PAIR_LIMIT", 0)
+    n = 60  # diameter 60 ≫ a 16-round neighbor-min reach, ≪ 2^16
+    ids = [f"s{i:03d}" for i in range(n)]
+    pairs = rd.from_arrow(
+        pa.table({"a": ids[:-1], "b": ids[1:]})
+    )
+    out = canon.connected_components(pairs).to_pandas()
+    assert set(out["component"]) == {"s000"}
+    assert len(out) == n

@@ -62,3 +62,14 @@ def test_semi_and_anti_join_empty_keys():
     empty = left.filter(expr="k > 99")
     assert semi_join_dataset(left, empty, on="k").count() == 0
     assert sorted(anti_join(left, empty, on="k").to_pandas()["k"]) == [1, 2, 3]
+
+
+def test_neighborhood_unknown_node_returns_empty(sf_correct):
+    """A node with no edges must yield an empty result with the edge
+    schema intact, not an ArrowTypeError from a null-typed value set."""
+    from kgw_ray.pipelines.tpch_kg import tpch_graph
+    from kgw_ray.stages.graph import neighborhood
+
+    out = neighborhood(tpch_graph(sf_correct)[1], "NO_SUCH_NODE")
+    df = out.to_pandas()
+    assert len(df) == 0

@@ -168,3 +168,25 @@ def test_build_webkg_partitioned_full(tmp_path):
     )
     assert got.equals(want)
     assert edges.count() > 0
+
+
+def test_stale_tmp_dirs_cleaned(tmp_path):
+    """Orphaned .tmp-<uuid> dirs from a killed run are removed when the
+    stage next executes (they would otherwise leak a full output copy per
+    crash, forever)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.state.manifest import resumable_stage
+
+    out = str(tmp_path / "stage_out")
+    stale = f"{out}.tmp-deadbeef"
+    os.makedirs(stale)
+    open(os.path.join(stale, "leftover.parquet"), "w").write("x")
+    resumable_stage(
+        out, "s", "fp", lambda: rd.from_arrow(pa.table({"x": [1, 2]}))
+    )
+    assert not os.path.exists(stale)
+    assert os.path.exists(os.path.join(out, "_MANIFEST.json"))

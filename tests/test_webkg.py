@@ -91,3 +91,49 @@ def test_build_webkg_and_resume(sf_smoke, tmp_path):
 
 def test_url_for_zero_pad():
     assert url_for(7, "src1") == "https://src1.example.org/doc/00000007"
+
+
+def test_nodes_from_edges_equals_nodes_from_triples(sf_smoke):
+    """build_webkg derives nodes from the merged edge table (one corpus
+    pass); the derivation must equal the direct triple aggregation."""
+    from kgw_ray.pipelines.webkg import (
+        edges_from_triples,
+        nodes_from_edges,
+        nodes_from_triples,
+        triples_dataset,
+    )
+
+    triples = triples_dataset(sf_smoke)
+    direct = (
+        nodes_from_triples(triples).to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    derived = (
+        nodes_from_edges(edges_from_triples(triples))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(direct, derived)
+
+
+def test_build_webkg_force_recomputes(tmp_path, sf_smoke):
+    """resume=False must actually recompute: a prior commit in the same
+    process must not be reused (the old pid-salted fingerprint collided)."""
+    import json
+    import os
+
+    from kgw_ray.pipelines.webkg import build_webkg
+
+    out = str(tmp_path / "hub")
+    build_webkg(sf_smoke, out, resume=True)
+    mpath = os.path.join(out, "edges", "_MANIFEST.json")
+    first = json.load(open(mpath))
+    # poison the manifest wall time so a rerun that skips is detectable
+    first["wall_time_sec"] = -1.0
+    json.dump(first, open(mpath, "w"))
+    build_webkg(sf_smoke, out, resume=True)  # resume: must skip (stays -1)
+    assert json.load(open(mpath))["wall_time_sec"] == -1.0
+    build_webkg(sf_smoke, out, resume=False)  # force: must rewrite
+    assert json.load(open(mpath))["wall_time_sec"] != -1.0
