@@ -22,6 +22,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from kgw_ray.functions.arrow_utils import arrow_from_pandas
 from kgw_ray.sources.readers import read_table
+from kgw_ray.stages.agg import grouped_aggregate
 from kgw_ray.stages.joins import broadcast_join, large_join
 
 _R = 2  # money rounding (both sides of every oracle)
@@ -67,7 +68,9 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
         return arrow_from_pandas(out)
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    merged = partials.materialize().groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    merged = grouped_aggregate(
+        partials,
+        ["l_returnflag", "l_linestatus"],
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_price", alias_name="sum_base_price"),
         Sum("sum_disc_price", alias_name="sum_disc_price"),
@@ -173,8 +176,8 @@ def q3_top_orders(sf_dir: str, *, force_hash_join: bool = False) -> rd.Dataset:
         )
 
     partials = j.map_batches(partial, batch_format="pandas")
-    merged = partials.materialize().groupby(["l_orderkey", "o_orderdate"]).aggregate(
-        Sum("revenue", alias_name="revenue")
+    merged = grouped_aggregate(
+        partials, ["l_orderkey", "o_orderdate"], Sum("revenue", alias_name="revenue")
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -248,7 +251,9 @@ def q5_revenue_by_nation(sf_dir: str, *, force_hash_join: bool = False) -> rd.Da
         )
 
     partials = j.map_batches(partial, batch_format="pandas")
-    merged = partials.materialize().groupby("c_nationkey").aggregate(Sum("revenue", alias_name="revenue"))
+    merged = grouped_aggregate(
+        partials, "c_nationkey", Sum("revenue", alias_name="revenue")
+    )
 
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
@@ -298,8 +303,11 @@ def events_hourly_window(sf_dir: str) -> rd.Dataset:
         return arrow_from_pandas(g.agg(n="size", sum_value="sum").reset_index())
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    merged = partials.materialize().groupby(["event_type", "hour"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    merged = grouped_aggregate(
+        partials,
+        ["event_type", "hour"],
+        Sum("n", alias_name="n"),
+        Sum("sum_value", alias_name="sum_value"),
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -406,11 +414,10 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> rd.Dataset:
             df.groupby("user_id", sort=False)["value"].sum().rename("total_value").reset_index()
         )
 
-    merged = (
-        ds.map_batches(partial, batch_format="pandas")
-        .materialize()  # lazy partials into an AllToAll degrade ~4x (agg.py)
-        .groupby("user_id")
-        .aggregate(Sum("total_value", alias_name="total_value"))
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id",
+        Sum("total_value", alias_name="total_value"),
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -499,7 +506,8 @@ def distinct_event_types(sf_dir: str) -> pa.Table:
     ``Dataset.unique`` runs the distributed distinct and returns the (small)
     value list to the driver."""
     ds = read_table(sf_dir, "events", columns=["event_type"])
-    return pa.table({"event_type": pa.array(sorted(ds.unique("event_type")))})
+    vals = ds.unique("event_type") or []  # None when the table is empty
+    return pa.table({"event_type": pa.array(sorted(vals), pa.string())})
 
 
 DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
@@ -528,8 +536,11 @@ def events_sliding_window(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(expand, batch_format="pandas")
-    merged = partials.materialize().groupby("window_start").aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    merged = grouped_aggregate(
+        partials,
+        "window_start",
+        Sum("n", alias_name="n"),
+        Sum("sum_value", alias_name="sum_value"),
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -655,18 +666,26 @@ def events_props_extract(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "events", columns=["event_type", "props"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        ks = [json_loads(p).get("k", 0) for p in batch.column("props").to_pylist()]
+        # missing / null / non-numeric k counts as 0 (a JSON null would
+        # otherwise poison the pandas sum with a NoneType); the oracle's
+        # SUM skips NULLs, which only differs for an all-null group —
+        # impossible in this schema's generator
+        def k_of(p):
+            v = json_loads(p).get("k") if p else None
+            return int(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else 0
+
+        ks = [k_of(p) for p in batch.column("props").to_pylist()]
         df = pd.DataFrame(
             {"event_type": batch.column("event_type").to_pylist(), "k": ks}
         )
         g = df.groupby("event_type", sort=False)["k"]
         return arrow_from_pandas(g.agg(sum_k="sum", n="size").reset_index())
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .materialize()
-        .groupby("event_type")
-        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "event_type",
+        Sum("sum_k", alias_name="sum_k"),
+        Sum("n", alias_name="n"),
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -181,8 +181,14 @@ def json_record_nodes(
         ids, types, props = [], [], []
         for rec in batch.column("record").to_pylist():
             d = json_loads(rec)
-            ids.append(str(d[id_key]))
-            types.append(str(d.get(type_key, default_type)))
+            rid = d.get(id_key)
+            if rid is None:
+                continue  # null id = uninformative record, dropped (not "None")
+            t = d.get(type_key)
+            ids.append(str(rid))
+            # a JSON null type falls back to default_type instead of the
+            # literal string "None" (d.get's default only covers MISSING)
+            types.append(str(t) if t is not None else default_type)
             props.append(
                 json_dumps(
                     filter_informative({k: v for k, v in d.items() if k not in skip})
@@ -220,16 +226,22 @@ def tsv_edges(
         )
         cols = {c: batch.column(c).to_pylist() for c in set([source_col, target_col, type_col] + pcols)}
         n = batch.num_rows
-        props = []
+        src, tgt, typ, props = [], [], [], []
         for i in range(n):
+            s, t, ty = cols[source_col][i], cols[target_col][i], cols[type_col][i]
+            if s is None or t is None or ty is None:
+                continue  # null triple member = uninformative row, dropped
+            src.append(str(s))
+            tgt.append(str(t))
+            typ.append(str(ty))
             props.append(
                 json_dumps(filter_informative({c: cols[c][i] for c in pcols}))
             )
         return pa.table(
             {
-                "source_id": pa.array([str(x) for x in cols[source_col]], pa.string()),
-                "target_id": pa.array([str(x) for x in cols[target_col]], pa.string()),
-                "type": pa.array([str(x) for x in cols[type_col]], pa.string()),
+                "source_id": pa.array(src, pa.string()),
+                "target_id": pa.array(tgt, pa.string()),
+                "type": pa.array(typ, pa.string()),
                 "properties": pa.array(props, pa.string()),
             }
         )

@@ -28,7 +28,6 @@ def grouped_aggregate(
     partials: rd.Dataset,
     keys: Union[str, Sequence[str]],
     *aggs,
-    num_partitions: Optional[int] = None,
     materialize_partials: bool = True,
 ) -> rd.Dataset:
     """groupby(keys).aggregate(aggs) over pre-aggregated partials.
@@ -46,17 +45,6 @@ def grouped_aggregate(
     if materialize_partials:
         partials = partials.materialize()
     return partials.groupby(keys).aggregate(*aggs)
-
-
-def grouped_map_groups(
-    ds: rd.Dataset,
-    keys: Union[str, Sequence[str]],
-    fn,
-    *,
-    batch_format: str = "pandas",
-    num_partitions: Optional[int] = None,
-) -> rd.Dataset:
-    return ds.groupby(keys).map_groups(fn, batch_format=batch_format)
 
 
 def salted_aggregate(

@@ -30,16 +30,38 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
+def _empty_topk_table() -> pa.Table:
+    """Typed empty result — empty Ray pulls drop their schema (pc.is_in
+    pruning can legitimately empty the probed set: dead IVF cells)."""
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+
+
 def _topk_partial(
     bids: np.ndarray, V: np.ndarray, Q: np.ndarray, qids: np.ndarray, k: int
 ) -> pd.DataFrame:
-    """Local top-k of one batch against all queries. V, Q pre-normalized."""
+    """Local top-k of one batch against all queries. V, Q pre-normalized.
+
+    The local selection applies the SAME (sim DESC, vec_id ASC) tie-break
+    as the global reduce: a bare argpartition picks boundary ties
+    arbitrarily, so an exact-duplicate vector with a smaller id could be
+    dropped locally and the oracle's row_number ordering violated."""
     S = Q @ V.T  # (nq, B)
     nq, B = S.shape
     kk = min(k, B)
-    idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-    rows = np.repeat(np.arange(nq), kk)
-    cols = idx.reshape(-1)
+    rows_out, cols_out = [], []
+    for qi in range(nq):
+        order = np.lexsort((bids, -S[qi]))[:kk]
+        rows_out.append(np.full(kk, qi))
+        cols_out.append(order)
+    rows = np.concatenate(rows_out)
+    cols = np.concatenate(cols_out)
     return pd.DataFrame(
         {
             "query_id": qids[rows],
@@ -81,6 +103,8 @@ def brute_force_topk(
     partials = embeds.map_batches(Local, batch_format="pyarrow", concurrency=(1, 8))
     # final reduce: ≤ (#blocks × nq × k) rows — tiny
     df = partials.to_pandas()
+    if len(df) == 0 or "query_id" not in df.columns:
+        return _empty_topk_table()
     df = df.sort_values(
         ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
     )
@@ -152,6 +176,10 @@ class IVFIndex:
         1/16th of a web-scale corpus in ONE map_groups group."""
         import ray
 
+        # materialize once: the count probe, the sample pull and the
+        # assignment pass must not re-execute a derived input pipeline
+        # (the semi_join_dataset rule)
+        embeds = embeds.materialize()
         if n_cells is None:
             n = embeds.count()
             n_cells = int(min(4096, max(16, round(np.sqrt(max(n, 1))))))
@@ -232,6 +260,8 @@ class IVFIndex:
         )
         partials = pruned.map_batches(Local, batch_format="pyarrow", concurrency=(1, 8))
         df = partials.to_pandas()
+        if len(df) == 0 or "query_id" not in df.columns:
+            return _empty_topk_table()
         df = df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
         df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
         df["rank"] = df.groupby("query_id").cumcount() + 1

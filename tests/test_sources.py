@@ -273,3 +273,40 @@ def test_html_index_implicit_anchor_close(tmp_path):
         '<a href="https://d/2024-04-01/">2024-04-01</a>'
     )
     assert get_versions_from_html_index(hx.as_uri()) == ["2024-03-01", "2024-04-01"]
+
+
+def test_adapters_drop_null_members(tmp_path):
+    """JSON null ids/types and null TSV triple members must be dropped or
+    defaulted — not rendered as the literal string 'None' (review)."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    recs = rd.from_arrow(
+        pa.table(
+            {
+                "record": [
+                    _json.dumps({"id": 7, "type": None, "x": 1}),
+                    _json.dumps({"id": None, "type": "g"}),
+                    _json.dumps({"type": "g", "x": 2}),  # id missing
+                    _json.dumps({"id": "ok", "type": "g"}),
+                ]
+            }
+        )
+    )
+    nodes = fs.json_record_nodes(recs, id_key="id", type_key="type").to_pandas()
+    assert sorted(nodes["id"]) == ["7", "ok"]
+    assert nodes.set_index("id").loc["7", "type"] == "record"  # default_type
+
+    rows = rd.from_arrow(
+        pa.table(
+            {
+                "s": ["a", None, "c"],
+                "o": ["x", "y", None],
+                "p": ["r1", "r2", "r3"],
+            }
+        )
+    )
+    edges = fs.tsv_edges(rows, source_col="s", target_col="o", type_col="p").to_pandas()
+    assert len(edges) == 1 and edges.iloc[0]["source_id"] == "a"

@@ -359,3 +359,26 @@ def test_approx_quantiles_many_small_blocks():
     ds = rd.from_arrow(pa.table({"value": pa.array(vals)})).repartition(40)
     got = approx_quantiles(ds, "value", (0.5,))
     assert abs(got[0.5] - 499.5) < 25
+
+
+def test_topk_tie_break_across_block_boundary():
+    """Exact-duplicate vectors straddling the local top-k boundary must
+    resolve by vec_id ascending, matching the oracle's row_number order
+    (review: bare argpartition picked boundary ties arbitrarily)."""
+    import ray.data as rd
+
+    from kgw_ray.stages.similarity import brute_force_topk
+
+    # 12 identical vectors; k=10 must keep ids 0..9 exactly
+    v = [1.0, 0.0]
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(12), pa.int64()),
+                "embedding": pa.array([v] * 12, pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = brute_force_topk(emb, np.array([v]), np.array([0]), k=10).to_pandas()
+    assert list(out["vec_id"]) == list(range(10))
+    assert list(out["rank"]) == list(range(1, 11))
