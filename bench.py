@@ -97,11 +97,15 @@ def run_bench(sf_dir: str, num_cpus: int, queries: list[str]) -> dict:
     # best-of-2 per pipeline: single-shot timings on this box swing ±30%
     # with background load; min-of-2 is the standard noise guard and the
     # methodology is declared in the output ("reps"/"agg")
+    unknown = [n for n in queries if n not in QUERIES]
+    if unknown:
+        raise ValueError(
+            f"unknown bench queries {unknown}; a silent skip would report a "
+            f"phantom speedup. Known: {sorted(QUERIES)}"
+        )
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in queries:
-        if name not in QUERIES:
-            continue
         times = []
         for _rep in range(2):
             t0 = time.monotonic()
@@ -134,29 +138,36 @@ def _prepare_scaled_corpus(sf_dir: str, repeat: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from kgw_ray.sources.pages import _REPEAT_STRIDE  # one stride, both paths
+
+    src = os.path.join(sf_dir, "documents.parquet")
     out_dir = f"/tmp/kgw_bench/{os.path.basename(os.path.normpath(sf_dir))}_x{repeat}"
     out = os.path.join(out_dir, "documents.parquet")
     done = os.path.join(out, "_DONE")
-    if not os.path.exists(done):
+    # cache key includes the SOURCE's size+mtime so a regenerated testdata
+    # drop invalidates the scaled copy instead of benchmarking stale data
+    st = os.stat(src)
+    cache_key = f"{st.st_size}:{int(st.st_mtime)}:{_REPEAT_STRIDE}"
+    if not (os.path.exists(done) and open(done).read() == cache_key):
         # one shard file per (replica, quarter): a single parquet file reads
         # as ONE Ray task that streams its split-blocks serially — the read
         # becomes the pipeline's serial floor; many files = parallel read
         # (the real Common-Crawl shape: thousands of shard files)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
-        t = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text", "lang", "source"],
-        )
+        t = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
         quarters = 4
         qsize = t.num_rows // quarters
         for r in range(repeat):
             rep = t.set_column(
-                0, "doc_id", pa.compute.add(t.column("doc_id"), r * 100_000_000)
+                0, "doc_id", pa.compute.add(t.column("doc_id"), r * _REPEAT_STRIDE)
             )
             for q in range(quarters):
                 sl = rep.slice(q * qsize, qsize if q < quarters - 1 else None)
                 pq.write_table(sl, os.path.join(out, f"part-{r:03d}-{q}.parquet"))
-        open(done, "w").write("")
+        open(done, "w").write(cache_key)
     return out_dir
 
 

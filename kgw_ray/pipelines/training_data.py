@@ -253,21 +253,16 @@ def curate_documents(sf_dir: str) -> rd.Dataset:
     Ordering note: cheap vectorized filters run FIRST so the expensive
     shingle/LSH stage sees only the quality-surviving subset.
     """
-    import hashlib
-
     from ray.data.aggregate import Min
 
     from kgw_ray.stages.dedup import minhash_dedup_keep
     from kgw_ray.stages.joins import semi_join_dataset
-    from kgw_ray.stages.textstats import quality_stats_batch
+    from kgw_ray.stages.textstats import content_md5_list, quality_stats_batch
 
     def enrich(batch: pa.Table) -> pa.Table:
         # ONE pass: quality stats + exact-dedup hash, text kept for LSH
         stats = quality_stats_batch(batch)
-        md5s = [
-            hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            for t in batch.column("text").to_pylist()
-        ]
+        md5s = content_md5_list(batch.column("text").to_pylist())
         return stats.append_column(
             "content_md5", pa.array(md5s, pa.string())
         ).append_column("text", batch.column("text"))

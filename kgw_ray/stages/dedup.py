@@ -25,7 +25,6 @@ web-dedup mitigation for degenerate buckets.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Optional
 
 import numpy as np
@@ -49,11 +48,10 @@ def exact_dedup_keep(ds: rd.Dataset, *, text_col: str = "text", id_col: str = "d
     """
     from ray.data.aggregate import Min
 
+    from kgw_ray.stages.textstats import content_md5_list
+
     def hash_batch(batch: pa.Table) -> pa.Table:
-        md5s = [
-            hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            for t in batch.column(text_col).to_pylist()
-        ]
+        md5s = content_md5_list(batch.column(text_col).to_pylist())
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -211,9 +209,13 @@ class MinHashLSH:
 
 def _bucket_pairs(ids: np.ndarray, buckets: np.ndarray, max_bucket: int) -> pd.DataFrame:
     """Vectorized in-group pair expansion: sort by bucket, find runs, emit
-    triu pairs per run (chain pairs past ``max_bucket`` — the skew guard:
-    boilerplate buckets at web scale would otherwise emit O(m²) pairs;
-    chains keep the component connected at O(m))."""
+    triu pairs per run. Runs past ``max_bucket`` emit stride-1 AND stride-2
+    chain pairs instead of O(m²) triu — the skew guard for boilerplate
+    buckets. Truncation note: chains keep a bucket's TRUE duplicates
+    connected only while the verify stage keeps the chain links; stride-2
+    links survive any single interleaved false collision, but adversarial
+    alternations can still split groups — a documented bounded-recall
+    trade, standard degenerate-bucket mitigation."""
     order = np.lexsort((ids, buckets))
     b, i = buckets[order], ids[order]
     starts = np.concatenate(([0], np.nonzero(np.diff(b))[0] + 1, [len(b)]))
@@ -229,6 +231,9 @@ def _bucket_pairs(ids: np.ndarray, buckets: np.ndarray, max_bucket: int) -> pd.D
         if m > max_bucket:
             out_a.append(run[:-1])
             out_b.append(run[1:])
+            if m > 2:  # stride-2 links tolerate one false-collision gap
+                out_a.append(run[:-2])
+                out_b.append(run[2:])
         else:
             iu, ju = np.triu_indices(m, k=1)
             out_a.append(run[iu])
@@ -279,7 +284,12 @@ def lsh_candidate_pairs(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
             )
         elif m > max_bucket:
-            out = pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
+            out = pd.DataFrame(
+                {
+                    "a": np.concatenate([ids[:-1], ids[:-2]]),
+                    "b": np.concatenate([ids[1:], ids[2:]]),
+                }
+            )
         else:
             iu, ju = np.triu_indices(m, k=1)
             out = pd.DataFrame({"a": ids[iu], "b": ids[ju]})
@@ -364,8 +374,10 @@ def jaccard_verify_pairs(
             ignore_index=True
         )
         # re-feed the deduped (small) pair set so cross-band duplicates are
-        # verified once; verification itself stays distributed
-        pairs = rd.from_arrow(arrow_from_pandas(cand_ids_tbl))
+        # verified once; from_arrow yields ONE block, so repartition —
+        # otherwise the per-pair verify loop runs serially in one task
+        n_parts = max(1, min(32, len(cand_ids_tbl) // 2000 + 1))
+        pairs = rd.from_arrow(arrow_from_pandas(cand_ids_tbl)).repartition(n_parts)
         cand_ids = set(cand_ids_tbl["a"]) | set(cand_ids_tbl["b"])
         # value-set built ONCE on the driver; tasks read it zero-copy from
         # plasma (task map beats an actor pool for trivial state)
@@ -477,6 +489,8 @@ def minhash_dedup_keep(
     keep_columns: Optional[list] = None,
     verify_broadcast_limit: int = 500_000,
     force_shuffle_verify: bool = False,
+    coarse_groups: bool = True,
+    max_bucket: int = 64,
 ) -> rd.Dataset:
     """Full near-dup dedup: LSH candidates → Jaccard verify → connected
     components → keep min doc_id per component.
@@ -485,7 +499,10 @@ def minhash_dedup_keep(
     columns of the surviving input rows instead (the drop-set filter is
     map-side either way — only near-dup members ever reach the driver).
     ``force_shuffle_verify`` / ``verify_broadcast_limit`` select the
-    verify path (see ``jaccard_verify_pairs``).
+    verify path (see ``jaccard_verify_pairs``); ``coarse_groups`` /
+    ``max_bucket`` tune the LSH blocking granularity and skew guard (see
+    ``lsh_candidate_pairs`` — pass ``coarse_groups=False`` past ~10^7 docs
+    per band).
     """
     from ray.data.aggregate import Min
 
@@ -500,7 +517,9 @@ def minhash_dedup_keep(
     band_rows = docs.select_columns(["doc_id", "text"]).map_batches(
         band_fn, batch_format="pyarrow"
     )
-    cands = lsh_candidate_pairs(band_rows)
+    cands = lsh_candidate_pairs(
+        band_rows, max_bucket=max_bucket, coarse_groups=coarse_groups
+    )
     verified = jaccard_verify_pairs(
         cands,
         docs,
@@ -514,11 +533,15 @@ def minhash_dedup_keep(
     # verify); merge them into components with driver-side union-find — the
     # small-graph fast path. A pair set too large for the driver falls back
     # to distributed min-label propagation (stages/canonicalize.py).
-    pairs_df = verified.select_columns(["a", "b"]).to_pandas()
+    # Materialized ONCE: the size probe must not pull an over-limit pair
+    # set to the driver, and the fallback must not re-execute the verify DAG.
+    verified = verified.select_columns(["a", "b"]).materialize()
+    n_verified = verified.count()
     drop_ids: np.ndarray
-    if len(pairs_df) == 0:
+    if n_verified == 0:
         drop_ids = np.zeros(0, dtype=np.int64)
-    elif len(pairs_df) <= 5_000_000:
+    elif n_verified <= 5_000_000:
+        pairs_df = verified.to_pandas()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -699,8 +722,9 @@ def simhash_near_dup_pairs(
             if m < 2:
                 continue
             if m > max_bucket:
-                iu = np.arange(m - 1)
-                ju = iu + 1
+                # stride-1 + stride-2 chains (see _bucket_pairs truncation note)
+                iu = np.concatenate([np.arange(m - 1), np.arange(m - 2)])
+                ju = np.concatenate([np.arange(1, m), np.arange(2, m)])
             else:
                 iu, ju = np.triu_indices(m, k=1)
             ham = _hamming64(hs[s:e][iu] ^ hs[s:e][ju])
@@ -764,7 +788,6 @@ def embedding_near_dup_pairs(
     class Pairs:
         def __init__(self):
             self.ids, self.M = ray.get(ref)
-            self.pos = {v: i for i, v in enumerate(self.ids)}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bids = batch.column(id_col).to_numpy(zero_copy_only=False)

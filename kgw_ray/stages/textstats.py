@@ -282,6 +282,14 @@ def rolling_fingerprint(toks: list[str], w: int = 8) -> int:
         return int(win.min())
 
 
+def content_md5_list(texts) -> list[str]:
+    """Exact-dedup content hash of each text (None → ""), byte-identical to
+    DuckDB ``md5(text)`` — THE one implementation; exact_dedup_keep,
+    fingerprint_batch and curate_documents all call this so the first-wins
+    semantics can never diverge between stages."""
+    return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, text) → (doc_id, content_md5, fingerprint).
 
@@ -289,7 +297,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     ``fingerprint`` is the winnowing rolling hash (rows-only check).
     """
     texts = batch.column("text").to_pylist()
-    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    md5s = content_md5_list(texts)
     fps = [rolling_fingerprint((t or "").split()) for t in texts]
     return pa.table(
         {
