@@ -374,10 +374,13 @@ def jaccard_verify_pairs(
             ignore_index=True
         )
         # re-feed the deduped (small) pair set so cross-band duplicates are
-        # verified once; from_arrow yields ONE block, so repartition —
-        # otherwise the per-pair verify loop runs serially in one task
-        n_parts = max(1, min(32, len(cand_ids_tbl) // 2000 + 1))
-        pairs = rd.from_arrow(arrow_from_pandas(cand_ids_tbl)).repartition(n_parts)
+        # verified once; from_arrow yields ONE block, so a LARGE pair set
+        # must repartition or the per-pair verify loop runs serially in one
+        # task (small sets skip the extra op — one task is already optimal)
+        pairs = rd.from_arrow(arrow_from_pandas(cand_ids_tbl))
+        n_parts = min(32, len(cand_ids_tbl) // 5000)
+        if n_parts > 1:
+            pairs = pairs.repartition(n_parts)
         cand_ids = set(cand_ids_tbl["a"]) | set(cand_ids_tbl["b"])
         # value-set built ONCE on the driver; tasks read it zero-copy from
         # plasma (task map beats an actor pool for trivial state)
