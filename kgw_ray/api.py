@@ -211,7 +211,14 @@ def run(workflow, *, num_workers: Optional[int] = None) -> bool:
                 logger.info("skip %s:%s (output exists)", project._label, t.name)
         if not pending:
             continue
-        nodes, edges = project.graph()
+        try:
+            nodes, edges = project.graph()
+        except Exception:
+            # the documented contract is a boolean (True iff every task
+            # succeeded) — a broken hub build must not abort other projects
+            logger.exception("hub build failed for %s", project._label)
+            ok = False
+            continue
         for t in pending:
             t0 = time.monotonic()
             try:
@@ -245,7 +252,10 @@ class WebKG(Project):
         )
 
         sf_dir = f"/root/testdata/{self.version}"
-        triples = triples_dataset(sf_dir)
+        # materialize ONCE: the hub writes nodes and edges as separate
+        # resumable stages, and a shared LAZY triples dataset would run the
+        # whole pages->extract->link pipeline once per stage
+        triples = triples_dataset(sf_dir).materialize()
         return nodes_from_triples(triples), edges_from_triples(triples)
 
 

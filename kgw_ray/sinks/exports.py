@@ -255,6 +255,14 @@ def _attr_schema_task(batch: pa.Table, start: int) -> dict:
     return _attr_schema_of_block(batch, start)
 
 
+def _graphml_key_id(owner: str, k: str) -> str:
+    """Key id for a property attribute. A property literally named "type"
+    would collide with the built-in ``{owner}_type`` declaration (duplicate
+    XML ids — the reference load.py:404-459 shares this bug); disambiguate
+    that one id, keeping every other id reference-identical."""
+    return f"{owner}_{k}_prop" if k == "type" else f"{owner}_{k}"
+
+
 def _attr_schema_from_refs(
     refs: list, offsets: list, owner: str
 ) -> list[tuple[str, str, str]]:
@@ -322,7 +330,8 @@ def write_graphml(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
             if props:
                 for k, v in json_loads(props).items():
                     out.append(
-                        f'      <data key="node_{_attr(k)}">{_graphml_value(v)}</data>'
+                        f'      <data key="{_attr(_graphml_key_id("node", k))}">'
+                        f"{_graphml_value(v)}</data>"
                     )
             out.append("    </node>")
         return "\n".join(out) + "\n" if out else ""
@@ -345,7 +354,8 @@ def write_graphml(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
             if props:
                 for k, v in json_loads(props).items():
                     out.append(
-                        f'      <data key="edge_{_attr(k)}">{_graphml_value(v)}</data>'
+                        f'      <data key="{_attr(_graphml_key_id("edge", k))}">'
+                        f"{_graphml_value(v)}</data>"
                     )
             out.append("    </edge>")
         return "\n".join(out) + "\n" if out else ""
@@ -362,13 +372,13 @@ def write_graphml(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
         yield '  <key id="edge_type" for="edge" attr.name="type" attr.type="string"/>\n'
         for k, owner, t in node_attrs:
             yield (
-                f'  <key id="node_{_attr(k)}" for="node" attr.name="{_attr(k)}" '
-                f'attr.type="{t}"/>\n'
+                f'  <key id="{_attr(_graphml_key_id("node", k))}" for="node" '
+                f'attr.name="{_attr(k)}" attr.type="{t}"/>\n'
             )
         for k, owner, t in edge_attrs:
             yield (
-                f'  <key id="edge_{_attr(k)}" for="edge" attr.name="{_attr(k)}" '
-                f'attr.type="{t}"/>\n'
+                f'  <key id="{_attr(_graphml_key_id("edge", k))}" for="edge" '
+                f'attr.name="{_attr(k)}" attr.type="{t}"/>\n'
             )
         yield '  <graph edgedefault="directed">\n'
         yield from _fragments_from_refs(n_refs, n_offs, node_frag)
@@ -384,7 +394,7 @@ def write_graphml(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
 
 
 def _distinct_types(ds: rd.Dataset) -> list[str]:
-    return sorted(ds.unique("type"))
+    return sorted(ds.unique("type") or [])  # unique() is None when empty
 
 
 def write_metta_repr1(nodes: rd.Dataset, edges: rd.Dataset, path: str) -> None:
@@ -726,7 +736,12 @@ def read_adjacency(out_dir: str, node_id: str, *, num_buckets: int) -> rd.Datase
             % num_buckets
         )[0]
     )
-    ds = rd.read_parquet(os.path.join(out_dir, "edges", f"bucket={b}"))
+    bucket_dir = os.path.join(out_dir, "edges", f"bucket={b}")
+    if not os.path.isdir(bucket_dir):
+        # no edges hashed into this bucket (common when distinct source
+        # ids < num_buckets): empty adjacency, schema from the full layout
+        return rd.read_parquet(os.path.join(out_dir, "edges")).limit(0)
+    ds = rd.read_parquet(bucket_dir)
     return ds.map_batches(
         lambda t: t.filter(pc.equal(t["source_id"], node_id)),
         batch_format="pyarrow",

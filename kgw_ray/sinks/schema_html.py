@@ -81,6 +81,8 @@ def write_schema_html(
 
     colors = dict(node_type_to_color or {})
     node_rows = type_histogram(nodes).to_pandas()  # (type, n) count DESC, type ASC
+    if "type" not in node_rows.columns:  # empty pulls drop their schema
+        node_rows = node_rows.reindex(columns=["type", "n"])
     ntypes = list(node_rows["type"])
     counts = list(node_rows["n"])
     for i, t in enumerate(ntypes):

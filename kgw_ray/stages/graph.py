@@ -76,6 +76,18 @@ def _typed_edges(nodes: rd.Dataset, edges: rd.Dataset, num_partitions) -> rd.Dat
     # twice (same rule as joins.semi_join_dataset)
     node_types = nodes.select_columns(["id", "type"]).materialize()
     n_nodes = node_types.count()
+    if n_nodes == 0:
+        # no nodes → no typed edges; empty pulls drop their schema, so
+        # return an explicitly-typed empty dataset
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "source_type": pa.array([], pa.string()),
+                    "edge_type": pa.array([], pa.string()),
+                    "target_type": pa.array([], pa.string()),
+                }
+            )
+        )
     if n_nodes <= _BROADCAST_NODE_LIMIT:
         import ray
 

@@ -38,7 +38,9 @@ def broadcast_join(
     on = list(on)
     ref = ray.put(small)
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
+    def probe(batch: pd.DataFrame) -> pa.Table:
         # task map, not an actor pool: the broadcast side lives in the
         # object store once; ray.get per task is a zero-copy plasma read
         # (pandas reconstruction is cheap relative to the merge), and task
@@ -46,7 +48,9 @@ def broadcast_join(
         side = ray.get(ref)
         out = batch.merge(side, how=how, left_on=on, right_on=right_on, copy=False)
         drop = [c for c in right_on if c not in on and c in out.columns]
-        return out.drop(columns=drop)
+        # arrow_from_pandas strips pandas schema metadata — raw pandas
+        # returns defeat shuffle schema dedup downstream (~20x aggregates)
+        return arrow_from_pandas(out.drop(columns=drop))
 
     return big.map_batches(probe, batch_format="pandas")
 
@@ -116,11 +120,12 @@ def semi_join_dataset(
         # degenerate case explicitly: semi join against nothing keeps nothing
         return big.limit(0)
     if n_keys <= broadcast_limit:
-        key_arr = keys_small.to_pandas()[key_col].to_numpy()
-        import numpy as np
         import pyarrow.compute as pc
 
-        ref = ray.put(pa.array(np.sort(key_arr)))
+        key_arr = keys_small.to_pandas()[key_col].dropna().to_numpy()
+        # no sort: pc.is_in needs no ordering, and np.sort raises on
+        # object arrays containing nulls
+        ref = ray.put(pa.array(key_arr))
 
         def probe(batch: pa.Table) -> pa.Table:
             # task map, not an actor pool: ray.get(ref) per task is a
@@ -164,7 +169,9 @@ def anti_join(
         # to_pandas would otherwise KeyError — schema drops on empty pulls)
         return big
     if n_keys <= broadcast_limit:
-        ref = ray.put(pa.array(np.sort(keys_small.to_pandas()[key_col].to_numpy())))
+        ref = ray.put(
+            pa.array(keys_small.to_pandas()[key_col].dropna().to_numpy())
+        )
 
         def probe(batch: pa.Table) -> pa.Table:
             mask = pc.is_in(batch[on], value_set=ray.get(ref))
@@ -184,21 +191,18 @@ def anti_join(
 def semi_join_filter(
     big: rd.Dataset, keys, *, on: str, negate: bool = False
 ) -> rd.Dataset:
-    """Semi (or anti) join by broadcasting the key set; vectorized filter."""
-    import numpy as np
+    """Semi (or anti) join by broadcasting the key set; vectorized filter.
+    Task map (zero-copy plasma read per task) — trivial state never earns
+    an actor pool's startup cost."""
     import pyarrow.compute as pc
 
-    key_arr = pa.array(sorted(set(keys)))
+    key_arr = pa.array([k for k in set(keys) if k is not None])
     ref = ray.put(key_arr)
 
-    class Filt:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[on], value_set=ray.get(ref))
+        if negate:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[on], value_set=self.keys)
-            if negate:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
-
-    return big.map_batches(Filt, batch_format="pyarrow", concurrency=(1, 4))
+    return big.map_batches(filt, batch_format="pyarrow")

@@ -114,8 +114,20 @@ _json_value = st.recursive(
 )
 
 
+def _list_depth(v, d=0):
+    if isinstance(v, (list, tuple)):
+        return max([_list_depth(x, d + 1) for x in v] or [d + 1])
+    if isinstance(v, dict):
+        return max([_list_depth(x, d) for x in v.values()] or [d])
+    return d
+
+
 @settings(max_examples=150, deadline=None)
-@given(props=st.dictionaries(st.text(min_size=1, max_size=6), _json_value, max_size=4))
+@given(
+    props=st.dictionaries(
+        st.text(min_size=1, max_size=6), _json_value, max_size=4
+    ).filter(lambda d: _list_depth(d) <= 3)  # the naive walk below covers 3
+)
 def test_repr3_walker_matches_naive_reference_walk(props):
     """The iterative repr3 walker (sinks/exports.py:_dict_gen) must emit the
     same lines as a direct transliteration of the reference's

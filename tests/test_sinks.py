@@ -367,3 +367,87 @@ def test_ordered_sets_plan_context_flag():
     assert ds._plan._context.execution_options.preserve_order is False
     out = exports._ordered(ds)
     assert out._plan._context.execution_options.preserve_order is True
+
+
+def test_graphml_property_named_type(tmp_path):
+    """A property literally named 'type' must not collide with the built-in
+    node_type/edge_type key ids (duplicate XML ids — a reference bug we
+    fix); the property value must stay distinguishable."""
+    nodes = rd.from_arrow(
+        pa.table(
+            {
+                "id": ["a"],
+                "type": ["gene"],
+                "properties": ['{"type":"custom","x":1}'],
+            }
+        )
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": ["a"],
+                "target_id": ["a"],
+                "type": ["self"],
+                "properties": ['{"type":"edgeprop"}'],
+            }
+        )
+    )
+    p = str(tmp_path / "typeprop.graphml")
+    exports.write_graphml(nodes, edges, p)
+    root = ET.parse(p).getroot()
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    key_ids = [k.get("id") for k in root.findall(f"{ns}key")]
+    assert len(key_ids) == len(set(key_ids))  # no duplicate ids
+    node = root.find(f"{ns}graph").find(f"{ns}node")
+    data = {d.get("key"): d.text for d in node.findall(f"{ns}data")}
+    assert data["node_type"] == "gene"
+    assert data["node_type_prop"] == "custom"
+
+
+def test_sinks_on_empty_graph(tmp_path):
+    """Empty nodes/edges must export cleanly (unique() returns None and
+    empty pulls drop schemas — both previously crashed)."""
+    empty_nodes = rd.from_arrow(
+        pa.table({"id": pa.array([], pa.string()), "type": pa.array([], pa.string()),
+                  "properties": pa.array([], pa.string())})
+    ).filter(expr="id == 'nope'")
+    empty_edges = rd.from_arrow(
+        pa.table({"source_id": pa.array([], pa.string()),
+                  "target_id": pa.array([], pa.string()),
+                  "type": pa.array([], pa.string()),
+                  "properties": pa.array([], pa.string())})
+    )
+    exports.write_metta_repr1(empty_nodes, empty_edges, str(tmp_path / "e1.metta"))
+    exports.write_metta_repr2(empty_nodes, empty_edges, str(tmp_path / "e2.metta"))
+    from kgw_ray.sinks.schema_html import write_schema_html
+
+    write_schema_html(empty_nodes, empty_edges, str(tmp_path / "e.html"))
+    assert "; Types" in open(tmp_path / "e1.metta").read()
+
+
+def test_read_adjacency_empty_bucket(tiny_graph, tmp_path):
+    """A node hashing to a bucket no edge landed in must yield an empty
+    adjacency, not FileNotFoundError."""
+    nodes, edges = tiny_graph
+    out = str(tmp_path / "hub_sparse")
+    exports.write_hub(nodes, edges, out, num_buckets=64)
+    # find an id whose bucket dir does not exist
+    import os
+
+    existing = {d for d in os.listdir(f"{out}/edges") if d.startswith("bucket=")}
+    probe = None
+    for i in range(1000):
+        cand = f"missing{i}"
+        import numpy as np
+        import pandas as pd
+
+        b = int(
+            pd.util.hash_array(np.array([cand], dtype=object), hash_key="kgw_ray_bucket00")[0]
+            % 64
+        )
+        if f"bucket={b}" not in existing:
+            probe = cand
+            break
+    assert probe is not None
+    adj = exports.read_adjacency(out, probe, num_buckets=64)
+    assert adj.count() == 0
