@@ -107,6 +107,10 @@ def _blocks_with_offsets(ds: rd.Dataset, start: int = 0) -> tuple[list, list[int
     shared pass-1 of every counted two-pass consumer below."""
     refs = _ordered(ds).materialize().to_arrow_refs()
     counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    # drop zero-row blocks: an EMPTY dataset's blocks can be column-less
+    # (schema drops), and renderers indexing columns would crash on them
+    refs = [r for r, c in zip(refs, counts) if c > 0]
+    counts = [c for c in counts if c > 0]
     offsets = [start]
     for c in counts:
         offsets.append(offsets[-1] + c)
@@ -183,7 +187,8 @@ def _csv_fragment(batch: pa.Table) -> str:
 def write_csv_export(ds: rd.Dataset, path: str) -> None:
     """Single CSV file: header + QUOTE_ALL rows; parallel per-block render,
     ordered assembly."""
-    header_cols = ds.schema().names
+    sch = ds.schema()
+    header_cols = sch.names if sch is not None else []  # empty ds: no schema
     buf = io.StringIO()
     csv.writer(buf, dialect="excel", quoting=csv.QUOTE_ALL).writerow(header_cols)
     frags = _fragments(ds, _csv_fragment)

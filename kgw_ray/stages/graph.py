@@ -44,6 +44,10 @@ def statistics_dict(nodes: rd.Dataset, edges: rd.Dataset) -> dict:
     """Full statistics payload incl. per-type counts (load.py:69-76 shape)."""
     nh = type_histogram(nodes).to_pandas()
     eh = type_histogram(edges).to_pandas()
+    # empty pulls drop their schema — reindex so the payload stays shaped
+    for df in (nh, eh):
+        if "type" not in df.columns:
+            df["type"], df["n"] = [], []
     return {
         "num_nodes": int(nh["n"].sum()),
         "num_edges": int(eh["n"].sum()),

@@ -16,9 +16,11 @@ def test_oracle_parity(name, sf_correct):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(name, sf_smoke):
-    """Queries without a SQL oracle must at least run and return rows."""
+    """Queries without a SQL oracle must run AND return nonempty results
+    on the smoke corpus (an all-empty regression must not stay green)."""
     df = to_pandas(QUERIES[name](sf_smoke))
     assert df is not None and len(df.columns) > 0
+    assert len(df) > 0, f"{name} returned 0 rows at smoke scale"
 
 
 def test_anti_join_shuffle_path_parity(sf_correct):

@@ -419,10 +419,18 @@ def test_sinks_on_empty_graph(tmp_path):
     )
     exports.write_metta_repr1(empty_nodes, empty_edges, str(tmp_path / "e1.metta"))
     exports.write_metta_repr2(empty_nodes, empty_edges, str(tmp_path / "e2.metta"))
+    exports.write_metta_repr3(empty_nodes, empty_edges, str(tmp_path / "e3.metta"))
+    exports.write_graphml(empty_nodes, empty_edges, str(tmp_path / "e.graphml"))
+    exports.write_csv_export(empty_nodes, str(tmp_path / "e.csv"))
+    exports.write_jsonl_export(empty_edges, str(tmp_path / "e.jsonl"))
+    exports.write_sql_dump(empty_nodes, empty_edges, str(tmp_path / "e.sql"))
+    stats = exports.write_statistics(empty_nodes, empty_edges, str(tmp_path / "e.json"))
+    assert stats["num_nodes"] == 0 and stats["node_types"] == {}
     from kgw_ray.sinks.schema_html import write_schema_html
 
     write_schema_html(empty_nodes, empty_edges, str(tmp_path / "e.html"))
     assert "; Types" in open(tmp_path / "e1.metta").read()
+    ET.parse(tmp_path / "e.graphml")  # well-formed empty graph
 
 
 def test_read_adjacency_empty_bucket(tiny_graph, tmp_path):
@@ -431,20 +439,17 @@ def test_read_adjacency_empty_bucket(tiny_graph, tmp_path):
     nodes, edges = tiny_graph
     out = str(tmp_path / "hub_sparse")
     exports.write_hub(nodes, edges, out, num_buckets=64)
-    # find an id whose bucket dir does not exist
+    # find an id whose bucket dir does not exist (probe via the SAME
+    # helper the sink uses, so a salt change can't silently detune this)
     import os
+
+    import pyarrow as _pa
 
     existing = {d for d in os.listdir(f"{out}/edges") if d.startswith("bucket=")}
     probe = None
     for i in range(1000):
         cand = f"missing{i}"
-        import numpy as np
-        import pandas as pd
-
-        b = int(
-            pd.util.hash_array(np.array([cand], dtype=object), hash_key="kgw_ray_bucket00")[0]
-            % 64
-        )
+        b = int(exports._bucket_of(_pa.array([cand]), 64)[0])
         if f"bucket={b}" not in existing:
             probe = cand
             break

@@ -83,16 +83,26 @@ def test_exact_dedup_counts(sf_smoke):
     assert keep.count() == n_distinct
 
 
-def test_simhash_hamming_blocking_guarantee():
-    """Pairs with Hamming ≤ 3 must share ≥1 of the 4 16-bit bands."""
-    from kgw_ray.stages.dedup import simhash64
+def test_simhash_band_extraction_matches_hash():
+    """simhash_batch's band columns must be the 4 contiguous 16-bit slices
+    of the simhash column (the pigeonhole banding guarantee is only as
+    good as this extraction — a shifted mask would silently break
+    blocking while any tautological band-compare test stayed green)."""
+    from kgw_ray.stages.dedup import simhash64, simhash_batch
 
-    a = simhash64("the quick brown fox jumps over the lazy dog extra pad".split())
-    # flip 3 bits
-    b = a ^ 0b101 ^ (1 << 40)
-    bands_a = [(a >> (16 * i)) & 0xFFFF for i in range(4)]
-    bands_b = [(b >> (16 * i)) & 0xFFFF for i in range(4)]
-    assert any(x == y for x, y in zip(bands_a, bands_b))
+    texts = [
+        "the quick brown fox jumps over the lazy dog extra pad",
+        "alpha beta gamma delta epsilon zeta",
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()), "text": texts}
+    )
+    out = simhash_batch(batch)
+    for i, t in enumerate(texts):
+        h = simhash64(t.split())
+        assert out.column("simhash")[i].as_py() == h
+        for b in range(4):
+            assert out.column(f"band{b}")[i].as_py() == (h >> (16 * b)) & 0xFFFF
 
 
 def test_simhash_pairs_bounded_on_degenerate_corpus():
@@ -273,19 +283,19 @@ def test_rolling_fingerprint_shift_invariance():
     set overlaps (common-substring property)."""
     from kgw_ray.stages.textstats import rolling_fingerprint
 
-    base = ("w%d " % i for i in range(50))
     toks = [f"w{i}" for i in range(50)]
     f1 = rolling_fingerprint(toks)
     f2 = rolling_fingerprint(["zzz"] * 3 + toks)
     # the min window of f1 is still present among f2's windows
     # (not strictly guaranteed equal, but the min can only decrease)
-    assert f2 <= f1 or f1 == f2
+    assert f2 <= f1
 
 
 def test_media_plumbing(sf_smoke):
     from kgw_ray.pipelines.training_data import media_decode_features, media_metadata
 
     meta = media_metadata(sf_smoke).to_pandas()
+    assert len(meta) > 0  # .all() on an empty frame is vacuously True
     assert (meta["n_bytes"] > 0).all()
     assert meta["sha256"].str.len().eq(64).all()
 

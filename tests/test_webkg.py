@@ -33,11 +33,19 @@ def test_extract_byte_identity_dataset(sf_smoke):
     from kgw_ray.pipelines.webkg import extracted_pages
 
     ep = extracted_pages(sf_smoke)
+    # null-safe inequality: pc.equal(x, null) is null, and Table.filter
+    # DROPS null-mask rows — a regression nulling extracted_text would
+    # otherwise pass vacuously. Also pin a nonzero row count.
     bad = ep.map_batches(
-        lambda t: t.filter(pc.invert(pc.equal(t["text"], t["extracted_text"]))),
+        lambda t: t.filter(
+            pc.invert(
+                pc.fill_null(pc.equal(t["text"], t["extracted_text"]), False)
+            )
+        ),
         batch_format="pyarrow",
     ).count()
     assert bad == 0
+    assert ep.count() > 0
 
 
 def test_triple_extraction_small():

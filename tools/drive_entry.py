@@ -15,8 +15,11 @@ t0 = time.time()
 res = e.entry()
 import ray.data as rd
 n = res.count() if isinstance(res, rd.Dataset) else len(res)
-print(f"entry(): {type(res).__name__}, rows={n}, schema={res.schema()}, {time.time()-t0:.1f}s")
-assert n >= 0
+# schema only exists (as a method) on Dataset; DataFrame/Table returns are
+# contract-legal too
+sch = res.schema() if isinstance(res, rd.Dataset) else getattr(res, "schema", None)
+print(f"entry(): {type(res).__name__}, rows={n}, schema={sch}, {time.time()-t0:.1f}s")
+assert n > 0, "entry() returned no rows"
 
 # 2. queries vs oracles at sf0.01 (the driver's correctness gate)
 import duckdb, os
@@ -25,7 +28,9 @@ qs, os_ = e.queries(), e.oracle_sql()
 print(f"queries: {sorted(qs)}; oracles: {sorted(os_)}")
 sf = "/root/testdata/sf0.01"
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+from kgw_ray.sources.readers import TABLES  # single source of truth
+
+for t in TABLES:
     p = os.path.join(sf, f"{t}.parquet")
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 for name in sorted(qs):
