@@ -245,9 +245,11 @@ def curate_documents(sf_dir: str) -> rd.Dataset:
     hash come from one enrichment pass, the quality filter runs inline,
     exact-dedup winners semi-join back via the size-hybrid
     ``semi_join_dataset`` (broadcast ids under the limit, hash join
-    beyond), and the near-dup stage filters map-side with the small
-    drop set. No driver-side O(N) id materialization anywhere; the two
-    ``materialize()`` calls are object-store checkpoints for datasets
+    beyond), and the near-dup stage selects survivors with the
+    size-hybrid ``anti_join`` against its drop-set Dataset. No
+    driver-side O(N) id materialization anywhere; the ``materialize()``
+    calls (quality-filtered set here, shingle hub inside
+    ``minhash_dedup_keep``) are object-store checkpoints for datasets
     consumed twice (they spill, never sit in driver heap).
 
     Ordering note: cheap vectorized filters run FIRST so the expensive
@@ -275,7 +277,10 @@ def curate_documents(sf_dir: str) -> rd.Dataset:
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
     )
-    exact_docs = semi_join_dataset(good, winners, on="doc_id").materialize()
+    # no materialize here: minhash_dedup_keep consumes its input exactly
+    # once (into its shingle hub), so a second corpus-sized checkpoint
+    # between the semi join and the hub would be pure overhead
+    exact_docs = semi_join_dataset(good, winners, on="doc_id")
     return minhash_dedup_keep(
         exact_docs,
         threshold=0.5,

@@ -25,7 +25,7 @@ web-dedup mitigation for degenerate buckets.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -154,8 +154,46 @@ def minhash_signature(sh: np.ndarray, num_perm: int = 64) -> np.ndarray:
     return _mix64(sh[None, :] ^ seeds[:, None]).min(axis=1)
 
 
+def _band_rows_from_flat(
+    ids: np.ndarray, flat: np.ndarray, offs: np.ndarray, num_perm: int, bands: int
+) -> pa.Table:
+    """(doc ids, flat shingle stream, offsets) → melted (doc_id, band,
+    bucket) rows. ONE P×S permutation-mix with per-doc mins via a single
+    reduceat per axis — shared by the text path (``MinHashLSH``) and the
+    shingle-hub path (``minhash_dedup_keep``) so band buckets can never
+    diverge between them."""
+    n = len(ids)
+    r = num_perm // bands
+    seeds = _mix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = np.nonzero(np.diff(offs) > 0)[0]
+    if len(flat):
+        mixed = _mix64(flat[None, :] ^ seeds[:, None])  # (P, S_total)
+        starts = offs[nonempty]
+        mins = np.minimum.reduceat(mixed, starts, axis=1)
+        # reduceat with consecutive equal starts would misbehave; starts
+        # are strictly increasing over nonempty docs, and each segment
+        # ends at the next start (last runs to end) — exactly our layout
+        sigs[nonempty] = mins.T
+    # bucket hash per band: mix the r signature values together
+    bands_out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        sl = sigs[:, b * r : (b + 1) * r]
+        acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+        for j in range(r):
+            acc = _mix64(acc ^ sl[:, j])
+        bands_out[:, b] = acc
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "bucket": pa.array(bands_out.reshape(-1)),
+        }
+    )
+
+
 class MinHashLSH:
-    """Actor-pool stage: (doc_id, text) → band-key rows for LSH blocking.
+    """(doc_id, text) → band-key rows for LSH blocking.
 
     Emits one row per (doc, band): (doc_id, band, bucket) where bucket is
     the 64-bit hash of the band's signature slice. Buckets with >1 doc are
@@ -173,38 +211,37 @@ class MinHashLSH:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        n = len(ids)
-        # ONE tokenize+hash pass for the whole batch, then P×S permutation
-        # mins per doc via a single reduceat per permutation axis
         flat, offs = batch_shingle_hashes(texts, self.k)
-        seeds = _mix64(np.arange(1, self.num_perm + 1, dtype=np.uint64))
-        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        nonempty = np.nonzero(np.diff(offs) > 0)[0]
-        if len(flat):
-            mixed = _mix64(flat[None, :] ^ seeds[:, None])  # (P, S_total)
-            starts = offs[nonempty]
-            mins = np.minimum.reduceat(mixed, starts, axis=1)
-            # reduceat with consecutive equal starts would misbehave; starts
-            # are strictly increasing over nonempty docs, and each segment
-            # ends at the next start (last runs to end) — exactly our layout
-            sigs[nonempty] = mins.T
-        # bucket hash per band: mix the r signature values together
-        bands_out = np.empty((n, self.bands), dtype=np.uint64)
-        for b in range(self.bands):
-            sl = sigs[:, b * self.r : (b + 1) * self.r]
-            acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
-            for j in range(self.r):
-                acc = _mix64(acc ^ sl[:, j])
-            bands_out[:, b] = acc
-        return pa.table(
-            {
-                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
-                "band": pa.array(
-                    np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()
-                ),
-                "bucket": pa.array(bands_out.reshape(-1)),
-            }
-        )
+        return _band_rows_from_flat(ids, flat, offs, self.num_perm, self.bands)
+
+
+def _unpack_shingle_blobs(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """List of uint64 ``tobytes()`` blobs (or None) → (flat, offsets)."""
+    arrs = [
+        np.frombuffer(b, dtype=np.uint64) if b else np.zeros(0, dtype=np.uint64)
+        for b in blobs
+    ]
+    offs = np.concatenate(([0], np.cumsum([len(a) for a in arrs])))
+    flat = np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.uint64)
+    return flat, offs
+
+
+def shingle_blob_batch(batch: pa.Table, *, shingle_k: int = 5, keep: Sequence[str] = ()) -> pa.Table:
+    """(doc_id, text, …) → (doc_id, keep…, shingles) with the per-doc UNIQUE
+    shingle set encoded as a uint64 ``tobytes()`` blob — the single-scan
+    sidecar the whole MinHash pipeline derives from (bands, verify and
+    survivor selection all read this, never the corpus again)."""
+    texts = batch.column("text").to_pylist()
+    flat, offs = batch_shingle_hashes(texts, shingle_k)
+    blobs = [
+        np.unique(flat[offs[i] : offs[i + 1]]).tobytes() for i in range(len(texts))
+    ]
+    cols = {"doc_id": batch.column("doc_id")}
+    for c in keep:
+        if c != "doc_id":
+            cols[c] = batch.column(c)
+    cols["shingles"] = pa.array(blobs, pa.large_binary())
+    return pa.table(cols)
 
 
 def _bucket_pairs(ids: np.ndarray, buckets: np.ndarray, max_bucket: int) -> pd.DataFrame:
@@ -324,25 +361,30 @@ def _jaccard_of_shingle_lists(sa_list, sb_list) -> np.ndarray:
 
 def jaccard_verify_pairs(
     pairs: rd.Dataset,
-    docs: rd.Dataset,
+    docs: Optional[rd.Dataset] = None,
     *,
     threshold: float = 0.5,
     shingle_k: int = 5,
     text_col: str = "text",
     broadcast_limit: int = 500_000,
     force_shuffle: bool = False,
+    shingles_ds: Optional[rd.Dataset] = None,
 ) -> rd.Dataset:
     """Exact n-gram Jaccard for candidate pairs; keep pairs ≥ threshold.
     Returns (a, b, jaccard) with jaccard rounded to 6 dp.
 
+    Shingle source: pass ``shingles_ds`` — a (doc_id, shingles) dataset of
+    uint64-blob shingle sets (``shingle_blob_batch``) — to reuse sets
+    already computed upstream (the single-scan path ``minhash_dedup_keep``
+    takes); otherwise ``docs`` (doc_id, text) is shingled here.
+
     Two physical paths, chosen by candidate-pair count:
 
     - **broadcast** (≤ ``broadcast_limit`` pairs): candidate ids are pulled
-      once, the candidate-only docs are semi-join-filtered (value-set built
-      once per actor), and their shingle sets are put in the object store
-      as one map probed per verify batch. Zero shuffle.
+      once, the candidate-only shingle sets are filtered map-side and put
+      in the object store as one map probed per verify batch. Zero shuffle.
     - **shuffle join** (beyond, or ``force_shuffle``): pairs are deduped
-      with a native hash aggregate, candidate shingle sets are computed as
+      with a native hash aggregate, candidate shingle sets are taken as
       a (doc_id, shingles) Dataset, and two hash-partitioned joins attach
       each side's shingles to its pairs — nothing corpus-sized ever
       touches the driver. The 10^12-doc path.
@@ -352,6 +394,9 @@ def jaccard_verify_pairs(
     import pyarrow.compute as pc
 
     from kgw_ray.stages.joins import large_join, semi_join_dataset
+
+    if shingles_ds is None and docs is None:
+        raise ValueError("jaccard_verify_pairs needs docs or shingles_ds")
 
     # candidate pairs are compact (two int64 per row) — materialize once so
     # the size probe and the chosen path don't re-execute the LSH pipeline
@@ -389,15 +434,31 @@ def jaccard_verify_pairs(
         def filter_cands(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(id_arr_ref)))
 
-        docs_small = docs.map_batches(
-            filter_cands, batch_format="pyarrow"
-        ).select_columns(["doc_id", text_col])
         sh_map = {}
-        for b in docs_small.iter_batches(batch_format="pyarrow"):
-            for d, t in zip(
-                b.column("doc_id").to_pylist(), b.column(text_col).to_pylist()
-            ):
-                sh_map[d] = shingle_hashes(t or "", shingle_k)
+        if shingles_ds is not None:
+            # single-scan path: candidate shingle sets come from the hub —
+            # no re-read, no re-shingle; only candidate rows reach the driver
+            cand_sh = shingles_ds.select_columns(["doc_id", "shingles"]).map_batches(
+                filter_cands, batch_format="pyarrow"
+            )
+            for b in cand_sh.iter_batches(batch_format="pyarrow"):
+                for d, blob in zip(
+                    b.column("doc_id").to_pylist(), b.column("shingles").to_pylist()
+                ):
+                    sh_map[d] = (
+                        np.frombuffer(blob, dtype=np.uint64)
+                        if blob
+                        else np.zeros(0, dtype=np.uint64)
+                    )
+        else:
+            docs_small = docs.map_batches(
+                filter_cands, batch_format="pyarrow"
+            ).select_columns(["doc_id", text_col])
+            for b in docs_small.iter_batches(batch_format="pyarrow"):
+                for d, t in zip(
+                    b.column("doc_id").to_pylist(), b.column(text_col).to_pylist()
+                ):
+                    sh_map[d] = shingle_hashes(t or "", shingle_k)
         ref = ray.put(sh_map)
 
         class Verify:
@@ -440,27 +501,34 @@ def jaccard_verify_pairs(
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
-    cand_docs = semi_join_dataset(docs, cand_ids_ds, on="doc_id")
-
-    def shingles_of(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        flat, offs = batch_shingle_hashes(texts, shingle_k)
-        # binary encoding: Arrow's hash join rejects list<> payload columns
-        sets = [
-            np.unique(flat[offs[i] : offs[i + 1]]).tobytes()
-            for i in range(len(texts))
-        ]
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "shingles": pa.array(sets, pa.large_binary()),
-            }
+    if shingles_ds is not None:
+        # single-scan path: the hub already holds the blobs — semi-join it
+        cand_src = semi_join_dataset(
+            shingles_ds.select_columns(["doc_id", "shingles"]), cand_ids_ds, on="doc_id"
         )
+        sh_ds = cand_src.materialize()
+    else:
+        cand_docs = semi_join_dataset(docs, cand_ids_ds, on="doc_id")
 
-    # candidate-only intermediates are small; materializing them runs the
-    # two hash shuffles one at a time (concurrent aggregator-actor sets
-    # starve each other on small clusters — stages/joins.py note)
-    sh_ds = cand_docs.map_batches(shingles_of, batch_format="pyarrow").materialize()
+        def shingles_of(t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_pylist()
+            flat, offs = batch_shingle_hashes(texts, shingle_k)
+            # binary encoding: Arrow's hash join rejects list<> payload columns
+            sets = [
+                np.unique(flat[offs[i] : offs[i + 1]]).tobytes()
+                for i in range(len(texts))
+            ]
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "shingles": pa.array(sets, pa.large_binary()),
+                }
+            )
+
+        # candidate-only intermediates are small; materializing them runs the
+        # two hash shuffles one at a time (concurrent aggregator-actor sets
+        # starve each other on small clusters — stages/joins.py note)
+        sh_ds = cand_docs.map_batches(shingles_of, batch_format="pyarrow").materialize()
     sh_a = sh_ds.rename_columns({"doc_id": "a", "shingles": "sh_a"})
     sh_b = sh_ds.rename_columns({"doc_id": "b", "shingles": "sh_b"})
     j = large_join(pairs, sh_a, on=("a",)).materialize()
@@ -494,30 +562,60 @@ def minhash_dedup_keep(
     force_shuffle_verify: bool = False,
     coarse_groups: bool = True,
     max_bucket: int = 64,
+    driver_pair_limit: int = 5_000_000,
+    drop_broadcast_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """Full near-dup dedup: LSH candidates → Jaccard verify → connected
     components → keep min doc_id per component.
 
     Returns (doc_id,) survivors by default; ``keep_columns`` returns those
-    columns of the surviving input rows instead (the drop-set filter is
-    map-side either way — only near-dup members ever reach the driver).
+    columns of the surviving input rows instead.
+
+    **Single-scan design**: the corpus is read ONCE into a materialized
+    shingle hub (doc_id, keep columns, unique-shingle uint64 blobs). Band
+    rows, the Jaccard verify (both physical paths) and survivor selection
+    all derive from the hub — no second corpus read anywhere. The hub is an
+    object-store checkpoint (≈ corpus-sized, spills to disk; the 100 TB
+    trade is one spillable checkpoint vs three full input scans).
+
+    **Drop set stays a Dataset**: survivors are selected with the
+    size-hybrid ``anti_join`` (broadcast ``ray.put`` value-set under 5M
+    drop ids, hash-partitioned ``left_anti`` beyond) — nothing corpus-sized
+    is ever driver-materialized or closure-shipped; the ≤5M-pair union-find
+    merges PAIRS (tiny vs the corpus), not members-of-the-corpus.
+
     ``force_shuffle_verify`` / ``verify_broadcast_limit`` select the
     verify path (see ``jaccard_verify_pairs``); ``coarse_groups`` /
     ``max_bucket`` tune the LSH blocking granularity and skew guard (see
     ``lsh_candidate_pairs`` — pass ``coarse_groups=False`` past ~10^7 docs
-    per band).
+    per band). ``driver_pair_limit`` / ``drop_broadcast_limit`` pin the
+    component-merge and survivor-filter physical paths (tests drive the
+    at-scale distributed variants by setting them to 0).
     """
-    from ray.data.aggregate import Min
-
     from kgw_ray.stages.canonicalize import connected_components
+    from kgw_ray.stages.joins import anti_join
 
-    # task map, not an actor pool: MinHashLSH state is a few integers
-    # (construction is microseconds) — same actor-vs-task rule as
-    # stages/extract.py:extract_batch
+    keep_columns = keep_columns or ["doc_id"]
+
+    # ONE corpus scan: shingle sets + carried keep-columns, checkpointed.
+    def hub_fn(batch: pa.Table) -> pa.Table:
+        return shingle_blob_batch(batch, shingle_k=shingle_k, keep=keep_columns)
+
+    in_cols = list(dict.fromkeys(["doc_id", "text", *keep_columns]))
+    hub = (
+        docs.select_columns(in_cols)
+        .map_batches(hub_fn, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # band rows from stored shingles — signature math identical to the text
+    # path (both call _band_rows_from_flat)
     def band_fn(batch: pa.Table) -> pa.Table:
-        return MinHashLSH(num_perm, bands, shingle_k)(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        flat, offs = _unpack_shingle_blobs(batch.column("shingles").to_pylist())
+        return _band_rows_from_flat(ids, flat, offs, num_perm, bands)
 
-    band_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+    band_rows = hub.select_columns(["doc_id", "shingles"]).map_batches(
         band_fn, batch_format="pyarrow"
     )
     cands = lsh_candidate_pairs(
@@ -525,25 +623,29 @@ def minhash_dedup_keep(
     )
     verified = jaccard_verify_pairs(
         cands,
-        docs,
         threshold=threshold,
         shingle_k=shingle_k,
         broadcast_limit=verify_broadcast_limit,
         force_shuffle=force_shuffle_verify,
+        shingles_ds=hub,
     )
 
     # Verified near-dup pairs are a tiny fraction of the corpus (LSH + exact
     # verify); merge them into components with driver-side union-find — the
-    # small-graph fast path. A pair set too large for the driver falls back
-    # to distributed min-label propagation (stages/canonicalize.py).
+    # small-graph fast path (pairs, never corpus members). A pair set too
+    # large for the driver falls back to distributed min-label propagation
+    # (stages/canonicalize.py), kept as a Dataset end to end.
     # Materialized ONCE: the size probe must not pull an over-limit pair
     # set to the driver, and the fallback must not re-execute the verify DAG.
     verified = verified.select_columns(["a", "b"]).materialize()
     n_verified = verified.count()
-    drop_ids: np.ndarray
+    survivors_src = hub.select_columns(
+        list(dict.fromkeys(["doc_id", *keep_columns]))
+    )
+    drop_ds: Optional[rd.Dataset]
     if n_verified == 0:
-        drop_ids = np.zeros(0, dtype=np.int64)
-    elif n_verified <= 5_000_000:
+        drop_ds = None
+    elif n_verified <= driver_pair_limit:
         pairs_df = verified.to_pandas()
         parent: dict[int, int] = {}
 
@@ -567,8 +669,11 @@ def minhash_dedup_keep(
         drop_ids = np.array(
             sorted(m for m in members if find(int(m)) != int(m)), dtype=np.int64
         )
-    else:  # pragma: no cover - exercised only at production scale
-        # zero-pad ids so lexicographic min-label == numeric min (first-wins)
+        drop_ds = rd.from_arrow(pa.table({"doc_id": pa.array(drop_ids, pa.int64())}))
+    else:
+        # zero-pad ids so lexicographic min-label == numeric min (first-wins);
+        # the component table STAYS distributed — non-keeper members flow
+        # straight into the anti-join's left_anti shuffle
         comps = connected_components(
             verified.map_batches(
                 lambda t: pa.table(
@@ -583,22 +688,23 @@ def minhash_dedup_keep(
                 ),
                 batch_format="pyarrow",
             )
-        ).to_pandas()
-        comps["doc_id"] = comps["id"].astype("int64")
-        comps["component"] = comps["component"].astype("int64")
-        drop_ids = comps.loc[
-            comps["doc_id"] != comps["component"], "doc_id"
-        ].to_numpy(dtype=np.int64)
+        )
 
-    drop = pa.array(drop_ids, pa.int64())
+        def non_keepers(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    import pyarrow.compute as pc
+            kept = t.filter(pc.invert(pc.equal(t["id"], t["component"])))
+            return pa.table(
+                {"doc_id": pc.cast(kept["id"], pa.int64())}
+            )
 
-    survivors = docs.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=drop))),
-        batch_format="pyarrow",
-    )
-    return survivors.select_columns(keep_columns or ["doc_id"])
+        drop_ds = comps.map_batches(non_keepers, batch_format="pyarrow")
+
+    if drop_ds is None:
+        return survivors_src.select_columns(keep_columns)
+    return anti_join(
+        survivors_src, drop_ds, on="doc_id", broadcast_limit=drop_broadcast_limit
+    ).select_columns(keep_columns)
 
 
 # ---------------------------------------------------------------------------

@@ -74,6 +74,23 @@ def test_minhash_shuffle_verify_path_parity(sf_smoke):
     assert broadcast == shuffled
 
 
+def test_minhash_distributed_drop_path_parity(sf_smoke):
+    """The at-scale drop-set plan (distributed connected components +
+    hash-partitioned left_anti survivor filter, both forced via the limit
+    knobs) must produce the same survivor set as the driver union-find +
+    broadcast anti-join fast path."""
+    from kgw_ray.stages.dedup import minhash_dedup_keep
+
+    docs = read_table(sf_smoke, "documents", columns=["doc_id", "text"])
+    fast = set(minhash_dedup_keep(docs, threshold=0.5).to_pandas()["doc_id"])
+    distributed = set(
+        minhash_dedup_keep(
+            docs, threshold=0.5, driver_pair_limit=0, drop_broadcast_limit=0
+        ).to_pandas()["doc_id"]
+    )
+    assert fast == distributed
+
+
 def test_exact_dedup_counts(sf_smoke):
     from kgw_ray.stages.dedup import exact_dedup_keep
 
