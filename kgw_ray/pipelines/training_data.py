@@ -21,6 +21,26 @@ def _docs(sf_dir: str, cols=("doc_id", "text")) -> rd.Dataset:
     return read_table(sf_dir, "documents", columns=list(cols))
 
 
+# --- portable-hash SQL fragments (shared by the simhash + fingerprint
+# oracles): md5(token) first-8-bytes little-endian as uint64, byte-identical
+# to dedup._portable_token_hashes / textstats._token_hashes ---------------
+
+_HEXPOS = "0123456789abcdef"
+_MD5_LE_UINT64 = " + ".join(
+    f"(CAST(strpos('{_HEXPOS}', substr(hx, {2 * k + 1}, 1)) - 1 AS UBIGINT) * 16 "
+    f"+ CAST(strpos('{_HEXPOS}', substr(hx, {2 * k + 2}, 1)) - 1 AS UBIGINT)) "
+    f"* CAST({256 ** k} AS UBIGINT)"
+    for k in range(8)
+)
+
+# tokens with multiplicity, Python str.split() semantics (any whitespace,
+# empties dropped) — the TRIPLES_SQL equivalence class
+_TOKS_SQL = """
+SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -66,6 +86,54 @@ def text_fingerprint(sf_dir: str) -> rd.Dataset:
 FINGERPRINT_MD5_SQL = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
 
 
+def _fingerprint_sql() -> str:
+    """Oracle for the winnowing rolling fingerprint (textstats.
+    rolling_fingerprint): token hashes are md5-first-8-bytes-LE, each
+    window of w' = min(n, 8) tokens hashes to the polynomial
+    Σ h[i+j]·B^(w'-1-j) mod 2^64 (B = 1000003), and the fingerprint is the
+    min over windows. Every B^k is a precomputed literal; the mod-2^64 ring
+    runs in UHUGEINT/HUGEINT (DuckDB integer ops raise on overflow, so the
+    128-bit intermediates are reduced explicitly)."""
+    B, M = 1000003, 1 << 64
+    bp = [pow(B, k, M) for k in range(8)]
+    powcase = (
+        "CASE least(nn.n, 8) - 1 - (t.i - w.st) "
+        + " ".join(f"WHEN {k} THEN CAST({bp[k]} AS UHUGEINT)" for k in range(8))
+        + " END"
+    )
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+nn AS (SELECT doc_id, len(w) AS n FROM toks),
+th AS (
+  SELECT doc_id, i, {_MD5_LE_UINT64} AS h
+  FROM (SELECT doc_id, u.i AS i, md5(w[u.i]) AS hx
+        FROM toks, UNNEST(generate_series(1, len(w))) AS u(i))
+),
+wins AS (
+  SELECT nn.doc_id, s.i AS st
+  FROM nn, UNNEST(generate_series(1, nn.n - least(nn.n, 8) + 1)) AS s(i)
+  WHERE nn.n > 0
+),
+winh AS (
+  SELECT w.doc_id, w.st,
+    CAST(SUM(CAST((CAST(t.h AS UHUGEINT) * ({powcase}))
+                  % CAST(18446744073709551616 AS UHUGEINT) AS HUGEINT))
+         % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS wh
+  FROM wins w
+  JOIN nn ON nn.doc_id = w.doc_id
+  JOIN th t ON t.doc_id = w.doc_id AND t.i BETWEEN w.st AND w.st + least(nn.n, 8) - 1
+  GROUP BY w.doc_id, w.st
+)
+SELECT d.doc_id, md5(d.text) AS content_md5,
+       CAST(COALESCE(m.fp, 0) AS VARCHAR) AS fingerprint
+FROM documents d LEFT JOIN (SELECT doc_id, MIN(wh) AS fp FROM winh GROUP BY doc_id) m
+  ON m.doc_id = d.doc_id
+"""
+
+
+FINGERPRINT_SQL = _fingerprint_sql()
+
+
 def text_content_md5(sf_dir: str) -> rd.Dataset:
     """Exact-dedup content hash only (oracle: DuckDB md5)."""
     from kgw_ray.stages.textstats import fingerprint_batch
@@ -93,10 +161,58 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
     return exact_dedup_keep(_docs(sf_dir))
 
 
+def _near_dup_survivor_sql(base_cte: str, select_cols: str) -> str:
+    """Exact-Jaccard near-dup oracle over a (doc_id, text) base relation:
+    word 5-shingles (k = min(len, 5), matching ``shingle_hashes``), exact
+    Jaccard ≥ 0.5 pairs, transitive closure via a recursive CTE, keep the
+    min doc_id per component. The SQL ground truth the LSH pipeline must
+    reproduce (LSH candidate recall at J ≥ 0.5 is ~1 on real near-dups;
+    verified pairs are exact, so outputs coincide)."""
+    return f"""
+WITH RECURSIVE {base_cte},
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM base
+),
+shd AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i : i + least(len(w), 5) - 1], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(w) - least(len(w), 5) + 1)) AS t(i)
+  WHERE len(w) > 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+r(id, m) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.id, e.y FROM r JOIN edges e ON r.m = e.x
+),
+comp AS (SELECT id, LEAST(id, MIN(m)) AS comp FROM r GROUP BY id)
+SELECT {select_cols} FROM base
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+"""
+
+
+MINHASH_DEDUP_SQL = _near_dup_survivor_sql(
+    "base AS (SELECT doc_id, text FROM documents)", "doc_id"
+)
+
+
 def dedup_minhash_lsh(sf_dir: str) -> rd.Dataset:
     """Near-dup survivors via MinHash-LSH → Jaccard ≥ 0.5 → components.
 
-    Rows-only driver check; exactness is covered by the brute-force-Jaccard
+    Hash-gated against the exact-Jaccard + transitive-closure DuckDB oracle
+    (``MINHASH_DEDUP_SQL``); also covered by the brute-force-Jaccard
     comparison test (tests/test_training_data.py).
     """
     from kgw_ray.stages.dedup import minhash_dedup_keep
@@ -104,8 +220,37 @@ def dedup_minhash_lsh(sf_dir: str) -> rd.Dataset:
     return minhash_dedup_keep(_docs(sf_dir), threshold=0.5)
 
 
+SIMHASH_PAIRS_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+th AS (
+  SELECT doc_id, {_MD5_LE_UINT64} AS h
+  FROM (SELECT doc_id, md5(w[u.i]) AS hx
+        FROM toks, UNNEST(generate_series(1, len(w))) AS u(i))
+),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, UNNEST(generate_series(0, 63)) AS b(b)
+  GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT d.doc_id, COALESCE(s.s, CAST(0 AS UBIGINT)) AS s
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           CAST(CAST(SUM(CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)) AS HUGEINT) AS UBIGINT) AS s
+    FROM bits WHERE acc > 0 GROUP BY doc_id
+  ) s ON s.doc_id = d.doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
+
+
 def dedup_simhash_pairs(sf_dir: str) -> rd.Dataset:
-    """SimHash near-dup candidate pairs (Hamming ≤ 3), exact-verified."""
+    """SimHash near-dup candidate pairs (Hamming ≤ 3), exact-verified.
+    Hash-gated: the 4×16-bit-band blocking finds EVERY pair at Hamming ≤ 3
+    (pigeonhole), so the output equals the DuckDB all-pairs oracle."""
     from kgw_ray.stages.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(_docs(sf_dir))
@@ -286,6 +431,31 @@ def curate_documents(sf_dir: str) -> rd.Dataset:
         threshold=0.5,
         keep_columns=["doc_id", "n_tokens", "quality_score"],
     )
+
+
+def _curate_sql() -> str:
+    """Oracle for the full curation chain: quality filter → exact dedup
+    (min doc_id per text) → exact-Jaccard near-dup survivors — the SQL
+    composition of the three individually-oracled stages."""
+    from kgw_ray.stages.textstats import QUALITY_SQL
+
+    base = f"""q AS (
+  SELECT doc_id, n_tokens, quality_score FROM ({QUALITY_SQL}) qq
+),
+goodq AS (
+  SELECT q.doc_id, q.n_tokens, q.quality_score, d.text
+  FROM q JOIN documents d ON d.doc_id = q.doc_id
+  WHERE q.n_tokens >= 10 AND q.quality_score >= 0.2
+),
+winners AS (SELECT MIN(doc_id) AS doc_id FROM goodq GROUP BY text),
+base AS (
+  SELECT g.doc_id, g.n_tokens, g.quality_score, g.text
+  FROM goodq g JOIN winners w ON g.doc_id = w.doc_id
+)"""
+    return _near_dup_survivor_sql(base, "doc_id, n_tokens, quality_score")
+
+
+CURATE_SQL = _curate_sql()
 
 
 def shuffle_documents(sf_dir: str) -> rd.Dataset:

@@ -716,11 +716,35 @@ _BITS64 = np.arange(64, dtype=np.uint64)
 _POW2_64 = (np.uint64(1) << _BITS64).astype(np.uint64)
 
 
+def _portable_token_hashes(toks) -> np.ndarray:
+    """md5-first-8-bytes-little-endian per token — byte-identical to the
+    DuckDB expression the SimHash oracle uses (and to
+    textstats._token_hashes), so the simhash VALUE is engine-portable.
+    md5 runs once per UNIQUE token in the batch (per-batch vocabulary is
+    sublinear in tokens — Heaps' law) and maps back via the inverse index;
+    MinHash keeps the faster pandas siphash because its oracle checks the
+    exact-Jaccard END RESULT, not the hash values."""
+    import hashlib
+
+    if len(toks) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return uh[inv]
+
+
 def simhash64(toks: list[str]) -> int:
     """Classic 64-bit SimHash over token hashes (Charikar), vectorized."""
     if not toks:
         return 0
-    h = _hash_tokens(toks)
+    h = _portable_token_hashes(toks)
     bits = ((h[:, None] >> _BITS64[None, :]) & np.uint64(1)).astype(np.int64)
     acc = (2 * bits - 1).sum(axis=0)
     return int(((acc > 0).astype(np.uint64) * _POW2_64).sum())
@@ -736,7 +760,7 @@ def _simhash_of_texts(texts: list) -> np.ndarray:
     out = np.zeros(len(texts), dtype=np.uint64)
     if not flat:
         return out
-    h = _hash_tokens(flat)
+    h = _portable_token_hashes(flat)
     bits = ((h[:, None] >> _BITS64[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
     nonempty = np.nonzero(lens > 0)[0]
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nonempty]
