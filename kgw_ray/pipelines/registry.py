@@ -307,16 +307,13 @@ FROM g JOIN documents d ON d.doc_id = g.first_doc
 )
 def q_webkg_edges_provenance(sf_dir: str) -> rd.Dataset:
     """Edge table with provenance url + warc_ts (BASELINE.json north_star:
-    'edge table with provenance url + warc_ts'): first observation's page
-    url and crawl timestamp attached via a broadcast doc→source map."""
-    from kgw_ray.pipelines.webkg import (
-        edges_from_triples,
-        edges_with_provenance_url,
-        triples_dataset,
-    )
+    'edge table with provenance url + warc_ts'): the first observation's
+    page url rides the triple combiner as an arg-min packed key — fully
+    distributed, no doc→url broadcast (kgw_ray/pipelines/webkg.py:
+    edges_with_provenance)."""
+    from kgw_ray.pipelines.webkg import edges_with_provenance
 
-    edges = edges_from_triples(triples_dataset(sf_dir))
-    return edges_with_provenance_url(edges, sf_dir)
+    return edges_with_provenance(sf_dir)
 
 
 @register("webkg_entity_linking")

@@ -487,12 +487,14 @@ def events_users_no_purchase(sf_dir: str, *, force_shuffle: bool = False) -> rd.
         buyers,
         on="user_id",
         broadcast_limit=0 if force_shuffle else 5_000_000,
-    ).to_pandas()
-    # empty Ray results drop their schema on to_pandas; pin the output
-    # column so the driver's schema compare holds (the pull is the final
-    # RESULT, not an intermediate — bounded by the non-buyer count)
-    ids = sorted(out["user_id"]) if "user_id" in out.columns else []
-    return pa.table({"user_id": pa.array(ids, pa.int64())})
+    ).materialize()
+    # non-buyers can be MOST users at 10^9 scale — return the Dataset, never
+    # a driver table. Only the empty case pins a driver-side schema (an
+    # empty Ray dataset drops its columns on to_pandas, which would fail
+    # the driver's schema compare).
+    if out.count() == 0:
+        return pa.table({"user_id": pa.array([], pa.int64())})
+    return out
 
 
 EVENTS_NO_PURCHASE_SQL = """

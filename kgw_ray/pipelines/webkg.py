@@ -293,35 +293,73 @@ def build_webkg(
     return nodes, edges
 
 
-def edges_with_provenance_url(edges: rd.Dataset, sf_dir: str) -> rd.Dataset:
-    """Attach first_url provenance by broadcasting the (small) doc→source map.
+def _edge_partials_prov(batch: pa.Table) -> pa.Table:
+    """Provenance combiner: per-triple partials carrying the FIRST page url
+    as a packed arg-min key ``lpad(doc_id, 20) || '|' || url`` — the
+    lexicographic Min over the pack IS the numeric min over doc_id (ids are
+    zero-padded; every mention of a doc shares its url), so a native
+    decomposable Min aggregate carries the url through the shuffle with no
+    corpus-sized side map anywhere."""
+    df = batch.select(["subj_id", "pred", "obj_id", "doc_id", "url"]).to_pandas()
+    df["prov"] = (
+        df["doc_id"].astype("int64").map("{:020d}".format) + "|" + df["url"]
+    )
+    g = (
+        df.groupby(["subj_id", "pred", "obj_id"], sort=False)
+        .agg(n_obs=("doc_id", "size"), prov=("prov", "min"))
+        .reset_index()
+    )
+    return arrow_from_pandas(g)
 
-    At web scale the doc→url map is NOT small; there the url is carried
-    through the triple combiner instead (arg-min on doc_id). Kept separate
-    so the hot path stays two-column.
-    """
-    import ray
 
-    from kgw_ray.sources.readers import read_table
+def _render_prov_edge_rows(batch: pa.Table) -> pa.Table:
+    """Unpack the arg-min prov key into first_doc / first_url /
+    first_warc_ts and render unified-IR edge rows."""
+    provs = batch.column("prov").to_pylist()
+    first_docs = [int(p[:20]) for p in provs]
+    urls = [p[21:] for p in provs]
+    props = [
+        json_dumps({"n_obs": int(n), "first_doc": d})
+        for n, d in zip(batch.column("n_obs").to_pylist(), first_docs)
+    ]
+    return pa.table(
+        {
+            "source_id": batch.column("source_id"),
+            "target_id": batch.column("target_id"),
+            "type": batch.column("type"),
+            "properties": pa.array(props, pa.string()),
+            "first_url": pa.array(urls, pa.string()),
+            "first_warc_ts": pa.array(
+                [warc_ts_for(d) for d in first_docs], pa.timestamp("us")
+            ),
+        }
+    )
 
-    doc_src = read_table(sf_dir, "documents", columns=["doc_id", "source"]).to_pandas()
-    ref = ray.put(dict(zip(doc_src["doc_id"], doc_src["source"])))
 
-    class AddUrl:
-        def __init__(self):
-            self.m = ray.get(ref)
+def edges_with_provenance(sf_dir: str, *, concurrency: int | None = None) -> rd.Dataset:
+    """Edge table with first-observation provenance (url + warc_ts), fully
+    distributed: the page url rides the triple stream into the combiner as
+    an arg-min-by-doc_id packed key and through the ONE shuffle as a native
+    Min aggregate — the scale-safe alternative to broadcasting a doc→url
+    map (which is corpus-sized on a web crawl). Same edge rows as
+    ``edges_from_triples`` plus (first_url, first_warc_ts)."""
+    from ray.data.aggregate import Min, Sum
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            urls, ts = [], []
-            for p in batch.column("properties").to_pylist():
-                d = json_loads(p)
-                urls.append(url_for(d["first_doc"], self.m[d["first_doc"]]))
-                ts.append(warc_ts_for(d["first_doc"]))
-            return batch.append_column(
-                "first_url", pa.array(urls, pa.string())
-            ).append_column("first_warc_ts", pa.array(ts, pa.timestamp("us")))
-
-    return edges.map_batches(AddUrl, batch_format="pyarrow", concurrency=(1, 2))
+    pages = extracted_pages(sf_dir, concurrency=concurrency)
+    triples = pages.map_batches(
+        extract_triples_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"carry_url": True},
+    ).map_batches(link_triples_batch, batch_format="pyarrow")
+    partials = triples.map_batches(_edge_partials_prov, batch_format="pyarrow")
+    merged = _coalesce_partials(partials).groupby(
+        ["subj_id", "pred", "obj_id"]
+    ).aggregate(
+        Sum("n_obs", alias_name="n_obs"), Min("prov", alias_name="prov")
+    ).rename_columns(
+        {"subj_id": "source_id", "obj_id": "target_id", "pred": "type"}
+    )
+    return merged.map_batches(_render_prov_edge_rows, batch_format="pyarrow")
 
 
 def build_webkg_partitioned(

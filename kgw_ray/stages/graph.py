@@ -15,7 +15,7 @@ from ray.data.aggregate import Count, Sum
 
 from kgw_ray.functions.arrow_utils import arrow_from_pandas
 from kgw_ray.stages.agg import grouped_aggregate
-from kgw_ray.stages.joins import large_join, semi_join_filter
+from kgw_ray.stages.joins import large_join
 
 
 def type_histogram(ds: rd.Dataset) -> rd.Dataset:
@@ -164,11 +164,18 @@ def neighborhood(edges: rd.Dataset, node_id: str) -> rd.Dataset:
     """1-hop subgraph: edges touching ``node_id`` plus edges among its
     neighbors (reference examples/downstream_analysis.ipynb cell 28).
 
-    Pass 1 streams edges to collect the (small) neighbor-id set on the
-    driver; pass 2 broadcast-filters edges by that set — a semi-join, no
-    shuffle.
+    Two-phase, driver-bounded: pass 1 filters touching edges map-side and
+    reduces them to a DISTINCT neighbor-id Dataset (a native hash
+    aggregate — never the raw 1-hop edge list, which is unbounded for a
+    celebrity node); pass 2 keeps edges with both endpoints in that set via
+    the size-hybrid ``semi_join_dataset`` (broadcast value-set for normal
+    degrees, hash-partitioned left_semi past 5M neighbors).
     """
+    import numpy as np
     import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from kgw_ray.stages.joins import semi_join_dataset
 
     def touching(batch: pa.Table) -> pa.Table:
         mask = pc.or_(
@@ -177,19 +184,32 @@ def neighborhood(edges: rd.Dataset, node_id: str) -> rd.Dataset:
         )
         return batch.filter(mask)
 
-    touch = edges.map_batches(touching, batch_format="pyarrow")
-    tdf = touch.to_pandas()  # 1-hop edge set: small by assumption
-    if len(tdf) == 0 or "source_id" not in tdf.columns:
-        # isolated/unknown node: empty pulls drop their schema, and an
-        # empty value set would make pc.is_in raise (null-typed array) —
-        # return an empty dataset that keeps the edge schema
-        return edges.limit(0)
-    nbrs = set(tdf["source_id"]) | set(tdf["target_id"])
+    def melt_ids(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                batch.column("source_id").to_numpy(zero_copy_only=False),
+                batch.column("target_id").to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"id": pa.array(np.unique(ids))})
 
-    both_in = semi_join_filter(
-        semi_join_filter(edges, nbrs, on="source_id"), nbrs, on="target_id"
+    touch = edges.map_batches(touching, batch_format="pyarrow")
+    # materialized ONCE: both semi joins probe this key set
+    nbr_ids = (
+        touch.map_batches(melt_ids, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
     )
-    return both_in
+    # unknown/isolated node → empty key set → semi_join_dataset returns
+    # edges.limit(0), preserving the edge schema
+    return semi_join_dataset(
+        semi_join_dataset(edges, nbr_ids, on="source_id", key_col="id"),
+        nbr_ids,
+        on="target_id",
+        key_col="id",
+    )
 
 
 def triple_dedup(edges: rd.Dataset) -> rd.Dataset:

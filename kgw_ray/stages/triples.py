@@ -53,11 +53,15 @@ ENTITY_TYPE = {
 }
 
 
-def extract_triples_batch(batch: pa.Table) -> pa.Table:
+def extract_triples_batch(batch: pa.Table, carry_url: bool = False) -> pa.Table:
     """pages/docs batch (doc_id, text or extracted_text) → triples batch.
 
     Output columns: doc_id:int64, subj:string, pred:string, obj:string,
     pos:int64 (token index of the subject — provenance within the doc).
+    With ``carry_url=True`` (pass via ``fn_kwargs``) the input's ``url``
+    column is repeated onto every emitted triple — page-level provenance
+    for the carry-through edge build. Default False keeps the hot path
+    two-column even though pages always have a url.
     """
     col = "extracted_text" if "extracted_text" in batch.column_names else "text"
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -67,15 +71,16 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
     tok_lists = [t.split(" ") if t else [] for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
     if lens.sum() == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "subj": pa.array([], pa.string()),
-                "pred": pa.array([], pa.string()),
-                "obj": pa.array([], pa.string()),
-                "pos": pa.array([], pa.int64()),
-            }
-        )
+        cols = {
+            "doc_id": pa.array([], pa.int64()),
+            "subj": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj": pa.array([], pa.string()),
+            "pos": pa.array([], pa.int64()),
+        }
+        if carry_url:
+            cols["url"] = pa.array([], pa.string())
+        return pa.table(cols)
     flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
     doc_of = np.repeat(doc_ids, lens)
     # token offset within its own document
@@ -92,15 +97,19 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
         # trigram windows fully inside one document: doc_of[i] == doc_of[i+2]
         ok = is_ent[:-2] & is_rel[1:-1] & is_ent[2:] & (doc_of[:-2] == doc_of[2:])
         idx = np.nonzero(ok)[0]
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_of[idx], pa.int64()),
-            "subj": pa.array(flat[idx], pa.string()),
-            "pred": pa.array(flat[idx + 1], pa.string()),
-            "obj": pa.array(flat[idx + 2], pa.string()),
-            "pos": pa.array(pos_in_doc[idx], pa.int64()),
-        }
-    )
+    cols = {
+        "doc_id": pa.array(doc_of[idx], pa.int64()),
+        "subj": pa.array(flat[idx], pa.string()),
+        "pred": pa.array(flat[idx + 1], pa.string()),
+        "obj": pa.array(flat[idx + 2], pa.string()),
+        "pos": pa.array(pos_in_doc[idx], pa.int64()),
+    }
+    if carry_url:
+        urls = np.repeat(
+            batch.column("url").to_numpy(zero_copy_only=False), lens
+        )
+        cols["url"] = pa.array(urls[idx], pa.string())
+    return pa.table(cols)
 
 
 _ENT_ARR = np.asarray(sorted(ENTITIES), dtype=object)
