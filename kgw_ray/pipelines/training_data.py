@@ -368,12 +368,12 @@ def media_metadata(sf_dir: str) -> rd.Dataset:
 
 
 def media_decode_features(sf_dir: str) -> rd.Dataset:
-    """Decode stub → 8-dim features (fake decoder; real plumbing)."""
+    """Real PPM decode → 8-dim shape/intensity features (pure-python P6
+    codec in the actor pool; stages/multimodal.py)."""
     from kgw_ray.stages.multimodal import DecodeImage, synth_media_dataset
 
     return synth_media_dataset(sf_dir).map_batches(
         DecodeImage,
-        fn_constructor_kwargs={"use_fake": True},
         batch_format="pyarrow",
         batch_size=32,
         concurrency=(1, 4),

@@ -91,6 +91,54 @@ def test_minhash_distributed_drop_path_parity(sf_smoke):
     assert fast == distributed
 
 
+def _chain_recall(dup_positions, m=300, max_bucket=64):
+    """Measured recall of the _bucket_pairs chain cap on one degenerate
+    bucket of m docs: true duplicates sit at ``dup_positions``; only
+    dup↔dup chain links survive verify (Jaccard of dup vs non-dup is 0).
+    Returns 1.0 if the dup group stays one component, else the fraction of
+    mergeable dups actually merged."""
+    import numpy as np
+
+    from kgw_ray.stages.dedup import _bucket_pairs
+
+    ids = np.arange(m, dtype=np.int64)
+    pairs = _bucket_pairs(ids, np.zeros(m, dtype=np.uint64), max_bucket)
+    dups = set(int(p) for p in dup_positions)
+    kept = [
+        (a, b) for a, b in zip(pairs["a"], pairs["b"]) if a in dups and b in dups
+    ]
+    parent = {d: d for d in dups}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in kept:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[rb] = ra
+    n_comp = len({find(d) for d in dups})
+    # recall in merged-doc terms: |dups| - n_comp merges achieved of |dups| - 1
+    return (len(dups) - n_comp) / (len(dups) - 1)
+
+
+def test_chain_cap_recall_on_degenerate_buckets():
+    """Quantifies the documented stride-1/2 chain truncation trade on a
+    bucket past max_bucket: duplicates interleaved with ONE false collision
+    between them (the adversarial alternation) keep full recall via the
+    stride-2 links; two interleaved non-dups between every pair of true
+    dups (beyond the stride horizon) lose the chain entirely. The numbers
+    pin the boundary the dedup.py docstring describes."""
+    # alternation: dups at even positions — stride-2 links connect them all
+    assert _chain_recall(range(0, 300, 2)) == 1.0
+    # every 3rd position: no stride-1/2 link joins two dups — recall 0
+    assert _chain_recall(range(0, 300, 3)) == 0.0
+    # in-cap buckets always expand full triu pairs: recall 1 regardless
+    assert _chain_recall(range(0, 60, 3), m=60) == 1.0
+
+
 def test_exact_dedup_counts(sf_smoke):
     from kgw_ray.stages.dedup import exact_dedup_keep
 
@@ -322,11 +370,40 @@ def test_media_plumbing(sf_smoke):
 
 
 def test_media_decode_stub_raises():
+    """decoder=None models a format whose native library is absent — the
+    honest-stub contract raises with guidance on the first batch."""
     from kgw_ray.stages.multimodal import DecodeImage
 
-    dec = DecodeImage(use_fake=False)
+    dec = DecodeImage(decoder=None)
     with pytest.raises(NotImplementedError):
         dec(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_ppm_roundtrip_and_features():
+    """encode→decode is the identity for arbitrary (h, w, 3) uint8 rasters
+    (including header-comment handling), and features carry real shape +
+    intensity stats."""
+    import numpy as np
+
+    from kgw_ray.stages.multimodal import decode_ppm, encode_ppm, ppm_features
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (12, 33)]:
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_ppm(encode_ppm(pix))
+        assert out.shape == (h, w, 3) and (out == pix).all()
+        f = ppm_features(out)
+        assert f[0] == h and f[1] == w and len(f) == 8
+        assert abs(f[2] - pix[..., 0].mean() / 255.0) < 1e-5
+    # comment + flexible whitespace in the header (netpbm grammar)
+    pix = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    hdr = b"P6 # comment\n# another\n 2\t2 \n255\n" + pix.tobytes()
+    assert (decode_ppm(hdr) == pix).all()
+    # malformed payloads fail loudly, never mis-decode
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\0" * 12)
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(pix)[:-1])
 
 
 def test_shuffle_is_permutation(sf_smoke):
@@ -410,3 +487,17 @@ def test_topk_tie_break_across_block_boundary():
     out = brute_force_topk(emb, np.array([v]), np.array([0]), k=10).to_pandas()
     assert list(out["vec_id"]) == list(range(10))
     assert list(out["rank"]) == list(range(1, 11))
+
+
+def test_topk_saturated_tie_window_falls_back_exact():
+    """More boundary ties than the argpartition candidate margin (one
+    block, 200 identical vectors): the per-query exact fallback must still
+    keep the k smallest ids."""
+    from kgw_ray.stages.similarity import _topk_partial
+
+    n = 200
+    V = np.tile(np.array([[1.0, 0.0]]), (n, 1))
+    bids = np.arange(n)[::-1].copy()  # descending ids stress the tie-break
+    df = _topk_partial(bids, V, np.array([[1.0, 0.0]]), np.array([7]), k=10)
+    assert list(df["vec_id"]) == list(range(10))
+    assert (df["query_id"] == 7).all()
