@@ -35,6 +35,7 @@ import csv
 import io
 import json
 import os
+from contextlib import contextmanager
 from typing import Callable, Iterator
 from xml.sax import saxutils
 
@@ -62,28 +63,38 @@ def _fragments(ds: rd.Dataset, render: Callable[[pa.Table], str]) -> rd.Dataset:
     return ds.map_batches(to_frag, batch_format="pyarrow")
 
 
-def _ordered(ds: rd.Dataset) -> rd.Dataset:
-    """Force deterministic block order for sink execution: Ray's streaming
-    executor consumes blocks in COMPLETION order by default
+@contextmanager
+def _ordered(ds: rd.Dataset):
+    """Force deterministic block order WHILE a sink executes: Ray's
+    streaming executor consumes blocks in COMPLETION order by default
     (execution_options.preserve_order=False), which would let export row
     order — and therefore sequential ids — drift run to run.
 
     The flag must be set on the DATASET'S plan context: Ray deep-copies the
     DataContext into the plan when the ROOT dataset is created, and the
     executor reads that snapshot — mutating the global context afterwards
-    (the obvious fix) is a no-op. Root and derived datasets share the
-    snapshot object, so setting it here covers the whole lineage."""
+    (the obvious fix) is a no-op. Root and derived datasets SHARE the
+    snapshot, so the flag is restored on exit (try/finally) — a permanent
+    flip would silently serialize every later execution in the lineage."""
     try:
-        ds._plan._context.execution_options.preserve_order = True
+        opts = ds._plan._context.execution_options
     except AttributeError:  # pragma: no cover - private-API drift guard
-        rd.DataContext.get_current().execution_options.preserve_order = True
-    return ds
+        opts = rd.DataContext.get_current().execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        yield ds
+    finally:
+        opts.preserve_order = prev
 
 
 def _stream_fragments(frags: rd.Dataset) -> Iterator[str]:
-    for b in _ordered(frags).iter_batches(batch_format="pyarrow", batch_size=1):
-        for s in b.column("frag").to_pylist():
-            yield s
+    # generator-scoped ordering: the finally restores the flag when the
+    # consumer exhausts (or abandons) the stream
+    with _ordered(frags):
+        for b in frags.iter_batches(batch_format="pyarrow", batch_size=1):
+            for s in b.column("frag").to_pylist():
+                yield s
 
 
 # --- counted two-pass assembly for order-dependent formats -----------------
@@ -105,7 +116,8 @@ def _blocks_with_offsets(ds: rd.Dataset, start: int = 0) -> tuple[list, list[int
     """Materialize ``ds`` in dataset order → (block refs, global row
     offsets). Counts travel via tiny remote tasks; blocks stay put. The
     shared pass-1 of every counted two-pass consumer below."""
-    refs = _ordered(ds).materialize().to_arrow_refs()
+    with _ordered(ds):
+        refs = ds.materialize().to_arrow_refs()
     counts = ray.get([_block_num_rows.remote(r) for r in refs])
     # drop zero-row blocks: an EMPTY dataset's blocks can be column-less
     # (schema drops), and renderers indexing columns would crash on them

@@ -50,17 +50,31 @@ def fetch_url(
     md5: str = "",
     sha256: str = "",
     fake: bool = False,
-) -> tuple[int, bytes]:
+) -> tuple[int, bytes, bool]:
     """Fetch one url with retries + exponential backoff (reference
     retry_count=3), optional Range resume from ``offset`` (download_file's
     ``bytes={local_size}-`` header; servers that ignore Range return the
     full body, detected by status 200 vs 206 and handled by slicing), and
     optional checksum validation (DownloadFile.run). Returns
-    ``(status, content_from_offset)``; raises after the final retry."""
+    ``(status, content_from_offset, validated)``; raises after the final
+    retry.
+
+    ``validated`` is True only when a requested checksum actually ran
+    against a full body — a true 206 resume CANNOT be validated here (only
+    the caller sees the assembled file, reference tasks.py:117-127), and
+    silently skipping would otherwise be indistinguishable from passing.
+    Checksum mismatches are deterministic once the body is in hand, so
+    they get at most ONE re-download (transit corruption) and then raise —
+    never the full network backoff ladder (each retry is a wasted full
+    download when the expected hash itself is wrong)."""
     if fake:
-        return 200, _fake_bytes(url)[offset:]
+        data = _fake_bytes(url)
+        validated = bool(md5 or sha256) and offset == 0
+        return 200, data[offset:], validated
     last_err: Exception = RuntimeError("unreachable")
-    for attempt in range(max_retries):
+    checksum_failures = 0
+    attempt = 0
+    while attempt < max_retries:
         try:
             req = urllib.request.Request(url)
             if offset > 0:
@@ -70,28 +84,34 @@ def fetch_url(
                 data = resp.read()
             # checksums validate whenever the FULL body is in hand: always
             # for offset==0, and for resumed fetches whose server ignored
-            # Range (status 200 → full body received, then sliced). A true
-            # 206 partial cannot be validated here — the caller validates
-            # the assembled file, as the reference does after fetch_file
-            # completes (tasks.py:117-127).
+            # Range (status 200 → full body received, then sliced).
             full = data if (offset == 0 or status == 200) else None
             if offset > 0 and status == 200:
                 # server ignored Range (file:// always does): slice locally
                 data = data[offset:]
-            if md5 and full is not None and hashlib.md5(full).hexdigest() != md5:
-                raise ValueError(f"MD5 mismatch for {url}")
-            if (
-                sha256
-                and full is not None
-                and hashlib.sha256(full).hexdigest() != sha256
-            ):
-                raise ValueError(f"SHA256 mismatch for {url}")
-            return status, data
+            validated = False
+            if full is not None:
+                if md5 and hashlib.md5(full).hexdigest() != md5:
+                    raise _ChecksumMismatch(f"MD5 mismatch for {url}")
+                if sha256 and hashlib.sha256(full).hexdigest() != sha256:
+                    raise _ChecksumMismatch(f"SHA256 mismatch for {url}")
+                validated = bool(md5 or sha256)
+            return status, data, validated
+        except _ChecksumMismatch as err:
+            checksum_failures += 1
+            if checksum_failures > 1:
+                raise
+            last_err = err  # one immediate re-download, no backoff
         except (urllib.error.URLError, OSError, ValueError) as err:
             last_err = err
-            if attempt + 1 < max_retries:
-                time.sleep(backoff_s * (2**attempt))
+            attempt += 1
+            if attempt < max_retries:
+                time.sleep(backoff_s * (2 ** (attempt - 1)))
     raise last_err
+
+
+class _ChecksumMismatch(ValueError):
+    """Deterministic content mismatch — exempt from the network backoff."""
 
 
 class _LinkExtractor(HTMLParser):
@@ -133,7 +153,7 @@ def get_versions_from_json_index(
     field)."""
     import json
 
-    _, data = fetch_url(url, fake=fake, **fetch_kwargs)
+    _, data, _ = fetch_url(url, fake=fake, **fetch_kwargs)
     raw = json.loads(data)
     return [str(entry[version_field]) for entry in raw]
 
@@ -153,7 +173,7 @@ def get_metadata_from_json_index(
     import json
 
     fields = fields or {"url": "download_url", "size": "size", "md5": "computed_md5"}
-    _, data = fetch_url(url, fake=fake, **fetch_kwargs)
+    _, data, _ = fetch_url(url, fake=fake, **fetch_kwargs)
     raw = json.loads(data)
     entries = raw["files"] if isinstance(raw, dict) and "files" in raw else raw
     out = {}
@@ -178,7 +198,7 @@ def get_versions_from_html_index(
     ``href_pattern``."""
     import re as _re
 
-    _, data = fetch_url(url, fake=fake, **fetch_kwargs)
+    _, data, _ = fetch_url(url, fake=fake, **fetch_kwargs)
     parser = _LinkExtractor()
     parser.feed(data.decode("utf-8", errors="replace"))
     t_re, h_re = _re.compile(text_pattern), _re.compile(href_pattern)
@@ -203,7 +223,10 @@ def fetch_url_table(
 ) -> rd.Dataset:
     """Fetch every url of a table, distributed.
 
-    Emits ``(url, status, n_bytes, content)``; a url that exhausts its
+    Emits ``(url, status, n_bytes, content, validated)``; ``validated``
+    reports whether a requested checksum actually ran (False for a true
+    206 resume — the caller must validate the assembled file — and for
+    urls fetched with no checksum at all). A url that exhausts its
     retries either records ``status=-1`` with empty content
     (``on_error='record'``, the 10^12-page default — a crawl must not die
     on one host) or raises (``on_error='raise'``, DownloadFile parity).
@@ -222,10 +245,10 @@ def fetch_url_table(
             if sha256_col
             else [""] * len(url_list)
         )
-        statuses, blobs = [], []
+        statuses, blobs, valids = [], [], []
         for u, m, s in zip(url_list, md5s, sha256s):
             try:
-                st, data = fetch_url(
+                st, data, val = fetch_url(
                     u,
                     max_retries=max_retries,
                     backoff_s=backoff_s,
@@ -237,15 +260,17 @@ def fetch_url_table(
             except Exception:
                 if on_error == "raise":
                     raise
-                st, data = -1, b""
+                st, data, val = -1, b"", False
             statuses.append(st)
             blobs.append(data)
+            valids.append(val)
         return pa.table(
             {
                 "url": pa.array(url_list, pa.string()),
                 "status": pa.array(statuses, pa.int64()),
                 "n_bytes": pa.array([len(b) for b in blobs], pa.int64()),
                 "content": pa.array(blobs, pa.large_binary()),
+                "validated": pa.array(valids, pa.bool_()),
             }
         )
 

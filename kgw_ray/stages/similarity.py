@@ -43,25 +43,40 @@ def _empty_topk_table() -> pa.Table:
     )
 
 
+_TIE_MARGIN = 32
+
+
 def _topk_partial(
     bids: np.ndarray, V: np.ndarray, Q: np.ndarray, qids: np.ndarray, k: int
 ) -> pd.DataFrame:
     """Local top-k of one batch against all queries. V, Q pre-normalized.
 
-    The local selection applies the SAME (sim DESC, vec_id ASC) tie-break
-    as the global reduce: a bare argpartition picks boundary ties
-    arbitrarily, so an exact-duplicate vector with a smaller id could be
-    dropped locally and the oracle's row_number ordering violated."""
+    Vectorized and exact: ONE argpartition narrows each query to k +
+    ``_TIE_MARGIN`` candidates, then a single row-wise lexsort orders only
+    that slice by the global (sim DESC, vec_id ASC) tie-break. A query
+    whose candidate window is saturated by boundary-sim ties (the only
+    case where ties could hide outside the window — duplicate-heavy data)
+    falls back to a full lexsort for that query alone, so an exact
+    duplicate with a smaller id can never be dropped locally."""
     S = Q @ V.T  # (nq, B)
     nq, B = S.shape
     kk = min(k, B)
-    rows_out, cols_out = [], []
-    for qi in range(nq):
-        order = np.lexsort((bids, -S[qi]))[:kk]
-        rows_out.append(np.full(kk, qi))
-        cols_out.append(order)
-    rows = np.concatenate(rows_out)
-    cols = np.concatenate(cols_out)
+    P = min(B, kk + _TIE_MARGIN)
+    if P >= B:
+        cand = np.broadcast_to(np.arange(B), (nq, B)).copy()
+    else:
+        cand = np.argpartition(-S, P - 1, axis=1)[:, :P]
+    csims = np.take_along_axis(S, cand, axis=1)
+    cbids = bids[cand]
+    order = np.lexsort((cbids, -csims), axis=1)  # per-row (sim DESC, id ASC)
+    top = np.take_along_axis(cand, order[:, :kk], axis=1)
+    if P < B:
+        sorted_sims = np.take_along_axis(csims, order, axis=1)
+        saturated = np.nonzero(sorted_sims[:, kk - 1] == sorted_sims[:, P - 1])[0]
+        for qi in saturated:  # rare: > _TIE_MARGIN exact ties at the boundary
+            top[qi] = np.lexsort((bids, -S[qi]))[:kk]
+    rows = np.repeat(np.arange(nq), kk)
+    cols = top.reshape(-1)
     return pd.DataFrame(
         {
             "query_id": qids[rows],

@@ -360,13 +360,16 @@ def test_ordered_sets_plan_context_flag():
     """The preserve-order knob must land on the DATASET'S plan context —
     Ray snapshots the DataContext at root creation, so the global flag is
     a no-op for already-built datasets (guards the private-API mechanism
-    _ordered relies on against Ray upgrades)."""
+    _ordered relies on against Ray upgrades) — and must be RESTORED on
+    exit: the snapshot is shared by every dataset in the lineage, so a
+    permanent flip would serialize later non-export executions."""
     ds = rd.from_arrow(pa.table({"x": [1, 2]})).map_batches(
         lambda t: t, batch_format="pyarrow"
     )
     assert ds._plan._context.execution_options.preserve_order is False
-    out = exports._ordered(ds)
-    assert out._plan._context.execution_options.preserve_order is True
+    with exports._ordered(ds):
+        assert ds._plan._context.execution_options.preserve_order is True
+    assert ds._plan._context.execution_options.preserve_order is False
 
 
 def test_graphml_property_named_type(tmp_path):

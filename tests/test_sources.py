@@ -138,11 +138,12 @@ def test_fetch_url_table_file_scheme(tmp_path):
     assert bytes(out["content"][0]) == p1.read_bytes()
     # checksum validation (reference DownloadFile.run)
     md5 = hashlib.md5(p1.read_bytes()).hexdigest()
-    st, data = fetch_url(p1.as_uri(), md5=md5)
-    assert data == p1.read_bytes()
+    st, data, validated = fetch_url(p1.as_uri(), md5=md5)
+    assert data == p1.read_bytes() and validated is True
     # resume offset: file:// ignores Range; the fallback slices locally
-    st, tail = fetch_url(p1.as_uri(), offset=100)
+    st, tail, validated = fetch_url(p1.as_uri(), offset=100)
     assert tail == p1.read_bytes()[100:]
+    assert validated is False  # no checksum requested
 
 
 def test_fetch_url_retry_then_record_error(tmp_path):
@@ -168,11 +169,11 @@ def test_fetch_url_retry_then_record_error(tmp_path):
 def test_fetch_url_fake_mode_deterministic():
     from kgw_ray.sources.http import fetch_url
 
-    s1, d1 = fetch_url("https://example.org/x", fake=True)
-    s2, d2 = fetch_url("https://example.org/x", fake=True)
-    _, d3 = fetch_url("https://example.org/y", fake=True)
+    s1, d1, _ = fetch_url("https://example.org/x", fake=True)
+    s2, d2, _ = fetch_url("https://example.org/x", fake=True)
+    _, d3, _ = fetch_url("https://example.org/y", fake=True)
     assert d1 == d2 and d1 != d3 and len(d1) == 256
-    _, tail = fetch_url("https://example.org/x", fake=True, offset=200)
+    _, tail, _ = fetch_url("https://example.org/x", fake=True, offset=200)
     assert tail == d1[200:]
 
 
@@ -188,10 +189,37 @@ def test_fetch_url_resume_validates_when_range_ignored(tmp_path):
     p = tmp_path / "c.bin"
     p.write_bytes(b"0123456789abcdef")
     good = hashlib.md5(p.read_bytes()).hexdigest()
-    st, tail = fetch_url(p.as_uri(), offset=4, md5=good, max_retries=1)
-    assert tail == b"456789abcdef"
+    st, tail, validated = fetch_url(p.as_uri(), offset=4, md5=good, max_retries=1)
+    assert tail == b"456789abcdef" and validated is True
     with pytest.raises(ValueError):
         fetch_url(p.as_uri(), offset=4, md5="0" * 32, max_retries=1)
+
+
+def test_checksum_mismatch_skips_backoff_ladder(tmp_path):
+    """A wrong expected hash is deterministic: at most one re-download,
+    no exponential backoff — max_retries=5 with a huge backoff must fail
+    fast (and a validated fetch_url_table row reports validated=True)."""
+    import hashlib
+    import time
+
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from kgw_ray.sources.http import fetch_url, fetch_url_table
+
+    p = tmp_path / "d.bin"
+    p.write_bytes(b"payload")
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        fetch_url(p.as_uri(), md5="0" * 32, max_retries=5, backoff_s=30.0)
+    assert time.time() - t0 < 5.0  # two reads, zero sleeps
+    good = hashlib.md5(b"payload").hexdigest()
+    out = fetch_url_table(
+        rd.from_arrow(pa.table({"url": [p.as_uri()], "md5": [good]})),
+        md5_col="md5",
+    ).to_pandas()
+    assert list(out["validated"]) == [True]
 
 
 def test_version_and_metadata_fetchers(tmp_path):
