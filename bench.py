@@ -171,7 +171,7 @@ def _prepare_scaled_corpus(sf_dir: str, repeat: int) -> str:
     return out_dir
 
 
-def run_flagship(sf_dir: str, num_cpus: int, repeat: int) -> dict:
+def run_flagship(sf_dir: str, num_cpus: int, repeat: int, reps: int = 3) -> dict:
     """The scaling workload: the flagship webkg_edges pipeline over the
     corpus replicated ``repeat``× (distinct doc_id spaces) — enough work to
     saturate the larger parallelism level; both levels run the IDENTICAL
@@ -206,19 +206,22 @@ def run_flagship(sf_dir: str, num_cpus: int, repeat: int) -> dict:
     else:
         n_docs = pq.read_metadata(doc_path).num_rows
     # warmup: spin up the worker pool + ship code once, then take the
-    # MEDIAN of 3 timed runs — steady-state throughput (the north_rule's
-    # regime; a 10^12-doc job is never cold-start-bound) with run-to-run
-    # scheduler variance averaged out
+    # MEDIAN of ``reps`` timed runs — steady-state throughput (the
+    # north_rule's regime; a 10^12-doc job is never cold-start-bound) with
+    # run-to-run scheduler variance averaged out; the full sample list is
+    # reported so dispersion is visible (machine noise is ±30% single-shot)
     _consume(edges_from_triples(triples_dataset("/root/testdata/sf0.001")))
     times = []
     n_rows = 0
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.monotonic()
         n_rows = _consume(edges_from_triples(triples_dataset(sf_dir)))
         times.append(time.monotonic() - t0)
-    sec = round(sorted(times)[1], 3)
+    srt = sorted(times)
+    sec = round(srt[len(srt) // 2], 3)
     return {
         "queries": {"webkg_edges": sec},
+        "times": [round(t, 3) for t in times],
         "docs_per_sec": round(n_docs / sec, 1),
         "rows": {"webkg_edges": n_rows},
         "n_docs": n_docs,
@@ -226,7 +229,7 @@ def run_flagship(sf_dir: str, num_cpus: int, repeat: int) -> dict:
     }
 
 
-def _scaling_child(sf_dir: str, cpus: int, repeat: int) -> dict:
+def _scaling_child(sf_dir: str, cpus: int, repeat: int, reps: int) -> dict:
     """Run JUST the flagship pipeline in a fresh process; return its JSON."""
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(cpus)
@@ -238,6 +241,8 @@ def _scaling_child(sf_dir: str, cpus: int, repeat: int) -> dict:
             "--_flagship_only",
             "--repeat",
             str(repeat),
+            "--reps",
+            str(reps),
         ],
         capture_output=True,
         text=True,
@@ -257,14 +262,24 @@ def main() -> None:
     ap.add_argument(
         "--repeat",
         type=int,
-        default=int(os.environ.get("BENCH_REPEAT", "64")),
-        help="corpus replication factor for the scaling workload",
+        default=int(os.environ.get("BENCH_REPEAT", "128")),
+        help="corpus replication factor for the scaling workload (×128 ≈ "
+        "640k docs at sf0.1 — a timed region big enough that ±30% "
+        "single-shot machine noise cannot hide a real regression; pass "
+        "256 for the extra-long region)",
+    )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=int(os.environ.get("BENCH_REPS", "5")),
+        help="timed repetitions per scaling level (median reported, full "
+        "sample list + dispersion in the JSON)",
     )
     ap.add_argument("--_flagship_only", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args._flagship_only:
-        res = run_flagship(args.sf_dir, args.cpus, args.repeat)
+        res = run_flagship(args.sf_dir, args.cpus, args.repeat, args.reps)
         print(json.dumps(res))
         import ray
 
@@ -273,26 +288,35 @@ def main() -> None:
 
     if args.scaling:
         small_cpus, big_cpus = max(2, args.cpus // 4), args.cpus
-        small = _scaling_child(args.sf_dir, small_cpus, args.repeat)
-        big = _scaling_child(args.sf_dir, big_cpus, args.repeat)
+        small = _scaling_child(args.sf_dir, small_cpus, args.repeat, args.reps)
+        big = _scaling_child(args.sf_dir, big_cpus, args.repeat, args.reps)
         t_small = small["queries"]["webkg_edges"]
         t_big = big["queries"]["webkg_edges"]
         factor = big_cpus / small_cpus
         eff = (t_small / t_big) / factor if t_big > 0 else None
+        # dispersion: the efficiency range spanned by the observed per-level
+        # extremes — a real regression must move the MEDIAN outside this band
+        eff_lo = (min(small["times"]) / max(big["times"])) / factor
+        eff_hi = (max(small["times"]) / min(big["times"])) / factor
         print(
             json.dumps(
                 {
                     "metric": "webkg flagship scaling efficiency "
                     f"({small_cpus}→{big_cpus} CPUs, cluster-size proxy; "
-                    f"corpus×{args.repeat})",
+                    f"corpus×{args.repeat}, median of {args.reps})",
                     "value": round(eff, 3) if eff is not None else None,
                     "unit": "efficiency",
+                    "efficiency_range": [round(eff_lo, 3), round(eff_hi, 3)],
                     "sf": args.sf_dir,
                     "num_cpus": big_cpus,
                     "n_docs": big["n_docs"],
                     "queries": {
                         f"webkg_edges@{small_cpus}cpus": t_small,
                         f"webkg_edges@{big_cpus}cpus": t_big,
+                    },
+                    "times": {
+                        f"{small_cpus}cpus": small["times"],
+                        f"{big_cpus}cpus": big["times"],
                     },
                     "docs_per_sec": {
                         f"{small_cpus}cpus": small["docs_per_sec"],
