@@ -342,11 +342,11 @@ def q_webkg_canonicalize(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 from kgw_ray.pipelines import training_data as _td  # noqa: E402
-from kgw_ray.stages.textstats import QUALITY_SQL, TOKEN_STATS_SQL  # noqa: E402
+from kgw_ray.stages.textstats import LANG_ID_SQL, QUALITY_SQL, TOKEN_STATS_SQL  # noqa: E402
 
 register("text_token_stats", TOKEN_STATS_SQL)(_td.text_token_stats)
 register("text_quality", QUALITY_SQL)(_td.text_quality)
-register("text_lang_id")(_td.text_lang_id)  # heuristic → rows-only check
+register("text_lang_id", LANG_ID_SQL)(_td.text_lang_id)
 register("text_fingerprint", _td.FINGERPRINT_SQL)(_td.text_fingerprint)
 register("text_content_md5", _td.FINGERPRINT_MD5_SQL)(_td.text_content_md5)
 register("dedup_exact", _td.EXACT_DEDUP_SQL)(_td.dedup_exact)

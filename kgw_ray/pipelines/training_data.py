@@ -60,7 +60,7 @@ def text_quality(sf_dir: str) -> rd.Dataset:
 
 def text_lang_id(sf_dir: str) -> rd.Dataset:
     """Heuristic language ID (task map with per-process singleton profiles;
-    rows-only check + accuracy test)."""
+    hash-gated against the marker-count SQL oracle + accuracy test)."""
     from kgw_ray.stages.textstats import lang_id_batch
 
     return _docs(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")

@@ -217,6 +217,54 @@ class LangId:
         )
 
 
+def _lang_id_sql() -> str:
+    """Oracle for the marker-word language heuristic: per-language hit
+    counts over lowercased whitespace tokens, CJK char-ratio fast path,
+    first-language-wins tie-break (the CASE order mirrors the Python
+    iteration order of _LANG_MARKERS with its strict ``>`` update)."""
+    hits = {
+        lang: (
+            "len(list_filter(toks, x -> x IN ("
+            + ", ".join(f"'{w}'" for w in sorted(words))
+            + ")))"
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    return f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, cjk, len(toks) AS n_toks,
+         {hits['en']} AS he, {hits['fr']} AS hf,
+         {hits['es']} AS hs, {hits['de']} AS hd
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN n_chars = 0 THEN 'und'
+       WHEN CAST(cjk AS DOUBLE) / greatest(n_chars, 1) > 0.2 THEN 'zh'
+       WHEN n_toks = 0 THEN 'und'
+       WHEN greatest(he, hf, hs, hd) = 0 THEN 'und'
+       WHEN he = greatest(he, hf, hs, hd) THEN 'en'
+       WHEN hf = greatest(he, hf, hs, hd) THEN 'fr'
+       WHEN hs = greatest(he, hf, hs, hd) THEN 'es'
+       ELSE 'de' END AS lang_pred,
+  CASE WHEN n_chars = 0 THEN 0.0
+       WHEN CAST(cjk AS DOUBLE) / greatest(n_chars, 1) > 0.2
+            THEN ROUND(CAST(cjk AS DOUBLE) / n_chars, 6)
+       WHEN n_toks = 0 THEN 0.0
+       ELSE ROUND(CAST(greatest(he, hf, hs, hd) AS DOUBLE) / n_toks, 6)
+       END AS lang_conf
+FROM s
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 _LANGID_SINGLETON: LangId | None = None
 
 
