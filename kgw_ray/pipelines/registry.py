@@ -418,6 +418,10 @@ def q_join_hash(sf_dir: str):
     return _rel.q3_top_orders(sf_dir, force_hash_join=True)
 
 
+register("media_resize")(_td.media_resize)
+register("media_frame_sample")(_td.media_frame_sample)
+
+
 @register("q5_revenue_by_nation_hash", _rel.Q5_SQL)
 def q_q5_hash(sf_dir: str):
     """Same result as q5 but with the hash-partitioned shuffle join forced —

@@ -380,6 +380,30 @@ def media_decode_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+def media_resize(sf_dir: str) -> rd.Dataset:
+    """Real PPM resize: decode → nearest-neighbor 16×16 → re-encode, as an
+    actor-pool stage over the binary media column (stages/multimodal.py)."""
+    from kgw_ray.stages.multimodal import ResizeImage, synth_media_dataset
+
+    return synth_media_dataset(sf_dir).map_batches(
+        ResizeImage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+    )
+
+
+def media_frame_sample(sf_dir: str) -> rd.Dataset:
+    """'Video' frame sampling over the binary payload column: fixed-size
+    chunks as frames, every 4th kept — one row per kept frame (the
+    flat_map shape a real ffmpeg frame decoder slots into)."""
+    from kgw_ray.stages.multimodal import frame_sample_batch, synth_media_dataset
+
+    return synth_media_dataset(sf_dir).map_batches(
+        frame_sample_batch, batch_format="pyarrow", batch_size=64
+    )
+
+
 def curate_documents(sf_dir: str) -> rd.Dataset:
     """End-to-end training-data curation: quality filter → exact dedup →
     MinHash near-dedup, returning surviving (doc_id, n_tokens,

@@ -160,6 +160,42 @@ class DecodeImage:
         )
 
 
+def resize_ppm(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) raster — pure numpy fancy
+    indexing (the sampling grid matches the standard pixel-center
+    convention: src = floor((i + 0.5) * scale))."""
+    h, w = pixels.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * (h / out_h)).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * (w / out_w)).astype(np.int64), w - 1)
+    return pixels[rows[:, None], cols[None, :]]
+
+
+class ResizeImage:
+    """Actor-pool resize stage: PPM payload in → resized PPM payload out
+    (decode → nearest-neighbor resample → re-encode, all pure python/numpy).
+    The real-libs version (vips thumbnail) drops into the same signature.
+
+    Output: (…, width, height, payload) with payload a valid P6 image of
+    the target size.
+    """
+
+    def __init__(self, out_h: int = 16, out_w: int = 16, payload_col: str = "payload"):
+        self.out_h, self.out_w = out_h, out_w
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        resized = [
+            encode_ppm(resize_ppm(decode_ppm(p), self.out_h, self.out_w))
+            for p in batch.column(self.payload_col).to_pylist()
+        ]
+        out = batch.drop_columns([self.payload_col])
+        return (
+            out.append_column("width", pa.array([self.out_w] * len(resized), pa.int64()))
+            .append_column("height", pa.array([self.out_h] * len(resized), pa.int64()))
+            .append_column("payload", pa.array(resized, pa.binary()))
+        )
+
+
 def frame_sample_batch(
     batch: pa.Table, *, payload_col: str = "payload", every_n: int = 4
 ) -> pa.Table:

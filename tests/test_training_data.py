@@ -406,6 +406,31 @@ def test_ppm_roundtrip_and_features():
         decode_ppm(encode_ppm(pix)[:-1])
 
 
+def test_media_resize_and_frame_sample(sf_smoke):
+    """Resize emits valid P6 payloads at the target size (decodable and
+    sampled from the source raster); frame sampling keeps every 4th chunk."""
+    import numpy as np
+
+    from kgw_ray.pipelines.training_data import media_frame_sample, media_resize
+    from kgw_ray.stages.multimodal import decode_ppm, resize_ppm
+
+    out = media_resize(sf_smoke).to_pandas()
+    assert len(out) > 0
+    assert (out["width"] == 16).all() and (out["height"] == 16).all()
+    pix = decode_ppm(bytes(out["payload"].iloc[0]))
+    assert pix.shape == (16, 16, 3)
+
+    # kernel correctness: identity when sizes match; exact sampling grid
+    src = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert (resize_ppm(src, 4, 6) == src).all()
+    half = resize_ppm(src, 2, 3)
+    assert (half == src[[1, 3]][:, [1, 3, 5]]).all()
+
+    frames = media_frame_sample(sf_smoke).to_pandas()
+    assert len(frames) > 0
+    assert (frames["frame_idx"] % 4 == 0).all()
+
+
 def test_shuffle_is_permutation(sf_smoke):
     from kgw_ray.pipelines.training_data import shuffle_documents
 
