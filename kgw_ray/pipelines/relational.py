@@ -21,11 +21,34 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from kgw_ray.functions.arrow_utils import arrow_from_pandas
-from kgw_ray.sources.readers import read_table
+from kgw_ray.sources.readers import read_table, read_table_pandas
 from kgw_ray.stages.agg import grouped_aggregate
 from kgw_ray.stages.joins import broadcast_join, large_join
 
 _R = 2  # money rounding (both sides of every oracle)
+
+
+def distributed_topk(
+    ds: rd.Dataset, keys: list[str], descending: list[bool], k: int
+) -> pa.Table:
+    """Top-k under a deterministic total order WITHOUT a global sort: each
+    block emits its local top-k (vectorized pandas sort over ≤ block rows),
+    and the ≤ (#blocks × k)-row partials merge on the driver with the same
+    ordering. The global ``Dataset.sort`` alternative shuffles every block
+    and builds one reduce partition per input block — measured ~2s of pure
+    overhead for a 10-row answer over 64 blocks at sf0.1 (same pattern as
+    stages/similarity.py:brute_force_topk). ``keys`` must include a unique
+    tie-break column so the order is total."""
+    ascending = [not d for d in descending]
+
+    def local(df: pd.DataFrame) -> pa.Table:
+        return arrow_from_pandas(
+            df.sort_values(keys, ascending=ascending).head(k)
+        )
+
+    parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    out = parts.sort_values(keys, ascending=ascending).head(k).reset_index(drop=True)
+    return arrow_from_pandas(out)
 
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
@@ -136,12 +159,14 @@ def q3_top_orders(sf_dir: str, *, force_hash_join: bool = False) -> rd.Dataset:
 
     # predicate + projection pushed into the Parquet scan: only the ~1/5
     # matching keys of ONE column leave storage (row-group pruning)
-    cust = read_table(
+    # direct driver-side scan: the filtered key column is the broadcast
+    # side, so a Ray Dataset execution here is pure overhead (readers.py)
+    cust = read_table_pandas(
         sf_dir,
         "customer",
         columns=["c_custkey"],
         filter=(pads.field("c_mktsegment") == "BUILDING"),
-    ).to_pandas()
+    )
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
@@ -187,7 +212,7 @@ def q3_top_orders(sf_dir: str, *, force_hash_join: bool = False) -> rd.Dataset:
         ]
 
     out = merged.map_batches(finalize, batch_format="pandas")
-    return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    return distributed_topk(out, ["revenue", "o_orderkey"], [True, False], 10)
 
 
 Q3_SQL = """
@@ -212,13 +237,13 @@ def q5_revenue_by_nation(sf_dir: str, *, force_hash_join: bool = False) -> rd.Da
     (o_orderkey, c_nationkey) side, broadcast under the limit, else a
     hash-partitioned ``large_join``. ``force_hash_join`` pins the shuffle
     path (the ``q5_revenue_by_nation_hash`` oracle query)."""
-    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    supplier = read_table(
+    nation = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    supplier = read_table_pandas(
         sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    customer = read_table(
+    )
+    customer = read_table_pandas(
         sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
+    )
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     line = read_table(
@@ -424,10 +449,11 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> rd.Dataset:
         df["total_value"] = df["total_value"].round(_R)
         return df
 
-    return (
-        merged.map_batches(finalize, batch_format="pandas")
-        .sort(["total_value", "user_id"], descending=[True, False])
-        .limit(k)
+    return distributed_topk(
+        merged.map_batches(finalize, batch_format="pandas"),
+        ["total_value", "user_id"],
+        [True, False],
+        k,
     )
 
 
@@ -626,10 +652,11 @@ def top_users_by_value_salted(sf_dir: str, k: int = 10) -> rd.Dataset:
         df["total_value"] = df["total_value"].round(_R)
         return df
 
-    return (
-        merged.map_batches(finalize, batch_format="pandas")
-        .sort(["total_value", "user_id"], descending=[True, False])
-        .limit(k)
+    return distributed_topk(
+        merged.map_batches(finalize, batch_format="pandas"),
+        ["total_value", "user_id"],
+        [True, False],
+        k,
     )
 
 

@@ -87,3 +87,28 @@ def read_table(
 
     ds = rd.read_parquet(path, **kwargs)
     return ds.map_batches(strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_table_pandas(
+    sf_dir: str,
+    name: str,
+    *,
+    columns: Optional[Sequence[str]] = None,
+    filter: Any = None,
+):
+    """Driver-side direct Parquet scan (pyarrow.dataset) for SMALL /
+    broadcast join sides. The result is about to be driver-materialized and
+    ``ray.put`` anyway, so spinning a Ray Dataset execution for it is pure
+    overhead (measured 1.4s vs 0.1s for a one-column filtered dimension
+    read at sf0.1). Same column pruning + row-group filter pushdown; on a
+    cluster the driver reads once from shared storage. NOT for fact-scale
+    sides — those stay ``read_table`` Datasets."""
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    t = pads.dataset(path).to_table(
+        columns=list(columns) if columns is not None else None, filter=filter
+    )
+    import pandas as pd  # noqa: F401  (to_pandas needs pandas present)
+
+    return t.to_pandas()
