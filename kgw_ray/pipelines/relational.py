@@ -119,8 +119,12 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return merged.map_batches(finalize, batch_format="pandas").sort(
-        ["l_returnflag", "l_linestatus"]
+    # output cardinality is bounded by |returnflag|x|linestatus| (6 rows at
+    # ANY scale) — order the tiny result on the driver instead of paying the
+    # all-to-all Sort operator for presentation order
+    out = merged.map_batches(finalize, batch_format="pandas").to_pandas()
+    return arrow_from_pandas(
+        out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     )
 
 
@@ -290,8 +294,12 @@ def q5_revenue_by_nation(sf_dir: str, *, force_hash_join: bool = False) -> rd.Da
             }
         )
 
-    return merged.map_batches(finalize, batch_format="pandas").sort(
-        ["revenue", "n_name"], descending=[True, False]
+    # bounded by |nation| (25 rows) — driver-order the tiny result
+    out = merged.map_batches(finalize, batch_format="pandas").to_pandas()
+    return arrow_from_pandas(
+        out.sort_values(
+            ["revenue", "n_name"], ascending=[False, True]
+        ).reset_index(drop=True)
     )
 
 
