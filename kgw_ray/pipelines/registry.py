@@ -155,9 +155,6 @@ register("docs_english_short", _rel.DOCS_EN_SHORT_SQL)(_rel.docs_english_short)
 register("events_value_quantiles", _rel.EVENTS_QUANTILES_SQL)(
     _rel.events_value_quantiles
 )
-register("top_users_by_value_salted", _rel.TOP_USERS_SQL)(
-    _rel.top_users_by_value_salted
-)
 register("events_minmax_by_type", _rel.EVENTS_MINMAX_SQL)(
     _rel.events_minmax_by_type
 )
@@ -352,6 +349,7 @@ register("text_content_md5", _td.FINGERPRINT_MD5_SQL)(_td.text_content_md5)
 register("dedup_exact", _td.EXACT_DEDUP_SQL)(_td.dedup_exact)
 register("dedup_minhash_lsh", _td.MINHASH_DEDUP_SQL)(_td.dedup_minhash_lsh)
 register("dedup_simhash_pairs", _td.SIMHASH_PAIRS_SQL)(_td.dedup_simhash_pairs)
+register("dedup_jaccard_pairs", _td.JACCARD_PAIRS_SQL)(_td.dedup_jaccard_pairs)
 register("dedup_embedding_pairs", _td.EMBED_NEAR_DUP_SQL)(_td.dedup_embedding_pairs)
 register("dedup_embedding_pairs_ivf")(_td.dedup_embedding_pairs_ivf)  # reduced recall
 register("ann_cosine_topk", _td.ANN_TOPK_SQL)(_td.ann_cosine_topk)
@@ -420,6 +418,13 @@ def q_join_hash(sf_dir: str):
 
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)
+# salted top-k duplicates top_users_by_value's result/oracle (only the
+# physical plan differs) — same redundancy class as the *_hash variants,
+# so it yields its gated slot to dedup_jaccard_pairs and stays pinned by
+# the parity test here in the tail
+register("top_users_by_value_salted", _rel.TOP_USERS_SQL)(
+    _rel.top_users_by_value_salted
+)
 
 
 @register("q5_revenue_by_nation_hash", _rel.Q5_SQL)

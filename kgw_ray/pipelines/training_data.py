@@ -207,6 +207,42 @@ MINHASH_DEDUP_SQL = _near_dup_survivor_sql(
     "base AS (SELECT doc_id, text FROM documents)", "doc_id"
 )
 
+# exact-Jaccard PAIRS oracle (the standalone n-gram Jaccard operator):
+# same shingle/size/intersection fragments as the survivor oracle, but
+# emitting the pair list with the rounded Jaccard value
+JACCARD_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+shd AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i : i + least(len(w), 5) - 1], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(w) - least(len(w), 5) + 1)) AS t(i)
+  WHERE len(w) > 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a, i.b,
+       ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+"""
+
+
+def dedup_jaccard_pairs(sf_dir: str) -> rd.Dataset:
+    """Standalone EXACT n-gram Jaccard near-dup pairs (J ≥ 0.5) via the
+    distributed shingle inverted index (stages/dedup.py:
+    exact_jaccard_pairs) — the non-approximate companion to the
+    MinHash-LSH pipeline, hash-gated against the all-pairs SQL oracle."""
+    from kgw_ray.stages.dedup import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
 
 def dedup_minhash_lsh(sf_dir: str) -> rd.Dataset:
     """Near-dup survivors via MinHash-LSH → Jaccard ≥ 0.5 → components.

@@ -91,6 +91,37 @@ def test_minhash_distributed_drop_path_parity(sf_smoke):
     assert fast == distributed
 
 
+def test_exact_jaccard_pairs_paths_agree(sf_smoke):
+    """The standalone inverted-index Jaccard operator: broadcast-sizes and
+    hash-join-sizes paths must agree with each other and with brute force
+    over per-doc shingle sets."""
+    import numpy as np
+
+    from kgw_ray.stages.dedup import exact_jaccard_pairs, shingle_hashes
+
+    docs = read_table(sf_smoke, "documents", columns=["doc_id", "text"])
+    df = docs.to_pandas().sort_values("doc_id")
+    ids = df["doc_id"].to_numpy()
+    sh = [shingle_hashes(t) for t in df["text"]]
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = sh[i], sh[j]
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if inter / (len(sa) + len(sb) - inter) >= 0.5:
+                truth.add((int(ids[i]), int(ids[j])))
+
+    bc = exact_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    hj = exact_jaccard_pairs(
+        docs, threshold=0.5, size_broadcast_limit=0
+    ).to_pandas()
+    got_bc = set(zip(bc["a"].astype(int), bc["b"].astype(int)))
+    got_hj = set(zip(hj["a"].astype(int), hj["b"].astype(int)))
+    assert got_bc == got_hj == truth
+
+
 def _chain_recall(dup_positions, m=300, max_bucket=64):
     """Measured recall of the _bucket_pairs chain cap on one degenerate
     bucket of m docs: true duplicates sit at ``dup_positions``; only
