@@ -392,8 +392,8 @@ def q_kg_degree_distribution(sf_dir: str):
     return degree_distribution(_tk.tpch_graph(sf_dir)[1])
 
 
-register("media_metadata")(_td.media_metadata)
-register("media_decode_features")(_td.media_decode_features)
+register("media_metadata", _td.MEDIA_META_SQL)(_td.media_metadata)
+register("media_decode_features", _td.MEDIA_FEATURES_SQL)(_td.media_decode_features)
 
 
 # ---------------------------------------------------------------------------

@@ -394,26 +394,99 @@ def ann_ivf_topk(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+# The synthetic PPM payload is a pure function of (doc_id, text) — SQL can
+# rebuild it exactly (the text is ASCII, so VARCHAR length/tiling/sha256
+# operate byte-identically to the Python bytes path). Shared base: target
+# raster dims + the cyclically tiled pixel string.
+_MEDIA_BASE_SQL = """
+WITH p AS (
+  SELECT doc_id, 16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h,
+         CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS src
+  FROM documents
+),
+t AS (
+  SELECT doc_id, w, h,
+         substr(repeat(src, CAST(w*h*3 / length(src) AS INT) + 1), 1, w*h*3) AS tiled
+  FROM p
+)
+"""
+
+# crc32 has no DuckDB builtin, so the GATED projection carries the other
+# metadata columns; crc32 stays in media_metadata_batch under unit test
+MEDIA_META_SQL = _MEDIA_BASE_SQL + """
+SELECT doc_id AS media_id, 'image/x-portable-pixmap' AS media_type,
+       length(payload) AS n_bytes, sha256(payload) AS sha256
+FROM (SELECT doc_id,
+        'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) || tiled AS payload
+      FROM t)
+"""
+
+_FEATURE_COLS = ["mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b"]
+
+MEDIA_FEATURES_SQL = _MEDIA_BASE_SQL + """,
+b AS (
+  SELECT doc_id, w, h, (u.i - 1) % 3 AS c,
+         ascii(substr(tiled, u.i, 1)) / 255.0 AS v
+  FROM t, UNNEST(generate_series(1, w*h*3)) AS u(i)
+),
+agg AS (
+  SELECT doc_id, w, h, c, AVG(v) AS m,
+         sqrt(greatest(AVG(v*v) - AVG(v)*AVG(v), 0)) AS s
+  FROM b GROUP BY doc_id, w, h, c
+)
+SELECT doc_id AS media_id,
+       CAST(h AS DOUBLE) AS height, CAST(w AS DOUBLE) AS width,
+       ROUND(MAX(CASE WHEN c = 0 THEN m END), 6) AS mean_r,
+       ROUND(MAX(CASE WHEN c = 1 THEN m END), 6) AS mean_g,
+       ROUND(MAX(CASE WHEN c = 2 THEN m END), 6) AS mean_b,
+       ROUND(MAX(CASE WHEN c = 0 THEN s END), 6) AS std_r,
+       ROUND(MAX(CASE WHEN c = 1 THEN s END), 6) AS std_g,
+       ROUND(MAX(CASE WHEN c = 2 THEN s END), 6) AS std_b
+FROM agg GROUP BY doc_id, w, h
+"""
+
+
 def media_metadata(sf_dir: str) -> rd.Dataset:
-    """Binary payload sidecar metadata (n_bytes / sha256 / crc32)."""
+    """Binary payload sidecar metadata — hash-gated on (n_bytes, sha256);
+    the crc32 column stays in the stage (no DuckDB crc32) under unit test."""
     from kgw_ray.stages.multimodal import media_metadata_batch, synth_media_dataset
 
     return synth_media_dataset(sf_dir).map_batches(
         media_metadata_batch, batch_format="pyarrow", batch_size=64
-    )
+    ).select_columns(["media_id", "media_type", "n_bytes", "sha256"])
 
 
 def media_decode_features(sf_dir: str) -> rd.Dataset:
-    """Real PPM decode → 8-dim shape/intensity features (pure-python P6
-    codec in the actor pool; stages/multimodal.py)."""
+    """Real PPM decode → shape/intensity features (pure-python P6 codec in
+    the actor pool; stages/multimodal.py), widened to float64 columns so
+    the DuckDB oracle hashes them (a raw list<float32> column is not
+    hash-stable across engines)."""
     from kgw_ray.stages.multimodal import DecodeImage, synth_media_dataset
 
-    return synth_media_dataset(sf_dir).map_batches(
+    feats = synth_media_dataset(sf_dir).map_batches(
         DecodeImage,
         batch_format="pyarrow",
         batch_size=32,
         concurrency=(1, 4),
     )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        lists = batch.column("feature").to_pylist()
+        cols = {"media_id": batch.column("media_id")}
+        if lists:
+            F = np.asarray(lists, dtype=np.float64)
+        else:
+            F = np.zeros((0, 8), dtype=np.float64)
+        cols["height"] = pa.array(F[:, 0])
+        cols["width"] = pa.array(F[:, 1])
+        for i, c in enumerate(_FEATURE_COLS):
+            # re-round after the float32→float64 cast: the stage rounded to
+            # 6 dp BEFORE storing float32, and float32 eps (≲1.2e-7 in
+            # [0,1]) is far below the 5e-7 rounding half-step
+            cols[c] = pa.array(np.round(F[:, i + 2], 6))
+        return pa.table(cols)
+
+    return feats.map_batches(widen, batch_format="pyarrow")
 
 
 def media_resize(sf_dir: str) -> rd.Dataset:

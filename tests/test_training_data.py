@@ -395,9 +395,20 @@ def test_media_plumbing(sf_smoke):
     assert (meta["n_bytes"] > 0).all()
     assert meta["sha256"].str.len().eq(64).all()
 
+    # crc32 lives in the stage (gated projection drops it — no DuckDB crc32)
+    from kgw_ray.stages.multimodal import media_metadata_batch, synth_media_dataset
+
+    raw = synth_media_dataset(sf_smoke).map_batches(
+        media_metadata_batch, batch_format="pyarrow", batch_size=64
+    ).to_pandas()
+    assert (raw["crc32"] >= 0).all() and raw["crc32"].nunique() > 1
+
     feats = media_decode_features(sf_smoke).to_pandas()
     assert len(feats) == len(meta)
-    assert feats["feature"].map(len).eq(8).all()
+    # widened feature columns: real shape + intensity stats
+    assert set(feats.columns) >= {"height", "width", "mean_r", "std_b"}
+    assert (feats["height"] >= 12).all() and (feats["width"] >= 16).all()
+    assert feats["mean_r"].between(0, 1).all()
 
 
 def test_media_decode_stub_raises():
