@@ -47,6 +47,15 @@ def distributed_topk(
         )
 
     parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or not set(keys).issubset(parts.columns):
+        # an all-empty result drops its schema on the pandas pull (the
+        # repo-wide empty-pull hazard) — rebuild a typed empty table from
+        # the upstream schema so callers and the driver's schema compare
+        # still see the right columns
+        sch = ds.schema()
+        return pa.table(
+            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+        )
     out = parts.sort_values(keys, ascending=ascending).head(k).reset_index(drop=True)
     return arrow_from_pandas(out)
 

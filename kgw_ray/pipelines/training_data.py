@@ -249,7 +249,12 @@ def dedup_minhash_lsh(sf_dir: str) -> rd.Dataset:
 
     Hash-gated against the exact-Jaccard + transitive-closure DuckDB oracle
     (``MINHASH_DEDUP_SQL``); also covered by the brute-force-Jaccard
-    comparison test (tests/test_training_data.py).
+    comparison test (tests/test_training_data.py). Gate validity is
+    data-conditional, as for any LSH scheme: band recall at J just above
+    the 0.5 threshold is <1 (16 bands × r=4 ≈ 0.64 at J=0.5, →1 as J→1),
+    so the oracle equality holds because the corpus's near-dup clusters
+    are high-J — the per-corpus brute-force test verifies exactly that.
+    The truly exact distributed operator is ``dedup_jaccard_pairs``.
     """
     from kgw_ray.stages.dedup import minhash_dedup_keep
 
@@ -286,7 +291,12 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
 def dedup_simhash_pairs(sf_dir: str) -> rd.Dataset:
     """SimHash near-dup candidate pairs (Hamming ≤ 3), exact-verified.
     Hash-gated: the 4×16-bit-band blocking finds EVERY pair at Hamming ≤ 3
-    (pigeonhole), so the output equals the DuckDB all-pairs oracle."""
+    (pigeonhole), so the output equals the DuckDB all-pairs oracle — as
+    long as no band bucket exceeds ``max_bucket`` (the skew guard then
+    emits chain pairs instead of full triu; on the test corpora no bucket
+    comes near the cap, so equality is exact; a >256-doc boilerplate
+    cluster at web scale trades the tail of its pair list for bounded
+    fan-out, by design)."""
     from kgw_ray.stages.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(_docs(sf_dir))

@@ -79,15 +79,40 @@ def triples_dataset(
     return ds.map_batches(link_triples_batch, batch_format="pyarrow")
 
 
-def _edge_partials(batch: pa.Table) -> pa.Table:
-    """Combiner: collapse a mention batch to per-triple partial aggregates."""
-    df = batch.select(["subj_id", "pred", "obj_id", "doc_id"]).to_pandas()
+def _edge_partials(batch: pa.Table, carry_prov: bool = False) -> pa.Table:
+    """Combiner: collapse a mention batch to per-triple partial aggregates.
+
+    ``carry_prov=True`` (pass via ``fn_kwargs``) additionally carries the
+    FIRST page url as a packed arg-min key ``lpad(doc_id, 20) || '|' ||
+    url`` — the lexicographic Min over the pack IS the numeric min over
+    doc_id (ids are zero-padded; every mention of a doc shares its url),
+    so a native decomposable Min aggregate moves the url through the
+    shuffle with no corpus-sized side map anywhere. One combiner for both
+    edge builds so the grouping/count semantics can never diverge."""
+    cols = ["subj_id", "pred", "obj_id", "doc_id"] + (["url"] if carry_prov else [])
+    df = batch.select(cols).to_pandas()
+    if carry_prov:
+        df["prov"] = (
+            df["doc_id"].astype("int64").map("{:020d}".format) + "|" + df["url"]
+        )
+        aggs = dict(n_obs=("doc_id", "size"), prov=("prov", "min"))
+    else:
+        aggs = dict(n_obs=("doc_id", "size"), first_doc=("doc_id", "min"))
     g = (
         df.groupby(["subj_id", "pred", "obj_id"], sort=False)
-        .agg(n_obs=("doc_id", "size"), first_doc=("doc_id", "min"))
+        .agg(**aggs)
         .reset_index()
     )
     return arrow_from_pandas(g)
+
+
+def _edge_props_json(n_obs_list, first_docs) -> list:
+    """THE canonical edge-properties JSON layout — one definition shared by
+    every edge render path so the byte format cannot fork."""
+    return [
+        json_dumps({"n_obs": int(n), "first_doc": int(d)})
+        for n, d in zip(n_obs_list, first_docs)
+    ]
 
 
 def _coalesce_partials(partials: rd.Dataset) -> rd.Dataset:
@@ -134,12 +159,9 @@ def _render_edge_rows(batch: pa.Table) -> pa.Table:
     """(source_id, target_id, type, n_obs, first_doc) → unified-IR edge rows
     with canonical JSON properties — shared by the streaming and
     partitioned builds so the two cannot diverge."""
-    props = [
-        json_dumps({"n_obs": int(n), "first_doc": int(d)})
-        for n, d in zip(
-            batch.column("n_obs").to_pylist(), batch.column("first_doc").to_pylist()
-        )
-    ]
+    props = _edge_props_json(
+        batch.column("n_obs").to_pylist(), batch.column("first_doc").to_pylist()
+    )
     return pa.table(
         {
             "source_id": batch.column("source_id"),
@@ -293,35 +315,14 @@ def build_webkg(
     return nodes, edges
 
 
-def _edge_partials_prov(batch: pa.Table) -> pa.Table:
-    """Provenance combiner: per-triple partials carrying the FIRST page url
-    as a packed arg-min key ``lpad(doc_id, 20) || '|' || url`` — the
-    lexicographic Min over the pack IS the numeric min over doc_id (ids are
-    zero-padded; every mention of a doc shares its url), so a native
-    decomposable Min aggregate carries the url through the shuffle with no
-    corpus-sized side map anywhere."""
-    df = batch.select(["subj_id", "pred", "obj_id", "doc_id", "url"]).to_pandas()
-    df["prov"] = (
-        df["doc_id"].astype("int64").map("{:020d}".format) + "|" + df["url"]
-    )
-    g = (
-        df.groupby(["subj_id", "pred", "obj_id"], sort=False)
-        .agg(n_obs=("doc_id", "size"), prov=("prov", "min"))
-        .reset_index()
-    )
-    return arrow_from_pandas(g)
-
-
 def _render_prov_edge_rows(batch: pa.Table) -> pa.Table:
     """Unpack the arg-min prov key into first_doc / first_url /
-    first_warc_ts and render unified-IR edge rows."""
+    first_warc_ts and render unified-IR edge rows (properties via the
+    shared ``_edge_props_json`` layout)."""
     provs = batch.column("prov").to_pylist()
     first_docs = [int(p[:20]) for p in provs]
     urls = [p[21:] for p in provs]
-    props = [
-        json_dumps({"n_obs": int(n), "first_doc": d})
-        for n, d in zip(batch.column("n_obs").to_pylist(), first_docs)
-    ]
+    props = _edge_props_json(batch.column("n_obs").to_pylist(), first_docs)
     return pa.table(
         {
             "source_id": batch.column("source_id"),
@@ -351,7 +352,9 @@ def edges_with_provenance(sf_dir: str, *, concurrency: int | None = None) -> rd.
         batch_format="pyarrow",
         fn_kwargs={"carry_url": True},
     ).map_batches(link_triples_batch, batch_format="pyarrow")
-    partials = triples.map_batches(_edge_partials_prov, batch_format="pyarrow")
+    partials = triples.map_batches(
+        _edge_partials, batch_format="pyarrow", fn_kwargs={"carry_prov": True}
+    )
     merged = _coalesce_partials(partials).groupby(
         ["subj_id", "pred", "obj_id"]
     ).aggregate(

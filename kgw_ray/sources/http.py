@@ -68,8 +68,17 @@ def fetch_url(
     never the full network backoff ladder (each retry is a wasted full
     download when the expected hash itself is wrong)."""
     if fake:
+        # fake mode honors the same checksum contract: validation actually
+        # RUNS against the deterministic body (a wrong expected hash must
+        # raise here too, or fake-mode tests would assert nothing)
         data = _fake_bytes(url)
-        validated = bool(md5 or sha256) and offset == 0
+        validated = False
+        if offset == 0 and (md5 or sha256):
+            if md5 and hashlib.md5(data).hexdigest() != md5:
+                raise _ChecksumMismatch(f"MD5 mismatch for {url}")
+            if sha256 and hashlib.sha256(data).hexdigest() != sha256:
+                raise _ChecksumMismatch(f"SHA256 mismatch for {url}")
+            validated = True
         return 200, data[offset:], validated
     last_err: Exception = RuntimeError("unreachable")
     checksum_failures = 0

@@ -109,6 +109,4 @@ def read_table_pandas(
     t = pads.dataset(path).to_table(
         columns=list(columns) if columns is not None else None, filter=filter
     )
-    import pandas as pd  # noqa: F401  (to_pandas needs pandas present)
-
     return t.to_pandas()

@@ -764,7 +764,30 @@ def exact_jaccard_pairs(
     sh = docs.select_columns(["doc_id", "text"]).map_batches(
         shingle_rows, batch_format="pyarrow"
     ).materialize()
-    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n"))
+
+    # per-doc set sizes via a per-block combiner (≤ one row per doc per
+    # block) + tiny Sum — a direct groupby over the shingle rows would
+    # hash-shuffle one row per (doc, shingle), ~|shingles-per-doc|× the
+    # corpus row count, just to count runs. A doc's rows CAN span blocks
+    # (Ray splits oversized map outputs), hence the Sum merge.
+    def size_partials(batch: pa.Table) -> pa.Table:
+        ids, counts = np.unique(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_partial": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    sizes = (
+        sh.map_batches(size_partials, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
 
     def pairs_of_shard(g: pd.DataFrame) -> pa.Table:
         order = np.lexsort((g["doc_id"].to_numpy(), g["shingle"].to_numpy()))
