@@ -461,20 +461,19 @@ def jaccard_verify_pairs(
                     sh_map[d] = shingle_hashes(t or "", shingle_k)
         ref = ray.put(sh_map)
 
-        class Verify:
-            def __init__(self):
-                self.sh = ray.get(ref)
+        # task map, not an actor pool: the broadcast shingle map is read
+        # zero-copy from plasma per task (actor-vs-task rule, joins.py)
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            sh = ray.get(ref)
+            a = batch.column("a").to_pylist()
+            b = batch.column("b").to_pylist()
+            jac = _jaccard_of_shingle_lists(
+                [sh.get(x) for x in a], [sh.get(y) for y in b]
+            )
+            out = batch.append_column("jaccard", pa.array(np.round(jac, 6)))
+            return out.filter(pa.array(jac >= threshold))
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                a = batch.column("a").to_pylist()
-                b = batch.column("b").to_pylist()
-                jac = _jaccard_of_shingle_lists(
-                    [self.sh.get(x) for x in a], [self.sh.get(y) for y in b]
-                )
-                out = batch.append_column("jaccard", pa.array(np.round(jac, 6)))
-                return out.filter(pa.array(jac >= threshold))
-
-        return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+        return pairs.map_batches(verify_bc, batch_format="pyarrow")
 
     # ---- shuffle-join path: nothing corpus-sized on the driver ----------
     from ray.data.aggregate import Count
@@ -1084,27 +1083,26 @@ def embedding_near_dup_pairs(
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids_all, M))
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.M = ray.get(ref)
+    # task map, not an actor pool: the broadcast matrix is read zero-copy
+    # from plasma per task (actor-vs-task rule, joins.py)
+    def pairs_of(batch: pa.Table) -> pa.Table:
+        ids, Mn = ray.get(ref)
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        V = np.vstack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = V @ Mn.T  # (B, N)
+        rows, cols = np.nonzero(S >= threshold)
+        a = bids[rows]
+        b = ids[cols]
+        keep = a < b  # dedup + drop self-pairs
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(np.round(S[rows, cols][keep], 6)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            V = np.vstack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            S = V @ self.M.T  # (B, N)
-            rows, cols = np.nonzero(S >= threshold)
-            a = bids[rows]
-            b = self.ids[cols]
-            keep = a < b  # dedup + drop self-pairs
-            return pa.table(
-                {
-                    "a": pa.array(a[keep], pa.int64()),
-                    "b": pa.array(b[keep], pa.int64()),
-                    "cosine": pa.array(np.round(S[rows, cols][keep], 6)),
-                }
-            )
-
-    return embeds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 8))
+    return embeds.map_batches(pairs_of, batch_format="pyarrow")

@@ -98,22 +98,21 @@ def _typed_edges(nodes: rd.Dataset, edges: rd.Dataset, num_partitions) -> rd.Dat
         id_type = node_types.to_pandas()
         ref = ray.put(dict(zip(id_type["id"], id_type["type"])))
 
-        class AddTypes:
-            def __init__(self):
-                self.m = ray.get(ref)
+        # task map, not an actor pool: the broadcast id→type map is read
+        # zero-copy from plasma per task (actor-vs-task rule, joins.py)
+        def add_types(df: pd.DataFrame) -> pa.Table:
+            m = ray.get(ref)
+            out = pd.DataFrame(
+                {
+                    "source_type": df["source_id"].map(m),
+                    "edge_type": df["edge_type"],
+                    "target_type": df["target_id"].map(m),
+                }
+            )
+            out = out.dropna(subset=["source_type", "target_type"])
+            return arrow_from_pandas(out)
 
-            def __call__(self, df: pd.DataFrame) -> pa.Table:
-                out = pd.DataFrame(
-                    {
-                        "source_type": df["source_id"].map(self.m),
-                        "edge_type": df["edge_type"],
-                        "target_type": df["target_id"].map(self.m),
-                    }
-                )
-                out = out.dropna(subset=["source_type", "target_type"])
-                return arrow_from_pandas(out)
-
-        return e.map_batches(AddTypes, batch_format="pandas", concurrency=(1, 8))
+        return e.map_batches(add_types, batch_format="pandas")
 
     src_t = node_types.rename_columns({"type": "source_type"})
     tgt_t = node_types.rename_columns({"type": "target_type"})

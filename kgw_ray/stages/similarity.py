@@ -102,20 +102,20 @@ def brute_force_topk(
     Qn = _normalize(np.asarray(queries, dtype=np.float64))
     ref = ray.put((Qn, np.asarray(query_ids)))
 
-    class Local:
-        def __init__(self):
-            self.Q, self.qids = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            V = _normalize(
-                np.vstack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
-                    np.float64
-                )
+    # task map, not an actor pool: the broadcast query matrix is trivial
+    # state read zero-copy from plasma per task; pools pay startup+rampup
+    # and cap concurrency (the repo-wide actor-vs-task rule, joins.py)
+    def local(batch: pa.Table) -> pa.Table:
+        Q, qids = ray.get(ref)
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        V = _normalize(
+            np.vstack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+                np.float64
             )
-            return arrow_from_pandas(_topk_partial(bids, V, self.Q, self.qids, k))
+        )
+        return arrow_from_pandas(_topk_partial(bids, V, Q, qids, k))
 
-    partials = embeds.map_batches(Local, batch_format="pyarrow", concurrency=(1, 8))
+    partials = embeds.map_batches(local, batch_format="pyarrow")
     # final reduce: ≤ (#blocks × nq × k) rows — tiny
     df = partials.to_pandas()
     if len(df) == 0 or "query_id" not in df.columns:
@@ -204,20 +204,19 @@ class IVFIndex:
         C = _centroids_from_sample(M, n_cells)
         ref = ray.put(C)
 
-        class Assign:
-            def __init__(self):
-                self.C = ray.get(ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                V = _normalize(
-                    np.vstack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
-                        np.float64
-                    )
+        # task map: the centroid matrix is trivial broadcast state
+        # (actor-vs-task rule, joins.py)
+        def assign(batch: pa.Table) -> pa.Table:
+            C_ = ray.get(ref)
+            V = _normalize(
+                np.vstack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+                    np.float64
                 )
-                cell = np.argmax(V @ self.C.T, axis=1).astype(np.int32)
-                return batch.append_column("cell", pa.array(cell, pa.int32()))
+            )
+            cell = np.argmax(V @ C_.T, axis=1).astype(np.int32)
+            return batch.append_column("cell", pa.array(cell, pa.int32()))
 
-        assigned = embeds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+        assigned = embeds.map_batches(assign, batch_format="pyarrow")
         return cls(C, assigned.materialize(), id_col, vec_col)
 
     def topk(
@@ -233,47 +232,45 @@ class IVFIndex:
         ref = ray.put((Qn, np.asarray(query_ids), qcells))
         id_col, vec_col = self.id_col, self.vec_col
 
-        class Local:
-            def __init__(self):
-                self.Q, self.qids, self.qcells = ray.get(ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                bids = batch.column(id_col).to_numpy(zero_copy_only=False)
-                cells = batch.column("cell").to_numpy(zero_copy_only=False)
-                V = _normalize(
-                    np.vstack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
-                        np.float64
+        # task map: (queries, cells) are trivial broadcast state
+        def local(batch: pa.Table) -> pa.Table:
+            Q, qids, qcells = ray.get(ref)
+            bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            cells = batch.column("cell").to_numpy(zero_copy_only=False)
+            V = _normalize(
+                np.vstack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+                    np.float64
+                )
+            )
+            outs = []
+            for qi in range(len(Q)):
+                mask = np.isin(cells, qcells[qi])
+                if not mask.any():
+                    continue
+                outs.append(
+                    _topk_partial(
+                        bids[mask],
+                        V[mask],
+                        Q[qi : qi + 1],
+                        qids[qi : qi + 1],
+                        k,
                     )
                 )
-                outs = []
-                for qi in range(len(self.Q)):
-                    mask = np.isin(cells, self.qcells[qi])
-                    if not mask.any():
-                        continue
-                    outs.append(
-                        _topk_partial(
-                            bids[mask],
-                            V[mask],
-                            self.Q[qi : qi + 1],
-                            self.qids[qi : qi + 1],
-                            k,
-                        )
-                    )
-                if not outs:
-                    return pa.table(
-                        {
-                            "query_id": pa.array([], pa.int64()),
-                            "vec_id": pa.array([], pa.int64()),
-                            "cosine": pa.array([], pa.float64()),
-                        }
-                    )
-                return arrow_from_pandas(pd.concat(outs, ignore_index=True))
+            if not outs:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return arrow_from_pandas(pd.concat(outs, ignore_index=True))
 
         pruned = self.assigned.map_batches(
             lambda t: t.filter(pc.is_in(t["cell"], value_set=probe_cells)),
             batch_format="pyarrow",
         )
-        partials = pruned.map_batches(Local, batch_format="pyarrow", concurrency=(1, 8))
+        partials = pruned.map_batches(local, batch_format="pyarrow")
         df = partials.to_pandas()
         if len(df) == 0 or "query_id" not in df.columns:
             return _empty_topk_table()
