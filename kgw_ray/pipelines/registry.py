@@ -427,6 +427,11 @@ register("top_users_by_value_salted", _rel.TOP_USERS_SQL)(
 )
 
 
+register("events_range_join", _rel.EVENTS_RANGE_JOIN_SQL)(
+    _rel.events_range_join
+)
+
+
 @register("q5_revenue_by_nation_hash", _rel.Q5_SQL)
 def q_q5_hash(sf_dir: str):
     """Same result as q5 but with the hash-partitioned shuffle join forced —

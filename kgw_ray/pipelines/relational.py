@@ -748,3 +748,51 @@ SELECT event_type,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """
+
+def events_range_join(sf_dir: str) -> rd.Dataset:
+    """Interval (range) join WITHOUT an equi-key: every (signup, purchase)
+    event pair where the purchase happens within 10 minutes at-or-after the
+    signup, across ALL users — the bucketed distributed range join
+    (stages/joins.py:range_join): both sides bucket by 10-minute windows,
+    the signup side replicates to its ≤2 overlapping buckets, one hash
+    join co-locates candidates, and an exact vectorized filter keeps true
+    pairs. Output: (signup_id, purchase_id, delta_s)."""
+    from kgw_ray.stages.joins import range_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    signups = ev.filter(expr="event_type == 'signup'").rename_columns(
+        {"event_id": "signup_id", "ts": "signup_ts"}
+    ).drop_columns(["event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").rename_columns(
+        {"event_id": "purchase_id"}
+    ).drop_columns(["event_type"])
+    j = range_join(
+        signups,
+        purchases,
+        left_ts="signup_ts",
+        right_ts="ts",
+        lower_us=0,
+        upper_us=10 * 60 * 1_000_000,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        lt = pc.cast(batch["signup_ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        rt = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "signup_id": batch["signup_id"],
+                "purchase_id": batch["purchase_id"],
+                "delta_s": pa.array((rt - lt) // 1_000_000, pa.int64()),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_RANGE_JOIN_SQL = """
+SELECT a.event_id AS signup_id, b.event_id AS purchase_id,
+       CAST(date_diff('microsecond', a.ts, b.ts) // 1000000 AS BIGINT) AS delta_s
+FROM events a JOIN events b
+  ON a.event_type = 'signup' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+"""

@@ -75,3 +75,54 @@ def test_neighborhood_unknown_node_returns_empty(sf_correct):
     out = neighborhood(tpch_graph(sf_correct)[1], "NO_SUCH_NODE")
     df = out.to_pandas()
     assert len(df) == 0
+
+
+def test_range_join_boundaries_and_equi_key():
+    """Bucketed range join: pairs exactly on the window boundaries are
+    kept, pairs just outside are dropped (including across bucket edges),
+    and an equi-key restricts matches — brute-force comparison."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.joins import range_join
+
+    W = 100  # microseconds
+    lts = [0, 37, 99, 100, 101, 250, 999]
+    rts = [0, 36, 99, 100, 137, 199, 200, 350, 1099, 1100]
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "lid": pa.array(range(len(lts)), pa.int64()),
+                "lt": pa.array(lts, pa.int64()),
+                "k": pa.array([i % 2 for i in range(len(lts))], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array(range(len(rts)), pa.int64()),
+                "rt": pa.array(rts, pa.int64()),
+                "k": pa.array([i % 2 for i in range(len(rts))], pa.int64()),
+            }
+        )
+    )
+    out = range_join(
+        left, right, left_ts="lt", right_ts="rt", lower_us=0, upper_us=W
+    ).to_pandas()
+    got = set(zip(out["lid"], out["rid"]))
+    want = {
+        (i, j)
+        for i, j in itertools.product(range(len(lts)), range(len(rts)))
+        if 0 <= rts[j] - lts[i] <= W
+    }
+    assert got == want
+    # equi-key path: same range predicate AND k equality
+    out2 = range_join(
+        left, right, left_ts="lt", right_ts="rt", lower_us=0, upper_us=W, on=("k",)
+    ).to_pandas()
+    got2 = set(zip(out2["lid"], out2["rid"]))
+    want2 = {(i, j) for i, j in want if i % 2 == j % 2}
+    assert got2 == want2
