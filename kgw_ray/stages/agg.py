@@ -47,6 +47,51 @@ def grouped_aggregate(
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def sharded_count(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    *,
+    count_name: str = "n",
+    n_shards: Optional[int] = None,
+) -> rd.Dataset:
+    """COUNT(*) GROUP BY ``keys`` for HIGH-CARDINALITY keys (groups ≈ rows):
+    each row hashes deterministically to one of ``n_shards`` int shards,
+    ONE shuffle groups by the cheap int key, and a vectorized pandas
+    groupby counts exactly within each shard.
+
+    A native sort-based aggregate pays a full multi-string-column sort of
+    the table (measured 7.8s vs 1.5s for a 766k-row 3-string-key count at
+    sf0.1/32cpus); a per-batch combiner is useless because near-unique
+    keys barely collapse. The hash only PARTITIONS — grouping keys stay
+    the full tuple, so results are exact. ``n_shards`` bounds per-shard
+    memory to ~|rows|/n_shards; scale it with the corpus (default 4×CPUs).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
+    keys = list(keys)
+    if n_shards is None:
+        n_shards = 4 * default_shuffle_partitions()
+
+    def shard(batch: pa.Table) -> pa.Table:
+        proj = batch.select(keys)
+        k = pd.util.hash_pandas_object(proj.to_pandas(), index=False).to_numpy()
+        return proj.append_column(
+            "shard", pa.array((k % n_shards).astype(np.int32), pa.int32())
+        )
+
+    def count_group(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby(keys, sort=False).size().rename(count_name).reset_index()
+        return arrow_from_pandas(out)
+
+    return ds.map_batches(shard, batch_format="pyarrow").groupby("shard").map_groups(
+        count_group, batch_format="pandas"
+    )
+
+
 def salted_aggregate(
     ds: rd.Dataset,
     keys: Union[str, Sequence[str]],
