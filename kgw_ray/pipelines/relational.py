@@ -759,7 +759,11 @@ def events_range_join(sf_dir: str) -> rd.Dataset:
     pairs. Output: (signup_id, purchase_id, delta_s)."""
     from kgw_ray.stages.joins import range_join
 
-    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    # materialized once: both join inputs filter off this read — lazy, the
+    # events scan would execute twice (the endemic double-execution gotcha)
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "event_type"]
+    ).materialize()
     signups = ev.filter(expr="event_type == 'signup'").rename_columns(
         {"event_id": "signup_id", "ts": "signup_ts"}
     ).drop_columns(["event_type"])

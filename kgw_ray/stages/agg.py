@@ -75,6 +75,11 @@ def sharded_count(
     keys = list(keys)
     if n_shards is None:
         n_shards = 4 * default_shuffle_partitions()
+    # key types pinned from the input schema: a group whose key column is
+    # ALL-null would otherwise infer float64/null in pandas→arrow and break
+    # cross-block schema unification
+    sch = ds.schema()
+    type_of = dict(zip(sch.names, sch.types))
 
     def shard(batch: pa.Table) -> pa.Table:
         proj = batch.select(keys)
@@ -84,12 +89,37 @@ def sharded_count(
         )
 
     def count_group(g: pd.DataFrame) -> pa.Table:
-        out = g.groupby(keys, sort=False).size().rename(count_name).reset_index()
-        return arrow_from_pandas(out)
+        # dropna=False: NULL group keys are rows too — SQL GROUP BY keeps
+        # them and the oracles compare exact counts
+        out = (
+            g.groupby(keys, sort=False, dropna=False)
+            .size()
+            .rename(count_name)
+            .reset_index()
+        )
+        return pa.table(
+            {
+                **{
+                    k: pa.array(out[k], type=type_of[k], from_pandas=True)
+                    for k in keys
+                },
+                count_name: pa.array(out[count_name], pa.int64()),
+            }
+        )
 
-    return ds.map_batches(shard, batch_format="pyarrow").groupby("shard").map_groups(
+    counted = ds.map_batches(shard, batch_format="pyarrow").groupby("shard").map_groups(
         count_group, batch_format="pandas"
     )
+    # an all-empty input never invokes count_group, leaving a SCHEMA-LESS
+    # empty dataset (the repo-wide empty-pull hazard) — union a typed empty
+    # table so downstream column access always works
+    empty = pa.table(
+        {
+            **{k: pa.array([], type_of[k]) for k in keys},
+            count_name: pa.array([], pa.int64()),
+        }
+    )
+    return rd.from_arrow(empty).union(counted)
 
 
 def salted_aggregate(

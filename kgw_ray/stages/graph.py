@@ -79,6 +79,35 @@ def statistics_dict(nodes: rd.Dataset, edges: rd.Dataset) -> dict:
 _BROADCAST_NODE_LIMIT = 5_000_000
 
 
+def _collect_id_type(node_types: rd.Dataset) -> pa.Table:
+    """(id, type) Dataset → one Arrow table for the broadcast."""
+    return pa.concat_tables(
+        [b for b in node_types.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"id": pa.array([], pa.string()), "type": pa.array([], pa.string())})]
+    )
+
+
+_TYPE_MAP_CACHE: dict = {}
+
+
+def _type_map_for(ref) -> pd.Series:
+    """Per-process id→type lookup built ONCE from the zero-copy Arrow
+    broadcast (bounded 1-entry cache: a new ref evicts the old map)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _TYPE_MAP_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        t = ray.get(ref)
+        hit = pd.Series(
+            t.column("type").to_pandas().to_numpy(),
+            index=t.column("id").to_pandas().to_numpy(),
+        )
+        _TYPE_MAP_CACHE.clear()
+        _TYPE_MAP_CACHE[key] = hit
+    return hit
+
+
 def _typed_edges(nodes: rd.Dataset, edges: rd.Dataset, num_partitions) -> rd.Dataset:
     """edges ⋈ nodes(src) ⋈ nodes(tgt) → (source_type, edge_type, target_type).
 
@@ -112,13 +141,15 @@ def _typed_edges(nodes: rd.Dataset, edges: rd.Dataset, num_partitions) -> rd.Dat
     if n_nodes <= _BROADCAST_NODE_LIMIT:
         import ray
 
-        id_type = node_types.to_pandas()
-        ref = ray.put(dict(zip(id_type["id"], id_type["type"])))
+        # broadcast the map as an ARROW table — Arrow buffers are the one
+        # format plasma serves zero-copy (a python dict would fully unpickle
+        # on every ray.get); each worker PROCESS builds its pandas lookup
+        # Series once and caches it keyed by the object ref (the
+        # per-process-singleton pattern, stages/extract.py)
+        ref = ray.put(_collect_id_type(node_types))
 
-        # task map, not an actor pool: the broadcast id→type map is read
-        # zero-copy from plasma per task (actor-vs-task rule, joins.py)
         def add_types(df: pd.DataFrame) -> pa.Table:
-            m = ray.get(ref)
+            m = _type_map_for(ref)
             out = pd.DataFrame(
                 {
                     "source_type": df["source_id"].map(m),

@@ -241,7 +241,13 @@ def range_join(
 
     def right_buckets(batch: pa.Table) -> pa.Table:
         ts = pc.cast(batch[right_ts], pa.int64()).to_numpy(zero_copy_only=False)
-        return batch.append_column("_bucket", pa.array(ts // w, pa.int64()))
+        # the right ts travels under a reserved internal name so a collision
+        # with ANY left column can never silently redirect the exact filter
+        # to the wrong column (the join suffixes colliding right names)
+        out = batch.rename_columns(
+            ["_rj_ts" if c == right_ts else c for c in batch.column_names]
+        )
+        return out.append_column("_bucket", pa.array(ts // w, pa.int64()))
 
     lb = left.map_batches(left_buckets, batch_format="pyarrow")
     rb = right.map_batches(right_buckets, batch_format="pyarrow")
@@ -249,14 +255,20 @@ def range_join(
         lb, rb, on=("_bucket", *on), num_partitions=num_partitions
     )
 
-    right_ts_col = right_ts if right_ts != left_ts else f"{right_ts}_r"
-
     def exact(batch: pa.Table) -> pa.Table:
         lt = pc.cast(batch[left_ts], pa.int64()).to_numpy(zero_copy_only=False)
-        rt = pc.cast(batch[right_ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        rt = pc.cast(batch["_rj_ts"], pa.int64()).to_numpy(zero_copy_only=False)
         d = rt - lt
         keep = (d >= lower_us) & (d <= upper_us)
-        return batch.filter(pa.array(keep)).drop_columns(["_bucket"])
+        out = batch.filter(pa.array(keep)).drop_columns(["_bucket"])
+        # restore the public name; keep the join's suffix convention if it
+        # would collide with a left column
+        restored = (
+            right_ts if right_ts not in out.column_names else f"{right_ts}_r"
+        )
+        return out.rename_columns(
+            [restored if c == "_rj_ts" else c for c in out.column_names]
+        )
 
     return j.map_batches(exact, batch_format="pyarrow")
 
