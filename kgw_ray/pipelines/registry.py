@@ -355,7 +355,10 @@ register("dedup_simhash_pairs", _td.SIMHASH_PAIRS_SQL)(_td.dedup_simhash_pairs)
 register("dedup_jaccard_pairs", _td.JACCARD_PAIRS_SQL)(_td.dedup_jaccard_pairs)
 register("dedup_embedding_pairs", _td.EMBED_NEAR_DUP_SQL)(_td.dedup_embedding_pairs)
 register("ann_cosine_topk", _td.ANN_TOPK_SQL)(_td.ann_cosine_topk)
-register("ann_ivf_topk")(_td.ann_ivf_topk)  # approximate → rows-only
+# exhaustive-probe IVF: exact by construction (nprobe = n_cells), so the
+# whole IVF physical plan sits under the brute-force hash oracle; the
+# reduced-probe approximate variant is ann_ivf_topk_probe in the tail
+register("ann_ivf_topk", _td.ANN_TOPK_SQL)(_td.ann_ivf_topk)
 register("curate_documents", _td.CURATE_SQL)(_td.curate_documents)
 register("shuffle_documents", _td.SHUFFLE_DOCS_SQL)(_td.shuffle_documents)
 register("sample_documents_every_k", _td.SAMPLE_DOCS_SQL)(
@@ -434,6 +437,10 @@ register("top_users_by_value_salted", _rel.TOP_USERS_SQL)(
 # tests cover this variant; the freed slot goes to the oracle-bearing
 # events_range_join (tail rule: oracle queries first, rows-only last)
 register("dedup_embedding_pairs_ivf")(_td.dedup_embedding_pairs_ivf)
+# reduced-probe approximate IVF top-k: rows-only (recall asserted in
+# tests/test_training_data.py); the gated ann_ivf_topk covers the same
+# physical plan exhaustively under the hash oracle
+register("ann_ivf_topk_probe")(_td.ann_ivf_topk_probe)
 
 
 @register("q5_revenue_by_nation_hash", _rel.Q5_SQL)

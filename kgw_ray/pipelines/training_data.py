@@ -385,6 +385,24 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
 
 
 def ann_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF top-k with EXHAUSTIVE probing (nprobe = n_cells): the full IVF
+    physical plan — driver k-means, distributed cell assignment, probe-side
+    cell pruning, per-cell local top-k, global merge — must reproduce the
+    exact brute-force answer, so this variant sits under the same DuckDB
+    hash oracle as ``ann_cosine_topk``. The reduced-probe approximate
+    behavior users actually run at scale is ``ann_ivf_topk_probe`` (tail
+    registration; recall measured in tests/test_training_data.py)."""
+    from kgw_ray.stages.similarity import IVFIndex
+
+    Q, qids = _query_matrix(sf_dir)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx = IVFIndex.build(emb)
+    return idx.topk(Q, qids, k=_TOPK, nprobe=idx.n_cells).select(
+        ["query_id", "vec_id", "rank"]
+    )
+
+
+def ann_ivf_topk_probe(sf_dir: str) -> pa.Table:
     """IVF approximate top-k (same queries; recall measured in tests).
     Cell count auto-scales to ~sqrt(N); nprobe scales with it so the
     probed fraction stays roughly constant."""

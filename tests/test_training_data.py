@@ -269,11 +269,11 @@ def test_simhash_pairs_find_near_dups():
 
 
 def test_ann_ivf_recall(sf_smoke):
-    """IVF top-k must reach ≥0.6 mean recall vs brute force at nprobe=4/16."""
-    from kgw_ray.pipelines.training_data import ann_cosine_topk, ann_ivf_topk
+    """Reduced-probe IVF must reach ≥0.6 mean recall vs brute force."""
+    from kgw_ray.pipelines.training_data import ann_cosine_topk, ann_ivf_topk_probe
 
     exact = ann_cosine_topk(sf_smoke).to_pandas()
-    approx = ann_ivf_topk(sf_smoke).to_pandas()
+    approx = ann_ivf_topk_probe(sf_smoke).to_pandas()
     recalls = []
     for q in exact["query_id"].unique():
         e = set(exact[exact["query_id"] == q]["vec_id"])
