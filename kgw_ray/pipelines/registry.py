@@ -342,7 +342,12 @@ def q_webkg_canonicalize(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 from kgw_ray.pipelines import training_data as _td  # noqa: E402
-from kgw_ray.stages.textstats import LANG_ID_SQL, QUALITY_SQL, TOKEN_STATS_SQL  # noqa: E402
+from kgw_ray.stages.textstats import (  # noqa: E402
+    LANG_ID_SQL,
+    QUALITY_SQL,
+    REPETITION_SQL,
+    TOKEN_STATS_SQL,
+)
 
 register("text_token_stats", TOKEN_STATS_SQL)(_td.text_token_stats)
 register("text_quality", QUALITY_SQL)(_td.text_quality)
@@ -441,6 +446,36 @@ register("dedup_embedding_pairs_ivf")(_td.dedup_embedding_pairs_ivf)
 # tests/test_training_data.py); the gated ann_ivf_topk covers the same
 # physical plan exhaustively under the hash oracle
 register("ann_ivf_topk_probe")(_td.ann_ivf_topk_probe)
+
+# Late-round training-data additions — outside the driver's 50-query cap,
+# but each carries a DuckDB oracle and runs under the in-repo gate replica
+# (tests/test_oracle_parity.py parametrizes EVERY oracle-bearing query):
+#   text_repetition     — Gopher dup/top n-gram signals (exact int64)
+#   text_rare_token_stats — corpus-frequency broadcast scoring (two-pass)
+#   web_domain_stats    — per-domain rollup via combiner + tiny groupby
+register("text_repetition", REPETITION_SQL)(_td.text_repetition)
+register("text_rare_token_stats", _td.RARE_TOKENS_SQL)(_td.text_rare_token_stats)
+register("web_domain_stats", _td.DOMAIN_STATS_SQL)(_td.web_domain_stats)
+register("sample_per_domain", _td.SAMPLE_PER_DOMAIN_SQL)(_td.sample_per_domain)
+
+
+def _kg_pagerank_sql() -> str:
+    from kgw_ray.stages.graph import pagerank_sql
+
+    return pagerank_sql(_tk.NODES_SQL, _tk.EDGES_SQL)
+
+
+@register("kg_pagerank", oracle=_kg_pagerank_sql())
+def q_kg_pagerank(sf_dir: str) -> rd.Dataset:
+    """Distributed fixed-point PageRank over the TPC-H KG: 3 synchronous
+    power iterations, each one size-hybrid join + int combiner +
+    groupby-Sum; rank table holds only in-edge nodes between iterations
+    (stages/graph.py:pagerank). Oracle: the same micro-unit iteration
+    unrolled into BIGINT CTEs — exact hash equality, no float rounding."""
+    from kgw_ray.stages.graph import pagerank
+
+    nodes, edges = _tk.tpch_graph(sf_dir)
+    return pagerank(nodes, edges)
 
 
 @register("q5_revenue_by_nation_hash", _rel.Q5_SQL)

@@ -83,6 +83,219 @@ def text_fingerprint(sf_dir: str) -> rd.Dataset:
     )
 
 
+def text_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition signals (dup/top n-gram counts) per doc —
+    embarrassingly parallel, zero shuffle; exact int64 columns under the
+    DuckDB hash oracle (stages/textstats.py:repetition_stats_batch)."""
+    from kgw_ray.stages.textstats import repetition_stats_batch
+
+    return _docs(sf_dir).map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+def text_rare_token_stats(sf_dir: str, rare_divisor: int = 1000) -> rd.Dataset:
+    """Corpus-frequency broadcast scoring: the classic two-pass web-pipeline
+    op (C4-style rare-token filters, TF-IDF family).
+
+    Pass 1 — global token frequencies: per-batch ``np.unique`` combiner →
+    tiny ``groupby(tok).Sum`` (the only shuffle, over the VOCABULARY, not
+    the corpus). Pass 2 — the rare-token set (freq < total/rare_divisor)
+    is ``ray.put`` once and read zero-copy per task; each doc's rare-token
+    occurrences are segment-summed. Broadcast assumption: the rare
+    vocabulary fits one object (fine to ~10^8 tokens); beyond that the
+    scale path is the size-hybrid token join (stages/joins.py), same shape
+    as semi_join_dataset.
+    """
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgw_ray.stages.agg import grouped_aggregate
+    from kgw_ray.stages.textstats import _segment_sums
+
+    docs = _docs(sf_dir)
+
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        flat = pc.list_flatten(pc.utf8_split_whitespace(text))
+        flat = pc.filter(flat, pc.greater(pc.utf8_length(flat), 0))
+        arr = flat.to_numpy(zero_copy_only=False)
+        uq, cnt = np.unique(arr, return_counts=True)
+        return pa.table(
+            {"tok": pa.array(uq, pa.string()), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    freq = grouped_aggregate(
+        docs.map_batches(tok_partials, batch_format="pyarrow"),
+        "tok",
+        Sum("c", alias_name="c"),
+    ).materialize()
+    total = freq.sum("c") or 0
+    thr = total / rare_divisor
+    rare_tbl = freq.map_batches(
+        lambda t: t.filter(pc.less(pc.cast(t["c"], pa.float64()), thr)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # empty Dataset → to_pandas() drops ALL columns (contract gotcha) —
+    # an empty rare set must still broadcast a TYPED string array
+    rare_toks = (
+        rare_tbl["tok"].astype(str).tolist() if "tok" in rare_tbl.columns else []
+    )
+    rare_ref = ray.put(pa.array(rare_toks, pa.string()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        rare_arr = ray.get(rare_ref)
+        text = pc.fill_null(batch.column("text"), "")
+        splits = pc.utf8_split_whitespace(text)
+        sizes = pc.cast(pc.list_value_length(splits), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(splits)
+        nonempty = (
+            pc.greater(pc.utf8_length(flat), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        is_rare = (
+            pc.is_in(flat, value_set=rare_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            * nonempty
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(_segment_sums(nonempty, sizes)),
+                "n_rare_tokens": pa.array(_segment_sums(is_rare, sizes)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+RARE_TOKENS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+f AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM f),
+rare AS (SELECT tok FROM f, tot WHERE CAST(c AS DOUBLE) < s / 1000),
+r AS (
+  SELECT doc_id, count(*) AS n_rare FROM u
+  WHERE tok IN (SELECT tok FROM rare) GROUP BY doc_id
+)
+SELECT t.doc_id, len(toks) AS n_tokens,
+       COALESCE(r.n_rare, 0) AS n_rare_tokens
+FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+"""
+
+
+def web_domain_stats(sf_dir: str) -> rd.Dataset:
+    """Per-source-domain corpus rollup (domain blocklist / quality-by-domain
+    shape): per-batch per-source partials via one ``np.unique`` combiner,
+    then a tiny groupby over the DOMAIN key — the shuffle moves one row per
+    (batch, domain), never the corpus."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from kgw_ray.stages.agg import grouped_aggregate
+
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "source", "n_chars"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(batch.column("text"), "")
+        ws = pc.cast(
+            pc.count_substring_regex(text, pattern=r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(src, return_inverse=True)
+        max_chars = np.zeros(len(uq), dtype=np.int64)
+        np.maximum.at(max_chars, inv, n_chars)
+        return pa.table(
+            {
+                "source": pa.array(uq, pa.string()),
+                "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+                "total_chars": pa.array(
+                    np.bincount(inv, weights=n_chars).astype(np.int64)
+                ),
+                "total_tokens": pa.array(
+                    np.bincount(inv, weights=ws).astype(np.int64)
+                ),
+                "max_doc_chars": pa.array(max_chars),
+            }
+        )
+
+    return grouped_aggregate(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        "source",
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_chars", alias_name="total_chars"),
+        Sum("total_tokens", alias_name="total_tokens"),
+        Max("max_doc_chars", alias_name="max_doc_chars"),
+    )
+
+
+DOMAIN_STATS_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+       CAST(max(n_chars) AS BIGINT) AS max_doc_chars
+FROM documents GROUP BY source
+"""
+
+
+_DOMAIN_CAP = 20
+
+
+def sample_per_domain(sf_dir: str, k: int = _DOMAIN_CAP) -> rd.Dataset:
+    """Cap documents per domain ("at most k docs per source" — the
+    domain-rebalancing curation rule): deterministic k-smallest doc_ids per
+    source.
+
+    Physical plan: a block-local per-source k-smallest combiner first (one
+    vectorized sort+head per batch), so the per-source merge shuffles at
+    most ``k`` rows per (block, domain) — the corpus never moves. The
+    merge is ``groupby(source).map_groups`` over ≤ n_blocks·k rows per
+    group; group count = domain count, small by construction.
+    """
+    import pandas as pd
+
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def local_topk(df: pd.DataFrame) -> pa.Table:
+        out = (
+            df.sort_values(["source", "doc_id"]).groupby("source", sort=False).head(k)
+        )
+        return arrow_from_pandas(out.reset_index(drop=True))
+
+    partials = docs.map_batches(local_topk, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        return arrow_from_pandas(
+            g.nsmallest(k, "doc_id").sort_values("doc_id").reset_index(drop=True)
+        )
+
+    # materialize-partials rule (stages/agg.py): never feed a lazy pandas
+    # map chain straight into a sort-based groupby
+    return partials.materialize().groupby("source").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+SAMPLE_PER_DOMAIN_SQL = f"""
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {_DOMAIN_CAP}
+"""
+
+
 FINGERPRINT_MD5_SQL = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
 
 

@@ -283,6 +283,215 @@ def triple_dedup(edges: rd.Dataset, *, n_shards: int | None = None) -> rd.Datase
     )
 
 
+def pagerank(
+    nodes: rd.Dataset,
+    edges: rd.Dataset,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed fixed-point PageRank (simplified: no dangling-mass
+    redistribution): ``iters`` synchronous power iterations of
+    ``r(v) = (1-d) + d * Σ_{(u,v)∈E} r(u)/outdeg(u)`` from ``r0 = 1``,
+    carried in integer MICRO-units (1.0 → 1_000_000) with floor division —
+    every engine reproduces the arithmetic bit-for-bit, so the result is
+    hash-stable (a float formulation rounds differently across engines
+    exactly at the decimal boundaries PageRank's short-fraction sums love
+    to land on — measured 26/18630 mismatches at 4 dp).
+
+    Physical plan: out-degrees via the sharded exact count; edge weights
+    ``d/outdeg`` attached with ONE size-hybrid join and reused every
+    iteration. Per iteration: one LEFT join (edge weights ⋈ current ranks
+    on source_id — a source absent from the rank table has no in-edges, so
+    its rank is the base (1-d), supplied on null), a per-batch
+    ``np.unique`` partial combiner, and one ``groupby(target_id).Sum``.
+    Joins follow the repo-wide size-hybrid rule (stages/joins.py): the
+    rank/degree side broadcasts via ``ray.put`` below ``broadcast_limit``
+    rows and falls back to the hash-partitioned ``Dataset.join`` beyond —
+    the broadcast path also sidesteps the empty-hash-partition schema-loss
+    hazard on small graphs. The rank table carries ONLY nodes with
+    in-edges between iterations; the full node set joins back exactly once
+    at the end. Iteration 0 skips the rank join entirely (r0 ≡ 1 ⇒
+    contribution = w).
+
+    Output: ``(id, pagerank_micro: int64)`` — divide by 1e6 for the float
+    value (quantization error ≤ iters·in-degree micro). Overflow ceiling:
+    ``rank_micro · damp_micro`` must fit int64, i.e. rank values up to
+    ~1e7 (a 1e9-node all-pointing-at-one star); beyond that, shift to a
+    smaller SCALE.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import sharded_count
+    from kgw_ray.stages.joins import broadcast_join, large_join
+
+    SCALE = 1_000_000
+    damp_micro = round(damping * SCALE)
+    base_micro = SCALE - damp_micro
+    broadcast_limit = 5_000_000
+
+    def _hybrid_left(left_ds, right_mat, *, on, right_key, how):
+        # right_mat is materialized; count-then-pull double-exec rule holds
+        n = right_mat.count()
+        if n <= broadcast_limit:
+            return broadcast_join(
+                left_ds, right_mat.to_pandas(), on=[on], right_on=[right_key], how=how
+            )
+        return large_join(
+            left_ds,
+            right_mat,
+            on=(on,),
+            right_on=(right_key,),
+            how="inner" if how == "inner" else "left_outer",
+            num_partitions=num_partitions,
+        )
+
+    deg = sharded_count(
+        edges.select_columns(["source_id"]), ["source_id"], count_name="deg"
+    ).materialize()
+    ew = _hybrid_left(
+        edges.select_columns(["source_id", "target_id"]),
+        deg,
+        on="source_id",
+        right_key="source_id",
+        how="inner",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source_id": batch.column("source_id"),
+                "target_id": batch.column("target_id"),
+                "d": pc.cast(batch.column("deg"), pa.int64()),
+            }
+        )
+
+    ew = ew.map_batches(project, batch_format="pyarrow").materialize()
+    if ew.count() == 0:
+        # no edges → every node sits at the base rank
+        return nodes.select_columns(["id"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b.column("id"),
+                    "pagerank_micro": pa.array(
+                        np.full(len(b), base_micro, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def _rank_micro(batch: pa.Table) -> "np.ndarray":
+        # a missing/null rank means the source had no in-edges: rank = base
+        # (the hash-join path can drop the right schema on empty partitions;
+        # the pandas broadcast merge yields float NaN for misses — int64
+        # micro values < 2^53 survive the float trip exactly)
+        if "rank" not in batch.column_names:
+            return np.full(len(batch), base_micro, dtype=np.int64)
+        r = (
+            pc.cast(pc.fill_null(batch.column("rank"), base_micro), pa.float64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=True)
+        )
+        r[np.isnan(r)] = base_micro
+        return r.astype(np.int64)
+
+    def _contrib_partials(batch: pa.Table, with_rank: bool) -> pa.Table:
+        t = batch.column("target_id").to_numpy(zero_copy_only=False)
+        d = batch.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = _rank_micro(batch) if with_rank else np.int64(SCALE)
+        c = (rank * np.int64(damp_micro)) // (np.int64(SCALE) * d)
+        uq, inv = np.unique(t, return_inverse=True)
+        acc = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(acc, inv, c)  # exact int64 per-batch combine
+        return pa.table(
+            {"target_id": pa.array(uq, pa.string()), "c": pa.array(acc)}
+        )
+
+    ranks: rd.Dataset | None = None  # logical r0 ≡ SCALE for every node
+    for _ in range(iters):
+        if ranks is None:
+            contrib = ew.map_batches(
+                lambda b: _contrib_partials(b, with_rank=False), batch_format="pyarrow"
+            )
+        else:
+            joined = _hybrid_left(
+                ew, ranks, on="source_id", right_key="id", how="left"
+            )
+            contrib = joined.map_batches(
+                lambda b: _contrib_partials(b, with_rank=True), batch_format="pyarrow"
+            )
+        sums = grouped_aggregate(contrib, "target_id", Sum("c", alias_name="c"))
+        ranks = sums.map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t.column("target_id"),
+                    "rank": pc.add(
+                        pa.scalar(base_micro, pa.int64()),
+                        pc.cast(t.column("c"), pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    out = _hybrid_left(
+        nodes.select_columns(["id"]), ranks, on="id", right_key="id", how="left"
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "pagerank_micro": pa.array(_rank_micro(batch)),
+            }
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def pagerank_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB oracle for ``pagerank``: the same fixed-point micro-unit
+    iteration unrolled into one CTE per step — pure BIGINT arithmetic with
+    the identical floor division, so the hash comparison is exact (no
+    float rounding mode to disagree on)."""
+    SCALE = 1_000_000
+    dm = round(damping * SCALE)
+    bm = SCALE - dm
+    ctes = [
+        f"nodes AS (SELECT id FROM ({nodes_sql}))",
+        f"edges AS (SELECT source_id, target_id FROM ({edges_sql}))",
+        "deg AS (SELECT source_id, count(*) AS d FROM edges GROUP BY source_id)",
+        "ew AS (SELECT e.source_id, e.target_id, deg.d\n"
+        "       FROM edges e JOIN deg ON e.source_id = deg.source_id)",
+        # SCALE*dm precomputed: DuckDB int literals are INT32 and the
+        # in-query product overflows them
+        f"r1 AS (SELECT target_id AS id,\n"
+        f"         CAST({bm} + sum({SCALE * dm} // (CAST({SCALE} AS BIGINT) * d)) AS BIGINT) AS rank\n"
+        "       FROM ew GROUP BY target_id)",
+    ]
+    for t in range(2, iters + 1):
+        ctes.append(
+            f"r{t} AS (SELECT ew.target_id AS id,\n"
+            f"         CAST({bm} + sum((COALESCE(p.rank, {bm}) * CAST({dm} AS BIGINT)) // (CAST({SCALE} AS BIGINT) * ew.d)) AS BIGINT) AS rank\n"
+            f"       FROM ew LEFT JOIN r{t - 1} p ON ew.source_id = p.id\n"
+            "       GROUP BY ew.target_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT n.id, COALESCE(r.rank, {bm}) AS pagerank_micro\n"
+        f"FROM nodes n LEFT JOIN r{iters} r ON n.id = r.id"
+    )
+
+
 def degree_distribution(edges: rd.Dataset) -> rd.Dataset:
     """Out-degree histogram: two-level aggregation (per-node degree →
     per-degree node count). Level 1 is a high-cardinality count (source_id

@@ -165,6 +165,128 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_dup_stats(
+    flat: pa.Array, doc_sizes: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc word-n-gram duplication stats over ONE flattened token column.
+
+    ``flat`` is the batch's tokens back-to-back (empties already dropped),
+    ``doc_sizes`` the per-doc token counts. Returns int64 arrays
+    ``(n_ngrams, dup_ngrams, top_count)`` per doc. Fully vectorized: the
+    n-gram strings are built with one ``binary_join_element_wise`` over
+    shifted slices, doc boundaries masked with a numpy compare, and the
+    per-(doc, gram) occurrence counts come from one ``pd.factorize`` +
+    ``np.unique`` over composite keys — no Python loop over tokens.
+    """
+    import pandas as pd
+
+    n_docs = len(doc_sizes)
+    n_ngrams = np.maximum(doc_sizes - (n - 1), 0).astype(np.int64)
+    dup = np.zeros(n_docs, dtype=np.int64)
+    top = np.zeros(n_docs, dtype=np.int64)
+    total = len(flat)
+    if total < n:
+        return n_ngrams, dup, top
+    shifted = [flat.slice(i, total - n + 1) for i in range(n)]
+    joined = pc.binary_join_element_wise(*shifted, " ")
+    # position p starts a valid n-gram iff token p+n-1 is in the same doc
+    doc_of_token = np.repeat(np.arange(n_docs, dtype=np.int64), doc_sizes)
+    valid = doc_of_token[: total - n + 1] == doc_of_token[n - 1 :]
+    grams = pc.filter(joined, pa.array(valid))
+    doc_of_gram = doc_of_token[: total - n + 1][valid]
+    if len(grams) == 0:
+        return n_ngrams, dup, top
+    codes, uniques = pd.factorize(grams.to_pandas())
+    key = doc_of_gram * np.int64(len(uniques)) + codes.astype(np.int64)
+    uq, cnt = np.unique(key, return_counts=True)
+    doc_of_pair = uq // np.int64(len(uniques))
+    distinct = np.bincount(doc_of_pair, minlength=n_docs).astype(np.int64)
+    np.maximum.at(top, doc_of_pair, cnt.astype(np.int64))
+    dup = n_ngrams - distinct
+    return n_ngrams, dup, top
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → Gopher-style repetition signals, all exact int64:
+
+    n_tokens, n_2grams, dup_2grams (bigram occurrences beyond the first of
+    each distinct bigram), top_2gram_count (occurrences of the most common
+    bigram), n_3grams, dup_3grams. The duplicate-n-gram fraction quality
+    rule from the Gopher/MassiveText filters (public), emitted as exact
+    numerator/denominator pairs so the DuckDB oracle hashes identically
+    (no float ratios).
+    """
+    text = pc.fill_null(batch.column("text"), "")
+    splits = pc.utf8_split_whitespace(text)
+    sizes = pc.cast(pc.list_value_length(splits), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    flat = pc.list_flatten(splits)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    nonempty = keep.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.filter(flat, keep)
+    n_tokens = _segment_sums(nonempty, sizes)
+    n2, d2, t2 = _ngram_dup_stats(flat, n_tokens, 2)
+    n3, d3, _ = _ngram_dup_stats(flat, n_tokens, 3)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens),
+            "n_2grams": pa.array(n2),
+            "dup_2grams": pa.array(d2),
+            "top_2gram_count": pa.array(t2),
+            "n_3grams": pa.array(n3),
+            "dup_3grams": pa.array(d3),
+        }
+    )
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bi,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+  FROM t
+),
+bc AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(bi) AS gram FROM g)
+  GROUP BY doc_id, gram
+),
+bs AS (SELECT doc_id, count(*) AS n_bi_distinct, max(c) AS top_bi
+       FROM bc GROUP BY doc_id),
+tc AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(tri) AS gram FROM g)
+  GROUP BY doc_id, gram
+),
+ts AS (SELECT doc_id, count(*) AS n_tri_distinct FROM tc GROUP BY doc_id)
+SELECT g.doc_id, g.n_tokens,
+       greatest(g.n_tokens - 1, 0) AS n_2grams,
+       greatest(g.n_tokens - 1, 0) - COALESCE(bs.n_bi_distinct, 0) AS dup_2grams,
+       COALESCE(bs.top_bi, 0) AS top_2gram_count,
+       greatest(g.n_tokens - 2, 0) AS n_3grams,
+       greatest(g.n_tokens - 2, 0) - COALESCE(ts.n_tri_distinct, 0) AS dup_3grams
+FROM g
+LEFT JOIN bs ON g.doc_id = bs.doc_id
+LEFT JOIN ts ON g.doc_id = ts.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Language ID (n-gram / marker-word heuristic)
 # ---------------------------------------------------------------------------
 

@@ -374,6 +374,54 @@ def test_quality_stats_vectorized_sanity():
     assert out[1]["n_tokens"] == 0 and out[1]["quality_score"] == pytest.approx(0.3)
 
 
+def test_repetition_stats_constructed():
+    """Exact Gopher signals on hand-computable docs, including the
+    doc-boundary mask (no cross-doc n-grams) and empty/whitespace docs."""
+    from kgw_ray.stages.textstats import repetition_stats_batch
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "a b a b a",  # bigrams: ab,ba,ab,ba → 4 grams, 2 distinct
+                "x y z",      # no repetition
+                "",           # empty
+                "  a  ",      # whitespace-padded single token
+            ],
+        }
+    )
+    out = {r["doc_id"]: r for r in repetition_stats_batch(b).to_pylist()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 5 and r1["n_2grams"] == 4
+    assert r1["dup_2grams"] == 2 and r1["top_2gram_count"] == 2
+    # trigrams: "a b a","b a b","a b a" → 3 grams, 2 distinct
+    assert r1["n_3grams"] == 3 and r1["dup_3grams"] == 1
+    r2 = out[2]
+    assert r2["dup_2grams"] == 0 and r2["top_2gram_count"] == 1
+    r3 = out[3]
+    assert r3["n_tokens"] == 0 and r3["n_2grams"] == 0
+    assert r3["top_2gram_count"] == 0 and r3["dup_3grams"] == 0
+    # doc 4: 1 token after empty-split filtering; "a b" must NOT leak from
+    # doc 1's tokens across the boundary
+    r4 = out[4]
+    assert r4["n_tokens"] == 1 and r4["n_2grams"] == 0 and r4["top_2gram_count"] == 0
+
+
+def test_rare_token_stats_finds_planted_token(sf_smoke):
+    """The synthetic corpus plants one rare vocab word ('dup'); the
+    two-pass corpus-frequency op must count exactly its occurrences."""
+    from kgw_ray.pipelines.training_data import text_rare_token_stats
+
+    df = text_rare_token_stats(sf_smoke).to_pandas()
+    docs = read_table(sf_smoke, "documents", columns=["doc_id", "text"]).to_pandas()
+    toks = docs.set_index("doc_id")["text"].str.split()
+    vc = toks.explode().value_counts()
+    rare = set(vc[vc < vc.sum() / 1000].index)
+    expected = toks.apply(lambda t: sum(1 for w in t if w in rare))
+    got = df.set_index("doc_id")["n_rare_tokens"]
+    assert got.sort_index().equals(expected.sort_index().astype("int64"))
+
+
 def test_rolling_fingerprint_shift_invariance():
     """Winnowing min-hash is stable under prefix insertion when the window
     set overlaps (common-substring property)."""

@@ -145,3 +145,22 @@ def test_build_webkg_force_recomputes(tmp_path, sf_smoke):
     assert json.load(open(mpath))["wall_time_sec"] == -1.0
     build_webkg(sf_smoke, out, resume=False)  # force: must rewrite
     assert json.load(open(mpath))["wall_time_sec"] != -1.0
+
+
+def test_pagerank_star_graph():
+    """Hand-computed micro-unit ranks on A→C, B→C (iters=3, d=0.85):
+    leaves stay at the 150000 base; C converges to
+    150000 + 2·(150000·850000)//(10^6·1) = 405000."""
+    import ray.data as rd
+
+    from kgw_ray.stages.graph import pagerank
+
+    nodes = rd.from_arrow(pa.table({"id": ["A", "B", "C"]}))
+    edges = rd.from_arrow(
+        pa.table({"source_id": ["A", "B"], "target_id": ["C", "C"]})
+    )
+    got = {
+        r["id"]: r["pagerank_micro"]
+        for r in pagerank(nodes, edges, num_partitions=2).take_all()
+    }
+    assert got == {"A": 150_000, "B": 150_000, "C": 405_000}
