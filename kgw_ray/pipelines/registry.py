@@ -316,24 +316,106 @@ def q_webkg_edges_provenance(sf_dir: str) -> rd.Dataset:
     return edges_with_provenance(sf_dir)
 
 
-@register("webkg_entity_linking")
+# -- entity linking + canonicalization (north-star stages 3-4) --------------
+# The gated variants use EXHAUSTIVE exact-Jaccard scoring (a pure function
+# of the input → DuckDB-hashable); the MinHash-LSH-blocked actor-pool linker
+# is the scale path for non-broadcast-sized KBs and registers in the tail
+# (rows-only; agreement with the exhaustive scorer asserted in
+# tests/test_linking.py). Same gating pattern as ann_ivf_topk vs _probe.
+
+# deterministic mention corruption (webkg._variant_surface) in SQL:
+# k = doc_id % (2*len); k < len → delete char k (0-based); else duplicate
+# char k-len. 1-based substr throughout.
+_VARIANT_CASE = """
+CASE WHEN length(surface) < 4 THEN surface
+     WHEN k < length(surface)
+       THEN substr(surface, 1, k) || substr(surface, k + 2)
+     ELSE substr(surface, 1, k - length(surface))
+          || substr(surface, k - length(surface) + 1, 1)
+          || substr(surface, k - length(surface) + 1)
+END"""
+
+
+# char-3-gram shingles of '^'||s||'$' (= stages/linking._shingles): the
+# padded string has length(s)+2 chars → exactly length(s) shingles, so the
+# comprehension ranges over 1..length(s). Always > 3 padded chars here, so
+# the short-string branch of _shingles never triggers.
+_LINK_CTES = f"""
+tr AS ({TRIPLES_SQL}),
+men AS (
+  SELECT doc_id, surface, {_VARIANT_CASE} AS variant
+  FROM (SELECT doc_id, subj AS surface,
+               doc_id % (2 * length(subj)) AS k FROM tr)
+),
+dv AS (SELECT DISTINCT variant FROM men),
+vsh AS (
+  SELECT variant,
+         list_distinct([substr('^' || variant || '$', i, 3)
+                        for i in generate_series(1, length(variant))]) AS sh
+  FROM dv
+),
+kb AS (
+  SELECT 'E:' || a AS entity_id,
+         list_distinct([substr('^' || a || '$', i, 3)
+                        for i in generate_series(1, length(a))]) AS sh
+  FROM (SELECT UNNEST([{_ENT_SQL}]) AS a)
+),
+sc AS (
+  SELECT v.variant, k.entity_id,
+         len(list_intersect(v.sh, k.sh)) AS inter_ct,
+         len(v.sh) + len(k.sh) - len(list_intersect(v.sh, k.sh)) AS union_ct
+  FROM vsh v CROSS JOIN kb k
+),
+best AS (
+  SELECT variant, entity_id, inter_ct, union_ct FROM sc
+  QUALIFY row_number() OVER (PARTITION BY variant
+     ORDER BY CAST(inter_ct AS DOUBLE) / union_ct DESC, entity_id) = 1
+)"""
+
+LINK_EXACT_SQL = f"""
+WITH {_LINK_CTES}
+SELECT m.doc_id, m.surface, m.variant, b.entity_id, b.inter_ct, b.union_ct
+FROM men m JOIN best b ON m.variant = b.variant
+"""
+
+# closure over the ≥0.5-Jaccard (2·inter ≥ union, integer) match pairs —
+# same recursive-CTE shape as training_data._near_dup_survivor_sql
+CANON_EXACT_SQL = f"""
+WITH RECURSIVE {_LINK_CTES},
+pairs AS (
+  SELECT DISTINCT variant AS a, substr(entity_id, 3) AS b
+  FROM best WHERE 2 * inter_ct >= union_ct
+),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+r(id, m) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.id, e.y FROM r JOIN edges e ON r.m = e.x
+),
+comp AS (SELECT id, LEAST(id, MIN(m)) AS component FROM r GROUP BY id)
+SELECT id, component FROM comp
+"""
+
+
+@register("webkg_entity_linking", oracle=LINK_EXACT_SQL)
 def q_webkg_entity_linking(sf_dir: str) -> rd.Dataset:
-    """MinHash-LSH blocked + cosine-scored entity linking of noisy mention
-    surfaces (actor pool holding the KB index; north-star stage 3).
-    Rows-only check; accuracy asserted in tests/test_linking.py."""
-    from kgw_ray.pipelines.webkg import linked_mentions
+    """Deterministic exhaustive-Jaccard entity linking of noisy mention
+    surfaces (north-star stage 3; task map over a per-process KB shingle
+    index — kgw_ray/stages/linking.py:exact_link_batch). Integer score
+    columns keep the hash gate float-free."""
+    from kgw_ray.pipelines.webkg import linked_mentions_exact
 
-    return linked_mentions(sf_dir)
+    return linked_mentions_exact(sf_dir)
 
 
-@register("webkg_canonicalize")
+@register("webkg_canonicalize", oracle=CANON_EXACT_SQL)
 def q_webkg_canonicalize(sf_dir: str) -> rd.Dataset:
     """Union-find canonicalization of surface forms via distributed
-    min-label propagation (north-star stage 4). Rows-only check;
-    component correctness asserted in tests/test_linking.py."""
-    from kgw_ray.pipelines.webkg import canonical_entities
+    min-label propagation over the deterministic linker's ≥0.5-Jaccard
+    pairs (north-star stage 4; stages/canonicalize.py)."""
+    from kgw_ray.pipelines.webkg import canonical_entities_exact
 
-    return canonical_entities(sf_dir)
+    return canonical_entities_exact(sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +528,18 @@ register("dedup_embedding_pairs_ivf")(_td.dedup_embedding_pairs_ivf)
 # tests/test_training_data.py); the gated ann_ivf_topk covers the same
 # physical plan exhaustively under the hash oracle
 register("ann_ivf_topk_probe")(_td.ann_ivf_topk_probe)
+
+
+@register("webkg_entity_linking_lsh")
+def q_webkg_entity_linking_lsh(sf_dir: str) -> rd.Dataset:
+    """MinHash-LSH blocked + cosine-scored entity linking (actor pool
+    holding the KB index) — the scale path for KBs too large to scan
+    exhaustively per mention. Rows-only: blocking is approximate;
+    agreement with the gated exhaustive scorer is asserted in
+    tests/test_linking.py."""
+    from kgw_ray.pipelines.webkg import linked_mentions
+
+    return linked_mentions(sf_dir)
 
 # Late-round training-data additions — outside the driver's 50-query cap,
 # but each carries a DuckDB oracle and runs under the in-repo gate replica

@@ -514,6 +514,69 @@ def _variant_surface(surface: str, doc_id: int) -> str:
     return surface[:k] + surface[k] + surface[k:]  # duplication
 
 
+def _make_variants(batch: pa.Table) -> pa.Table:
+    """(doc_id, subj) → (doc_id, surface, variant) with the deterministic
+    corruption applied; shared by the LSH and exhaustive linkers."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    surfaces = batch.column("subj").to_pylist()
+    variants = [_variant_surface(s, d) for s, d in zip(surfaces, doc_ids)]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "surface": pa.array(surfaces, pa.string()),
+            "variant": pa.array(variants, pa.string()),
+        }
+    )
+
+
+def mention_variants(sf_dir: str) -> rd.Dataset:
+    """Noisy mention stream (doc_id, surface, variant) from the triple subj
+    column — the linking stages' common input."""
+    return triples_dataset(sf_dir).map_batches(
+        _make_variants, batch_format="pyarrow"
+    )
+
+
+def linked_mentions_exact(sf_dir: str) -> rd.Dataset:
+    """Deterministic entity linking: exhaustive exact char-3-gram-Jaccard
+    scoring of every mention against the whole (broadcast-sized) KB
+    (stages/linking.py:exact_link_batch). Output: (doc_id, surface,
+    variant, entity_id, inter_ct, union_ct) — hash-gated against
+    registry.LINK_EXACT_SQL.
+
+    Task map, not actor pool: the KB shingle index is a per-process
+    singleton (trivial state — see the actor-pool-vs-task-map note in
+    stages/extract.py)."""
+    from kgw_ray.stages.linking import exact_link_batch
+
+    return mention_variants(sf_dir).map_batches(
+        exact_link_batch, batch_format="pyarrow"
+    )
+
+
+def canonical_entities_exact(sf_dir: str) -> rd.Dataset:
+    """Canonicalization over the DETERMINISTIC linker: union-find components
+    of (variant, canonical word) pairs whose exact Jaccard ≥ 0.5 (integer
+    threshold 2·inter ≥ union — no float compare). Output (id, component);
+    hash-gated against registry.CANON_EXACT_SQL (recursive-CTE closure)."""
+    from kgw_ray.stages.canonicalize import connected_components
+
+    linked = linked_mentions_exact(sf_dir)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(
+            pc.multiply(batch.column("inter_ct"), pa.scalar(2, pa.int64())),
+            batch.column("union_ct"),
+        )
+        b = batch.filter(keep)
+        canon = pc.utf8_replace_slice(b.column("entity_id"), 0, 2, "")  # strip E:
+        return pa.table({"a": b.column("variant"), "b": canon})
+
+    return connected_components(linked.map_batches(pairs, batch_format="pyarrow"))
+
+
 def linked_mentions(sf_dir: str) -> rd.Dataset:
     """Noisy mention surfaces → canonical entity ids via the MinHash-LSH +
     embedding-cosine EntityLinker actor pool (stages/linking.py).
@@ -531,21 +594,7 @@ def linked_mentions(sf_dir: str) -> rd.Dataset:
     kb = [{"entity_id": f"E:{w}", "aliases": [w]} for w in sorted(ENTITIES)]
     kb_ref = ray.put(kb)
 
-    triples = triples_dataset(sf_dir)
-
-    def make_variants(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        surfaces = batch.column("subj").to_pylist()
-        variants = [_variant_surface(s, d) for s, d in zip(surfaces, doc_ids)]
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "surface": pa.array(surfaces, pa.string()),
-                "variant": pa.array(variants, pa.string()),
-            }
-        )
-
-    mentions = triples.map_batches(make_variants, batch_format="pyarrow")
+    mentions = mention_variants(sf_dir)
     # heavy-state actor pool (KB index built once per actor). num_gpus=0
     # here; with a neural scorer this same call carries num_gpus=1 and the
     # pool schedules onto GPU workers (BASELINE.json north_star's

@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from kgw_ray.stages.triples import ENTITIES as _KB_ENTITIES
+
 
 def link_triples_batch(batch: pa.Table) -> pa.Table:
     """Add subj_id/obj_id columns: 'E:' + surface (vectorized Arrow concat)."""
@@ -85,6 +87,69 @@ def _minhash_sig(shingles: set[str], num_perm: int) -> np.ndarray:
         z ^= z >> np.uint64(31)
         out[i] = z.min()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive exact-Jaccard linker (the deterministic ground-truth scorer)
+# ---------------------------------------------------------------------------
+
+_EXACT_KB: list[tuple[str, frozenset]] | None = None  # per-process singleton
+
+
+def _exact_kb() -> list[tuple[str, frozenset]]:
+    """(entity_id, alias char-3-shingle set) for the built-in entity lexicon,
+    sorted by entity_id — built once per worker process (trivial state, so a
+    task map + module singleton beats an actor pool; see stages/extract.py)."""
+    global _EXACT_KB
+    if _EXACT_KB is None:
+        _EXACT_KB = [
+            (f"E:{w}", frozenset(_shingles(w))) for w in sorted(_KB_ENTITIES)
+        ]
+    return _EXACT_KB
+
+
+def exact_link_batch(batch: pa.Table, column: str = "variant") -> pa.Table:
+    """Exhaustively score every mention against EVERY KB entity by exact
+    char-3-gram Jaccard; keep the argmax (ties → smallest entity_id).
+
+    The deterministic counterpart of ``EntityLinker`` (whose MinHash-LSH
+    blocking is approximate): scoring all |KB| entities makes the result a
+    pure function of the input, so the correctness gate can hash it against
+    a DuckDB oracle (registry.LINK_EXACT_SQL). Integer score columns
+    (inter_ct, union_ct) avoid float-hash fragility; the argmax compares
+    Jaccard fractions by integer cross-multiplication — no float compare
+    anywhere. Exhaustive scoring is O(|KB|) per distinct mention: the right
+    physical plan whenever the KB is broadcast-sized (alias lexicons are);
+    the LSH linker is the scale path for KBs too large to scan per mention.
+    """
+    kb = _exact_kb()
+    surfaces = batch.column(column).to_pylist()
+    memo: dict[str, tuple[str, int, int]] = {}
+    ids, inters, unions = [], [], []
+    for s in surfaces:
+        hit = memo.get(s)
+        if hit is None:
+            sh = _shingles(s)
+            best = None
+            bi, bu = 0, 1
+            for eid, ksh in kb:
+                i = len(sh & ksh)
+                u = len(sh) + len(ksh) - i
+                # i/u > bi/bu  ⟺  i*bu > bi*u   (u, bu ≥ 1); strict >, so
+                # on ties the first (smallest) entity_id in sorted order
+                # wins — including the all-zero-score case, where the
+                # alphabetically-first entity is kept with its own union
+                if best is None or i * bu > bi * u:
+                    best, bi, bu = (eid, i, u), i, u
+            hit = memo[s] = best
+        ids.append(hit[0])
+        inters.append(hit[1])
+        unions.append(hit[2])
+    return (
+        batch.append_column("entity_id", pa.array(ids, pa.string()))
+        .append_column("inter_ct", pa.array(inters, pa.int64()))
+        .append_column("union_ct", pa.array(unions, pa.int64()))
+    )
 
 
 class EntityLinker:

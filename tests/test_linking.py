@@ -47,6 +47,39 @@ def test_linked_mentions_accuracy(sf_smoke):
     assert recall >= 0.8, f"linker recall {recall}"
 
 
+def test_lsh_agrees_with_exhaustive(sf_smoke):
+    """The approximate (LSH-blocked, cosine-scored) linker must agree with
+    the gated exhaustive exact-Jaccard scorer on nearly every distinct
+    mention — the blocking recall claim that justifies keeping the LSH
+    variant rows-only (same pattern as the IVF probe-recall test)."""
+    from kgw_ray.pipelines.webkg import linked_mentions, linked_mentions_exact
+
+    lsh = linked_mentions(sf_smoke).to_pandas()
+    ex = linked_mentions_exact(sf_smoke).to_pandas()
+    lsh_map = dict(zip(lsh["variant"], lsh["entity_id"]))
+    ex_map = dict(zip(ex["variant"], ex["entity_id"]))
+    keys = set(ex_map)
+    assert keys == set(lsh_map)
+    agree = sum(lsh_map.get(k) == ex_map[k] for k in keys) / len(keys)
+    assert agree >= 0.9, f"LSH vs exhaustive agreement {agree:.3f}"
+
+
+def test_exact_linker_all_zero_overlap_tie_break():
+    """A mention sharing no shingle with any KB alias still links (to the
+    alphabetically-first entity, with its own union count) — pinned because
+    the SQL oracle's ORDER BY ties behave exactly this way."""
+    import pyarrow as pa
+
+    from kgw_ray.stages.linking import _exact_kb, exact_link_batch
+
+    batch = pa.table({"variant": ["0123456789"]})
+    out = exact_link_batch(batch).to_pylist()[0]
+    first_id, first_sh = _exact_kb()[0]
+    assert out["entity_id"] == first_id
+    assert out["inter_ct"] == 0
+    assert out["union_ct"] == 10 + len(first_sh)  # 10 shingles + alias's
+
+
 def test_canonicalize_components(sf_smoke):
     from kgw_ray.pipelines.webkg import canonical_entities, linked_mentions
 
