@@ -89,21 +89,34 @@ def _edge_partials(batch: pa.Table, carry_prov: bool = False) -> pa.Table:
     so a native decomposable Min aggregate moves the url through the
     shuffle with no corpus-sized side map anywhere. One combiner for both
     edge builds so the grouping/count semantics can never diverge."""
-    cols = ["subj_id", "pred", "obj_id", "doc_id"] + (["url"] if carry_prov else [])
-    df = batch.select(cols).to_pandas()
+    import pyarrow.compute as pc
+
+    keys = ["subj_id", "pred", "obj_id"]
+    t = batch.select(keys + ["doc_id"] + (["url"] if carry_prov else []))
+    # Arrow-native group_by (single-threaded: the worker owns ONE CPU slot;
+    # Arrow's default thread pool would oversubscribe) — no pandas
+    # conversion, no Python objects: measured ~2× over the pandas combiner
+    # and far less heap churn under 32 concurrent workers
     if carry_prov:
-        df["prov"] = (
-            df["doc_id"].astype("int64").map("{:020d}".format) + "|" + df["url"]
+        prov = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(t.column("doc_id"), pa.string()), 20, "0"),
+            t.column("url"),
+            "|",
         )
-        aggs = dict(n_obs=("doc_id", "size"), prov=("prov", "min"))
-    else:
-        aggs = dict(n_obs=("doc_id", "size"), first_doc=("doc_id", "min"))
-    g = (
-        df.groupby(["subj_id", "pred", "obj_id"], sort=False)
-        .agg(**aggs)
-        .reset_index()
+        g = (
+            t.append_column("prov", prov)
+            .group_by(keys, use_threads=False)
+            .aggregate([("doc_id", "count"), ("prov", "min")])
+        )
+        return g.select(keys + ["doc_id_count", "prov_min"]).rename_columns(
+            keys + ["n_obs", "prov"]
+        )
+    g = t.group_by(keys, use_threads=False).aggregate(
+        [("doc_id", "count"), ("doc_id", "min")]
     )
-    return arrow_from_pandas(g)
+    return g.select(keys + ["doc_id_count", "doc_id_min"]).rename_columns(
+        keys + ["n_obs", "first_doc"]
+    )
 
 
 def _edge_props_json(n_obs_list, first_docs) -> list:
@@ -119,14 +132,23 @@ def _coalesce_partials(partials: rd.Dataset) -> rd.Dataset:
     """Coalesce many small partial blocks before a sort-based groupby: the
     aggregate builds one reduce partition per input block, so hundreds of
     tiny partial blocks turn the reduce into a task storm. Measured at
-    sf0.1×64 / 32 CPUs: 5.6s → 3.3s with repartition(num_cpus) first."""
+    sf0.1×64 / 32 CPUs: 5.6s → 3.3s with repartition(num_cpus) first.
+
+    The partials are MATERIALIZED first: a sort-based AllToAll consuming a
+    lazy map chain throttles the upstream map's task concurrency (measured
+    here at sf0.1×64: 14.5s lazy vs 4.3s materialized on 8 CPUs, 3.1s vs
+    2.3s on 32 — the gap grows as CPUs shrink, which silently inflated the
+    8→32 scaling ratio; same pathology as stages/agg.py:grouped_aggregate's
+    default). Scale note: what lands in the object store is the per-block
+    COMBINED representation (≤ |distinct keys| rows per block, ~28 bytes/doc
+    here), not the corpus — the map stage upstream still streams."""
     import ray
 
     try:
         n = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover
         n = 8
-    return partials.repartition(max(2, n))
+    return partials.materialize().repartition(max(2, n))
 
 
 def _merge_edge_partials(partials: rd.Dataset) -> rd.Dataset:

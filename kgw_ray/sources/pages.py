@@ -23,6 +23,9 @@ import ray.data as rd
 
 # epoch for warc_ts: fixed, timezone-naive (matches Arrow/DuckDB defaults)
 _WARC_EPOCH = datetime(2024, 1, 1, 0, 0, 0)
+# the same instant as naive microseconds since the Unix epoch (what a naive
+# datetime stores in an Arrow timestamp[us] column)
+_WARC_EPOCH_US = int((_WARC_EPOCH - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
 
 _HEAD = (
     "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>"
@@ -51,17 +54,25 @@ def render_html(doc_id: int, source: str, text: str) -> bytes:
     """
     esc = _html.escape(text, quote=False)
     width = 60 + (doc_id % 7) * 17  # deterministic paragraph width per doc
-    # chunk the ESCAPED text, but never split inside an entity (&amp; &lt; &gt;)
-    paras = []
-    i, n = 0, len(esc)
-    while i < n:
-        j = min(i + width, n)
-        # if the cut lands inside an entity, extend to its terminating ';'
-        amp = esc.rfind("&", max(i, j - 5), j)
-        if amp != -1 and ";" not in esc[amp:j]:
-            j = esc.index(";", amp) + 1
-        paras.append(f"<p>{esc[i:j]}</p>")
-        i = j
+    n = len(esc)
+    if "&" not in esc:
+        # fast path — no entities anywhere (the only entity starter is '&'),
+        # so fixed-width cuts can never split one; identical output to the
+        # guarded loop below
+        paras = [f"<p>{esc[k:k + width]}</p>" for k in range(0, n, width)]
+    else:
+        # chunk the ESCAPED text, never splitting inside an entity
+        # (&amp; &lt; &gt;)
+        paras = []
+        i = 0
+        while i < n:
+            j = min(i + width, n)
+            # if the cut lands inside an entity, extend to its terminating ';'
+            amp = esc.rfind("&", max(i, j - 5), j)
+            if amp != -1 and ";" not in esc[amp:j]:
+                j = esc.index(";", amp) + 1
+            paras.append(f"<p>{esc[i:j]}</p>")
+            i = j
     body = (
         _HEAD.format(doc_id=doc_id)
         + _NAV
@@ -73,21 +84,40 @@ def render_html(doc_id: int, source: str, text: str) -> bytes:
 
 
 def synth_pages(batch: pa.Table) -> pa.Table:
-    """map_batches fn: documents batch → pages batch (Arrow in/out)."""
+    """map_batches fn: documents batch → pages batch (Arrow in/out).
+
+    url and warc_ts are built with Arrow kernels (no per-row Python
+    objects); only the html render — inherently per-row string templating —
+    walks Python."""
+    import numpy as np
+    import pyarrow.compute as pc
+
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
-    langs = batch.column("lang")
-    sources = batch.column("source").to_pylist()
-    urls = [url_for(d, s) for d, s in zip(doc_ids, sources)]
-    ts = [warc_ts_for(d) for d in doc_ids]
-    htmls = [render_html(d, s, t) for d, s, t in zip(doc_ids, sources, texts)]
+    sources = batch.column("source")
+    if isinstance(sources, pa.ChunkedArray):
+        sources = sources.combine_chunks()
+    # url: 'https://' || source || '.example.org/doc/' || lpad(doc_id, 8)
+    urls = pc.binary_join_element_wise(
+        "https://",
+        sources,
+        ".example.org/doc/",
+        pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 8, "0"),
+        "",
+    )
+    # warc_ts: epoch + doc_id seconds, as int64 microseconds
+    ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    ts_us = _WARC_EPOCH_US + ids_np.astype(np.int64) * 1_000_000
+    ts = pa.array(ts_us).cast(pa.timestamp("us"))
+    src_list = sources.to_pylist()
+    htmls = [render_html(d, s, t) for d, s, t in zip(doc_ids, src_list, texts)]
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "url": urls,
+            "warc_ts": ts,
             "html": pa.array(htmls, pa.binary()),
             "text": batch.column("text"),
-            "lang": langs,
+            "lang": batch.column("lang"),
             "doc_id": batch.column("doc_id"),  # provenance join key for oracles
         }
     )

@@ -29,20 +29,33 @@ class HtmlExtract:
     """
 
     def __init__(self) -> None:
-        self._main = re.compile(rb'<div id="main">(.*?)</div>', re.DOTALL)
         self._para = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
         self._drop = re.compile(
             rb"<(script|style|nav|aside|footer)\b.*?</\1>", re.DOTALL
         )
 
     def extract_one(self, html_bytes: bytes) -> str:
-        m = self._main.search(html_bytes)
-        if m is None:
-            # fall back: strip boilerplate tags, keep paragraph content anywhere
-            html_bytes = self._drop.sub(b"", html_bytes)
-            frags = self._para.findall(html_bytes)
-        else:
-            frags = self._para.findall(m.group(1))
+        # fast path: locate the main div with C-level find and strip the
+        # <p> tags with replace — valid because escaped text can contain no
+        # '<' (html.escape rewrites &<>), so the only tag bytes inside the
+        # div are the paragraph tags themselves. Joining paragraph contents
+        # with no separator == deleting the tags. ~3× over regex findall;
+        # byte-identity pinned by the page_text_extraction hash gate.
+        i = html_bytes.find(b'<div id="main">')
+        j = html_bytes.find(b"</div>", i) if i != -1 else -1
+        if j != -1:
+            content = html_bytes[i + 15 : j]
+            raw = content.replace(b"<p>", b"").replace(b"</p>", b"")
+            # residual '<' ⇒ the div held more than adjacent <p> blocks
+            # (foreign markup) — same paragraph scan the regex path used
+            if b"<" not in raw:
+                return _html.unescape(raw.decode("utf-8"))
+            frags = self._para.findall(content)
+            return _html.unescape(b"".join(frags).decode("utf-8"))
+        # fall back (foreign pages, no main div): strip boilerplate tags,
+        # keep paragraph content anywhere
+        html_bytes = self._drop.sub(b"", html_bytes)
+        frags = self._para.findall(html_bytes)
         return _html.unescape(b"".join(frags).decode("utf-8"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
