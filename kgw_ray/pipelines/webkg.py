@@ -151,15 +151,41 @@ def _coalesce_partials(partials: rd.Dataset) -> rd.Dataset:
     return partials.materialize().repartition(max(2, n))
 
 
+def _tree_combine(
+    partials: rd.Dataset, keys: list[str], spec: list[tuple[str, str]]
+) -> rd.Dataset:
+    """Second combine level between the per-block combiners and the global
+    aggregate: materialize → repartition(n_cpus) → per-block Arrow
+    group_by. Each coalesced block collapses to ≤ |distinct keys in block|
+    rows, so the sort-based exchange downstream sees O(n_cpus × keyspace)
+    rows REGARDLESS of corpus size (the per-map-block partials alone grow
+    linearly with block count). Keeps full scale-correctness: the final
+    groupby still places arbitrary key cardinality; this level only folds
+    co-resident duplicates. ``spec`` uses Arrow aggregate names
+    (("col", "sum"|"min"|...)); output keeps the input column names."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys, use_threads=False).aggregate(spec)
+        return g.select(keys + [f"{c}_{f}" for c, f in spec]).rename_columns(
+            keys + [c for c, _ in spec]
+        )
+
+    return _coalesce_partials(partials).map_batches(
+        combine, batch_format="pyarrow"
+    )
+
+
 def _merge_edge_partials(partials: rd.Dataset) -> rd.Dataset:
     """Final reduce of the triple combiner: native hash aggregates
     (Sum/Min), NOT groupby().map_groups — per-group Python over thousands
     of tiny groups is the measured slow pattern (see stages/agg.py)."""
     from ray.data.aggregate import Min, Sum
 
-    merged = _coalesce_partials(partials).groupby(
-        ["subj_id", "pred", "obj_id"]
-    ).aggregate(
+    keys = ["subj_id", "pred", "obj_id"]
+    combined = _tree_combine(
+        partials, keys, [("n_obs", "sum"), ("first_doc", "min")]
+    )
+    merged = combined.groupby(keys).aggregate(
         Sum("n_obs", alias_name="n_obs"), Min("first_doc", alias_name="first_doc")
     )
     return merged.rename_columns(
@@ -232,13 +258,19 @@ def edges_from_triples(triples: rd.Dataset) -> rd.Dataset:
 
 
 def _node_partials(batch: pa.Table) -> pa.Table:
-    """Combiner: per-batch mention counts per entity (subj and obj sides)."""
-    df = batch.select(["subj", "obj"]).to_pandas()
-    counts = pd.concat([df["subj"], df["obj"]], ignore_index=True).value_counts()
+    """Combiner: per-batch mention counts per entity (subj and obj sides).
+    Arrow-native value_counts — no pandas round-trip, no Python objects."""
+    import pyarrow.compute as pc
+
+    chunks: list[pa.Array] = []
+    for name in ("subj", "obj"):
+        col = batch.column(name)
+        chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
+    vc = pc.value_counts(pa.chunked_array(chunks, pa.string()))
     return pa.table(
         {
-            "surface": pa.array(counts.index.to_list(), pa.string()),
-            "n_partial": pa.array(counts.to_list(), pa.int64()),
+            "surface": vc.field("values"),
+            "n_partial": pc.cast(vc.field("counts"), pa.int64()),
         }
     )
 
@@ -250,9 +282,9 @@ def nodes_from_triples(triples: rd.Dataset) -> rd.Dataset:
     from ray.data.aggregate import Sum
 
     partials = triples.map_batches(_node_partials, batch_format="pyarrow")
-    counts = _coalesce_partials(partials).groupby("surface").aggregate(
-        Sum("n_partial", alias_name="n_mentions")
-    )
+    counts = _tree_combine(partials, ["surface"], [("n_partial", "sum")]).groupby(
+        "surface"
+    ).aggregate(Sum("n_partial", alias_name="n_mentions"))
     return counts.map_batches(_render_node_rows, batch_format="pyarrow")
 
 
@@ -377,7 +409,11 @@ def edges_with_provenance(sf_dir: str, *, concurrency: int | None = None) -> rd.
     partials = triples.map_batches(
         _edge_partials, batch_format="pyarrow", fn_kwargs={"carry_prov": True}
     )
-    merged = _coalesce_partials(partials).groupby(
+    merged = _tree_combine(
+        partials,
+        ["subj_id", "pred", "obj_id"],
+        [("n_obs", "sum"), ("prov", "min")],
+    ).groupby(
         ["subj_id", "pred", "obj_id"]
     ).aggregate(
         Sum("n_obs", alias_name="n_obs"), Min("prov", alias_name="prov")
@@ -508,9 +544,9 @@ def build_webkg_partitioned_full(
     def merge_nodes() -> rd.Dataset:
         from ray.data.aggregate import Sum
 
-        counts = _coalesce_partials(node_partials).groupby("surface").aggregate(
-            Sum("n_partial", alias_name="n_mentions")
-        )
+        counts = _tree_combine(
+            node_partials, ["surface"], [("n_partial", "sum")]
+        ).groupby("surface").aggregate(Sum("n_partial", alias_name="n_mentions"))
         return counts.map_batches(_render_node_rows, batch_format="pyarrow")
 
     nodes = resumable_stage(
