@@ -578,3 +578,12 @@ def q_q5_hash(sf_dir: str):
     pins the at-scale physical plan under the value-parity gate (mirror of
     join_lineitem_orders_hash)."""
     return _rel.q5_revenue_by_nation(sf_dir, force_hash_join=True)
+
+
+# --- corpus-level training-data ops (round 3 late additions; tail —
+# covered by the in-repo oracle-parity replica like the rest of the tail)
+register("decontaminate_documents", _td.DECONTAM_SQL)(_td.decontaminate_documents)
+register("ngram_topk", _td.NGRAM_TOPK_SQL)(_td.ngram_topk)
+register("text_normalize", _td.NORMALIZE_SQL)(_td.text_normalize)
+register("sample_stratified", _td.STRATIFIED_SQL)(_td.sample_stratified)
+register("tfidf_top_terms", _td.TFIDF_SQL)(_td.tfidf_top_terms)

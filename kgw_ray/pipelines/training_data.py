@@ -861,3 +861,224 @@ def sample_documents_every_k(sf_dir: str, k: int = 10) -> rd.Dataset:
 
 
 SAMPLE_DOCS_SQL = "SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0"
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level ops: decontamination, n-gram counts, normalization,
+# stratified mixing, TF-IDF (stages/corpus.py kernels)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_MOD = 41  # synthetic "eval set" = doc_id % 41 == 0
+_DECONTAM_K = 8  # word 8-grams, the published decontamination convention
+
+
+def decontaminate_documents(sf_dir: str) -> rd.Dataset:
+    """Benchmark-overlap decontamination: flag corpus docs sharing any word
+    8-gram with the (synthetic, in-corpus) eval set ``doc_id % 41 == 0``.
+
+    The eval side's distinct gram hashes reduce through per-block uniques
+    to one sorted uint64 array, ``ray.put`` once (benchmark suites are
+    broadcast-sized by construction — ~10^6-10^8 grams); the corpus pass
+    is an embarrassingly parallel task map, zero shuffle. Hash membership
+    stands in for string membership (64-bit siphash; a collision would
+    need ~2^32 grams — the oracle compares the strings themselves).
+    """
+    import ray
+
+    from kgw_ray.stages.corpus import bench_gram_partial, decontaminate_batch
+
+    docs = _docs(sf_dir)
+    evals = docs.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False) % _DECONTAM_MOD
+                == 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    parts = evals.map_batches(
+        lambda t: bench_gram_partial(t, _DECONTAM_K), batch_format="pyarrow"
+    ).to_pandas()
+    bench = np.sort(np.unique(parts["g"].to_numpy().astype(np.uint64)))
+    bench_ref = ray.put(bench)
+
+    def score(batch: pa.Table) -> pa.Table:
+        corpus_mask = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False) % _DECONTAM_MOD
+            != 0
+        )
+        return decontaminate_batch(
+            batch.filter(pa.array(corpus_mask)), ray.get(bench_ref), _DECONTAM_K
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i : i + least(len(w), {_DECONTAM_K}) - 1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - least(len(w), {_DECONTAM_K}) + 1)) AS t(i)
+  WHERE len(w) > 0
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_DECONTAM_MOD} = 0),
+cnt AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS n_cont
+  FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.n_grams, 0) AS n_grams,
+       COALESCE(c.n_cont, 0) AS n_contaminated,
+       CAST(COALESCE(c.n_cont, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {_DECONTAM_MOD} <> 0
+"""
+
+
+def ngram_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """Corpus-wide top-k word bigrams (the n-gram-LM count workload):
+    per-batch vectorized combiner (the shuffle moves each batch's bigram
+    VOCABULARY, not the token stream) → groupby Sum → block-local top-k
+    with the deterministic (n desc, gram asc) total order."""
+    from ray.data.aggregate import Sum
+
+    from kgw_ray.stages.agg import grouped_aggregate
+    from kgw_ray.stages.corpus import bigram_count_partial
+    from kgw_ray.pipelines.relational import distributed_topk
+
+    counts = grouped_aggregate(
+        _docs(sf_dir).map_batches(bigram_count_partial, batch_format="pyarrow"),
+        "gram",
+        Sum("n", alias_name="n"),
+    )
+    return distributed_topk(counts, ["n", "gram"], [True, False], k)
+
+
+NGRAM_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT w[i] || ' ' || w[i + 1] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram)
+SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT 20
+"""
+
+
+def text_normalize(sf_dir: str) -> rd.Dataset:
+    """C4-style normalization (lower / collapse whitespace / trim) emitting
+    the normalized identity (md5 + codepoint length) — zero shuffle."""
+    from kgw_ray.stages.corpus import normalize_batch
+
+    return _docs(sf_dir).map_batches(normalize_batch, batch_format="pyarrow")
+
+
+NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS norm_md5, length(norm) AS n_norm_chars FROM n
+"""
+
+
+# data-mixing weights: keep 1/denom of each language stratum
+_MIX_DENOMS = {"en": 1, "es": 2, "fr": 2, "de": 2, "zh": 3}
+_MIX_DEFAULT = 4
+
+
+def sample_stratified(sf_dir: str) -> rd.Dataset:
+    """Deterministic per-language data mixing: keep doc iff
+    md5-LE-uint64(str(doc_id)) % denom(lang) == 0 (en 1/1, es/fr/de 1/2,
+    zh 1/3, other 1/4). Reproducible across engines/runs/cluster sizes —
+    no RNG state, no shuffle, resumable for free."""
+    from kgw_ray.stages.corpus import stratified_keep_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return ds.map_batches(
+        lambda t: stratified_keep_batch(t, _MIX_DENOMS, _MIX_DEFAULT),
+        batch_format="pyarrow",
+    )
+
+
+def _stratified_sql() -> str:
+    case = " ".join(
+        f"WHEN '{lang}' THEN {d}" for lang, d in sorted(_MIX_DENOMS.items())
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+),
+u AS (SELECT doc_id, lang, ({_MD5_LE_UINT64}) AS hv FROM h)
+SELECT doc_id, lang FROM u
+WHERE hv % (CASE lang {case} ELSE {_MIX_DEFAULT} END) = 0
+"""
+
+
+STRATIFIED_SQL = _stratified_sql()
+
+
+def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Top TF-IDF term per document, two-pass: document frequencies via
+    per-batch distinct-(doc,tok) combiner → vocabulary-sized groupby Sum →
+    broadcast (sorted vocab, df) arrays ``ray.put`` once; pass 2 scores
+    each doc vectorized. Integer score tf * 1e6 // df — no float in the
+    ordering, engine-exact. Broadcast assumption: vocabulary fits one
+    object (Heaps' law, ~10^8 tokens); beyond that the scale path is the
+    size-hybrid token join (stages/joins.py)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgw_ray.stages.agg import grouped_aggregate
+    from kgw_ray.stages.corpus import df_partial, tfidf_batch
+
+    docs = _docs(sf_dir)
+    df_tbl = grouped_aggregate(
+        docs.map_batches(df_partial, batch_format="pyarrow"),
+        "tok",
+        Sum("df", alias_name="df"),
+    ).to_pandas()
+    if "tok" in df_tbl.columns and len(df_tbl):
+        vocab = df_tbl["tok"].to_numpy(dtype=object)
+        order = np.argsort(vocab)
+        vocab, dfs = vocab[order], df_tbl["df"].to_numpy()[order].astype(np.int64)
+    else:  # empty corpus: typed empties keep the schema
+        vocab, dfs = np.array([], dtype=object), np.array([], dtype=np.int64)
+    vocab_ref = ray.put(vocab)
+    dfs_ref = ray.put(dfs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return tfidf_batch(batch, ray.get(vocab_ref), ray.get(dfs_ref))
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM u GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM u GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * 1000000 // df.df AS score_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * 1000000 // df.df DESC, tf.term
+         ) AS rn
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score_micro FROM s WHERE rn = 1
+"""

@@ -1,0 +1,230 @@
+"""Corpus-level training-data kernels: decontamination, n-gram counting,
+text normalization, stratified sampling, TF-IDF.
+
+Reference scope: the reference's per-record transform + aggregate family
+(kgw/_shared/transform.py, load.py) has no corpus-statistics operators;
+these extend the engine with the standard web-pipeline set (benchmark
+decontamination, n-gram LM counts, C4-style normalization, data-mixing
+samplers, TF-IDF term scoring) expressed Ray-Data-first: every kernel here
+is a vectorized per-batch map; the only shuffles are vocabulary-sized
+(grouped_aggregate over per-batch combined partials).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kgw_ray.stages.dedup import _portable_token_hashes, batch_shingle_hashes
+from kgw_ray.stages.textstats import content_md5_list
+
+
+def flat_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, token) flat arrays for a (doc_id, text) batch.
+
+    Python ``str.split()`` semantics (any whitespace, empties dropped) —
+    the same token equivalence class as the SQL oracles'
+    ``list_filter(string_split_regex(text, '\\s+'), x -> x <> '')``.
+    Vectorized: one Arrow split + one boolean mask, no per-row loop.
+    """
+    text = pc.fill_null(batch.column("text"), "")
+    splits = pc.utf8_split_whitespace(text)
+    sizes = pc.cast(pc.list_value_length(splits), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    flat = pc.list_flatten(splits)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    return doc_idx[keep], flat_np[keep]
+
+
+def distinct_doc_grams(
+    doc_idx: np.ndarray, grams: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document DISTINCT gram rows from flat (doc_index, gram-hash)
+    arrays — one lexsort + one neighbor-diff mask, no per-doc loop."""
+    if len(grams) == 0:
+        return doc_idx[:0], grams[:0]
+    order = np.lexsort((grams, doc_idx))
+    d, g = doc_idx[order], grams[order]
+    new = np.ones(len(g), dtype=bool)
+    new[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+    return d[new], g[new]
+
+
+def bigram_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch word-bigram combiner: (gram, n) with within-batch counts
+    collapsed (the downstream shuffle moves the batch VOCABULARY, not the
+    token stream)."""
+    d, toks = flat_tokens(batch)
+    if len(toks) < 2:
+        return pa.table(
+            {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    same = d[1:] == d[:-1]
+    left = pd.Series(toks[:-1][same], dtype=object)
+    right = pd.Series(toks[1:][same], dtype=object)
+    if len(left) == 0:
+        return pa.table(
+            {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    grams = left.str.cat(right, sep=" ").to_numpy()
+    uq, cnt = np.unique(grams, return_counts=True)
+    return pa.table(
+        {
+            "gram": pa.array(uq, pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """C4-style text normalization: lowercase, collapse whitespace runs,
+    trim. Emits the dedup-grade identity of the normalized form
+    (md5, codepoint length) instead of shipping the text back.
+
+    Byte-identical to DuckDB
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` + ``md5``.
+    """
+    text = pc.fill_null(batch.column("text"), "")
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
+    )
+    md5s = content_md5_list(norm.to_pylist())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "norm_md5": pa.array(md5s, pa.string()),
+            "n_norm_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+        }
+    )
+
+
+def decontaminate_batch(
+    batch: pa.Table, bench_sorted: np.ndarray, k: int
+) -> pa.Table:
+    """Flag benchmark n-gram overlap for one corpus batch.
+
+    Per doc: distinct word k-gram hashes (k = min(len, k), the shingle
+    convention), membership against the SORTED benchmark gram array via
+    one searchsorted — no per-doc loop beyond the shingle window pass.
+    """
+    texts = batch.column("text").to_pylist()
+    flat, offs = batch_shingle_hashes(texts, k)
+    doc_idx = np.repeat(
+        np.arange(len(texts), dtype=np.int64), np.diff(offs).astype(np.int64)
+    )
+    dd, gg = distinct_doc_grams(doc_idx, flat)
+    n = len(texts)
+    n_grams = np.bincount(dd, minlength=n).astype(np.int64)
+    if len(bench_sorted) and len(gg):
+        pos = np.searchsorted(bench_sorted, gg)
+        pos[pos == len(bench_sorted)] = 0
+        hit = bench_sorted[pos] == gg
+    else:
+        hit = np.zeros(len(gg), dtype=bool)
+    n_cont = np.bincount(dd[hit], minlength=n).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_grams": pa.array(n_grams),
+            "n_contaminated": pa.array(n_cont),
+            "contaminated": pa.array((n_cont > 0).astype(np.int64)),
+        }
+    )
+
+
+def bench_gram_partial(batch: pa.Table, k: int) -> pa.Table:
+    """Distinct k-gram hashes of an eval-set batch (uint64 column)."""
+    texts = batch.column("text").to_pylist()
+    flat, _ = batch_shingle_hashes(texts, k)
+    return pa.table({"g": pa.array(np.unique(flat))})
+
+
+def df_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch document-frequency combiner: distinct (doc, token) pairs
+    collapsed to (tok, df-within-batch)."""
+    d, toks = flat_tokens(batch)
+    dd, tt = distinct_doc_pairs(d, toks)
+    if len(tt) == 0:
+        return pa.table(
+            {"tok": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+    uq, cnt = np.unique(tt, return_counts=True)
+    return pa.table(
+        {"tok": pa.array(uq, pa.string()), "df": pa.array(cnt.astype(np.int64))}
+    )
+
+
+def distinct_doc_pairs(
+    doc_idx: np.ndarray, toks: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (doc_index, token) rows — string twin of
+    ``distinct_doc_grams`` (np.lexsort handles object token arrays)."""
+    if len(toks) == 0:
+        return doc_idx[:0], toks[:0]
+    order = np.lexsort((toks, doc_idx))
+    d, t = doc_idx[order], toks[order]
+    new = np.ones(len(t), dtype=bool)
+    new[1:] = (d[1:] != d[:-1]) | (t[1:] != t[:-1])
+    return d[new], t[new]
+
+
+def tfidf_batch(
+    batch: pa.Table, vocab_sorted: np.ndarray, dfs: np.ndarray
+) -> pa.Table:
+    """Top TF-IDF term per document against the broadcast (vocab, df)
+    arrays. Integer score ``tf * 1_000_000 // df`` (monotone in tf·N/df,
+    exact in both numpy and DuckDB — no float in the ordering), ties by
+    term ascending; docs with zero tokens emit no row (SQL inner-join
+    semantics)."""
+    d, toks = flat_tokens(batch)
+    if len(toks) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "score_micro": pa.array([], pa.int64()),
+            }
+        )
+    pairs = pd.DataFrame({"d": d, "t": toks})
+    tf = pairs.groupby(["d", "t"], sort=False).size().reset_index(name="tf")
+    idx = np.searchsorted(vocab_sorted, tf["t"].to_numpy())
+    tf["df"] = dfs[idx]
+    tf["score_micro"] = tf["tf"].to_numpy() * 1_000_000 // tf["df"].to_numpy()
+    top = tf.sort_values(
+        ["d", "score_micro", "t"], ascending=[True, False, True]
+    ).drop_duplicates("d")
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[top["d"].to_numpy()]),
+            "term": pa.array(top["t"].to_numpy(), pa.string()),
+            "tf": pa.array(top["tf"].to_numpy().astype(np.int64)),
+            "df": pa.array(top["df"].to_numpy().astype(np.int64)),
+            "score_micro": pa.array(top["score_micro"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def stratified_keep_batch(batch: pa.Table, denoms: dict, default: int) -> pa.Table:
+    """Deterministic data-mixing filter: keep a doc iff
+    md5-LE-uint64(str(doc_id)) % denom(lang) == 0 — reproducible across
+    engines and runs (same md5-LE convention as the SimHash oracle),
+    embarrassingly parallel, zero shuffle."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    langs = pd.Series(batch.column("lang").to_pylist(), dtype=object)
+    h = _portable_token_hashes([str(i) for i in ids])
+    dn = langs.map(denoms).fillna(default).to_numpy().astype(np.uint64)
+    keep = (h % dn) == 0
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[keep]),
+            "lang": pa.array(langs.to_numpy()[keep], pa.string()),
+        }
+    )

@@ -616,3 +616,126 @@ def test_topk_saturated_tie_window_falls_back_exact():
     df = _topk_partial(bids, V, np.array([[1.0, 0.0]]), np.array([7]), k=10)
     assert list(df["vec_id"]) == list(range(10))
     assert (df["query_id"] == 7).all()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level ops (stages/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+def _tbl(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_decontaminate_flags_exact_leak():
+    """A corpus doc containing a benchmark doc's 8-gram verbatim is flagged;
+    an unrelated doc is not; the eval doc itself is excluded."""
+    import numpy as np
+
+    from kgw_ray.stages.corpus import decontaminate_batch
+    from kgw_ray.stages.dedup import batch_shingle_hashes
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    bench = np.sort(np.unique(batch_shingle_hashes([bench_text], 8)[0]))
+    leak = "x y " + "alpha beta gamma delta epsilon zeta eta theta" + " z"
+    clean = "one two three four five six seven eight nine ten"
+    out = decontaminate_batch(_tbl([(1, leak), (2, clean)]), bench, 8).to_pydict()
+    assert out["contaminated"] == [1, 0]
+    assert out["n_contaminated"][0] >= 1
+    # n_grams counts DISTINCT win-8 grams: len(w) - 8 + 1 for 10 distinct toks
+    assert out["n_grams"][1] == 3
+
+
+def test_decontaminate_short_doc_whole_gram():
+    """Docs shorter than k use k = len(w) (the shingle convention): an
+    identical short doc in both sets is a contamination hit."""
+    import numpy as np
+
+    from kgw_ray.stages.corpus import decontaminate_batch
+    from kgw_ray.stages.dedup import batch_shingle_hashes
+
+    bench = np.sort(np.unique(batch_shingle_hashes(["tiny doc"], 8)[0]))
+    out = decontaminate_batch(
+        _tbl([(1, "tiny doc"), (2, "tiny other")]), bench, 8
+    ).to_pydict()
+    assert out["contaminated"] == [1, 0]
+
+
+def test_ngram_topk_matches_counter(sf_smoke):
+    """Distributed bigram counts equal a single-process Counter (total-order
+    ties included)."""
+    import collections
+
+    from kgw_ray.pipelines.training_data import _docs, ngram_topk
+
+    got = ngram_topk(sf_smoke, k=15).to_pydict()
+    cnt = collections.Counter()
+    for row in _docs(sf_smoke).take_all():
+        w = (row["text"] or "").split()
+        cnt.update(" ".join(p) for p in zip(w, w[1:]))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert list(zip(got["gram"], got["n"])) == want
+
+
+def test_normalize_idempotent_and_casefolds():
+    import pyarrow as pa
+
+    from kgw_ray.stages.corpus import normalize_batch
+
+    t = _tbl([(1, "  A  B\t\nC  "), (2, "a b c")])
+    out = normalize_batch(t).to_pydict()
+    # both normalize to "a b c" → identical md5, length 5
+    assert out["norm_md5"][0] == out["norm_md5"][1]
+    assert out["n_norm_chars"] == [5, 5]
+
+
+def test_stratified_rates_and_determinism():
+    """Mixing keeps ~1/denom per stratum and is exactly reproducible."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kgw_ray.stages.corpus import stratified_keep_batch
+
+    n = 3000
+    langs = ["en", "es", "zh"] * (n // 3)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    a = stratified_keep_batch(t, {"en": 1, "es": 2, "zh": 3}, 4).to_pydict()
+    b = stratified_keep_batch(t, {"en": 1, "es": 2, "zh": 3}, 4).to_pydict()
+    assert a == b
+    kept = {lang: 0 for lang in ("en", "es", "zh")}
+    for lang in a["lang"]:
+        kept[lang] += 1
+    assert kept["en"] == n // 3  # denom 1 keeps everything
+    assert abs(kept["es"] - n / 6) < n / 20
+    assert abs(kept["zh"] - n / 9) < n / 20
+
+
+def test_tfidf_prefers_rare_terms():
+    """With equal tf, the rarer term wins; ties break lexicographically."""
+    import numpy as np
+
+    from kgw_ray.stages.corpus import df_partial, tfidf_batch
+
+    t = _tbl([(1, "common rare"), (2, "common other"), (3, "common also")])
+    p = df_partial(t).to_pydict()
+    vocab = np.array(p["tok"], dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    dfs = np.array(p["df"], dtype=np.int64)[order]
+    out = tfidf_batch(t, vocab, dfs).to_pydict()
+    # "common" has df 3, each rare term df 1 → rare term wins per doc
+    assert out["term"] == ["rare", "other", "also"]
+    assert out["df"] == [1, 1, 1]
+    assert out["score_micro"] == [1_000_000, 1_000_000, 1_000_000]
