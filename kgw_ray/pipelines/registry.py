@@ -587,3 +587,4 @@ register("ngram_topk", _td.NGRAM_TOPK_SQL)(_td.ngram_topk)
 register("text_normalize", _td.NORMALIZE_SQL)(_td.text_normalize)
 register("sample_stratified", _td.STRATIFIED_SQL)(_td.sample_stratified)
 register("tfidf_top_terms", _td.TFIDF_SQL)(_td.tfidf_top_terms)
+register("kmeans_embeddings", _td.KMEANS_SQL)(_td.kmeans_embeddings)

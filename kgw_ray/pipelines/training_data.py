@@ -1082,3 +1082,23 @@ s AS (
 )
 SELECT doc_id, term, tf, df, score_micro FROM s WHERE rn = 1
 """
+
+
+def kmeans_embeddings(sf_dir: str) -> rd.Dataset:
+    """Distributed exact fixed-point k-means over the embeddings table
+    (k=8, 3 assignment passes) — see stages/similarity.py:
+    kmeans_assignments for the physical plan and the integer-arithmetic
+    contract that makes the unrolled SQL oracle hash-exact."""
+    from kgw_ray.stages.similarity import kmeans_assignments
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assignments(emb, k=8, iters=3)
+
+
+def _kmeans_sql() -> str:
+    from kgw_ray.stages.similarity import kmeans_sql
+
+    return kmeans_sql(k=8, iters=3)
+
+
+KMEANS_SQL = _kmeans_sql()

@@ -341,3 +341,181 @@ def ivf_near_dup_pairs(
         return arrow_from_pandas(pd.concat(outs, ignore_index=True))
 
     return idx.assigned.groupby("cell").map_groups(pairs_of_cell, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distributed fixed-point k-means (exact, oracle-parity)
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000
+
+
+def _quantize_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """Micro-unit quantization: floor(x * 1e6 + 0.5) — half-up rounding,
+    identical in numpy and DuckDB (ROUND() is NOT: DuckDB rounds half away
+    from zero, np.rint half-to-even)."""
+    M = np.vstack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    return np.floor(M * _KM_SCALE + 0.5).astype(np.int64)
+
+
+def _trunc_div(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Integer division truncating toward zero — DuckDB ``//`` semantics
+    (numpy ``//`` floors: -7 // 2 is -4 in numpy, -3 in DuckDB)."""
+    return np.where(a >= 0, a // b, -((-a) // b))
+
+
+def _km_assign(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row by exact integer squared L2; ties go to the
+    lowest cluster id (argmin picks the first minimum — the SQL mirror
+    orders by (dist, cluster))."""
+    # ||q||^2 is constant per row — argmin needs only the cross terms
+    d = (C * C).sum(axis=1)[None, :] - 2 * (Q @ C.T)
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def kmeans_assignments(
+    embeds: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Distributed Lloyd's k-means over an embedding column, EXACT across
+    engines: micro-unit integer arithmetic end-to-end (quantize half-up,
+    integer distances, truncating-division centroid updates), seeded by
+    the k smallest vec_ids, fixed ``iters`` assignment passes.
+
+    Physical plan: ONE materialized quantized hub (int64 blobs in the
+    object store), then per iteration an embarrassingly parallel task map
+    emitting (cluster, count, sum-vector) partials — k x dim per BLOCK
+    crosses the wire, merged on the driver, and the new centroid matrix is
+    ``ray.put`` for the next pass. No shuffle anywhere; ``iters`` passes
+    over the hub is the textbook distributed k-means exchange pattern.
+    Empty clusters keep their previous centroid.
+    """
+    import ray
+
+    def quant(t: pa.Table) -> pa.Table:
+        Q = _quantize_matrix(t, vec_col)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "qblob": pa.array([q.tobytes() for q in Q], pa.binary()),
+            }
+        )
+
+    hub = embeds.map_batches(quant, batch_format="pyarrow").materialize()
+
+    # seed pull: per-block k smallest ids, merged on the driver (min-k is
+    # a distributed_topk shape — ≤ #blocks × k rows cross the wire)
+    def block_min_k(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, np.sort(ids)[:k])))
+
+    init = hub.map_batches(block_min_k, batch_format="pyarrow").to_pandas()
+    init = init.sort_values(id_col).head(k)
+    C = np.vstack([np.frombuffer(b, dtype=np.int64) for b in init["qblob"]])
+
+    def partial_factory(ref):
+        def partial(t: pa.Table) -> pa.Table:
+            Cc = ray.get(ref)
+            Q = np.vstack(
+                [np.frombuffer(b, dtype=np.int64) for b in t["qblob"].to_pylist()]
+            )
+            a = _km_assign(Q, Cc)
+            sums = np.zeros_like(Cc)
+            np.add.at(sums, a, Q)
+            cnts = np.bincount(a, minlength=len(Cc)).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(Cc), dtype=np.int64)),
+                    "cnt": pa.array(cnts),
+                    "sums": pa.array([s.tobytes() for s in sums], pa.binary()),
+                }
+            )
+
+        return partial
+
+    for _ in range(iters - 1):
+        ref = ray.put(C)
+        parts = hub.map_batches(
+            partial_factory(ref), batch_format="pyarrow"
+        ).to_pandas()
+        S = np.zeros_like(C)
+        n = np.zeros(len(C), dtype=np.int64)
+        for _, row in parts.iterrows():
+            S[int(row["cluster"])] += np.frombuffer(row["sums"], dtype=np.int64)
+            n[int(row["cluster"])] += int(row["cnt"])
+        newC = C.copy()
+        nz = n > 0
+        newC[nz] = _trunc_div(S[nz], n[nz][:, None])
+        C = newC
+
+    ref = ray.put(C)
+
+    def assign_out(t: pa.Table) -> pa.Table:
+        Cc = ray.get(ref)
+        Q = np.vstack(
+            [np.frombuffer(b, dtype=np.int64) for b in t["qblob"].to_pylist()]
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster": pa.array(_km_assign(Q, Cc)),
+            }
+        )
+
+    return hub.map_batches(assign_out, batch_format="pyarrow")
+
+
+def kmeans_sql(k: int = 8, iters: int = 3, scale: int = _KM_SCALE) -> str:
+    """The exact SQL mirror of ``kmeans_assignments``: the same quantized
+    integer iteration unrolled into CTEs (the pagerank-oracle technique).
+    Centroids live as (cluster, pos, val) rows; DuckDB's truncating ``//``
+    matches ``_trunc_div`` by construction."""
+    ctes = [
+        f"""q AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+)""",
+        f"""ranked AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        """c0 AS (
+  SELECT r.cluster, q.pos, q.val FROM ranked r JOIN q USING (vec_id)
+)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""d{t} AS (
+  SELECT q.vec_id, c.cluster,
+         SUM((q.val - c.val) * (q.val - c.val)) AS dist
+  FROM q JOIN c{t - 1} c ON q.pos = c.pos
+  GROUP BY q.vec_id, c.cluster
+)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+)"""
+        )
+        if t < iters:
+            ctes.append(
+                f"""c{t} AS (
+  SELECT p.cluster, p.pos, COALESCE(u.val, p.val) AS val
+  FROM c{t - 1} p LEFT JOIN (
+    SELECT a.cluster, q.pos, SUM(q.val) // COUNT(*) AS val
+    FROM a{t} a JOIN q USING (vec_id) GROUP BY a.cluster, q.pos
+  ) u ON p.cluster = u.cluster AND p.pos = u.pos
+)"""
+            )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cluster FROM a{iters}"

@@ -739,3 +739,43 @@ def test_tfidf_prefers_rare_terms():
     assert out["term"] == ["rare", "other", "also"]
     assert out["df"] == [1, 1, 1]
     assert out["score_micro"] == [1_000_000, 1_000_000, 1_000_000]
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    """Centroid updates divide like DuckDB ``//`` (truncate toward zero),
+    not numpy floor division."""
+    import numpy as np
+
+    from kgw_ray.stages.similarity import _trunc_div
+
+    a = np.array([7, -7, 6, -6, 0], dtype=np.int64)
+    b = np.array([2, 2, 3, 3, 5], dtype=np.int64)
+    assert list(_trunc_div(a, b)) == [3, -3, 2, -2, 0]
+
+
+def test_kmeans_separates_blobs(ray_session):
+    """Two well-separated blobs end up in different clusters, all members
+    of a blob in the same one; repeated runs agree exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.similarity import kmeans_assignments
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0.0, 0.01, size=(20, 4)) + np.array([1, 1, 1, 1])
+    b = rng.normal(0.0, 0.01, size=(20, 4)) + np.array([-1, -1, -1, -1])
+    M = np.vstack([a, b]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in M]),
+        }
+    )
+    out1 = kmeans_assignments(rd.from_arrow(t), k=2, iters=3).to_pandas()
+    out2 = kmeans_assignments(rd.from_arrow(t), k=2, iters=3).to_pandas()
+    out1 = out1.sort_values("vec_id").reset_index(drop=True)
+    out2 = out2.sort_values("vec_id").reset_index(drop=True)
+    assert out1.equals(out2)
+    first, second = set(out1["cluster"][:20]), set(out1["cluster"][20:])
+    assert len(first) == 1 and len(second) == 1 and first != second
