@@ -588,3 +588,7 @@ register("text_normalize", _td.NORMALIZE_SQL)(_td.text_normalize)
 register("sample_stratified", _td.STRATIFIED_SQL)(_td.sample_stratified)
 register("tfidf_top_terms", _td.TFIDF_SQL)(_td.tfidf_top_terms)
 register("kmeans_embeddings", _td.KMEANS_SQL)(_td.kmeans_embeddings)
+register("media_resize_digest", _td.MEDIA_RESIZE_SQL)(_td.media_resize_digest)
+register("media_frame_sample_digest", _td.MEDIA_FRAMES_SQL)(
+    _td.media_frame_sample_digest
+)

@@ -1102,3 +1102,104 @@ def _kmeans_sql() -> str:
 
 
 KMEANS_SQL = _kmeans_sql()
+
+
+def _digest_batch(batch: pa.Table, col: str) -> tuple[list, list]:
+    """(n_bytes, sha256-hex) of a binary column — matches DuckDB
+    ``length``/``sha256`` on the reconstructed ASCII payload string."""
+    import hashlib
+
+    vals = batch.column(col).to_pylist()
+    return (
+        [len(v or b"") for v in vals],
+        [hashlib.sha256(v or b"").hexdigest() for v in vals],
+    )
+
+
+def media_resize_digest(sf_dir: str) -> rd.Dataset:
+    """Hash-gated projection of the REAL resize pipeline: the resized P6
+    payload's (n_bytes, sha256) — the oracle reconstructs the whole
+    nearest-neighbor resample in SQL (pixel-center grid, same double
+    arithmetic), so a one-pixel sampling drift fails the gate."""
+    ds = media_resize(sf_dir)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        n, h = _digest_batch(batch, "payload")
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "n_bytes": pa.array(n, pa.int64()),
+                "sha256": pa.array(h, pa.string()),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
+# Nearest-neighbor grid: src = min(floor((i + 0.5) * (dim/16)), dim-1); the
+# float product is never an exact integer for the synth dim ranges except
+# when dim/16 is itself exact (w=16/32), where both engines compute it
+# exactly — no rounding ambiguity on either side.
+MEDIA_RESIZE_SQL = _MEDIA_BASE_SQL + """,
+g AS (
+  SELECT doc_id, w, h, tiled, u.i - 1 AS j
+  FROM t, UNNEST(generate_series(1, 768)) AS u(i)
+),
+m AS (
+  SELECT doc_id, j, tiled, w, h,
+         least(CAST(floor(((j // 48) + 0.5) * (CAST(h AS DOUBLE) / 16)) AS BIGINT), h - 1) AS sy,
+         least(CAST(floor((((j % 48) // 3) + 0.5) * (CAST(w AS DOUBLE) / 16)) AS BIGINT), w - 1) AS sx,
+         j % 3 AS ch
+  FROM g
+),
+r AS (
+  SELECT doc_id,
+         string_agg(substr(tiled, CAST((sy * w + sx) * 3 + ch + 1 AS INT), 1), '' ORDER BY j) AS body
+  FROM m GROUP BY doc_id
+)
+SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+       length(payload) AS n_bytes, sha256(payload) AS sha256
+FROM (
+  SELECT doc_id,
+         'P6' || chr(10) || '16 16' || chr(10) || '255' || chr(10) || body AS payload
+  FROM r
+)
+"""
+
+
+def media_frame_sample_digest(sf_dir: str) -> rd.Dataset:
+    """Hash-gated projection of frame sampling: per kept frame the
+    (frame_idx, n_bytes, sha256) triple; the oracle re-chunks the
+    reconstructed payload with the same 256-byte/every-4th rule."""
+    ds = media_frame_sample(sf_dir)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        n, h = _digest_batch(batch, "frame")
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "frame_idx": batch.column("frame_idx"),
+                "n_bytes": pa.array(n, pa.int64()),
+                "sha256": pa.array(h, pa.string()),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
+# kept frames: idx 0, 4, 8, …; count = ceil(ceil(len/256)/4) = ceil(len/1024)
+MEDIA_FRAMES_SQL = _MEDIA_BASE_SQL + """,
+pay AS (
+  SELECT doc_id,
+         'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) || tiled AS payload
+  FROM t
+)
+SELECT doc_id AS media_id,
+       (u.i - 1) * 4 AS frame_idx,
+       length(substr(payload, (u.i - 1) * 1024 + 1, 256)) AS n_bytes,
+       sha256(substr(payload, (u.i - 1) * 1024 + 1, 256)) AS sha256
+FROM pay,
+     UNNEST(generate_series(1, CAST(ceil(length(payload) / 1024.0) AS INT))) AS u(i)
+"""

@@ -366,6 +366,14 @@ def _trunc_div(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(a >= 0, a // b, -((-a) // b))
 
 
+def _blobs_to_matrix(blobs, dim: int) -> np.ndarray:
+    """One concat + one frombuffer for the whole batch (a per-row
+    frombuffer loop is interpreter-bound on wide batches)."""
+    if not blobs:
+        return np.zeros((0, dim), dtype=np.int64)
+    return np.frombuffer(b"".join(blobs), dtype=np.int64).reshape(len(blobs), dim)
+
+
 def _km_assign(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
     """Nearest centroid per row by exact integer squared L2; ties go to the
     lowest cluster id (argmin picks the first minimum — the SQL mirror
@@ -422,9 +430,7 @@ def kmeans_assignments(
     def partial_factory(ref):
         def partial(t: pa.Table) -> pa.Table:
             Cc = ray.get(ref)
-            Q = np.vstack(
-                [np.frombuffer(b, dtype=np.int64) for b in t["qblob"].to_pylist()]
-            )
+            Q = _blobs_to_matrix(t["qblob"].to_pylist(), Cc.shape[1])
             a = _km_assign(Q, Cc)
             sums = np.zeros_like(Cc)
             np.add.at(sums, a, Q)
@@ -458,9 +464,7 @@ def kmeans_assignments(
 
     def assign_out(t: pa.Table) -> pa.Table:
         Cc = ray.get(ref)
-        Q = np.vstack(
-            [np.frombuffer(b, dtype=np.int64) for b in t["qblob"].to_pylist()]
-        )
+        Q = _blobs_to_matrix(t["qblob"].to_pylist(), Cc.shape[1])
         return pa.table(
             {
                 id_col: t.column(id_col),
