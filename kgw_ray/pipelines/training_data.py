@@ -900,7 +900,12 @@ def decontaminate_documents(sf_dir: str) -> rd.Dataset:
     parts = evals.map_batches(
         lambda t: bench_gram_partial(t, _DECONTAM_K), batch_format="pyarrow"
     ).to_pandas()
-    bench = np.sort(np.unique(parts["g"].to_numpy().astype(np.uint64)))
+    # empty eval set → the pandas pull drops its columns (repo-wide
+    # empty-pull hazard); an empty TYPED gram set is the correct broadcast
+    if "g" in parts.columns and len(parts):
+        bench = np.sort(np.unique(parts["g"].to_numpy().astype(np.uint64)))
+    else:
+        bench = np.zeros(0, dtype=np.uint64)
     bench_ref = ray.put(bench)
 
     def score(batch: pa.Table) -> pa.Table:

@@ -424,6 +424,17 @@ def kmeans_assignments(
         return t.filter(pa.array(np.isin(ids, np.sort(ids)[:k])))
 
     init = hub.map_batches(block_min_k, batch_format="pyarrow").to_pandas()
+    if id_col not in init.columns or len(init) == 0:
+        # empty input: the pandas pull drops its schema — return a TYPED
+        # empty assignment table (the repo-wide empty-pull rule)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        )
     init = init.sort_values(id_col).head(k)
     C = np.vstack([np.frombuffer(b, dtype=np.int64) for b in init["qblob"]])
 

@@ -779,3 +779,41 @@ def test_kmeans_separates_blobs(ray_session):
     assert out1.equals(out2)
     first, second = set(out1["cluster"][:20]), set(out1["cluster"][20:])
     assert len(first) == 1 and len(second) == 1 and first != second
+
+
+def test_kmeans_empty_input_typed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.similarity import kmeans_assignments
+
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float32()))}
+    )
+    out = kmeans_assignments(rd.from_arrow(empty), k=4, iters=2)
+    # NB: .to_pandas() on an empty Dataset drops all columns — assert on
+    # the dataset schema, which the typed empty table preserves
+    assert out.schema().names == ["vec_id", "cluster"]
+    assert out.count() == 0
+
+
+def test_decontaminate_empty_eval_set(ray_session, tmp_path):
+    """A corpus with no eval docs (no doc_id % 41 == 0) broadcasts a typed
+    empty gram set: nothing is contaminated, nothing crashes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgw_ray.pipelines.training_data import decontaminate_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d e f g h i", "j k", ""], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([17, 3, 0], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = decontaminate_documents(str(tmp_path)).to_pandas()
+    assert len(out) == 3 and out["contaminated"].sum() == 0
