@@ -946,7 +946,10 @@ WHERE d.doc_id % {_DECONTAM_MOD} <> 0
 """
 
 
-def ngram_topk(sf_dir: str, k: int = 20) -> pa.Table:
+_NGRAM_TOPK_K = 20
+
+
+def ngram_topk(sf_dir: str, k: int = _NGRAM_TOPK_K) -> pa.Table:
     """Corpus-wide top-k word bigrams (the n-gram-LM count workload):
     per-batch vectorized combiner (the shuffle moves each batch's bigram
     VOCABULARY, not the token stream) → groupby Sum → block-local top-k
@@ -965,7 +968,7 @@ def ngram_topk(sf_dir: str, k: int = 20) -> pa.Table:
     return distributed_topk(counts, ["n", "gram"], [True, False], k)
 
 
-NGRAM_TOPK_SQL = """
+NGRAM_TOPK_SQL = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
   FROM documents
@@ -976,7 +979,7 @@ g AS (
   WHERE len(w) >= 2
 ),
 c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram)
-SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT 20
+SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT {_NGRAM_TOPK_K}
 """
 
 
@@ -990,7 +993,8 @@ def text_normalize(sf_dir: str) -> rd.Dataset:
 
 NORMALIZE_SQL = """
 WITH n AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  SELECT doc_id,
+         trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS norm
   FROM documents
 )
 SELECT doc_id, md5(norm) AS norm_md5, length(norm) AS n_norm_chars FROM n
@@ -1109,38 +1113,17 @@ def _kmeans_sql() -> str:
 KMEANS_SQL = _kmeans_sql()
 
 
-def _digest_batch(batch: pa.Table, col: str) -> tuple[list, list]:
-    """(n_bytes, sha256-hex) of a binary column — matches DuckDB
-    ``length``/``sha256`` on the reconstructed ASCII payload string."""
-    import hashlib
-
-    vals = batch.column(col).to_pylist()
-    return (
-        [len(v or b"") for v in vals],
-        [hashlib.sha256(v or b"").hexdigest() for v in vals],
-    )
-
-
 def media_resize_digest(sf_dir: str) -> rd.Dataset:
     """Hash-gated projection of the REAL resize pipeline: the resized P6
     payload's (n_bytes, sha256) — the oracle reconstructs the whole
     nearest-neighbor resample in SQL (pixel-center grid, same double
-    arithmetic), so a one-pixel sampling drift fails the gate."""
-    ds = media_resize(sf_dir)
+    arithmetic), so a one-pixel sampling drift fails the gate. Reuses THE
+    one digest implementation (multimodal.media_metadata_batch)."""
+    from kgw_ray.stages.multimodal import media_metadata_batch
 
-    def digest(batch: pa.Table) -> pa.Table:
-        n, h = _digest_batch(batch, "payload")
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "width": batch.column("width"),
-                "height": batch.column("height"),
-                "n_bytes": pa.array(n, pa.int64()),
-                "sha256": pa.array(h, pa.string()),
-            }
-        )
-
-    return ds.map_batches(digest, batch_format="pyarrow")
+    return media_resize(sf_dir).map_batches(
+        media_metadata_batch, batch_format="pyarrow"
+    ).select_columns(["media_id", "width", "height", "n_bytes", "sha256"])
 
 
 # Nearest-neighbor grid: src = min(floor((i + 0.5) * (dim/16)), dim-1); the
@@ -1178,20 +1161,12 @@ def media_frame_sample_digest(sf_dir: str) -> rd.Dataset:
     """Hash-gated projection of frame sampling: per kept frame the
     (frame_idx, n_bytes, sha256) triple; the oracle re-chunks the
     reconstructed payload with the same 256-byte/every-4th rule."""
-    ds = media_frame_sample(sf_dir)
+    from kgw_ray.stages.multimodal import media_metadata_batch
 
-    def digest(batch: pa.Table) -> pa.Table:
-        n, h = _digest_batch(batch, "frame")
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "frame_idx": batch.column("frame_idx"),
-                "n_bytes": pa.array(n, pa.int64()),
-                "sha256": pa.array(h, pa.string()),
-            }
-        )
-
-    return ds.map_batches(digest, batch_format="pyarrow")
+    return media_frame_sample(sf_dir).map_batches(
+        lambda t: media_metadata_batch(t, payload_col="frame"),
+        batch_format="pyarrow",
+    ).select_columns(["media_id", "frame_idx", "n_bytes", "sha256"])
 
 
 # kept frames: idx 0, 4, 8, …; count = ceil(ceil(len/256)/4) = ceil(len/1024)

@@ -8,6 +8,13 @@ decontamination, n-gram LM counts, C4-style normalization, data-mixing
 samplers, TF-IDF term scoring) expressed Ray-Data-first: every kernel here
 is a vectorized per-batch map; the only shuffles are vocabulary-sized
 (grouped_aggregate over per-batch combined partials).
+
+Oracle caveat (shared with every token-based oracle in this repo): the
+Ray side splits on UNICODE whitespace (Arrow utf8_split_whitespace /
+str.split) while DuckDB's RE2 ``\\s`` is ASCII-only, so the gates are
+exact on the ASCII synthetic corpus and data-conditional on text
+containing U+00A0-style exotic whitespace — the same documented property
+as the LSH-vs-exact gates.
 """
 
 from __future__ import annotations
@@ -44,8 +51,10 @@ def flat_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 def distinct_doc_grams(
     doc_idx: np.ndarray, grams: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-document DISTINCT gram rows from flat (doc_index, gram-hash)
-    arrays — one lexsort + one neighbor-diff mask, no per-doc loop."""
+    """Per-document DISTINCT value rows from flat (doc_index, value)
+    arrays — one lexsort + one neighbor-diff mask, no per-doc loop.
+    Works for uint64 gram hashes AND object token arrays (np.lexsort
+    handles both)."""
     if len(grams) == 0:
         return doc_idx[:0], grams[:0]
     order = np.lexsort((grams, doc_idx))
@@ -60,10 +69,6 @@ def bigram_count_partial(batch: pa.Table) -> pa.Table:
     collapsed (the downstream shuffle moves the batch VOCABULARY, not the
     token stream)."""
     d, toks = flat_tokens(batch)
-    if len(toks) < 2:
-        return pa.table(
-            {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-        )
     same = d[1:] == d[:-1]
     left = pd.Series(toks[:-1][same], dtype=object)
     right = pd.Series(toks[1:][same], dtype=object)
@@ -148,7 +153,7 @@ def df_partial(batch: pa.Table) -> pa.Table:
     """Per-batch document-frequency combiner: distinct (doc, token) pairs
     collapsed to (tok, df-within-batch)."""
     d, toks = flat_tokens(batch)
-    dd, tt = distinct_doc_pairs(d, toks)
+    dd, tt = distinct_doc_grams(d, toks)
     if len(tt) == 0:
         return pa.table(
             {"tok": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
@@ -157,20 +162,6 @@ def df_partial(batch: pa.Table) -> pa.Table:
     return pa.table(
         {"tok": pa.array(uq, pa.string()), "df": pa.array(cnt.astype(np.int64))}
     )
-
-
-def distinct_doc_pairs(
-    doc_idx: np.ndarray, toks: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """Distinct (doc_index, token) rows — string twin of
-    ``distinct_doc_grams`` (np.lexsort handles object token arrays)."""
-    if len(toks) == 0:
-        return doc_idx[:0], toks[:0]
-    order = np.lexsort((toks, doc_idx))
-    d, t = doc_idx[order], toks[order]
-    new = np.ones(len(t), dtype=bool)
-    new[1:] = (d[1:] != d[:-1]) | (t[1:] != t[:-1])
-    return d[new], t[new]
 
 
 def tfidf_batch(
@@ -194,7 +185,15 @@ def tfidf_batch(
         )
     pairs = pd.DataFrame({"d": d, "t": toks})
     tf = pairs.groupby(["d", "t"], sort=False).size().reset_index(name="tf")
-    idx = np.searchsorted(vocab_sorted, tf["t"].to_numpy())
+    terms = tf["t"].to_numpy()
+    idx = np.minimum(
+        np.searchsorted(vocab_sorted, terms), max(len(vocab_sorted) - 1, 0)
+    )
+    if len(vocab_sorted) == 0 or not np.array_equal(vocab_sorted[idx], terms):
+        raise ValueError(
+            "tfidf_batch: batch token absent from the broadcast vocabulary "
+            "(the df pass must cover the same corpus)"
+        )
     tf["df"] = dfs[idx]
     tf["score_micro"] = tf["tf"].to_numpy() * 1_000_000 // tf["df"].to_numpy()
     top = tf.sort_values(
