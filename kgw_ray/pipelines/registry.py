@@ -592,3 +592,6 @@ register("media_resize_digest", _td.MEDIA_RESIZE_SQL)(_td.media_resize_digest)
 register("media_frame_sample_digest", _td.MEDIA_FRAMES_SQL)(
     _td.media_frame_sample_digest
 )
+register("events_value_exact_quantiles", _rel.EVENTS_EXACT_QUANTILES_SQL)(
+    _rel.events_value_exact_quantiles
+)

@@ -800,3 +800,38 @@ FROM events a JOIN events b
   ON a.event_type = 'signup' AND b.event_type = 'purchase'
  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
 """
+
+
+def events_value_exact_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT p50/p90/p99 of events.value via distributed histogram-
+    refinement rank selection (stages/agg.py:exact_quantiles) — no sort,
+    no shuffle, only located bins are ever pulled; the engine-exact
+    companion to the mergeable ``approx_quantiles`` sketch. Both engines
+    select the ceil(q·N)-th element (identical float64 ceil on both
+    sides), so the values hash-match bit-for-bit."""
+    from kgw_ray.stages.agg import exact_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    res = exact_quantiles(ds, "value", [0.5, 0.9, 0.99])
+    labels = {0.5: "p50", 0.9: "p90", 0.99: "p99"}
+    qs = sorted(res)
+    return pa.table(
+        {
+            "quantile": pa.array([labels[q] for q in qs], pa.string()),
+            "value": pa.array([res[q] for q in qs], pa.float64()),
+        }
+    )
+
+
+EVENTS_EXACT_QUANTILES_SQL = """
+WITH s AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT 'p50' AS quantile, value FROM s WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+UNION ALL
+SELECT 'p90', value FROM s WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+UNION ALL
+SELECT 'p99', value FROM s WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)
+"""

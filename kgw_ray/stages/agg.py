@@ -251,3 +251,140 @@ def approx_quantiles(
     return {
         float(q): float(np.interp(float(q), centers, vals)) for q in qs
     }
+
+
+# ---------------------------------------------------------------------------
+# EXACT distributed quantiles — histogram-refinement rank selection
+# ---------------------------------------------------------------------------
+
+
+def _bin_index(v, lo: float, width: float, bins: int):
+    """The one shared binning rule (pass-1 counts and pass-2 filters MUST
+    agree bin-for-bin; float edge fuzz is harmless as long as both passes
+    use this exact function)."""
+    import numpy as np
+
+    idx = np.floor((v - lo) / width).astype(np.int64)
+    return np.clip(idx, 0, bins - 1)
+
+
+def exact_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: Sequence[float],
+    *,
+    bins: int = 4096,
+    pull_cap: int = 5_000_000,
+) -> dict:
+    """EXACT rank-selection quantiles of a numeric column with NO sort and
+    NO shuffle: quantile q = the ceil(q*N)-th smallest non-null value (the
+    inverted-CDF definition — pure element SELECTION, so the result is
+    engine-exact, no float arithmetic to diverge).
+
+    Physical plan (the companion to the mergeable ``approx_quantiles``
+    sketch when the answer must be exact):
+      pass 0 — per-block (count, min, max) partials, tiny driver merge;
+      pass 1 — per-block histogram over ``bins`` fixed-width bins, driver
+               sums to a global CDF and locates each target rank's bin;
+      pass 2 — pull ONLY the located bins' values (expected N/bins rows
+               per bin) and select by within-bin rank offset.
+    A skew-degenerate bin (> ``pull_cap`` values, e.g. a constant-heavy
+    column) recurses one refinement level over that bin's sub-range; a
+    zero-width bin IS a single value and answers directly.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()),
+                 "lo": pa.array([np.inf]), "hi": pa.array([-np.inf])}
+            )
+        return pa.table(
+            {"n": pa.array([len(v)], pa.int64()),
+             "lo": pa.array([float(v.min())]), "hi": pa.array([float(v.max())])}
+        )
+
+    ds = ds.materialize()
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_total = int(st["n"].sum()) if "n" in st.columns else 0
+    if n_total == 0:
+        return {float(q): None for q in qs}
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+    ranks = {float(q): int(np.ceil(float(q) * n_total)) for q in qs}
+    ranks = {q: min(max(r, 1), n_total) for q, r in ranks.items()}
+
+    def select(sub: rd.Dataset, lo: float, hi: float, want: dict, depth: int) -> dict:
+        """want: {rank_within_sub: [q, ...]} over the sub-range values."""
+        import numpy as np
+
+        if lo == hi:  # constant range: every rank IS that value
+            return {q: lo for qs_ in want.values() for q in qs_}
+        width = (hi - lo) / bins
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            v = v[(v >= lo) & (v <= hi)]
+            c = np.bincount(_bin_index(v, lo, width, bins), minlength=bins)
+            return pa.table({"b": pa.array(np.arange(bins, dtype=np.int64)),
+                             "c": pa.array(c.astype(np.int64))})
+
+        hp = sub.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+        counts = np.zeros(bins, dtype=np.int64)
+        np.add.at(counts, hp["b"].to_numpy(), hp["c"].to_numpy())
+        cum = np.concatenate(([0], np.cumsum(counts)))
+        out: dict = {}
+        by_bin: dict = {}
+        for r, qlist in want.items():
+            b = int(np.searchsorted(cum, r, side="left")) - 1
+            b = min(max(b, 0), bins - 1)
+            by_bin.setdefault(b, []).append((r - int(cum[b]), qlist))
+        for b, items in by_bin.items():
+            if counts[b] > pull_cap and depth < 4:
+                def nest(t: pa.Table, _b=b) -> pa.Table:
+                    v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+                    v = v[~np.isnan(v)]
+                    v = v[(v >= lo) & (v <= hi)]
+                    keep = _bin_index(v, lo, width, bins) == _b
+                    return pa.table({col: pa.array(v[keep])})
+
+                nested = sub.map_batches(nest, batch_format="pyarrow").materialize()
+                # nested range from the ACTUAL values, not the bin edges —
+                # a boundary value can sit epsilon outside its edge and a
+                # re-filter against computed edges would shift ranks
+                nst = nested.map_batches(
+                    stats_partial, batch_format="pyarrow"
+                ).to_pandas()
+                blo, bhi = float(nst["lo"].min()), float(nst["hi"].max())
+                out.update(
+                    select(nested, blo, bhi,
+                           {r: ql for r, ql in items}, depth + 1)
+                )
+                continue
+
+            def pull(t: pa.Table, _b=b) -> pa.Table:
+                v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+                v = v[~np.isnan(v)]
+                v = v[(v >= lo) & (v <= hi)]
+                keep = _bin_index(v, lo, width, bins) == _b
+                return pa.table({col: pa.array(v[keep])})
+
+            vals = sub.map_batches(pull, batch_format="pyarrow").to_pandas()
+            arr = (
+                np.sort(vals[col].to_numpy()) if col in vals.columns
+                else np.zeros(0)
+            )
+            for r_in_bin, qlist in items:
+                x = float(arr[min(max(r_in_bin, 1), len(arr)) - 1])
+                for q in qlist:
+                    out[q] = x
+        return out
+
+    want: dict = {}
+    for q, r in ranks.items():
+        want.setdefault(r, []).append(q)
+    return select(ds, lo, hi, want, 0)

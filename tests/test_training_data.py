@@ -817,3 +817,38 @@ def test_decontaminate_empty_eval_set(ray_session, tmp_path):
     pq.write_table(t, tmp_path / "documents.parquet")
     out = decontaminate_documents(str(tmp_path)).to_pandas()
     assert len(out) == 3 and out["contaminated"].sum() == 0
+
+
+def test_exact_quantiles_matches_sorted_selection(ray_session):
+    """Histogram-refinement rank selection equals the sorted-array answer,
+    including under a skew-degenerate bin that forces the recursion."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    v = np.concatenate(
+        [np.full(30_000, 2.5), np.round(rng.uniform(0, 100, 5_000), 2)]
+    )
+    ds = rd.from_arrow(pa.table({"value": pa.array(v)}))
+    got = exact_quantiles(ds, "value", [0.1, 0.5, 0.95], bins=32, pull_cap=2_000)
+    sv = np.sort(v)
+    want = {q: float(sv[int(np.ceil(q * len(v))) - 1]) for q in (0.1, 0.5, 0.95)}
+    assert got == want
+
+
+def test_exact_quantiles_empty_and_nan(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import exact_quantiles
+
+    empty = rd.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
+    assert exact_quantiles(empty, "value", [0.5]) == {0.5: None}
+    withnan = rd.from_arrow(
+        pa.table({"value": pa.array([np.nan, 1.0, 3.0, np.nan, 2.0])})
+    )
+    assert exact_quantiles(withnan, "value", [0.5]) == {0.5: 2.0}
