@@ -595,3 +595,4 @@ register("media_frame_sample_digest", _td.MEDIA_FRAMES_SQL)(
 register("events_value_exact_quantiles", _rel.EVENTS_EXACT_QUANTILES_SQL)(
     _rel.events_value_exact_quantiles
 )
+register("docs_length_band", _td.DOCS_LENGTH_BAND_SQL)(_td.docs_length_band)

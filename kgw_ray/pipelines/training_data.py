@@ -1183,3 +1183,42 @@ SELECT doc_id AS media_id,
 FROM pay,
      UNNEST(generate_series(1, CAST(ceil(length(payload) / 1024.0) AS INT))) AS u(i)
 """
+
+
+def docs_length_band(sf_dir: str) -> rd.Dataset:
+    """Global-statistic filter (the 'drop the length-outlier tails' curation
+    step): keep docs whose n_chars lies in the corpus [p10, p90] band,
+    with the band computed by the EXACT distributed quantile selector
+    (stages/agg.py:exact_quantiles — histogram refinement, no sort); the
+    filter itself is an embarrassingly parallel map."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import exact_quantiles
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    qs = exact_quantiles(ds, "n_chars", [0.1, 0.9])
+    lo, hi = qs[0.1], qs[0.9]
+    if lo is None:
+        return ds
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["n_chars"], int(lo)),
+                pc.less_equal(t["n_chars"], int(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DOCS_LENGTH_BAND_SQL = """
+WITH s AS (
+  SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents WHERE n_chars IS NOT NULL
+),
+lo AS (SELECT n_chars AS v FROM s WHERE rn = CAST(ceil(0.1 * n) AS BIGINT)),
+hi AS (SELECT n_chars AS v FROM s WHERE rn = CAST(ceil(0.9 * n) AS BIGINT))
+SELECT doc_id, n_chars FROM documents, lo, hi
+WHERE n_chars BETWEEN lo.v AND hi.v
+"""
