@@ -596,3 +596,6 @@ register("events_value_exact_quantiles", _rel.EVENTS_EXACT_QUANTILES_SQL)(
     _rel.events_value_exact_quantiles
 )
 register("docs_length_band", _td.DOCS_LENGTH_BAND_SQL)(_td.docs_length_band)
+register("events_median_by_type", _rel.EVENTS_MEDIAN_SQL)(
+    _rel.events_median_by_type
+)

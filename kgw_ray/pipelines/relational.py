@@ -835,3 +835,26 @@ SELECT 'p90', value FROM s WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
 UNION ALL
 SELECT 'p99', value FROM s WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)
 """
+
+
+def events_median_by_type(sf_dir: str) -> pa.Table:
+    """Exact per-event-type median of value (stages/agg.py:
+    grouped_exact_median — value-count sharding, vocabulary-sized
+    shuffle; both engines SELECT the ceil(n/2)-th element, no float
+    arithmetic to diverge)."""
+    from kgw_ray.stages.agg import grouped_exact_median
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_exact_median(ds, "event_type", "value")
+
+
+EVENTS_MEDIAN_SQL = """
+WITH s AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, value AS median FROM s
+WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+"""

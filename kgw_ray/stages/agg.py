@@ -388,3 +388,52 @@ def exact_quantiles(
     for q, r in ranks.items():
         want.setdefault(r, []).append(q)
     return select(ds, lo, hi, want, 0)
+
+
+def grouped_exact_median(
+    ds: rd.Dataset, key: str, col: str
+) -> "pyarrow.Table":  # noqa: F821
+    """EXACT per-group median via sharded VALUE COUNTS: per-block
+    (key, value) count combiner → groupby Sum over the (group × distinct
+    value) vocabulary → driver-side CDF selection of the ceil(n/2)-th
+    element per group.
+
+    Scale contract: the shuffle and the driver pull are sized to the
+    DISTINCT-value vocabulary, not the row count — exact and scale-safe
+    for bounded-precision columns (2-dp money has ≤ ~50k distinct values
+    per group no matter how many rows); for unbounded continuous columns
+    use ``exact_quantiles`` (histogram refinement) per group instead.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        df = pd.DataFrame({key: k[ok], col: v[ok]})
+        g = df.groupby([key, col], sort=False).size().reset_index(name="c")
+        return arrow_from_pandas(g)
+
+    counts = grouped_aggregate(
+        ds.map_batches(vc_partial, batch_format="pyarrow"),
+        [key, col],
+        Sum("c", alias_name="c"),
+    ).to_pandas()
+    if len(counts) == 0 or key not in counts.columns:
+        return pa.table(
+            {key: pa.array([], pa.string()), "median": pa.array([], pa.float64())}
+        )
+    counts = counts.sort_values([key, col])
+    out_k, out_m = [], []
+    for kv, grp in counts.groupby(key, sort=True):
+        c = grp["c"].to_numpy()
+        cum = np.cumsum(c)
+        r = int(np.ceil(0.5 * cum[-1]))
+        out_k.append(kv)
+        out_m.append(float(grp[col].to_numpy()[np.searchsorted(cum, r)]))
+    return pa.table({key: pa.array(out_k), "median": pa.array(out_m, pa.float64())})

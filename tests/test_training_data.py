@@ -852,3 +852,22 @@ def test_exact_quantiles_empty_and_nan(ray_session):
         pa.table({"value": pa.array([np.nan, 1.0, 3.0, np.nan, 2.0])})
     )
     assert exact_quantiles(withnan, "value", [0.5]) == {0.5: 2.0}
+
+
+def test_grouped_exact_median_matches_sorted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import grouped_exact_median
+
+    rng = np.random.default_rng(5)
+    k = np.repeat(["a", "b", "c"], 4000)
+    v = np.round(rng.uniform(0, 50, len(k)), 2)
+    ds = rd.from_arrow(pa.table({"event_type": pa.array(k), "value": pa.array(v)}))
+    got = grouped_exact_median(ds, "event_type", "value").to_pydict()
+    want = {}
+    for g in ("a", "b", "c"):
+        sv = np.sort(v[k == g])
+        want[g] = float(sv[int(np.ceil(0.5 * len(sv))) - 1])
+    assert dict(zip(got["event_type"], got["median"])) == want
