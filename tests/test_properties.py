@@ -205,3 +205,35 @@ def test_quality_stats_vectorized_matches_python_loop(texts):
         n_punct = len(punct_re.findall(t))
         exp_punct = round(n_punct / len(t), 6) if t else 0.0
         assert abs(out.punct_ratio[i] - exp_punct) < 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    dup_factor=st.integers(min_value=1, max_value=20),
+    q=st.sampled_from([0.01, 0.25, 0.5, 0.9, 0.99]),
+    bins=st.sampled_from([4, 16, 128]),
+    pull_cap=st.sampled_from([1, 10, 10**6]),
+)
+@settings(max_examples=30, deadline=None)
+def test_exact_quantiles_property(ray_session, vals, dup_factor, q, bins, pull_cap):
+    """Histogram-refinement selection == sorted-array selection for ANY
+    value multiset (duplicates amplified to force skewed bins), any bin
+    count, and any pull cap (cap=1 exercises the recursion everywhere)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import exact_quantiles
+
+    v = np.repeat(np.asarray(vals, dtype=np.float64), dup_factor)
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)}))
+    got = exact_quantiles(ds, "x", [q], bins=bins, pull_cap=pull_cap)
+    sv = np.sort(v)
+    want = float(sv[int(np.ceil(q * len(v))) - 1])
+    assert got == {q: want}
