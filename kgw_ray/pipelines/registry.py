@@ -599,3 +599,4 @@ register("docs_length_band", _td.DOCS_LENGTH_BAND_SQL)(_td.docs_length_band)
 register("events_median_by_type", _rel.EVENTS_MEDIAN_SQL)(
     _rel.events_median_by_type
 )
+register("curate_documents_full", _td.CURATE_FULL_SQL)(_td.curate_documents_full)

@@ -872,22 +872,16 @@ _DECONTAM_MOD = 41  # synthetic "eval set" = doc_id % 41 == 0
 _DECONTAM_K = 8  # word 8-grams, the published decontamination convention
 
 
-def decontaminate_documents(sf_dir: str) -> rd.Dataset:
-    """Benchmark-overlap decontamination: flag corpus docs sharing any word
-    8-gram with the (synthetic, in-corpus) eval set ``doc_id % 41 == 0``.
-
-    The eval side's distinct gram hashes reduce through per-block uniques
-    to one sorted uint64 array, ``ray.put`` once (benchmark suites are
-    broadcast-sized by construction — ~10^6-10^8 grams); the corpus pass
-    is an embarrassingly parallel task map, zero shuffle. Hash membership
-    stands in for string membership (64-bit siphash; a collision would
-    need ~2^32 grams — the oracle compares the strings themselves).
-    """
+def _benchmark_gram_ref(docs: rd.Dataset):
+    """Distinct 8-gram hash set of the synthetic eval docs
+    (doc_id % _DECONTAM_MOD == 0): per-block uniques → one sorted uint64
+    array, ``ray.put`` once (benchmark suites are broadcast-sized by
+    construction). Shared by the standalone decontamination query and the
+    curation composite."""
     import ray
 
-    from kgw_ray.stages.corpus import bench_gram_partial, decontaminate_batch
+    from kgw_ray.stages.corpus import bench_gram_partial
 
-    docs = _docs(sf_dir)
     evals = docs.map_batches(
         lambda t: t.filter(
             pa.array(
@@ -906,7 +900,26 @@ def decontaminate_documents(sf_dir: str) -> rd.Dataset:
         bench = np.sort(np.unique(parts["g"].to_numpy().astype(np.uint64)))
     else:
         bench = np.zeros(0, dtype=np.uint64)
-    bench_ref = ray.put(bench)
+    return ray.put(bench)
+
+
+def decontaminate_documents(sf_dir: str) -> rd.Dataset:
+    """Benchmark-overlap decontamination: flag corpus docs sharing any word
+    8-gram with the (synthetic, in-corpus) eval set ``doc_id % 41 == 0``.
+
+    The eval side's distinct gram hashes reduce through per-block uniques
+    to one sorted uint64 array, ``ray.put`` once (benchmark suites are
+    broadcast-sized by construction — ~10^6-10^8 grams); the corpus pass
+    is an embarrassingly parallel task map, zero shuffle. Hash membership
+    stands in for string membership (64-bit siphash; a collision would
+    need ~2^32 grams — the oracle compares the strings themselves).
+    """
+    import ray
+
+    from kgw_ray.stages.corpus import decontaminate_batch
+
+    docs = _docs(sf_dir)
+    bench_ref = _benchmark_gram_ref(docs)
 
     def score(batch: pa.Table) -> pa.Table:
         corpus_mask = (
@@ -1222,3 +1235,137 @@ hi AS (SELECT n_chars AS v FROM s WHERE rn = CAST(ceil(0.9 * n) AS BIGINT))
 SELECT doc_id, n_chars FROM documents, lo, hi
 WHERE n_chars BETWEEN lo.v AND hi.v
 """
+
+
+def curate_documents_full(sf_dir: str) -> rd.Dataset:
+    """The COMPLETE pretraining-corpus recipe in one distributed chain:
+
+        length band (global p10–p90, exact-quantile selector)
+        → quality filter → benchmark decontamination
+        → exact dedup (first-wins) → MinHash near-dedup
+        → stratified per-language mixing
+
+    Every stage is the operator verified individually above; the corpus is
+    read once for the band (pruned n_chars column), once for the benchmark
+    gram set, and ONCE for everything else: a single enrichment pass
+    computes quality stats + content md5 + contamination counts per batch,
+    one inline vectorized filter applies the cheap predicates, exact-dedup
+    winners semi-join back size-hybrid, the near-dup stage selects
+    survivors via its Dataset-native drop set, and the final mixing is an
+    embarrassingly parallel md5-mod map. No driver-side O(N) id lists."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from kgw_ray.stages.agg import exact_quantiles
+    from kgw_ray.stages.corpus import decontaminate_batch, stratified_keep_mask
+    from kgw_ray.stages.dedup import minhash_dedup_keep
+    from kgw_ray.stages.joins import semi_join_dataset
+    from kgw_ray.stages.textstats import content_md5_list, quality_stats_batch
+
+    docs = _docs(sf_dir, cols=("doc_id", "text", "lang"))
+    band = exact_quantiles(
+        read_table(sf_dir, "documents", columns=["n_chars"]), "n_chars", [0.1, 0.9]
+    )
+    lo, hi = int(band[0.1]), int(band[0.9])
+    bench_ref = _benchmark_gram_ref(docs)
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % _DECONTAM_MOD != 0))
+        stats = quality_stats_batch(sub)
+        md5s = content_md5_list(sub.column("text").to_pylist())
+        dec = decontaminate_batch(sub, ray.get(bench_ref), _DECONTAM_K)
+        return (
+            stats.append_column("content_md5", pa.array(md5s, pa.string()))
+            .append_column("lang", sub.column("lang"))
+            .append_column("n_contaminated", dec.column("n_contaminated"))
+            .append_column("text", sub.column("text"))
+        )
+
+    enriched = docs.map_batches(enrich, batch_format="pyarrow")
+    good = enriched.filter(
+        expr=(
+            f"n_tokens >= 10 and quality_score >= 0.2 "
+            f"and n_chars >= {lo} and n_chars <= {hi} and n_contaminated <= 0"
+        )
+    ).materialize()
+    winners = (
+        good.groupby("content_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+    exact_docs = semi_join_dataset(good, winners, on="doc_id")
+    survivors = minhash_dedup_keep(
+        exact_docs,
+        threshold=0.5,
+        keep_columns=["doc_id", "lang", "n_tokens", "quality_score"],
+    )
+
+    def mix(batch: pa.Table) -> pa.Table:
+        keep = stratified_keep_mask(
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            batch.column("lang").to_pylist(),
+            _MIX_DENOMS,
+            _MIX_DEFAULT,
+        )
+        return batch.filter(pa.array(keep))
+
+    return survivors.map_batches(mix, batch_format="pyarrow")
+
+
+def _curate_full_sql() -> str:
+    """Oracle for the full recipe: the SQL composition of the six
+    individually-oracled stages (band rank selection, quality CTE,
+    decontamination membership, first-wins dedup, exact-Jaccard closure
+    survivors, md5-mod mixing)."""
+    from kgw_ray.stages.textstats import QUALITY_SQL
+
+    case = " ".join(
+        f"WHEN '{lang}' THEN {d}" for lang, d in sorted(_MIX_DENOMS.items())
+    )
+    base = f"""dtoks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+dgrams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i : i + least(len(w), {_DECONTAM_K}) - 1], ' ') AS g
+  FROM dtoks, UNNEST(generate_series(1, len(w) - least(len(w), {_DECONTAM_K}) + 1)) AS t(i)
+  WHERE len(w) > 0
+),
+dbench AS (SELECT DISTINCT g FROM dgrams WHERE doc_id % {_DECONTAM_MOD} = 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM dgrams
+  WHERE doc_id % {_DECONTAM_MOD} <> 0 AND g IN (SELECT g FROM dbench)
+),
+bandsrc AS (
+  SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents WHERE n_chars IS NOT NULL
+),
+blo AS (SELECT n_chars AS v FROM bandsrc WHERE rn = CAST(ceil(0.1 * n) AS BIGINT)),
+bhi AS (SELECT n_chars AS v FROM bandsrc WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)),
+q AS (SELECT doc_id, n_chars, n_tokens, quality_score FROM ({QUALITY_SQL}) qq),
+goodq AS (
+  SELECT q.doc_id, d.lang, q.n_tokens, q.quality_score, d.text
+  FROM q JOIN documents d ON d.doc_id = q.doc_id, blo, bhi
+  WHERE q.n_tokens >= 10 AND q.quality_score >= 0.2
+    AND q.n_chars BETWEEN blo.v AND bhi.v
+    AND d.doc_id % {_DECONTAM_MOD} <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+winners AS (SELECT MIN(doc_id) AS doc_id FROM goodq GROUP BY text),
+base AS (
+  SELECT g.doc_id, g.lang, g.n_tokens, g.quality_score, g.text
+  FROM goodq g JOIN winners w ON g.doc_id = w.doc_id
+)"""
+    survivor = _near_dup_survivor_sql(
+        base, "doc_id, lang, n_tokens, quality_score"
+    )
+    return f"""SELECT doc_id, lang, n_tokens, quality_score FROM (
+  SELECT s.*, md5(CAST(s.doc_id AS VARCHAR)) AS hx FROM ({survivor}) s
+) mixed
+WHERE ({_MD5_LE_UINT64}) % (CASE lang {case} ELSE {_MIX_DEFAULT} END) = 0"""
+
+
+CURATE_FULL_SQL = _curate_full_sql()

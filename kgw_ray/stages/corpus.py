@@ -211,19 +211,33 @@ def tfidf_batch(
     )
 
 
+def stratified_keep_mask(
+    ids: np.ndarray, langs, denoms: dict, default: int
+) -> np.ndarray:
+    """THE mixing keep rule: md5-LE-uint64(str(doc_id)) % denom(lang) == 0
+    — reproducible across engines/runs/cluster sizes (same md5-LE
+    convention as the SimHash oracle); both the standalone sampler and the
+    curation composite call this so the rule can never diverge."""
+    h = _portable_token_hashes([str(i) for i in ids])
+    dn = (
+        pd.Series(list(langs), dtype=object)
+        .map(denoms)
+        .fillna(default)
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    return (h % dn) == 0
+
+
 def stratified_keep_batch(batch: pa.Table, denoms: dict, default: int) -> pa.Table:
-    """Deterministic data-mixing filter: keep a doc iff
-    md5-LE-uint64(str(doc_id)) % denom(lang) == 0 — reproducible across
-    engines and runs (same md5-LE convention as the SimHash oracle),
+    """Deterministic data-mixing filter over a (doc_id, lang) batch —
     embarrassingly parallel, zero shuffle."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    langs = pd.Series(batch.column("lang").to_pylist(), dtype=object)
-    h = _portable_token_hashes([str(i) for i in ids])
-    dn = langs.map(denoms).fillna(default).to_numpy().astype(np.uint64)
-    keep = (h % dn) == 0
+    langs = batch.column("lang").to_pylist()
+    keep = stratified_keep_mask(ids, langs, denoms, default)
     return pa.table(
         {
             "doc_id": pa.array(ids[keep]),
-            "lang": pa.array(langs.to_numpy()[keep], pa.string()),
+            "lang": pa.array(np.asarray(langs, dtype=object)[keep], pa.string()),
         }
     )
