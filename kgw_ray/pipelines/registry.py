@@ -600,3 +600,6 @@ register("events_median_by_type", _rel.EVENTS_MEDIAN_SQL)(
     _rel.events_median_by_type
 )
 register("curate_documents_full", _td.CURATE_FULL_SQL)(_td.curate_documents_full)
+register("events_latest_per_user", _rel.EVENTS_LATEST_SQL)(
+    _rel.events_latest_per_user
+)

@@ -858,3 +858,92 @@ WITH s AS (
 SELECT event_type, value AS median FROM s
 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
 """
+
+
+def events_latest_per_user(sf_dir: str) -> rd.Dataset:
+    """CDC-style compaction: the LATEST event row per user (ts desc,
+    event_id desc tie-break) — the keep-newest-version dedup every
+    changelog/crawl-revisit pipeline runs.
+
+    Physical plan: arg-max by COMBINER, not by window function — each
+    batch keeps one packed key per user (zero-padded ts|event_id prefix,
+    so lexicographic Max IS the (ts, event_id) max; the value payload
+    rides behind the unique prefix as its raw IEEE-754 bits, recovered
+    bit-exactly), then one vocabulary-sized groupby Max. The shuffle
+    moves ≤ one row per (batch, user) — never the event log. Contrast
+    ``events_rank_in_user``, which demonstrates the window-function plan.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from kgw_ray.stages.agg import grouped_aggregate
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        vbits = (
+            batch.column("value")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .view(np.uint64)
+        )
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(pa.array(ts_us), pa.string()), 20, "0"),
+            pc.utf8_lpad(pc.cast(pa.array(eid), pa.string()), 12, "0"),
+            pc.utf8_lpad(
+                pc.cast(pa.array(vbits, pa.uint64()), pa.string()), 20, "0"
+            ),
+            "",
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+                "key": key.to_numpy(zero_copy_only=False),
+            }
+        )
+        top = df.groupby("user_id", sort=False)["key"].max().reset_index()
+        return arrow_from_pandas(top)
+
+    merged = grouped_aggregate(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        "user_id",
+        Max("key", alias_name="key"),
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch.column("key").to_pylist()
+        ts_us = np.array([int(k[:20]) for k in keys], dtype=np.int64)
+        eid = np.array([int(k[20:32]) for k in keys], dtype=np.int64)
+        val = np.array([int(k[32:]) for k in keys], dtype=np.uint64).view(
+            np.float64
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": pa.array(eid),
+                "ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+                "value": pa.array(val),
+            }
+        )
+
+    return merged.map_batches(unpack, batch_format="pyarrow")
+
+
+EVENTS_LATEST_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, value FROM r WHERE rn = 1
+"""
