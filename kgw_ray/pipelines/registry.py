@@ -603,3 +603,6 @@ register("curate_documents_full", _td.CURATE_FULL_SQL)(_td.curate_documents_full
 register("events_latest_per_user", _rel.EVENTS_LATEST_SQL)(
     _rel.events_latest_per_user
 )
+register("events_user_distinct_sketch", _rel.EVENTS_KMV_SQL)(
+    _rel.events_user_distinct_sketch
+)

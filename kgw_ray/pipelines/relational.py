@@ -947,3 +947,47 @@ WITH r AS (
 )
 SELECT user_id, event_id, ts, value FROM r WHERE rn = 1
 """
+
+
+def events_user_distinct_sketch(sf_dir: str) -> pa.Table:
+    """Distinct-user cardinality via the KMV sketch (stages/agg.py:
+    kmv_distinct) — the zero-shuffle COUNT DISTINCT path for columns whose
+    exact distinct set would itself be a shuffle. Integer-exact across
+    engines: kth-min hash + estimator are pure integer functions."""
+    from kgw_ray.stages.agg import kmv_distinct
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    r = kmv_distinct(ds, "user_id", k=1024)
+    return pa.table(
+        {
+            "k": pa.array([r["k"]], pa.int64()),
+            "n": pa.array([r["n"]], pa.int64()),
+            "kth_min": pa.array(
+                [None if r["kth_min"] is None else str(r["kth_min"])], pa.string()
+            ),
+            "est_distinct": pa.array([r["est_distinct"]], pa.int64()),
+        }
+    )
+
+
+def _kmv_sql() -> str:
+    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+
+    return f"""
+WITH hsrc AS (
+  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL
+),
+u AS (SELECT ({_MD5_LE_UINT64}) AS hv FROM hsrc),
+kmin AS (SELECT hv FROM u ORDER BY hv LIMIT 1024),
+agg AS (SELECT COUNT(*) AS n, MAX(hv) AS kth FROM kmin)
+SELECT 1024 AS k, CAST(n AS BIGINT) AS n, CAST(kth AS VARCHAR) AS kth_min,
+       CASE WHEN n < 1024 THEN CAST(n AS BIGINT)
+            ELSE CAST((CAST(n - 1 AS UHUGEINT) * CAST(18446744073709551616 AS UHUGEINT))
+                      // CAST(kth AS UHUGEINT) AS BIGINT)
+       END AS est_distinct
+FROM agg
+"""
+
+
+EVENTS_KMV_SQL = _kmv_sql()

@@ -437,3 +437,38 @@ def grouped_exact_median(
         out_k.append(kv)
         out_m.append(float(grp[col].to_numpy()[np.searchsorted(cum, r)]))
     return pa.table({key: pa.array(out_k), "median": pa.array(out_m, pa.float64())})
+
+
+def kmv_distinct(ds: rd.Dataset, col: str, k: int = 1024) -> dict:
+    """Mergeable KMV (k-minimum-values) cardinality sketch: per-block the k
+    smallest md5-LE-uint64 hashes of the column's distinct values, driver
+    merge of ≤ (#blocks × k) hashes, estimator (n−1)·2⁶⁴ // kth_min — the
+    classic zero-shuffle COUNT DISTINCT estimate (Bar-Yossef et al.).
+
+    Deterministic and ENGINE-EXACT: the kth-min hash and the estimator are
+    pure integer functions of the value set (no RNG, no floats), so a SQL
+    oracle reproduces them bit-for-bit; when fewer than k distinct values
+    exist the sketch IS the exact distinct count. Standard error ~1/sqrt(k)
+    (~3% at k=1024).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from kgw_ray.stages.dedup import _portable_token_hashes
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_pylist()
+        vals = sorted({str(x) for x in v if x is not None})
+        h = np.unique(_portable_token_hashes(vals))
+        return pa.table({"h": pa.array(h[:k])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "h" not in parts.columns or len(parts) == 0:
+        return {"k": k, "n": 0, "kth_min": None, "est_distinct": 0}
+    h = np.unique(parts["h"].to_numpy().astype(np.uint64))[:k]
+    n = int(len(h))
+    if n == 0:
+        return {"k": k, "n": 0, "kth_min": None, "est_distinct": 0}
+    kth = int(h[-1])
+    est = n if n < k else ((n - 1) * (1 << 64)) // kth
+    return {"k": k, "n": n, "kth_min": kth, "est_distinct": int(est)}

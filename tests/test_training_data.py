@@ -871,3 +871,22 @@ def test_grouped_exact_median_matches_sorted(ray_session):
         sv = np.sort(v[k == g])
         want[g] = float(sv[int(np.ceil(0.5 * len(sv))) - 1])
     assert dict(zip(got["event_type"], got["median"])) == want
+
+
+def test_kmv_sketch_accuracy_and_exact_smallset(ray_session):
+    """KMV estimate within ~4 standard errors at k=1024; below k distinct
+    it IS the exact count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import kmv_distinct
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 40_000, size=120_000)  # ~38k distinct
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals)}))
+    r = kmv_distinct(ds, "u", k=1024)
+    true = len(np.unique(vals))
+    assert abs(r["est_distinct"] - true) / true < 4 / np.sqrt(1024)
+    small = rd.from_arrow(pa.table({"u": pa.array(list(range(100)) * 5)}))
+    assert kmv_distinct(small, "u", k=1024)["est_distinct"] == 100
