@@ -606,3 +606,11 @@ register("events_latest_per_user", _rel.EVENTS_LATEST_SQL)(
 register("events_user_distinct_sketch", _rel.EVENTS_KMV_SQL)(
     _rel.events_user_distinct_sketch
 )
+
+
+@register("join_lineitem_orders_bloom", _rel.Q3_SQL)
+def q_join_bloom(sf_dir: str):
+    """Q3 with the bloom-prefiltered hash join forced — pins the
+    bloom-build + prefilter + exchange plan under the value-parity gate
+    (stages/joins.py:build_bloom; same oracle as the other Q3 variants)."""
+    return _rel.q3_top_orders(sf_dir, force_hash_join=True, use_bloom=True)

@@ -158,7 +158,9 @@ ORDER BY l_returnflag, l_linestatus
 _BROADCAST_SIDE_LIMIT = 5_000_000
 
 
-def q3_top_orders(sf_dir: str, *, force_hash_join: bool = False) -> rd.Dataset:
+def q3_top_orders(
+    sf_dir: str, *, force_hash_join: bool = False, use_bloom: bool = False
+) -> rd.Dataset:
     """TPC-H Q3 shape: dimension broadcast join + size-hybrid fact join +
     grouped revenue + top-k (deterministic tie-break on o_orderkey).
 
@@ -198,8 +200,22 @@ def q3_top_orders(sf_dir: str, *, force_hash_join: bool = False) -> rd.Dataset:
             line, orders_side.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"]
         )
     else:
+        probe = line
+        if use_bloom:
+            # bloom-prefiltered hash join: the build side's bloom filter
+            # (~bits_per_key/8 bytes per key — 10x smaller than the key
+            # set) drops definite non-matches BEFORE the exchange; false
+            # positives only waste shuffle rows, the join stays exact
+            from kgw_ray.stages.joins import bloom_prefilter, build_bloom
+
+            ref, m = build_bloom(
+                orders_side.select_columns(["o_orderkey"]),
+                "o_orderkey",
+                orders_side.count(),
+            )
+            probe = bloom_prefilter(line, "l_orderkey", ref, m)
         j = large_join(
-            line,
+            probe,
             orders_side,
             on=("l_orderkey",),
             right_on=("o_orderkey",),

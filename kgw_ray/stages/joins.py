@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from kgw_ray.stages.dedup import _mix64
+
 
 def broadcast_join(
     big: rd.Dataset,
@@ -291,3 +293,82 @@ def semi_join_filter(
         return batch.filter(mask)
 
     return big.map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join prefilter
+# ---------------------------------------------------------------------------
+
+_BLOOM_HASHES = 3
+
+
+def _bloom_positions(keys, m: int, i: int):
+    """Bit positions of hash i for integer keys (splitmix mix per seed;
+    m is a power of two so the mask is exact). NB the dedup import lives
+    at call sites on the DRIVER only in the rest of this file; here the
+    function runs on workers, so the import must be module-level — an
+    inner ``from kgw_ray...`` bypasses pickle-by-value and fails only
+    from a foreign cwd (the drive-recipe gotcha)."""
+    import numpy as np
+
+    seed = _mix64(np.array([i + 1], dtype=np.uint64))[0]
+    h = _mix64(keys.astype(np.int64).view(np.uint64) ^ seed)
+    return (h & np.uint64(m - 1)).astype(np.uint64)
+
+
+def build_bloom(ds: rd.Dataset, col: str, n_keys: int, *, bits_per_key: int = 10):
+    """Distributed Bloom-filter build over a key column: each block sets
+    its bits into a local word array and ships ONE blob; the driver ORs
+    the blobs and ``ray.put``s the final filter.
+
+    The filter is ~bits_per_key/8 bytes per key — an order of magnitude
+    smaller than the key set it summarizes, which is exactly when a
+    bloom-prefiltered hash join beats both the broadcast join (keys too
+    big to broadcast) and the raw hash join (most probe rows don't match:
+    the prefilter drops them BEFORE the exchange). ~1% false positives at
+    10 bits/key; false positives only cost wasted shuffle rows — the join
+    itself stays exact."""
+    import numpy as np
+
+    m = 64
+    while m < max(n_keys, 1) * bits_per_key:
+        m <<= 1
+
+    def part(t: pa.Table) -> pa.Table:
+        keys = t.column(col).to_numpy(zero_copy_only=False)
+        words = np.zeros(m // 64, dtype=np.uint64)
+        for i in range(_BLOOM_HASHES):
+            pos = _bloom_positions(keys, m, i)
+            np.bitwise_or.at(
+                words, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table({"w": pa.array([words.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    words = np.zeros(m // 64, dtype=np.uint64)
+    if "w" in parts.columns:
+        for blob in parts["w"]:
+            words |= np.frombuffer(blob, dtype=np.uint64)
+    return ray.put(words), m
+
+
+def bloom_prefilter(ds: rd.Dataset, col: str, bloom_ref, m: int) -> rd.Dataset:
+    """Drop rows whose key is DEFINITELY absent from the bloom filter
+    (no false negatives: every true match survives)."""
+    import numpy as np
+
+    def filt(t: pa.Table) -> pa.Table:
+        words = ray.get(bloom_ref)
+        keys = t.column(col).to_numpy(zero_copy_only=False)
+        mask = np.ones(len(keys), dtype=bool)
+        for i in range(_BLOOM_HASHES):
+            pos = _bloom_positions(keys, m, i)
+            bit = (
+                words[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))
+            ) & np.uint64(1)
+            mask &= bit.astype(bool)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -890,3 +890,23 @@ def test_kmv_sketch_accuracy_and_exact_smallset(ray_session):
     assert abs(r["est_distinct"] - true) / true < 4 / np.sqrt(1024)
     small = rd.from_arrow(pa.table({"u": pa.array(list(range(100)) * 5)}))
     assert kmv_distinct(small, "u", k=1024)["est_distinct"] == 100
+
+
+def test_bloom_no_false_negatives(ray_session):
+    """Every inserted key passes the filter; absent keys are mostly
+    rejected (fp rate ~1% at 10 bits/key — assert < 5%)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.joins import bloom_prefilter, build_bloom
+
+    keys = np.arange(0, 20_000, 2, dtype=np.int64)  # evens inserted
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)}))
+    ref, m = build_bloom(ds, "k", len(keys))
+    probe = pa.table({"k": pa.array(np.arange(20_000, dtype=np.int64))})
+    out = bloom_prefilter(rd.from_arrow(probe), "k", ref, m).to_pandas()
+    got = set(out["k"])
+    assert set(keys) <= got  # no false negatives
+    fp = len(got - set(keys)) / 10_000
+    assert fp < 0.05
