@@ -614,3 +614,4 @@ def q_join_bloom(sf_dir: str):
     bloom-build + prefilter + exchange plan under the value-parity gate
     (stages/joins.py:build_bloom; same oracle as the other Q3 variants)."""
     return _rel.q3_top_orders(sf_dir, force_hash_join=True, use_bloom=True)
+register("events_funnel", _rel.EVENTS_FUNNEL_SQL)(_rel.events_funnel)

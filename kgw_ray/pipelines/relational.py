@@ -1007,3 +1007,111 @@ FROM agg
 
 
 EVENTS_KMV_SQL = _kmv_sql()
+
+
+def events_funnel(sf_dir: str) -> rd.Dataset:
+    """Sequential 3-stage funnel per user (view → click → purchase, each
+    STRICTLY after the previous stage's first occurrence) — the
+    order-sensitive analytics pattern, computed WITHOUT any per-user
+    ordered window: each stage is a per-batch Min combiner + a
+    vocabulary-sized groupby Min, with the previous stage's (user, ts)
+    table attached via the size-hybrid join rule (broadcast under the
+    limit, hash-partitioned beyond). One materialized hub feeds all three
+    stage scans."""
+    import numpy as np
+
+    from kgw_ray.stages.joins import large_join
+
+    hub = read_table(
+        sf_dir, "events", columns=["user_id", "event_type", "ts"]
+    ).materialize()
+
+    def stage_min(etype: str, prev, prev_col: str | None, out_col: str):
+        ev = hub.map_batches(
+            lambda t, _e=etype: t.filter(pc.equal(t["event_type"], _e)),
+            batch_format="pyarrow",
+        )
+        if prev is not None:
+            prev = prev.materialize()
+            if prev.count() <= _BROADCAST_SIDE_LIMIT:
+                ev = broadcast_join(ev, prev.to_pandas(), on=["user_id"])
+            else:
+                ev = large_join(ev, prev, on=("user_id",))
+            ev = ev.map_batches(
+                lambda t, _p=prev_col: t.filter(
+                    pc.greater(pc.cast(t["ts"], pa.int64()), t[_p])
+                ),
+                batch_format="pyarrow",
+            )
+
+        def combine(df: pd.DataFrame) -> pa.Table:
+            g = (
+                df.assign(_us=df["ts"].astype("int64"))
+                .groupby("user_id", sort=False)["_us"]
+                .min()
+                .rename(out_col)
+                .reset_index()
+            )
+            return arrow_from_pandas(g)
+
+        return grouped_aggregate(
+            ev.map_batches(combine, batch_format="pandas"),
+            "user_id",
+            Min(out_col, alias_name=out_col),
+        )
+
+    t1 = stage_min("view", None, None, "t_view")
+    t2 = stage_min("click", t1, "t_view", "t_click")
+    t3 = stage_min("purchase", t2, "t_click", "t_purchase")
+
+    def hybrid_left(a: rd.Dataset, b: rd.Dataset, col: str) -> rd.Dataset:
+        b = b.materialize()
+        if b.count() <= _BROADCAST_SIDE_LIMIT:
+            bp = b.to_pandas()
+            if col not in bp.columns:  # empty stage: typed empty side
+                bp = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                   col: pd.Series([], dtype="int64")})
+            return broadcast_join(a, bp, on=["user_id"], how="left")
+        return large_join(a, b, on=("user_id",), how="left_outer")
+
+    joined = hybrid_left(hybrid_left(t1, t2, "t_click"), t3, "t_purchase")
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"user_id": df["user_id"].astype("int64")})
+        # left-join misses surface as NaN floats; us-values are exact in
+        # float64 (< 2^53), so the Int64 round-trip is lossless
+        for c in ("t_view", "t_click", "t_purchase"):
+            out[c] = pd.to_datetime(
+                df[c].astype("float64").astype("Int64"), unit="us"
+            )
+        out["stage_reached"] = (
+            1
+            + df["t_click"].notna().astype("int64")
+            + df["t_purchase"].notna().astype("int64")
+        )
+        return arrow_from_pandas(out)
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click GROUP BY e.user_id
+)
+SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+       1 + CAST(t2.user_id IS NOT NULL AS BIGINT)
+         + CAST(t3.user_id IS NOT NULL AS BIGINT) AS stage_reached
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
