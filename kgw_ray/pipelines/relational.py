@@ -909,6 +909,16 @@ def events_latest_per_user(sf_dir: str) -> rd.Dataset:
             .astype(np.float64)
             .view(np.uint64)
         )
+        # lpad never truncates: an out-of-width or negative field would
+        # silently corrupt both the lexicographic order and the
+        # fixed-offset unpack — fail loudly instead
+        if len(ts_us) and (
+            ts_us.min() < 0 or eid.min() < 0 or eid.max() >= 10**12
+        ):
+            raise ValueError(
+                "events_latest_per_user: ts/event_id outside the packed-key "
+                "width contract (0 <= ts_us, 0 <= event_id < 10^12)"
+            )
         key = pc.binary_join_element_wise(
             pc.utf8_lpad(pc.cast(pa.array(ts_us), pa.string()), 20, "0"),
             pc.utf8_lpad(pc.cast(pa.array(eid), pa.string()), 12, "0"),
@@ -1026,6 +1036,20 @@ def events_funnel(sf_dir: str) -> rd.Dataset:
         sf_dir, "events", columns=["user_id", "event_type", "ts"]
     ).materialize()
 
+    def _typed_stage_pandas(prev, col: str) -> pd.DataFrame:
+        # an empty stage dataset drops its schema on the pandas pull (the
+        # repo-wide empty-pull hazard): rebuild the typed empty frame so
+        # the downstream merge still sees user_id + the stage column
+        bp = prev.to_pandas()
+        if "user_id" not in bp.columns:
+            bp = pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    col: pd.Series([], dtype="int64"),
+                }
+            )
+        return bp
+
     def stage_min(etype: str, prev, prev_col: str | None, out_col: str):
         ev = hub.map_batches(
             lambda t, _e=etype: t.filter(pc.equal(t["event_type"], _e)),
@@ -1034,7 +1058,9 @@ def events_funnel(sf_dir: str) -> rd.Dataset:
         if prev is not None:
             prev = prev.materialize()
             if prev.count() <= _BROADCAST_SIDE_LIMIT:
-                ev = broadcast_join(ev, prev.to_pandas(), on=["user_id"])
+                ev = broadcast_join(
+                    ev, _typed_stage_pandas(prev, prev_col), on=["user_id"]
+                )
             else:
                 ev = large_join(ev, prev, on=("user_id",))
             ev = ev.map_batches(
@@ -1067,11 +1093,9 @@ def events_funnel(sf_dir: str) -> rd.Dataset:
     def hybrid_left(a: rd.Dataset, b: rd.Dataset, col: str) -> rd.Dataset:
         b = b.materialize()
         if b.count() <= _BROADCAST_SIDE_LIMIT:
-            bp = b.to_pandas()
-            if col not in bp.columns:  # empty stage: typed empty side
-                bp = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
-                                   col: pd.Series([], dtype="int64")})
-            return broadcast_join(a, bp, on=["user_id"], how="left")
+            return broadcast_join(
+                a, _typed_stage_pandas(b, col), on=["user_id"], how="left"
+            )
         return large_join(a, b, on=("user_id",), how="left_outer")
 
     joined = hybrid_left(hybrid_left(t1, t2, "t_click"), t3, "t_purchase")

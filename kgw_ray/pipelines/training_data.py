@@ -1209,7 +1209,12 @@ def docs_length_band(sf_dir: str) -> rd.Dataset:
     from kgw_ray.stages.agg import exact_quantiles
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    qs = exact_quantiles(ds, "n_chars", [0.1, 0.9])
+    # quantile pass over the single-column read: exact_quantiles pins its
+    # input in the object store for its multi-pass selection — don't make
+    # it hold doc_id too (review finding)
+    qs = exact_quantiles(
+        read_table(sf_dir, "documents", columns=["n_chars"]), "n_chars", [0.1, 0.9]
+    )
     lo, hi = qs[0.1], qs[0.9]
     if lo is None:
         return ds
@@ -1266,6 +1271,17 @@ def curate_documents_full(sf_dir: str) -> rd.Dataset:
     band = exact_quantiles(
         read_table(sf_dir, "documents", columns=["n_chars"]), "n_chars", [0.1, 0.9]
     )
+    if band[0.1] is None:  # empty corpus: typed empty result, no crash
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "quality_score": pa.array([], pa.float64()),
+                }
+            )
+        )
     lo, hi = int(band[0.1]), int(band[0.9])
     bench_ref = _benchmark_gram_ref(docs)
 

@@ -416,7 +416,13 @@ def grouped_exact_median(
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         ok = ~np.isnan(v)
         df = pd.DataFrame({key: k[ok], col: v[ok]})
-        g = df.groupby([key, col], sort=False).size().reset_index(name="c")
+        # dropna=False: a NULL group key is a group too (SQL GROUP BY
+        # keeps it — the sharded_count convention)
+        g = (
+            df.groupby([key, col], sort=False, dropna=False)
+            .size()
+            .reset_index(name="c")
+        )
         return arrow_from_pandas(g)
 
     counts = grouped_aggregate(
@@ -430,7 +436,9 @@ def grouped_exact_median(
         )
     counts = counts.sort_values([key, col])
     out_k, out_m = [], []
-    for kv, grp in counts.groupby(key, sort=True):
+    for kv, grp in counts.groupby(key, sort=True, dropna=False):
+        if pd.isna(kv):
+            kv = None
         c = grp["c"].to_numpy()
         cum = np.cumsum(c)
         r = int(np.ceil(0.5 * cum[-1]))

@@ -336,20 +336,42 @@ def build_bloom(ds: rd.Dataset, col: str, n_keys: int, *, bits_per_key: int = 10
 
     def part(t: pa.Table) -> pa.Table:
         keys = t.column(col).to_numpy(zero_copy_only=False)
-        words = np.zeros(m // 64, dtype=np.uint64)
-        for i in range(_BLOOM_HASHES):
-            pos = _bloom_positions(keys, m, i)
-            np.bitwise_or.at(
-                words, (pos >> np.uint64(6)).astype(np.int64),
-                np.uint64(1) << (pos & np.uint64(63)),
+        pos = np.concatenate(
+            [_bloom_positions(keys, m, i) for i in range(_BLOOM_HASHES)]
+        ) if len(keys) else np.zeros(0, dtype=np.uint64)
+        pos = np.unique(pos)
+        # ship the SMALLER encoding: sparse set-bit positions (8 B each)
+        # when the block touches few bits, dense words when it saturates —
+        # build traffic is min(block-bits, filter-size) per block, not
+        # #blocks x filter-size (review finding)
+        if pos.nbytes < m // 8:
+            return pa.table(
+                {
+                    "kind": pa.array(["s"]),
+                    "w": pa.array([pos.tobytes()], pa.binary()),
+                }
             )
-        return pa.table({"w": pa.array([words.tobytes()], pa.binary())})
+        words = np.zeros(m // 64, dtype=np.uint64)
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+        return pa.table(
+            {"kind": pa.array(["d"]), "w": pa.array([words.tobytes()], pa.binary())}
+        )
 
     parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
     words = np.zeros(m // 64, dtype=np.uint64)
     if "w" in parts.columns:
-        for blob in parts["w"]:
-            words |= np.frombuffer(blob, dtype=np.uint64)
+        for kind, blob in zip(parts["kind"], parts["w"]):
+            if kind == "d":
+                words |= np.frombuffer(blob, dtype=np.uint64)
+            else:
+                pos = np.frombuffer(blob, dtype=np.uint64)
+                np.bitwise_or.at(
+                    words, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
     return ray.put(words), m
 
 

@@ -910,3 +910,76 @@ def test_bloom_no_false_negatives(ray_session):
     assert set(keys) <= got  # no false negatives
     fp = len(got - set(keys)) / 10_000
     assert fp < 0.05
+
+
+def test_funnel_survives_empty_middle_stage(ray_session, tmp_path):
+    """view + purchase but ZERO click events: the empty middle stage must
+    not crash the broadcast merge (review: schema drop on empty pull);
+    everyone stalls at stage 1."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgw_ray.pipelines.relational import events_funnel
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+            ).astype("datetime64[us]")),
+            "user_id": pa.array([7, 7, 8, 8], pa.int64()),
+            "event_type": pa.array(
+                ["view", "purchase", "view", "purchase"], pa.string()
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = events_funnel(str(tmp_path)).to_pandas().sort_values("user_id")
+    assert list(out["stage_reached"]) == [1, 1]
+    assert out["t_click"].isna().all() and out["t_purchase"].isna().all()
+
+
+def test_grouped_median_keeps_null_group(ray_session):
+    """A NULL group key is a group (SQL GROUP BY semantics — review)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import grouped_exact_median
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["click", None, None, "click"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    out = grouped_exact_median(rd.from_arrow(t), "event_type", "value")
+    got = dict(zip(out["event_type"].to_pylist(), out["median"].to_pylist()))
+    assert got == {"click": 1.0, None: 2.0}
+
+
+def test_latest_per_user_rejects_out_of_width_keys(ray_session, tmp_path):
+    """An event_id outside the packed-key width contract fails loudly
+    instead of silently corrupting the arg-max (review)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from kgw_ray.pipelines.relational import events_latest_per_user
+
+    t = pa.table(
+        {
+            "event_id": pa.array([10**13], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(["2024-01-01"]).astype("datetime64[us]")
+            ),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array([1.0]),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    with _pytest.raises(Exception, match="packed-key"):
+        events_latest_per_user(str(tmp_path)).to_pandas()
