@@ -175,10 +175,12 @@ def _tree_combine(
     )
 
 
-def _merge_edge_partials(partials: rd.Dataset) -> rd.Dataset:
+def _merge_edge_partials(partials: rd.Dataset, *, rename: bool = True) -> rd.Dataset:
     """Final reduce of the triple combiner: native hash aggregates
     (Sum/Min), NOT groupby().map_groups — per-group Python over thousands
-    of tiny groups is the measured slow pattern (see stages/agg.py)."""
+    of tiny groups is the measured slow pattern (see stages/agg.py).
+    ``rename=False`` keeps the COMBINER schema, making the output a
+    mergeable state (closed under another merge — Sum/Min monoids)."""
     from ray.data.aggregate import Min, Sum
 
     keys = ["subj_id", "pred", "obj_id"]
@@ -188,9 +190,34 @@ def _merge_edge_partials(partials: rd.Dataset) -> rd.Dataset:
     merged = combined.groupby(keys).aggregate(
         Sum("n_obs", alias_name="n_obs"), Min("first_doc", alias_name="first_doc")
     )
+    if not rename:
+        return merged
     return merged.rename_columns(
         {"subj_id": "source_id", "obj_id": "target_id", "pred": "type"}
     )
+
+
+def edge_state(triples: rd.Dataset, prior: rd.Dataset | None = None) -> rd.Dataset:
+    """INCREMENTAL view maintenance of the edge aggregate: the merged
+    combiner table IS the mergeable state. Ingesting a new shard set
+    combines only the NEW triples and re-merges their partials with the
+    prior state — no reprocessing of already-ingested documents, and any
+    ingest order yields the identical result as one full recompute
+    (Sum/Min are commutative monoids; equality pinned by test). Pairs
+    with state/manifest.py's partition resume for the at-scale
+    append-only ingest loop."""
+    partials = triples.map_batches(_edge_partials, batch_format="pyarrow")
+    if prior is not None:
+        partials = partials.union(prior)
+    return _merge_edge_partials(partials, rename=False).materialize()
+
+
+def edges_from_state(state: rd.Dataset) -> rd.Dataset:
+    """Render the unified-IR edge rows from an incremental state table."""
+    renamed = state.rename_columns(
+        {"subj_id": "source_id", "obj_id": "target_id", "pred": "type"}
+    )
+    return renamed.map_batches(_render_edge_rows, batch_format="pyarrow")
 
 
 def _input_fingerprint(prefix: str, paths) -> str:

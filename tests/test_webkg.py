@@ -164,3 +164,41 @@ def test_pagerank_star_graph():
         for r in pagerank(nodes, edges, num_partitions=2).take_all()
     }
     assert got == {"A": 150_000, "B": 150_000, "C": 405_000}
+
+
+def test_incremental_edge_state_equals_full_recompute(sf_smoke):
+    """Incremental view maintenance: ingesting the corpus in two batches
+    (either order) through edge_state produces exactly the edges of one
+    full recompute — the mergeable-state contract."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.pipelines.webkg import (
+        edge_state,
+        edges_from_state,
+        edges_from_triples,
+        triples_dataset,
+    )
+
+    def half(parity):
+        return triples_dataset(sf_smoke).map_batches(
+            lambda t, _p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), _p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    full = (
+        edges_from_triples(triples_dataset(sf_smoke))
+        .to_pandas()
+        .sort_values(["source_id", "type", "target_id"])
+        .reset_index(drop=True)
+    )
+    for first, second in ((0, 1), (1, 0)):  # ingest order must not matter
+        state = edge_state(half(second), prior=edge_state(half(first)))
+        inc = (
+            edges_from_state(state)
+            .to_pandas()
+            .sort_values(["source_id", "type", "target_id"])
+            .reset_index(drop=True)
+        )
+        assert inc.equals(full)
