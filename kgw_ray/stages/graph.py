@@ -37,8 +37,38 @@ def type_histogram(ds: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    partials = ds.select_columns(["type"]).map_batches(partial, batch_format="pyarrow")
-    out = grouped_aggregate(partials, "type", Sum("n_partial", alias_name="n"))
+    partials = (
+        ds.select_columns(["type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
+    # combiner output is ≤ #blocks × |types| rows; type domains are
+    # bounded, so the merge is a driver-side pandas groupby — the
+    # groupby+Sort EXCHANGE alternative costs ~2 all-to-all latencies for
+    # a ten-row answer (measured: kg_statistics 7.1s → sub-second at
+    # sf0.1/32cpus). The exchange path remains for unbounded domains.
+    if partials.count() <= 1_000_000:
+        import pandas as pd
+
+        from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
+        pdf = partials.to_pandas()
+        if "type" not in pdf.columns:
+            pdf = pd.DataFrame({"type": pd.Series([], dtype=object),
+                                "n_partial": pd.Series([], dtype="int64")})
+        out = (
+            pdf.groupby("type", sort=False, dropna=False)["n_partial"]
+            .sum()
+            .rename("n")
+            .reset_index()
+            .sort_values(["n", "type"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        return rd.from_arrow(arrow_from_pandas(out))
+    out = grouped_aggregate(
+        partials, "type", Sum("n_partial", alias_name="n"),
+        materialize_partials=False,
+    )
     return out.sort(["n", "type"], descending=[True, False])
 
 
