@@ -708,7 +708,7 @@ def media_decode_features(sf_dir: str) -> rd.Dataset:
         DecodeImage,
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 4),
+        concurrency=(1, 12),
     )
 
     def widen(batch: pa.Table) -> pa.Table:
@@ -739,7 +739,7 @@ def media_resize(sf_dir: str) -> rd.Dataset:
         ResizeImage,
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 4),
+        concurrency=(1, 12),
     )
 
 
