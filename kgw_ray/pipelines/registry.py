@@ -177,14 +177,17 @@ from kgw_ray.pipelines import tpch_kg as _tk  # noqa: E402
 @register("tpch_kg_nodes", oracle=_tk.NODES_SQL)
 def q_tpch_kg_nodes(sf_dir: str):
     """Unified-IR node table from the relational star (adapter analog of
-    reference node maps, _hetionet.py:104-130)."""
-    return _tk.tpch_nodes(sf_dir)
+    reference node maps, _hetionet.py:104-130). Served from the
+    materialized graph hub so one build feeds every kg_* query in a
+    session (the reference's single-kg.sqlite architecture)."""
+    return _tk.tpch_graph(sf_dir)[0]
 
 
 @register("tpch_kg_edges", oracle=_tk.EDGES_SQL)
 def q_tpch_kg_edges(sf_dir: str):
-    """Unified-IR edge table; lineitem yields parallel multigraph edges."""
-    return _tk.tpch_edges(sf_dir)
+    """Unified-IR edge table; lineitem yields parallel multigraph edges.
+    Hub-served (see tpch_kg_nodes)."""
+    return _tk.tpch_graph(sf_dir)[1]
 
 
 @register(

@@ -175,6 +175,11 @@ def _tree_combine(
     )
 
 
+# THE combiner-schema → unified-IR rename — one definition shared by the
+# streaming merge and the incremental-state render so they cannot fork
+_STATE_TO_IR = {"subj_id": "source_id", "obj_id": "target_id", "pred": "type"}
+
+
 def _merge_edge_partials(partials: rd.Dataset, *, rename: bool = True) -> rd.Dataset:
     """Final reduce of the triple combiner: native hash aggregates
     (Sum/Min), NOT groupby().map_groups — per-group Python over thousands
@@ -192,9 +197,7 @@ def _merge_edge_partials(partials: rd.Dataset, *, rename: bool = True) -> rd.Dat
     )
     if not rename:
         return merged
-    return merged.rename_columns(
-        {"subj_id": "source_id", "obj_id": "target_id", "pred": "type"}
-    )
+    return merged.rename_columns(_STATE_TO_IR)
 
 
 def edge_state(triples: rd.Dataset, prior: rd.Dataset | None = None) -> rd.Dataset:
@@ -214,10 +217,9 @@ def edge_state(triples: rd.Dataset, prior: rd.Dataset | None = None) -> rd.Datas
 
 def edges_from_state(state: rd.Dataset) -> rd.Dataset:
     """Render the unified-IR edge rows from an incremental state table."""
-    renamed = state.rename_columns(
-        {"subj_id": "source_id", "obj_id": "target_id", "pred": "type"}
+    return state.rename_columns(_STATE_TO_IR).map_batches(
+        _render_edge_rows, batch_format="pyarrow"
     )
-    return renamed.map_batches(_render_edge_rows, batch_format="pyarrow")
 
 
 def _input_fingerprint(prefix: str, paths) -> str:

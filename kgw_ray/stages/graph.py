@@ -48,14 +48,16 @@ def type_histogram(ds: rd.Dataset) -> rd.Dataset:
     # a ten-row answer (measured: kg_statistics 7.1s → sub-second at
     # sf0.1/32cpus). The exchange path remains for unbounded domains.
     if partials.count() <= 1_000_000:
-        import pandas as pd
-
-        from kgw_ray.functions.arrow_utils import arrow_from_pandas
-
         pdf = partials.to_pandas()
-        if "type" not in pdf.columns:
-            pdf = pd.DataFrame({"type": pd.Series([], dtype=object),
-                                "n_partial": pd.Series([], dtype="int64")})
+        if "type" not in pdf.columns or len(pdf) == 0:
+            # explicit typed empty (an object-dtype pandas empty infers a
+            # null-typed Arrow column and breaks string consumers)
+            return rd.from_arrow(
+                pa.table(
+                    {"type": pa.array([], pa.string()),
+                     "n": pa.array([], pa.int64())}
+                )
+            )
         out = (
             pdf.groupby("type", sort=False, dropna=False)["n_partial"]
             .sum()
