@@ -202,3 +202,22 @@ def test_incremental_edge_state_equals_full_recompute(sf_smoke):
             .reset_index(drop=True)
         )
         assert inc.equals(full)
+
+
+def test_pagerank_exchange_path_parity(sf_smoke):
+    """The at-scale exchange loop (forced) must reproduce the driver-merge
+    fast path exactly — both are the same integer iteration."""
+    from kgw_ray.pipelines.tpch_kg import tpch_graph
+    from kgw_ray.stages.graph import pagerank
+
+    nodes, edges = tpch_graph(sf_smoke)
+    fast = (
+        pagerank(nodes, edges).to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    slow = (
+        pagerank(nodes, edges, force_exchange=True)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow)
