@@ -936,10 +936,12 @@ def events_latest_per_user(sf_dir: str) -> rd.Dataset:
         top = df.groupby("user_id", sort=False)["key"].max().reset_index()
         return arrow_from_pandas(top)
 
-    merged = grouped_aggregate(
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    merged = grouped_aggregate_hybrid(
         ds.map_batches(pack, batch_format="pyarrow"),
         "user_id",
-        Max("key", alias_name="key"),
+        [("key", "max", "key")],
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -1080,10 +1082,12 @@ def events_funnel(sf_dir: str) -> rd.Dataset:
             )
             return arrow_from_pandas(g)
 
-        return grouped_aggregate(
+        from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+        return grouped_aggregate_hybrid(
             ev.map_batches(combine, batch_format="pandas"),
             "user_id",
-            Min(out_col, alias_name=out_col),
+            [(out_col, "min", out_col)],
         )
 
     t1 = stage_min("view", None, None, "t_view")

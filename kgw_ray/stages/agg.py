@@ -425,10 +425,10 @@ def grouped_exact_median(
         )
         return arrow_from_pandas(g)
 
-    counts = grouped_aggregate(
+    counts = grouped_aggregate_hybrid(
         ds.map_batches(vc_partial, batch_format="pyarrow"),
         [key, col],
-        Sum("c", alias_name="c"),
+        [("c", "sum", "c")],
     ).to_pandas()
     if len(counts) == 0 or key not in counts.columns:
         return pa.table(
@@ -480,3 +480,53 @@ def kmv_distinct(ds: rd.Dataset, col: str, k: int = 1024) -> dict:
     kth = int(h[-1])
     est = n if n < k else ((n - 1) * (1 << 64)) // kth
     return {"k": k, "n": n, "kth_min": kth, "est_distinct": int(est)}
+
+
+def grouped_aggregate_hybrid(
+    partials: rd.Dataset,
+    keys: Union[str, Sequence[str]],
+    specs: Sequence[tuple],
+    *,
+    driver_limit: int = 2_000_000,
+) -> rd.Dataset:
+    """grouped_aggregate with the bounded-result driver-merge fast path.
+
+    ``specs`` is ``[(col, op, alias)]`` with op in {sum, min, max}. The
+    combiner partials are materialized (the repo rule) and COUNTED; at or
+    under ``driver_limit`` rows the merge is one pandas groupby on the
+    driver (results this small get pulled/broadcast by their consumers
+    anyway — paying an all-to-all for them is pure latency, the
+    kg_statistics/pagerank lesson), beyond it the exchange runs as usual.
+    Exact either way: sum/min/max over int64/strings have one answer.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    partials = partials.materialize()
+    if partials.count() <= driver_limit:
+        pdf = partials.to_pandas()
+        if len(pdf) == 0 or not set(key_list).issubset(pdf.columns):
+            sch = partials.schema()
+            if sch is None:
+                # a never-executed combiner has no schema to type an empty
+                # with — hand back the empty dataset; consumers guard
+                # empties per the repo-wide rule
+                return partials
+            types = dict(zip(sch.names, sch.types))
+            cols = {k: pa.array([], types[k]) for k in key_list}
+            for col, _op, alias in specs:
+                cols[alias] = pa.array([], types[col])
+            return rd.from_arrow(pa.table(cols))
+        g = pdf.groupby(key_list, sort=False, dropna=False).agg(
+            **{alias: (col, op) for col, op, alias in specs}
+        ).reset_index()
+        return rd.from_arrow(arrow_from_pandas(g))
+    ctor = {"sum": Sum, "min": Min, "max": Max}
+    return partials.groupby(keys).aggregate(
+        *[ctor[op](col, alias_name=alias) for col, op, alias in specs]
+    )
