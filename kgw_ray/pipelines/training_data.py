@@ -124,10 +124,12 @@ def text_rare_token_stats(sf_dir: str, rare_divisor: int = 1000) -> rd.Dataset:
             {"tok": pa.array(uq, pa.string()), "c": pa.array(cnt.astype(np.int64))}
         )
 
-    freq = grouped_aggregate(
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    freq = grouped_aggregate_hybrid(
         docs.map_batches(tok_partials, batch_format="pyarrow"),
         "tok",
-        Sum("c", alias_name="c"),
+        [("c", "sum", "c")],
     ).materialize()
     total = freq.sum("c") or 0
     thr = total / rare_divisor
@@ -230,13 +232,17 @@ def web_domain_stats(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return grouped_aggregate(
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    return grouped_aggregate_hybrid(
         docs.map_batches(partials, batch_format="pyarrow"),
         "source",
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("total_chars", alias_name="total_chars"),
-        Sum("total_tokens", alias_name="total_tokens"),
-        Max("max_doc_chars", alias_name="max_doc_chars"),
+        [
+            ("n_docs", "sum", "n_docs"),
+            ("total_chars", "sum", "total_chars"),
+            ("total_tokens", "sum", "total_tokens"),
+            ("max_doc_chars", "max", "max_doc_chars"),
+        ],
     )
 
 
@@ -973,10 +979,12 @@ def ngram_topk(sf_dir: str, k: int = _NGRAM_TOPK_K) -> pa.Table:
     from kgw_ray.stages.corpus import bigram_count_partial
     from kgw_ray.pipelines.relational import distributed_topk
 
-    counts = grouped_aggregate(
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    counts = grouped_aggregate_hybrid(
         _docs(sf_dir).map_batches(bigram_count_partial, batch_format="pyarrow"),
         "gram",
-        Sum("n", alias_name="n"),
+        [("n", "sum", "n")],
     )
     return distributed_topk(counts, ["n", "gram"], [True, False], k)
 
@@ -1065,10 +1073,12 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     from kgw_ray.stages.corpus import df_partial, tfidf_batch
 
     docs = _docs(sf_dir)
-    df_tbl = grouped_aggregate(
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    df_tbl = grouped_aggregate_hybrid(
         docs.map_batches(df_partial, batch_format="pyarrow"),
         "tok",
-        Sum("df", alias_name="df"),
+        [("df", "sum", "df")],
     ).to_pandas()
     if "tok" in df_tbl.columns and len(df_tbl):
         vocab = df_tbl["tok"].to_numpy(dtype=object)
