@@ -983,3 +983,36 @@ def test_latest_per_user_rejects_out_of_width_keys(ray_session, tmp_path):
     pq.write_table(t, tmp_path / "events.parquet")
     with _pytest.raises(Exception, match="packed-key"):
         events_latest_per_user(str(tmp_path)).to_pandas()
+
+
+def test_grouped_aggregate_hybrid_paths_agree(ray_session):
+    """driver_limit=0 forces the exchange path; both paths must produce
+    the same groups and values (sum/min/max, NULL keys included)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", None, "a", "b", None], pa.string()),
+            "v": pa.array([5, 1, 7, 3, 2, 4], pa.int64()),
+        }
+    )
+    specs = [("v", "sum", "s"), ("v", "min", "mn"), ("v", "max", "mx")]
+    fast = grouped_aggregate_hybrid(rd.from_arrow(t), "k", specs).to_pandas()
+    slow = grouped_aggregate_hybrid(
+        rd.from_arrow(t), "k", specs, driver_limit=0
+    ).to_pandas()
+
+    def canon(df):
+        return {
+            (None if row.k is None or row.k != row.k else row.k): (
+                int(row.s), int(row.mn), int(row.mx)
+            )
+            for row in df.itertuples()
+        }
+
+    assert canon(fast) == canon(slow) == {
+        "a": (8, 3, 5), "b": (3, 1, 2), None: (11, 4, 7)
+    }
