@@ -147,23 +147,37 @@ register("events_rank_in_user", _rel.EVENTS_RANK_SQL)(_rel.events_rank_in_user)
 register("events_users_no_purchase", _rel.EVENTS_NO_PURCHASE_SQL)(
     _rel.events_users_no_purchase
 )
-register("distinct_event_types", _rel.DISTINCT_EVENT_TYPES_SQL)(
-    _rel.distinct_event_types
-)
 register("events_sliding_window", _rel.EVENTS_SLIDING_SQL)(_rel.events_sliding_window)
-register("docs_english_short", _rel.DOCS_EN_SHORT_SQL)(_rel.docs_english_short)
-register("events_value_quantiles", _rel.EVENTS_QUANTILES_SQL)(
-    _rel.events_value_quantiles
-)
-register("events_minmax_by_type", _rel.EVENTS_MINMAX_SQL)(
-    _rel.events_minmax_by_type
-)
 register("events_props_extract", _rel.EVENTS_PROPS_SQL)(
     _rel.events_props_extract
 )
 register("events_range_join", _rel.EVENTS_RANGE_JOIN_SQL)(
     _rel.events_range_join
 )
+
+# r4 gate rotation (VERDICT r3 task 1): the unique r3 machinery registers
+# INSIDE the driver's 50-query window; the displaced entries (trivial
+# filters / Min-Max / distinct listings / plan siblings) move to the tail
+# where the in-repo parity replica (tests/test_oracle_parity.py) keeps
+# them under the identical rows+schema+hash compare.
+register("events_value_exact_quantiles", _rel.EVENTS_EXACT_QUANTILES_SQL)(
+    _rel.events_value_exact_quantiles
+)
+register("events_latest_per_user", _rel.EVENTS_LATEST_SQL)(
+    _rel.events_latest_per_user
+)
+register("events_funnel", _rel.EVENTS_FUNNEL_SQL)(_rel.events_funnel)
+register("events_user_distinct_sketch", _rel.EVENTS_KMV_SQL)(
+    _rel.events_user_distinct_sketch
+)
+
+
+@register("join_lineitem_orders_bloom", _rel.Q3_SQL)
+def q_join_bloom(sf_dir: str):
+    """Q3 with the bloom-prefiltered hash join forced — pins the
+    bloom-build + prefilter + exchange plan under the value-parity gate
+    (stages/joins.py:build_bloom; same oracle as the other Q3 variants)."""
+    return _rel.q3_top_orders(sf_dir, force_hash_join=True, use_bloom=True)
 
 
 # ---------------------------------------------------------------------------
@@ -222,18 +236,23 @@ def q_kg_node_type_histogram(sf_dir: str):
     return type_histogram(_tk.tpch_graph(sf_dir)[0])
 
 
-@register(
-    "kg_edge_type_histogram",
-    oracle=f"""
-WITH edges AS ({_tk.EDGES_SQL})
-SELECT type, COUNT(*) AS n FROM edges GROUP BY type ORDER BY n DESC, type ASC
-""",
-)
-def q_kg_edge_type_histogram(sf_dir: str):
-    """Per-type edge counts (reference load.py:47-58)."""
-    from kgw_ray.stages.graph import type_histogram
+def _kg_pagerank_sql() -> str:
+    from kgw_ray.stages.graph import pagerank_sql
 
-    return type_histogram(_tk.tpch_graph(sf_dir)[1])
+    return pagerank_sql(_tk.NODES_SQL, _tk.EDGES_SQL)
+
+
+@register("kg_pagerank", oracle=_kg_pagerank_sql())
+def q_kg_pagerank(sf_dir: str) -> rd.Dataset:
+    """Distributed fixed-point PageRank over the TPC-H KG: 3 synchronous
+    power iterations, each one size-hybrid join + int combiner +
+    groupby-Sum; rank table holds only in-edge nodes between iterations
+    (stages/graph.py:pagerank). Oracle: the same micro-unit iteration
+    unrolled into BIGINT CTEs — exact hash equality, no float rounding."""
+    from kgw_ray.stages.graph import pagerank
+
+    nodes, edges = _tk.tpch_graph(sf_dir)
+    return pagerank(nodes, edges)
 
 
 @register(
@@ -253,25 +272,6 @@ def q_kg_schema(sf_dir: str):
     from kgw_ray.stages.graph import schema_graph
 
     return schema_graph(*_tk.tpch_graph(sf_dir))
-
-
-@register(
-    "kg_schema_compact",
-    oracle=f"""
-WITH nodes AS ({_tk.NODES_SQL}), edges AS ({_tk.EDGES_SQL})
-SELECT sn.type AS source_type, tn.type AS target_type,
-       COUNT(*) AS n_edges, COUNT(DISTINCT e.type) AS n_edge_types
-FROM edges e JOIN nodes sn ON e.source_id = sn.id
-             JOIN nodes tn ON e.target_id = tn.id
-GROUP BY sn.type, tn.type
-ORDER BY n_edges DESC, source_type, target_type
-""",
-)
-def q_kg_schema_compact(sf_dir: str):
-    """Compact schema w/ exact distinct edge-type counts (load.py:218-241)."""
-    from kgw_ray.stages.graph import schema_graph_compact
-
-    return schema_graph_compact(*_tk.tpch_graph(sf_dir))
 
 
 @register(
@@ -438,22 +438,19 @@ register("text_token_stats", TOKEN_STATS_SQL)(_td.text_token_stats)
 register("text_quality", QUALITY_SQL)(_td.text_quality)
 register("text_lang_id", LANG_ID_SQL)(_td.text_lang_id)
 register("text_fingerprint", _td.FINGERPRINT_SQL)(_td.text_fingerprint)
-register("text_content_md5", _td.FINGERPRINT_MD5_SQL)(_td.text_content_md5)
 register("dedup_exact", _td.EXACT_DEDUP_SQL)(_td.dedup_exact)
 register("dedup_minhash_lsh", _td.MINHASH_DEDUP_SQL)(_td.dedup_minhash_lsh)
 register("dedup_simhash_pairs", _td.SIMHASH_PAIRS_SQL)(_td.dedup_simhash_pairs)
 register("dedup_jaccard_pairs", _td.JACCARD_PAIRS_SQL)(_td.dedup_jaccard_pairs)
 register("dedup_embedding_pairs", _td.EMBED_NEAR_DUP_SQL)(_td.dedup_embedding_pairs)
 register("ann_cosine_topk", _td.ANN_TOPK_SQL)(_td.ann_cosine_topk)
-# exhaustive-probe IVF: exact by construction (nprobe = n_cells), so the
-# whole IVF physical plan sits under the brute-force hash oracle; the
-# reduced-probe approximate variant is ann_ivf_topk_probe in the tail
-register("ann_ivf_topk", _td.ANN_TOPK_SQL)(_td.ann_ivf_topk)
 register("curate_documents", _td.CURATE_SQL)(_td.curate_documents)
-register("shuffle_documents", _td.SHUFFLE_DOCS_SQL)(_td.shuffle_documents)
-register("sample_documents_every_k", _td.SAMPLE_DOCS_SQL)(
-    _td.sample_documents_every_k
-)
+# r4 gate rotation: the six-stage composed curation recipe, the broadcast
+# gram-set decontaminator and fixed-point k-means carry the gate slots of
+# their simpler siblings (see tail note)
+register("curate_documents_full", _td.CURATE_FULL_SQL)(_td.curate_documents_full)
+register("decontaminate_documents", _td.DECONTAM_SQL)(_td.decontaminate_documents)
+register("kmeans_embeddings", _td.KMEANS_SQL)(_td.kmeans_embeddings)
 
 
 @register(
@@ -489,18 +486,82 @@ def q_kg_degree_distribution(sf_dir: str):
 
 register("media_metadata", _td.MEDIA_META_SQL)(_td.media_metadata)
 register("media_decode_features", _td.MEDIA_FEATURES_SQL)(_td.media_decode_features)
+# sha256-of-exact-output-bytes digest of the resize pipeline — the gated
+# representative of the media transform family (frame-sample digest is its
+# sibling and stays in the replica-covered tail)
+register("media_resize_digest", _td.MEDIA_RESIZE_SQL)(_td.media_resize_digest)
 
 
 # ---------------------------------------------------------------------------
 # Tail entries: the driver's correctness sweep records the FIRST 50 queries
 # in registration order (round 1 recorded exactly 50 of 51, dropping the
-# 51st). The two forced-hash-join variants register last: each duplicates a
-# fully-gated query's RESULT (q3 / q5) and differs only in physical plan, so
-# they are the cheapest coverage to lose to the cap — their broadcast≡shuffle
-# parity is pinned by tests/test_oracle_parity.py instead. This keeps the
-# multimodal pipelines (whose only other coverage is unit tests) inside the
-# gate. Everything above this line is inside the gate.
+# 51st). Everything above this line is inside the gate — after the r4
+# rotation the window holds every UNIQUE piece of machinery (pagerank,
+# k-means, exact quantiles, KMV, bloom join, funnel, CDC, full curation,
+# decontamination, media digests); the tail holds (a) oracle-bearing
+# entries whose machinery is a sibling/plan-variant of a gated one —
+# trivial filters, Min-Max, distinct listings, forced-shuffle twins — all
+# still value-checked by the in-repo gate replica
+# (tests/test_oracle_parity.py parametrizes EVERY oracle-bearing query
+# under the same rows+schema+hash compare), and (b) the rows-only
+# approximate-by-design variants, last.
 # ---------------------------------------------------------------------------
+
+# displaced by the r4 rotation (each is a sibling or plan variant of a
+# gated entry; oracle-bearing, replica-checked):
+register("events_value_quantiles", _rel.EVENTS_QUANTILES_SQL)(
+    _rel.events_value_quantiles
+)  # mergeable-sketch sibling of gated events_value_exact_quantiles
+register("events_minmax_by_type", _rel.EVENTS_MINMAX_SQL)(
+    _rel.events_minmax_by_type
+)
+register("distinct_event_types", _rel.DISTINCT_EVENT_TYPES_SQL)(
+    _rel.distinct_event_types
+)
+register("docs_english_short", _rel.DOCS_EN_SHORT_SQL)(_rel.docs_english_short)
+register("text_content_md5", _td.FINGERPRINT_MD5_SQL)(_td.text_content_md5)
+register("shuffle_documents", _td.SHUFFLE_DOCS_SQL)(_td.shuffle_documents)
+register("sample_documents_every_k", _td.SAMPLE_DOCS_SQL)(
+    _td.sample_documents_every_k
+)
+# exhaustive-probe IVF: exact by construction (nprobe = n_cells) under the
+# same brute-force oracle as the gated ann_cosine_topk — plan variant
+register("ann_ivf_topk", _td.ANN_TOPK_SQL)(_td.ann_ivf_topk)
+
+
+@register(
+    "kg_edge_type_histogram",
+    oracle=f"""
+WITH edges AS ({_tk.EDGES_SQL})
+SELECT type, COUNT(*) AS n FROM edges GROUP BY type ORDER BY n DESC, type ASC
+""",
+)
+def q_kg_edge_type_histogram(sf_dir: str):
+    """Per-type edge counts (reference load.py:47-58); machinery sibling of
+    the gated kg_node_type_histogram."""
+    from kgw_ray.stages.graph import type_histogram
+
+    return type_histogram(_tk.tpch_graph(sf_dir)[1])
+
+
+@register(
+    "kg_schema_compact",
+    oracle=f"""
+WITH nodes AS ({_tk.NODES_SQL}), edges AS ({_tk.EDGES_SQL})
+SELECT sn.type AS source_type, tn.type AS target_type,
+       COUNT(*) AS n_edges, COUNT(DISTINCT e.type) AS n_edge_types
+FROM edges e JOIN nodes sn ON e.source_id = sn.id
+             JOIN nodes tn ON e.target_id = tn.id
+GROUP BY sn.type, tn.type
+ORDER BY n_edges DESC, source_type, target_type
+""",
+)
+def q_kg_schema_compact(sf_dir: str):
+    """Compact schema w/ exact distinct edge-type counts (load.py:218-241);
+    sibling of the gated kg_schema."""
+    from kgw_ray.stages.graph import schema_graph_compact
+
+    return schema_graph_compact(*_tk.tpch_graph(sf_dir))
 
 
 @register("join_lineitem_orders_hash", _rel.Q3_SQL)
@@ -511,25 +572,51 @@ def q_join_hash(sf_dir: str):
     return _rel.q3_top_orders(sf_dir, force_hash_join=True)
 
 
-register("media_resize")(_td.media_resize)
-register("media_frame_sample")(_td.media_frame_sample)
+@register("q5_revenue_by_nation_hash", _rel.Q5_SQL)
+def q_q5_hash(sf_dir: str):
+    """Same result as q5 but with the hash-partitioned shuffle join forced —
+    pins the at-scale physical plan under the value-parity gate (mirror of
+    join_lineitem_orders_hash)."""
+    return _rel.q5_revenue_by_nation(sf_dir, force_hash_join=True)
+
+
 # salted top-k duplicates top_users_by_value's result/oracle (only the
-# physical plan differs) — same redundancy class as the *_hash variants,
-# so it yields its gated slot to dedup_jaccard_pairs and stays pinned by
-# the parity test here in the tail
+# physical plan differs) — same redundancy class as the *_hash variants
 register("top_users_by_value_salted", _rel.TOP_USERS_SQL)(
     _rel.top_users_by_value_salted
 )
 
+# oracle-bearing corpus/text/media ops whose machinery siblings are gated
+# (replica-checked):
+#   text_repetition     — Gopher dup/top n-gram signals (exact int64)
+#   text_rare_token_stats — corpus-frequency broadcast scoring (two-pass)
+#   web_domain_stats    — per-domain rollup via combiner + tiny groupby
+register("text_repetition", REPETITION_SQL)(_td.text_repetition)
+register("text_rare_token_stats", _td.RARE_TOKENS_SQL)(_td.text_rare_token_stats)
+register("web_domain_stats", _td.DOMAIN_STATS_SQL)(_td.web_domain_stats)
+register("sample_per_domain", _td.SAMPLE_PER_DOMAIN_SQL)(_td.sample_per_domain)
+register("ngram_topk", _td.NGRAM_TOPK_SQL)(_td.ngram_topk)
+register("text_normalize", _td.NORMALIZE_SQL)(_td.text_normalize)
+register("sample_stratified", _td.STRATIFIED_SQL)(_td.sample_stratified)
+register("tfidf_top_terms", _td.TFIDF_SQL)(_td.tfidf_top_terms)
+register("media_frame_sample_digest", _td.MEDIA_FRAMES_SQL)(
+    _td.media_frame_sample_digest
+)
+register("docs_length_band", _td.DOCS_LENGTH_BAND_SQL)(_td.docs_length_band)
+register("events_median_by_type", _rel.EVENTS_MEDIAN_SQL)(
+    _rel.events_median_by_type
+)
 
-# reduced-recall IVF near-dup: rows-only — its sibling ann_ivf_topk keeps
-# the IVF family's slot in the gated window, and the recall/fanout unit
-# tests cover this variant; the freed slot goes to the oracle-bearing
-# events_range_join (tail rule: oracle queries first, rows-only last)
+
+# rows-only entries, last (approximate-by-design variants of gated twins):
+register("media_resize")(_td.media_resize)
+register("media_frame_sample")(_td.media_frame_sample)
+# reduced-recall IVF near-dup: rows-only — sibling dedup_embedding_pairs is
+# gated; the recall/fanout unit tests cover this variant
 register("dedup_embedding_pairs_ivf")(_td.dedup_embedding_pairs_ivf)
 # reduced-probe approximate IVF top-k: rows-only (recall asserted in
-# tests/test_training_data.py); the gated ann_ivf_topk covers the same
-# physical plan exhaustively under the hash oracle
+# tests/test_training_data.py); ann_ivf_topk covers the same physical plan
+# exhaustively under the hash oracle
 register("ann_ivf_topk_probe")(_td.ann_ivf_topk_probe)
 
 
@@ -543,78 +630,3 @@ def q_webkg_entity_linking_lsh(sf_dir: str) -> rd.Dataset:
     from kgw_ray.pipelines.webkg import linked_mentions
 
     return linked_mentions(sf_dir)
-
-# Late-round training-data additions — outside the driver's 50-query cap,
-# but each carries a DuckDB oracle and runs under the in-repo gate replica
-# (tests/test_oracle_parity.py parametrizes EVERY oracle-bearing query):
-#   text_repetition     — Gopher dup/top n-gram signals (exact int64)
-#   text_rare_token_stats — corpus-frequency broadcast scoring (two-pass)
-#   web_domain_stats    — per-domain rollup via combiner + tiny groupby
-register("text_repetition", REPETITION_SQL)(_td.text_repetition)
-register("text_rare_token_stats", _td.RARE_TOKENS_SQL)(_td.text_rare_token_stats)
-register("web_domain_stats", _td.DOMAIN_STATS_SQL)(_td.web_domain_stats)
-register("sample_per_domain", _td.SAMPLE_PER_DOMAIN_SQL)(_td.sample_per_domain)
-
-
-def _kg_pagerank_sql() -> str:
-    from kgw_ray.stages.graph import pagerank_sql
-
-    return pagerank_sql(_tk.NODES_SQL, _tk.EDGES_SQL)
-
-
-@register("kg_pagerank", oracle=_kg_pagerank_sql())
-def q_kg_pagerank(sf_dir: str) -> rd.Dataset:
-    """Distributed fixed-point PageRank over the TPC-H KG: 3 synchronous
-    power iterations, each one size-hybrid join + int combiner +
-    groupby-Sum; rank table holds only in-edge nodes between iterations
-    (stages/graph.py:pagerank). Oracle: the same micro-unit iteration
-    unrolled into BIGINT CTEs — exact hash equality, no float rounding."""
-    from kgw_ray.stages.graph import pagerank
-
-    nodes, edges = _tk.tpch_graph(sf_dir)
-    return pagerank(nodes, edges)
-
-
-@register("q5_revenue_by_nation_hash", _rel.Q5_SQL)
-def q_q5_hash(sf_dir: str):
-    """Same result as q5 but with the hash-partitioned shuffle join forced —
-    pins the at-scale physical plan under the value-parity gate (mirror of
-    join_lineitem_orders_hash)."""
-    return _rel.q5_revenue_by_nation(sf_dir, force_hash_join=True)
-
-
-# --- corpus-level training-data ops (round 3 late additions; tail —
-# covered by the in-repo oracle-parity replica like the rest of the tail)
-register("decontaminate_documents", _td.DECONTAM_SQL)(_td.decontaminate_documents)
-register("ngram_topk", _td.NGRAM_TOPK_SQL)(_td.ngram_topk)
-register("text_normalize", _td.NORMALIZE_SQL)(_td.text_normalize)
-register("sample_stratified", _td.STRATIFIED_SQL)(_td.sample_stratified)
-register("tfidf_top_terms", _td.TFIDF_SQL)(_td.tfidf_top_terms)
-register("kmeans_embeddings", _td.KMEANS_SQL)(_td.kmeans_embeddings)
-register("media_resize_digest", _td.MEDIA_RESIZE_SQL)(_td.media_resize_digest)
-register("media_frame_sample_digest", _td.MEDIA_FRAMES_SQL)(
-    _td.media_frame_sample_digest
-)
-register("events_value_exact_quantiles", _rel.EVENTS_EXACT_QUANTILES_SQL)(
-    _rel.events_value_exact_quantiles
-)
-register("docs_length_band", _td.DOCS_LENGTH_BAND_SQL)(_td.docs_length_band)
-register("events_median_by_type", _rel.EVENTS_MEDIAN_SQL)(
-    _rel.events_median_by_type
-)
-register("curate_documents_full", _td.CURATE_FULL_SQL)(_td.curate_documents_full)
-register("events_latest_per_user", _rel.EVENTS_LATEST_SQL)(
-    _rel.events_latest_per_user
-)
-register("events_user_distinct_sketch", _rel.EVENTS_KMV_SQL)(
-    _rel.events_user_distinct_sketch
-)
-
-
-@register("join_lineitem_orders_bloom", _rel.Q3_SQL)
-def q_join_bloom(sf_dir: str):
-    """Q3 with the bloom-prefiltered hash join forced — pins the
-    bloom-build + prefilter + exchange plan under the value-parity gate
-    (stages/joins.py:build_bloom; same oracle as the other Q3 variants)."""
-    return _rel.q3_top_orders(sf_dir, force_hash_join=True, use_bloom=True)
-register("events_funnel", _rel.EVENTS_FUNNEL_SQL)(_rel.events_funnel)

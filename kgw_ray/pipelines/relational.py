@@ -51,8 +51,12 @@ def distributed_topk(
         # an all-empty result drops its schema on the pandas pull (the
         # repo-wide empty-pull hazard) — rebuild a typed empty table from
         # the upstream schema so callers and the driver's schema compare
-        # still see the right columns
+        # still see the right columns; a never-executed/schema-less input
+        # returns None from schema(), in which case the (possibly
+        # column-less) parts frame is the best available answer
         sch = ds.schema()
+        if sch is None:
+            return arrow_from_pandas(parts.head(0))
         return pa.table(
             {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
         )

@@ -457,10 +457,17 @@ def dedup_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     """Standalone EXACT n-gram Jaccard near-dup pairs (J ≥ 0.5) via the
     distributed shingle inverted index (stages/dedup.py:
     exact_jaccard_pairs) — the non-approximate companion to the
-    MinHash-LSH pipeline, hash-gated against the all-pairs SQL oracle."""
+    MinHash-LSH pipeline, hash-gated against the all-pairs SQL oracle.
+
+    ``max_df=None``: the gated entry is labelled EXACT, so df-pruning (a
+    recall trade for boilerplate shingles) is disabled here — the oracle
+    is the uncapped all-pairs SQL and must hold on ANY corpus, not just
+    one whose shingle dfs stay under the default cap. Scale callers use
+    ``exact_jaccard_pairs`` directly with its documented ``max_df`` skew
+    guard."""
     from kgw_ray.stages.dedup import exact_jaccard_pairs
 
-    return exact_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+    return exact_jaccard_pairs(_docs(sf_dir), threshold=0.5, max_df=None)
 
 
 def dedup_minhash_lsh(sf_dir: str) -> rd.Dataset:

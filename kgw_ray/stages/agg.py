@@ -431,8 +431,17 @@ def grouped_exact_median(
         [("c", "sum", "c")],
     ).to_pandas()
     if len(counts) == 0 or key not in counts.columns:
+        # type the empty key column from the INPUT schema — hard-coding
+        # string would make the empty result's schema differ from the
+        # non-empty one for integer/timestamp group keys
+        sch = ds.schema()
+        key_type = (
+            dict(zip(sch.names, sch.types)).get(key, pa.string())
+            if sch is not None
+            else pa.string()
+        )
         return pa.table(
-            {key: pa.array([], pa.string()), "median": pa.array([], pa.float64())}
+            {key: pa.array([], key_type), "median": pa.array([], pa.float64())}
         )
     counts = counts.sort_values([key, col])
     out_k, out_m = [], []

@@ -733,8 +733,10 @@ def exact_jaccard_pairs(
     standard inverted-index skew guard): a shingle shared by >4096 docs is
     boilerplate and contributes O(df²) candidate pairs. Pruning can only
     LOWER a pair's computed intersection, so at web scale this is a
-    documented precision-preserving recall trade; at oracle-test scale no
-    shingle comes near the cap, so the output is exact.
+    documented precision-preserving recall trade. The oracle-gated
+    pipeline wrapper (``training_data.dedup_jaccard_pairs``) passes
+    ``max_df=None`` so its EXACT label holds unconditionally — the cap is
+    an opt-in for scale callers, never a silent default under the gate.
 
     Output: (a, b, jaccard) with jaccard rounded to 6 dp.
     """

@@ -135,6 +135,11 @@ def _type_map_for(ref) -> pd.Series:
             t.column("type").to_pandas().to_numpy(),
             index=t.column("id").to_pandas().to_numpy(),
         )
+        # Series.map(Series) raises InvalidIndexError on duplicate index
+        # entries; dedup keep="last" restores the pre-pandas dict
+        # semantics (last id wins) for multigraph/duplicated node inputs
+        if not hit.index.is_unique:
+            hit = hit[~hit.index.duplicated(keep="last")]
         _TYPE_MAP_CACHE.clear()
         _TYPE_MAP_CACHE[key] = hit
     return hit
