@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from kgw_ray.functions.tokenize import split_tokens
 from kgw_ray.sources.readers import read_table
 
 
@@ -116,7 +117,7 @@ def text_rare_token_stats(sf_dir: str, rare_divisor: int = 1000) -> rd.Dataset:
 
     def tok_partials(batch: pa.Table) -> pa.Table:
         text = pc.fill_null(batch.column("text"), "")
-        flat = pc.list_flatten(pc.utf8_split_whitespace(text))
+        flat = pc.list_flatten(split_tokens(text))
         flat = pc.filter(flat, pc.greater(pc.utf8_length(flat), 0))
         arr = flat.to_numpy(zero_copy_only=False)
         uq, cnt = np.unique(arr, return_counts=True)
@@ -147,7 +148,7 @@ def text_rare_token_stats(sf_dir: str, rare_divisor: int = 1000) -> rd.Dataset:
     def score(batch: pa.Table) -> pa.Table:
         rare_arr = ray.get(rare_ref)
         text = pc.fill_null(batch.column("text"), "")
-        splits = pc.utf8_split_whitespace(text)
+        splits = split_tokens(text)
         sizes = pc.cast(pc.list_value_length(splits), pa.int64()).to_numpy(
             zero_copy_only=False
         )

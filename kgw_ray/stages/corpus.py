@@ -9,12 +9,10 @@ samplers, TF-IDF term scoring) expressed Ray-Data-first: every kernel here
 is a vectorized per-batch map; the only shuffles are vocabulary-sized
 (grouped_aggregate over per-batch combined partials).
 
-Oracle caveat (shared with every token-based oracle in this repo): the
-Ray side splits on UNICODE whitespace (Arrow utf8_split_whitespace /
-str.split) while DuckDB's RE2 ``\\s`` is ASCII-only, so the gates are
-exact on the ASCII synthetic corpus and data-conditional on text
-containing U+00A0-style exotic whitespace — the same documented property
-as the LSH-vs-exact gates.
+Tokenization: every token-based operator here uses THE pinned tokenizer
+(functions/tokenize.py — RE2 ``\\s`` runs, both engines), so the gates
+are byte-exact on ARBITRARY UTF-8 text, not just the ASCII fixture
+(parity proven in tests/test_unicode_tokens.py).
 """
 
 from __future__ import annotations
@@ -24,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from kgw_ray.functions.tokenize import split_tokens
 from kgw_ray.stages.dedup import _portable_token_hashes, batch_shingle_hashes
 from kgw_ray.stages.textstats import content_md5_list
 
@@ -31,13 +30,14 @@ from kgw_ray.stages.textstats import content_md5_list
 def flat_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(doc_index, token) flat arrays for a (doc_id, text) batch.
 
-    Python ``str.split()`` semantics (any whitespace, empties dropped) —
-    the same token equivalence class as the SQL oracles'
-    ``list_filter(string_split_regex(text, '\\s+'), x -> x <> '')``.
-    Vectorized: one Arrow split + one boolean mask, no per-row loop.
+    The pinned tokenizer (functions/tokenize.py: RE2 ``\\s`` runs,
+    empties dropped) — byte-identical to the SQL oracles'
+    ``list_filter(string_split_regex(text, '\\s+'), x -> x <> '')`` for
+    any UTF-8 text. Vectorized: one Arrow split + one boolean mask, no
+    per-row loop.
     """
     text = pc.fill_null(batch.column("text"), "")
-    splits = pc.utf8_split_whitespace(text)
+    splits = split_tokens(text)
     sizes = pc.cast(pc.list_value_length(splits), pa.int64()).to_numpy(
         zero_copy_only=False
     )
@@ -92,11 +92,17 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     (md5, codepoint length) instead of shipping the text back.
 
     Byte-identical to DuckDB
-    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` + ``md5``.
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` + ``md5``,
+    for ANY UTF-8 input: the collapse pattern is RE2 ``\\s`` on both
+    engines, and the trim is pinned to the ASCII space character — DuckDB
+    ``trim()`` removes only spaces, so Arrow's Unicode-whitespace trim
+    would diverge on text edged with U+00A0-style whitespace (which is
+    token content under the pinned rule, functions/tokenize.py).
     """
     text = pc.fill_null(batch.column("text"), "")
-    norm = pc.utf8_trim_whitespace(
-        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " "),
+        characters=" ",
     )
     md5s = content_md5_list(norm.to_pylist())
     return pa.table(

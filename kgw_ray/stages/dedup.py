@@ -33,6 +33,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from kgw_ray.functions.arrow_utils import arrow_from_pandas
+from kgw_ray.functions.tokenize import py_tokens
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -117,7 +118,7 @@ def _window_hashes(th: np.ndarray, k: int) -> np.ndarray:
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Word k-shingle hash set of a document (uint64, unique, sorted)."""
-    w = _window_hashes(_hash_tokens((text or "").split()), k)
+    w = _window_hashes(_hash_tokens(py_tokens(text)), k)
     return np.unique(w)
 
 
@@ -128,7 +129,7 @@ def batch_shingle_hashes(texts: list, k: int = 5):
     where doc i's (non-unique) shingles are flat[off[i]:off[i+1]].
 
     Identical values to ``shingle_hashes`` per doc (property-tested)."""
-    tok_lists = [(t or "").split() for t in texts]
+    tok_lists = [py_tokens(t) for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
     flat_toks: list = []
     for t in tok_lists:
@@ -919,7 +920,7 @@ def simhash64(toks: list[str]) -> int:
 
 def _simhash_of_texts(texts: list) -> np.ndarray:
     """Batch SimHash: ONE token-hash pass + per-doc bit sums via reduceat."""
-    tok_lists = [(t or "").split() for t in texts]
+    tok_lists = [py_tokens(t) for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
     flat: list = []
     for t in tok_lists:

@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from kgw_ray.functions.tokenize import py_tokens, split_tokens
+
 # ---------------------------------------------------------------------------
 # Token counting
 # ---------------------------------------------------------------------------
@@ -89,8 +91,8 @@ def quality_stats_batch(batch: pa.Table) -> pa.Table:
     deterministic composite in [0,1]).
 
     Fully vectorized (the ``token_stats_batch`` idiom): char/punct counts
-    are single RE2 column scans; token-level stats flatten ONE
-    ``utf8_split_whitespace`` list column and segment-sum it back per doc —
+    are single RE2 column scans; token-level stats flatten ONE pinned-
+    tokenizer split column and segment-sum it back per doc —
     no Python loop over tokens. All ratios rounded to 6 dp so the DuckDB
     oracle hashes identically.
     """
@@ -99,14 +101,14 @@ def quality_stats_batch(batch: pa.Table) -> pa.Table:
     n_punct = pc.cast(
         pc.count_substring_regex(text, pattern=_PUNCT_RE_STR), pa.int64()
     ).to_numpy(zero_copy_only=False)
-    splits = pc.utf8_split_whitespace(text)
+    splits = split_tokens(text)
     sizes = pc.cast(pc.list_value_length(splits), pa.int64()).to_numpy(
         zero_copy_only=False
     )
     flat = pc.list_flatten(splits)
     tok_len = pc.cast(pc.utf8_length(flat), pa.int64()).to_numpy(zero_copy_only=False)
-    # leading/trailing whitespace yields empty split tokens; Python .split()
-    # drops them — mask by length>0 so both tokenizations agree
+    # leading/trailing whitespace yields empty split tokens; the pinned
+    # SQL tokenizer filters them — mask by length>0 so both sides agree
     nonempty = (tok_len > 0).astype(np.int64)
     is_stop = (
         pc.is_in(flat, value_set=_STOP_ARR).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -221,7 +223,7 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     (no float ratios).
     """
     text = pc.fill_null(batch.column("text"), "")
-    splits = pc.utf8_split_whitespace(text)
+    splits = split_tokens(text)
     sizes = pc.cast(pc.list_value_length(splits), pa.int64()).to_numpy(
         zero_copy_only=False
     )
@@ -318,7 +320,7 @@ class LangId:
         cjk = len(_CJK_RE.findall(text))
         if cjk / max(len(text), 1) > 0.2:
             return "zh", round(cjk / len(text), 6)
-        toks = text.lower().split()
+        toks = py_tokens(text.lower())
         if not toks:
             return "und", 0.0
         best_lang, best_hits = "und", 0
@@ -468,7 +470,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """
     texts = batch.column("text").to_pylist()
     md5s = content_md5_list(texts)
-    fps = [rolling_fingerprint((t or "").split()) for t in texts]
+    fps = [rolling_fingerprint(py_tokens(t)) for t in texts]
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
