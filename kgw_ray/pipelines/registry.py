@@ -606,6 +606,12 @@ register("docs_length_band", _td.DOCS_LENGTH_BAND_SQL)(_td.docs_length_band)
 register("events_median_by_type", _rel.EVENTS_MEDIAN_SQL)(
     _rel.events_median_by_type
 )
+# r4: per-group exact quantiles for CONTINUOUS columns (histogram
+# refinement per group — grouped_exact_quantiles), on the ~n-distinct
+# epoch-µs timestamp domain where the value-count median cannot run
+register("events_median_ts_by_type", _rel.EVENTS_MEDIAN_TS_SQL)(
+    _rel.events_median_ts_by_type
+)
 
 
 # rows-only entries, last (approximate-by-design variants of gated twins):

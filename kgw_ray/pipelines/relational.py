@@ -388,25 +388,72 @@ GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+_WINDOW_SHARDS = 64
+
+
+def _user_segments(u: "np.ndarray"):
+    """Sorted-by-user array → (segment start indices, per-segment lengths).
+    The boundary mask replaces one Python call per user with two numpy
+    ops per SHARD — the sharded-coarse pattern (stages/dedup.py:
+    simhash_near_dup_pairs)."""
+    import numpy as np
+
+    new_user = np.ones(len(u), dtype=bool)
+    new_user[1:] = u[1:] != u[:-1]
+    starts = np.flatnonzero(new_user)
+    lengths = np.diff(np.concatenate((starts, [len(u)])))
+    return starts, lengths
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user (gap > 30min starts a new session):
-    (user_id, n_sessions, n_events). Partition by user, sort within group —
-    the partitioned-log pattern for streaming references."""
-    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
-    gap = pd.Timedelta(minutes=gap_minutes)
+    (user_id, n_sessions, n_events).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_sess = (g["ts"].diff() > gap).cumsum()
-        return pd.DataFrame(
+    Sharded-coarse plan: ONE shuffle keyed on ``user_id % 64`` (64 groups,
+    not one per user), then inside each shard a vectorized lexsort by
+    (user, ts) + segment-boundary reduceat — no per-user Python call, the
+    constant-factor fix for 10^9-user logs (VERDICT r3 task 6). Users
+    never split across shards, so session gaps are computed exactly."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes).to_timedelta64()
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        ts = g["ts"].to_numpy()
+        starts, lengths = _user_segments(u)
+        new_sess = np.zeros(len(u), dtype=np.int64)
+        same_user = np.zeros(len(u), dtype=bool)
+        same_user[1:] = u[1:] == u[:-1]
+        new_sess[1:] = ((ts[1:] - ts[:-1]) > gap).astype(np.int64)
+        new_sess *= same_user
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_sess.iloc[-1]) + 1 if len(g) else 0],
-                "n_events": [len(g)],
+                "user_id": pa.array(u[starts]),
+                "n_sessions": pa.array(np.add.reduceat(new_sess, starts) + 1),
+                "n_events": pa.array(lengths.astype(np.int64)),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
 
 
 EVENTS_SESSIONIZE_SQL = """
@@ -426,35 +473,87 @@ def events_asof_last_signup(sf_dir: str) -> rd.Dataset:
     """As-of join within the event log: for every 'purchase', the ts of the
     user's most recent prior 'signup' (NULL if none).
 
-    Implemented as groupby(user).map_groups + pandas merge_asof per group —
-    the documented Ray mapping for as-of/range joins. Returns
-    (event_id, user_id, ts, last_signup_ts).
+    Sharded-coarse as-of (VERDICT r3 task 6): irrelevant event types are
+    dropped BEFORE the shuffle (map-side), the exchange is keyed on
+    ``user_id % 64``, and inside each shard one lexsort by
+    (user, ts, is_signup) + a segment-reset ``np.maximum.accumulate``
+    forward-fills each purchase's latest STRICTLY-earlier signup position
+    — purchases sort before signups at equal ts, so exact-ts signups are
+    excluded (merge_asof ``allow_exact_matches=False`` semantics) without
+    any per-user Python. Returns (event_id, user_id, ts, last_signup_ts).
     """
-    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    import numpy as np
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        purchases = g[g["event_type"] == "purchase"].sort_values("ts")
-        signups = g[g["event_type"] == "signup"].sort_values("ts")
-        if purchases.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype=g["ts"].dtype),
-                    "last_signup_ts": pd.Series([], dtype=g["ts"].dtype),
-                }
-            )
-        out = pd.merge_asof(
-            purchases[["event_id", "user_id", "ts"]],
-            signups[["ts"]].rename(columns={"ts": "last_signup_ts"}),
-            left_on="ts",
-            right_on="last_signup_ts",
-            direction="backward",
-            allow_exact_matches=False,
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def shard(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            t.column("event_type"),
+            value_set=pa.array(["purchase", "signup"], pa.string()),
         )
-        return out
+        t = t.filter(keep)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            # ns: pandas .to_numpy() yields datetime64[ns] in nonempty
+            # shards — empty blocks must carry the identical schema
+            "ts": pa.array([], pa.timestamp("ns")),
+            "last_signup_ts": pa.array([], pa.timestamp("ns")),
+        }
+    )
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _empty
+        is_signup = (g["event_type"] == "signup").to_numpy()
+        g = g.assign(_sig=is_signup).sort_values(
+            ["user_id", "ts", "_sig"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        sig = g["_sig"].to_numpy()
+        n = len(u)
+        starts, lengths = _user_segments(u)
+        seg_start = np.repeat(starts, lengths)
+        # last signup position at-or-before each row, reset per user:
+        # signup rows carry their own index, others carry the segment
+        # start - 1 sentinel floor; the running max never crosses segments
+        # because each segment's floor >= any earlier segment's indices + 1
+        # is NOT guaranteed — so mask afterwards against seg_start instead
+        idx = np.where(sig, np.arange(n), -1)
+        last_sig = np.maximum.accumulate(idx)
+        valid = last_sig >= seg_start
+        is_purch = ~sig
+        out_ts = ts[np.maximum(last_sig, 0)]
+        result = pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy()[is_purch]),
+                "user_id": pa.array(u[is_purch]),
+                "ts": pa.array(ts[is_purch]),
+                "last_signup_ts": pa.array(
+                    np.where(
+                        valid[is_purch],
+                        out_ts[is_purch],
+                        np.datetime64("NaT"),
+                    )
+                ),
+            }
+        )
+        return result
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
 
 
 EVENTS_ASOF_SQL = """
@@ -504,16 +603,51 @@ LIMIT 10
 
 def events_rank_in_user(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Window-rank shape: top-k events per user by value (ROW_NUMBER
-    analog): groupby(user).map_groups with a vectorized sort per group."""
+    analog). Sharded-coarse (VERDICT r3 task 6): shuffle on
+    ``user_id % 64``, one lexsort by (user, -value, event_id) per shard,
+    rank = position − segment start + 1, mask rank ≤ k — no per-user
+    Python call."""
+    import numpy as np
+
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = (g.index + 1).astype("int64")
-        return g
+    def shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        g = g.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        u = g["user_id"].to_numpy()
+        starts, lengths = _user_segments(u)
+        rnk = np.arange(len(u), dtype=np.int64) - np.repeat(starts, lengths) + 1
+        keep = rnk <= k
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy()[keep]),
+                "user_id": pa.array(u[keep]),
+                "value": pa.array(g["value"].to_numpy()[keep]),
+                "rnk": pa.array(rnk[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
 
 
 EVENTS_RANK_SQL = """
@@ -877,6 +1011,56 @@ WITH s AS (
 )
 SELECT event_type, value AS median FROM s
 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+"""
+
+
+def events_median_ts_by_type(sf_dir: str) -> pa.Table:
+    """Exact per-group median over a CONTINUOUS column (~n distinct
+    values): the event timestamp in epoch microseconds. This is the
+    domain where ``grouped_exact_median``'s distinct-value-vocabulary
+    contract breaks (the "vocabulary" would be the table), so it runs the
+    per-group histogram-refinement rank selection instead
+    (stages/agg.py: grouped_exact_quantiles — one corpus pass per
+    refinement level for ALL groups together, targets×bins exchange,
+    pulls only located bins). Epoch-µs values (< 2^53) are float64-exact,
+    so the selected element round-trips to BIGINT bit-exactly."""
+    from kgw_ray.stages.agg import grouped_exact_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "ts_us": pc.cast(
+                    pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    out = grouped_exact_quantiles(
+        ds.map_batches(to_us, batch_format="pyarrow"), "event_type", "ts_us", [0.5]
+    )
+    return pa.table(
+        {
+            "event_type": out.column("event_type"),
+            "median_ts_us": pc.cast(out.column("q0.5"), pa.int64()),
+        }
+    )
+
+
+EVENTS_MEDIAN_TS_SQL = """
+WITH v AS (
+  SELECT event_type, epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL
+),
+r AS (
+  SELECT event_type, t,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type, CAST(t AS BIGINT) AS median_ts_us
+FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
 """
 
 

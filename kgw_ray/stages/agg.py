@@ -390,6 +390,255 @@ def exact_quantiles(
     return select(ds, lo, hi, want, 0)
 
 
+def grouped_exact_quantiles(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    qs: Sequence[float],
+    *,
+    bins: int = 1024,
+    pull_cap: int = 1_000_000,
+    max_depth: int = 4,
+) -> "pyarrow.Table":  # noqa: F821
+    """EXACT per-group rank-selection quantiles for UNBOUNDED/continuous
+    columns — the documented fallback where ``grouped_exact_median``'s
+    distinct-value-vocabulary contract breaks (a float column with ~n
+    distinct values would shuffle the whole table as "vocabulary").
+
+    The ``exact_quantiles`` histogram-refinement plan, run for EVERY group
+    simultaneously (never one pass per group):
+
+      pass 0 — per-block (key → n, lo, hi) combiner → one vocabulary-sized
+               groupby → driver holds per-group stats;
+      per refinement level (≤ ``max_depth``, one corpus pass each) — each
+               unresolved (group, q) target histograms its CURRENT range
+               (per-block bincount keyed by target id, combined per block;
+               the exchange is O(targets × bins) rows, never data-sized),
+               the driver locates the rank's bin, and the target either
+               narrows to that bin or — once the bin holds ≤ ``pull_cap``
+               values — marks itself pullable;
+      final pass — pull ONLY the located (group, bin) values, sort each
+               tiny set, select by within-bin rank offset.
+
+    Quantile q = the ceil(q·n_g)-th smallest non-null value of group g
+    (inverted CDF — pure selection, engine-exact, no interpolation).
+    Groups with only NULL values emit NULL. NULL group keys are groups
+    (the ``dropna=False`` convention). Scale contract: the GROUP COUNT
+    (× len(qs)) is driver-bounded metadata; the data itself is never
+    pulled beyond located bins.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
+    ds = ds.materialize()
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({key: k, "_v": v})
+        g = df.groupby(key, sort=False, dropna=False)["_v"]
+        out = g.agg(n="count", lo="min", hi="max").reset_index()
+        return arrow_from_pandas(out)
+
+    st = grouped_aggregate_hybrid(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        key,
+        [("n", "sum", "n"), ("lo", "min", "lo"), ("hi", "max", "hi")],
+    ).to_pandas()
+    qcols = {f"q{q}": q for q in qs}
+    if len(st) == 0 or key not in st.columns:
+        sch = ds.schema()
+        key_type = (
+            dict(zip(sch.names, sch.types)).get(key, pa.string())
+            if sch is not None
+            else pa.string()
+        )
+        return pa.table(
+            {key: pa.array([], key_type)}
+            | {c: pa.array([], pa.float64()) for c in qcols}
+        )
+
+    # targets: one per (group, q); tid indexes every parallel array.
+    # Each target carries its level-0 range (the group's ACTUAL min/max,
+    # so nothing falls outside) plus a CHAIN of (lo, hi, bin) refinement
+    # constraints: membership at depth d is "parent _bin_index == bin" for
+    # every ancestor — never a recomputed range compare, so float edge
+    # fuzz cannot shift ranks (the exact_quantiles boundary rule; the
+    # child histogram range is the bin's computed edges with np.clip, a
+    # CONSISTENT partition even when a value sits epsilon outside them).
+    keys_list, q_list, rank_list = [], [], []
+    range_list: list[tuple] = []  # current histogram range per target
+    chain_list: list[list] = []   # [(lo, hi, bin), ...] ancestry per target
+    resolved: dict[int, object] = {}
+    for _, row in st.iterrows():
+        kv = row[key]
+        n_g = int(row["n"])
+        for q in qs:
+            tid = len(keys_list)
+            keys_list.append(None if pd.isna(kv) else kv)
+            q_list.append(float(q))
+            chain_list.append([])
+            if n_g == 0:  # all-NULL group -> NULL quantile
+                rank_list.append(0)
+                range_list.append((0.0, 0.0))
+                resolved[tid] = None
+                continue
+            rank_list.append(min(max(int(np.ceil(float(q) * n_g)), 1), n_g))
+            range_list.append((float(row["lo"]), float(row["hi"])))
+
+    def _targets_ref(tids):
+        """Broadcast the active targets (ray.put once per level)."""
+        karr = [keys_list[t] for t in tids]
+        rng = [range_list[t] for t in tids]
+        chn = [list(chain_list[t]) for t in tids]
+        return ray.put((list(tids), karr, rng, chn))
+
+    def _member_values(v, rng, chn):
+        """Values of one key filtered to a target's refinement region:
+        level-0 actual-range filter, then consistent parent binning."""
+        if chn:
+            lo0, hi0, _ = chn[0]
+            v = v[(v >= lo0) & (v <= hi0)]
+        else:
+            lo0, hi0 = rng
+            v = v[(v >= lo0) & (v <= hi0)]
+        for lo_j, hi_j, b_j in chn:
+            w = (hi_j - lo_j) / bins
+            if w == 0:
+                continue
+            v = v[_bin_index(v, lo_j, w, bins) == b_j]
+        return v
+
+    pull_targets: list[int] = []
+    active = [t for t in range(len(keys_list)) if t not in resolved]
+    depth = 0
+    while active and depth < max_depth:
+        ref = _targets_ref(active)
+
+        def hist_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            tids, karr, rng, chn = ray.get(_ref)
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~np.isnan(v)
+            k, v = k[ok], v[ok]
+            kser = pd.Series(k, dtype=object)
+            isna = kser.isna().to_numpy()
+            out_t, out_b, out_c = [], [], []
+            for i, tid in enumerate(tids):
+                m = isna if karr[i] is None else (kser == karr[i]).to_numpy()
+                vv = _member_values(v[m], rng[i], chn[i])
+                if len(vv) == 0:
+                    continue
+                lo_c, hi_c = rng[i]
+                width = (hi_c - lo_c) / bins
+                if width == 0:
+                    b = np.zeros(len(vv), dtype=np.int64)
+                else:
+                    b = _bin_index(vv, lo_c, width, bins)
+                c = np.bincount(b, minlength=bins)
+                nz = np.nonzero(c)[0]
+                out_t.append(np.full(len(nz), tid, dtype=np.int64))
+                out_b.append(nz.astype(np.int64))
+                out_c.append(c[nz].astype(np.int64))
+            if not out_t:
+                return pa.table(
+                    {"tid": pa.array([], pa.int64()),
+                     "b": pa.array([], pa.int64()),
+                     "c": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"tid": pa.array(np.concatenate(out_t)),
+                 "b": pa.array(np.concatenate(out_b)),
+                 "c": pa.array(np.concatenate(out_c))}
+            )
+
+        hp = grouped_aggregate_hybrid(
+            ds.map_batches(hist_partial, batch_format="pyarrow"),
+            ["tid", "b"],
+            [("c", "sum", "c")],
+        ).to_pandas()
+        next_active = []
+        for tid in active:
+            rows = hp[hp["tid"] == tid].sort_values("b")
+            counts = np.zeros(bins, dtype=np.int64)
+            counts[rows["b"].to_numpy()] = rows["c"].to_numpy()
+            cum = np.concatenate(([0], np.cumsum(counts)))
+            r = rank_list[tid]
+            b = int(np.searchsorted(cum, r, side="left")) - 1
+            b = min(max(b, 0), bins - 1)
+            lo_c, hi_c = range_list[tid]
+            width = (hi_c - lo_c) / bins
+            rank_list[tid] = r - int(cum[b])
+            if width == 0.0:  # constant region IS the answer
+                resolved[tid] = lo_c
+            elif counts[b] <= pull_cap or depth == max_depth - 1:
+                chain_list[tid].append((lo_c, hi_c, b))
+                pull_targets.append(tid)
+            else:  # push the located bin onto the chain and refine
+                chain_list[tid].append((lo_c, hi_c, b))
+                range_list[tid] = (lo_c + b * width, lo_c + (b + 1) * width)
+                next_active.append(tid)
+        active = next_active
+        depth += 1
+
+    if pull_targets:
+        tids = sorted(pull_targets)
+        ref = _targets_ref(tids)
+
+        def pull(t: pa.Table, _ref=ref) -> pa.Table:
+            tids_, karr, rng, chn = ray.get(_ref)
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~np.isnan(v)
+            k, v = k[ok], v[ok]
+            kser = pd.Series(k, dtype=object)
+            isna = kser.isna().to_numpy()
+            out_t, out_v = [], []
+            for i, tid in enumerate(tids_):
+                m = isna if karr[i] is None else (kser == karr[i]).to_numpy()
+                vv = _member_values(v[m], rng[i], chn[i])
+                if len(vv):
+                    out_t.append(np.full(len(vv), tid, dtype=np.int64))
+                    out_v.append(vv)
+            if not out_t:
+                return pa.table(
+                    {"tid": pa.array([], pa.int64()),
+                     "v": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {"tid": pa.array(np.concatenate(out_t)),
+                 "v": pa.array(np.concatenate(out_v))}
+            )
+
+        pulled = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
+        for tid in tids:
+            arr = np.sort(
+                pulled[pulled["tid"] == tid]["v"].to_numpy()
+                if "tid" in pulled.columns
+                else np.zeros(0)
+            )
+            if len(arr) == 0:  # defensive: should not happen
+                resolved[tid] = None
+                continue
+            r = rank_list[tid]
+            resolved[tid] = float(arr[min(max(r, 1), len(arr)) - 1])
+
+    # assemble: one row per group, one column per q (group order = st order)
+    key_type = pa.array(st[key]).type
+    n_q = len(qs)
+    uniq_keys = keys_list[::n_q]
+    out: dict = {key: pa.array(uniq_keys, key_type)}
+    for j, (cname, _q) in enumerate(qcols.items()):
+        out[cname] = pa.array(
+            [resolved.get(g * n_q + j) for g in range(len(uniq_keys))],
+            pa.float64(),
+        )
+    return pa.table(out)
+
+
 def grouped_exact_median(
     ds: rd.Dataset, key: str, col: str
 ) -> "pyarrow.Table":  # noqa: F821

@@ -1068,21 +1068,48 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """All pairs (a < b) with cosine ≥ threshold.
 
     Exact path: the normalized matrix is broadcast once (``ray.put``) and
     each batch does ONE numpy matmul against it — O(N·B·d) FLOPs, zero
-    shuffle. Valid while N·d floats fit a worker heap (~10^8 vectors at
-    d=64); beyond that use the IVF/LSH-bucketed variant
-    (stages/similarity.py: ivf_near_dup_pairs).
+    shuffle. The matrix is assembled by STREAMING blocks off the object
+    store (``iter_batches``) — peak driver memory is the final matrix plus
+    one block, never a second pandas copy of the whole table. Valid while
+    N·d floats fit a worker heap; past ``broadcast_limit`` vectors the
+    size-hybrid rule (the joins.py convention) routes to the IVF-bucketed
+    scale path (stages/similarity.py: ivf_near_dup_pairs) automatically —
+    approximate by design, which is the only honest option once the
+    matrix cannot broadcast.
     """
     import ray
 
-    mat_tbl = embeds.select_columns([id_col, vec_col]).to_pandas()
-    order = np.argsort(mat_tbl[id_col].to_numpy())
-    ids_all = mat_tbl[id_col].to_numpy()[order]
-    M = np.vstack(mat_tbl[vec_col].to_numpy()[order]).astype(np.float64)
+    proj = embeds.select_columns([id_col, vec_col]).materialize()
+    if proj.count() > broadcast_limit:
+        from kgw_ray.stages.similarity import ivf_near_dup_pairs
+
+        return ivf_near_dup_pairs(
+            proj, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+
+    id_parts: list[np.ndarray] = []
+    vec_parts: list[np.ndarray] = []
+    for b in proj.iter_batches(batch_format="pyarrow"):
+        id_parts.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        vec_parts.append(
+            np.vstack(b.column(vec_col).to_numpy(zero_copy_only=False))
+        )
+    ids_all = (
+        np.concatenate(id_parts) if id_parts else np.zeros(0, dtype=np.int64)
+    )
+    order = np.argsort(ids_all)
+    ids_all = ids_all[order]
+    M = (
+        np.concatenate(vec_parts).astype(np.float64)[order]
+        if vec_parts
+        else np.zeros((0, 1), dtype=np.float64)
+    )
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids_all, M))
 
@@ -1108,4 +1135,4 @@ def embedding_near_dup_pairs(
             }
         )
 
-    return embeds.map_batches(pairs_of, batch_format="pyarrow")
+    return proj.map_batches(pairs_of, batch_format="pyarrow")

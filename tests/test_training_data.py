@@ -336,6 +336,36 @@ def test_ivf_near_dup_cell_cap_bounds_fanout():
     assert (pairs["cosine"] >= 0.9).all()
 
 
+def test_embedding_near_dup_auto_routes_to_ivf_past_limit():
+    """Past broadcast_limit the exact path must hand off to the IVF scale
+    path (the joins.py size-hybrid convention) instead of broadcasting a
+    matrix that cannot fit — and still return thresholded pairs."""
+    import numpy as np
+    import ray.data as rd
+
+    from kgw_ray.stages.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    M = np.concatenate([base, base + rng.normal(scale=1e-3, size=base.shape)])
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(M)), pa.int64()),
+                "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    exact = embedding_near_dup_pairs(emb, threshold=0.99).to_pandas()
+    routed = embedding_near_dup_pairs(emb, threshold=0.99, broadcast_limit=10).to_pandas()
+    assert len(exact) >= 40  # each vector pairs with its jittered twin
+    assert (routed["cosine"] >= 0.99).all()
+    # the IVF route is a recall trade, never a precision one
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    assert set(zip(routed["a"], routed["b"])) <= exact_pairs
+    assert len(routed) > 0
+
+
 def test_lang_id_deterministic_and_correct_on_real_markers(sf_smoke):
     """The synthetic corpus's ``lang`` column is uncorrelated with its text
     (all docs share one English-ish vocabulary), so accuracy-vs-column is
@@ -852,6 +882,58 @@ def test_exact_quantiles_empty_and_nan(ray_session):
         pa.table({"value": pa.array([np.nan, 1.0, 3.0, np.nan, 2.0])})
     )
     assert exact_quantiles(withnan, "value", [0.5]) == {0.5: 2.0}
+
+
+def test_grouped_exact_quantiles_continuous(ray_session):
+    """Per-group histogram refinement equals per-group sorted selection on
+    a CONTINUOUS column (~n distinct values): NULL group keys, an
+    all-NULL-value group, and a constant-heavy group with a tiny
+    pull_cap that forces multi-level refinement."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import grouped_exact_quantiles
+
+    rng = np.random.default_rng(0)
+    n = 20_000
+    keys = rng.choice(["a", "b", "c", None], n, p=[0.5, 0.3, 0.15, 0.05])
+    vals = rng.normal(size=n) * 100
+    mask_c = keys == "c"
+    vals[mask_c] = np.where(rng.random(mask_c.sum()) < 0.7, 5.0, vals[mask_c])
+    vals[rng.random(n) < 0.02] = np.nan
+    keys = np.concatenate([keys, np.array(["d"] * 5, dtype=object)])
+    vals = np.concatenate([vals, [np.nan] * 5])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys.tolist(), pa.string()),
+                "v": pa.array(vals, pa.float64()),
+            }
+        )
+    ).repartition(8)
+    out = grouped_exact_quantiles(
+        ds, "k", "v", [0.25, 0.5, 0.9], bins=64, pull_cap=50, max_depth=4
+    ).to_pandas()
+    assert len(out) == 5  # a, b, c, NULL key, all-NULL d
+
+    def expect(kv, q):
+        m = pd.isna(pd.Series(keys)).to_numpy() if kv is None else keys == kv
+        vv = np.sort(vals[m])
+        vv = vv[~np.isnan(vv)]
+        if len(vv) == 0:
+            return None
+        return vv[min(max(int(np.ceil(q * len(vv))), 1), len(vv)) - 1]
+
+    for _, row in out.iterrows():
+        kv = row["k"] if pd.notna(row["k"]) else None
+        for q in (0.25, 0.5, 0.9):
+            e, g = expect(kv, q), row[f"q{q}"]
+            if e is None:
+                assert pd.isna(g), (kv, q)
+            else:
+                assert g == e, (kv, q, g, e)
 
 
 def test_grouped_exact_median_matches_sorted(ray_session):
