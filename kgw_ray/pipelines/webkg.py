@@ -180,20 +180,44 @@ def _tree_combine(
 _STATE_TO_IR = {"subj_id": "source_id", "obj_id": "target_id", "pred": "type"}
 
 
+# combined partials at or under this row count merge on the driver (ONE
+# pandas groupby) instead of paying two all-to-all operators; see
+# stages/agg.py:grouped_aggregate_hybrid for the rule's rationale
+_DRIVER_MERGE_LIMIT = 2_000_000
+
+
 def _merge_edge_partials(partials: rd.Dataset, *, rename: bool = True) -> rd.Dataset:
-    """Final reduce of the triple combiner: native hash aggregates
-    (Sum/Min), NOT groupby().map_groups — per-group Python over thousands
-    of tiny groups is the measured slow pattern (see stages/agg.py).
+    """Final reduce of the triple combiner — SIZE-HYBRID (the repo's
+    driver-merge rule, stages/agg.py:grouped_aggregate_hybrid):
+
+    - at or under ``_DRIVER_MERGE_LIMIT`` combined-partial rows the merge
+      is one pandas groupby on the driver. Measured at ×1024/32 CPUs the
+      Repartition + Aggregate all-to-all pair costs ~2.6s of an 8.8s wall
+      (~30%) to reduce ~2k rows — a pure fixed latency that CAPS scaling
+      efficiency (at 8 CPUs the same pair is ~1.7s of 18s), so removing
+      it directly improves the N→4N ratio;
+    - beyond the limit, the two-level tree combine bounds the sort
+      exchange at O(cpus × keyspace) rows and the native hash aggregates
+      run as before (never groupby().map_groups — per-group Python over
+      tiny groups is the measured slow pattern, stages/agg.py).
+
     ``rename=False`` keeps the COMBINER schema, making the output a
-    mergeable state (closed under another merge — Sum/Min monoids)."""
-    from ray.data.aggregate import Min, Sum
+    mergeable state (closed under another merge — Sum/Min monoids; the
+    driver-merged table is a Dataset again, so union + re-merge works
+    identically on both paths)."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
 
     keys = ["subj_id", "pred", "obj_id"]
-    combined = _tree_combine(
-        partials, keys, [("n_obs", "sum"), ("first_doc", "min")]
-    )
-    merged = combined.groupby(keys).aggregate(
-        Sum("n_obs", alias_name="n_obs"), Min("first_doc", alias_name="first_doc")
+    parts = partials.materialize()
+    if parts.count() > _DRIVER_MERGE_LIMIT:
+        parts = _tree_combine(
+            parts, keys, [("n_obs", "sum"), ("first_doc", "min")]
+        )
+    merged = grouped_aggregate_hybrid(
+        parts,
+        keys,
+        [("n_obs", "sum", "n_obs"), ("first_doc", "min", "first_doc")],
+        driver_limit=_DRIVER_MERGE_LIMIT,
     )
     if not rename:
         return merged
@@ -308,12 +332,18 @@ def nodes_from_triples(triples: rd.Dataset) -> rd.Dataset:
     """Distinct entities with types + mention counts → unified-IR node rows
     (id, type, properties) per kgw/_shared/transform.py:12-16.
     """
-    from ray.data.aggregate import Sum
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
 
     partials = triples.map_batches(_node_partials, batch_format="pyarrow")
-    counts = _tree_combine(partials, ["surface"], [("n_partial", "sum")]).groupby(
-        "surface"
-    ).aggregate(Sum("n_partial", alias_name="n_mentions"))
+    parts = partials.materialize()
+    if parts.count() > _DRIVER_MERGE_LIMIT:
+        parts = _tree_combine(parts, ["surface"], [("n_partial", "sum")])
+    counts = grouped_aggregate_hybrid(
+        parts,
+        "surface",
+        [("n_partial", "sum", "n_mentions")],
+        driver_limit=_DRIVER_MERGE_LIMIT,
+    )
     return counts.map_batches(_render_node_rows, batch_format="pyarrow")
 
 

@@ -58,8 +58,14 @@ def render_html(doc_id: int, source: str, text: str) -> bytes:
     if "&" not in esc:
         # fast path — no entities anywhere (the only entity starter is '&'),
         # so fixed-width cuts can never split one; identical output to the
-        # guarded loop below
-        paras = [f"<p>{esc[k:k + width]}</p>" for k in range(0, n, width)]
+        # guarded loop below. ONE join over raw slices (no per-chunk
+        # f-string objects — synth is in the timed flagship path and its
+        # allocations tax the shared memory-bandwidth budget)
+        paras = (
+            ["<p>" + "</p><p>".join([esc[k:k + width] for k in range(0, n, width)]) + "</p>"]
+            if n
+            else []
+        )
     else:
         # chunk the ESCAPED text, never splitting inside an entity
         # (&amp; &lt; &gt;)
