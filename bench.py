@@ -171,7 +171,9 @@ def _prepare_scaled_corpus(sf_dir: str, repeat: int) -> str:
     return out_dir
 
 
-def run_flagship(sf_dir: str, num_cpus: int, repeat: int, reps: int = 3) -> dict:
+def run_flagship(
+    sf_dir: str, num_cpus: int, repeat: int, reps: int = 3, mem_stats: bool = False
+) -> dict:
     """The scaling workload: the flagship webkg_edges pipeline over the
     corpus replicated ``repeat``× (distinct doc_id spaces) — enough work to
     saturate the larger parallelism level; both levels run the IDENTICAL
@@ -219,7 +221,7 @@ def run_flagship(sf_dir: str, num_cpus: int, repeat: int, reps: int = 3) -> dict
         times.append(time.monotonic() - t0)
     srt = sorted(times)
     sec = round(srt[len(srt) // 2], 3)
-    return {
+    res = {
         "queries": {"webkg_edges": sec},
         "times": [round(t, 3) for t in times],
         "docs_per_sec": round(n_docs / sec, 1),
@@ -227,6 +229,48 @@ def run_flagship(sf_dir: str, num_cpus: int, repeat: int, reps: int = 3) -> dict
         "n_docs": n_docs,
         "num_cpus": num_cpus,
     }
+    if mem_stats:
+        res["mem_stats"] = _object_store_stats()
+    return res
+
+
+def _object_store_stats() -> dict:
+    """Object-store capacity + spill counters for the CURRENT Ray session —
+    the evidence that a run streamed (bounded store, spill instead of OOM).
+    Read from the raylet log + spill directory (the grpc-backed
+    `ray memory --stats-only` API is unavailable in this container); the
+    matched raw log lines are returned so the parse can be audited."""
+    import glob
+    import re
+
+    import ray
+
+    stats: dict = {
+        "object_store_capacity_mib": round(
+            ray.cluster_resources().get("object_store_memory", 0) / (1024 * 1024)
+        )
+    }
+    session = "/tmp/ray/session_latest"
+    # raylet.out periodically logs e.g. "Spilled 1234 MiB, 56 objects, ..."
+    # and "Restored 12 MiB, 3 objects" — keep the LAST (cumulative) of each
+    raw: list[str] = []
+    for log in glob.glob(os.path.join(session, "logs", "raylet.out")):
+        last: dict[str, str] = {}
+        with open(log, errors="replace") as fh:
+            for ln in fh:
+                m = re.search(r"(Spilled|Restored) (\d+) MiB, (\d+) objects", ln)
+                if m:
+                    last[m.group(1)] = ln.strip()
+                    stats[f"{m.group(1).lower()}_mib"] = int(m.group(2))
+                    stats[f"{m.group(1).lower()}_objects"] = int(m.group(3))
+        raw.extend(last.values())
+    spill_files = glob.glob(os.path.join(session, "ray_spilled_objects*", "*"))
+    stats["spill_dir_files"] = len(spill_files)
+    stats["spill_dir_mib"] = round(
+        sum(os.path.getsize(f) for f in spill_files) / (1024 * 1024)
+    )
+    stats["raw"] = raw
+    return stats
 
 
 def _scaling_child(sf_dir: str, cpus: int, repeat: int, reps: int) -> dict:
@@ -275,11 +319,19 @@ def main() -> None:
         help="timed repetitions per scaling level (median reported, full "
         "sample list + dispersion in the JSON)",
     )
+    ap.add_argument(
+        "--mem-stats",
+        action="store_true",
+        help="with --_flagship_only: append object-store peak/spill counters "
+        "to the JSON (the ×4096 streaming-smoke evidence)",
+    )
     ap.add_argument("--_flagship_only", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args._flagship_only:
-        res = run_flagship(args.sf_dir, args.cpus, args.repeat, args.reps)
+        res = run_flagship(
+            args.sf_dir, args.cpus, args.repeat, args.reps, mem_stats=args.mem_stats
+        )
         print(json.dumps(res))
         import ray
 
