@@ -612,6 +612,105 @@ register("events_median_by_type", _rel.EVENTS_MEDIAN_SQL)(
 register("events_median_ts_by_type", _rel.EVENTS_MEDIAN_TS_SQL)(
     _rel.events_median_ts_by_type
 )
+# r4: substring-level dedup — maximal cross-document duplicated k-gram
+# spans (Lee et al. 2021 shape); oracle re-derives the portable window
+# hashes + gaps-and-islands span assembly in SQL
+register("text_dup_spans", _td.DUP_SPANS_SQL)(_td.text_dup_spans)
+register("text_dup_span_doc_stats", _td.DUP_SPAN_DOC_STATS_SQL)(
+    _td.text_dup_span_doc_stats
+)
+
+_TRIANGLES_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+e0 AS (
+  SELECT DISTINCT least('E:' || subj, 'E:' || obj) AS a,
+                  greatest('E:' || subj, 'E:' || obj) AS b
+  FROM tr WHERE subj <> obj
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+n AS (SELECT x AS id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+SELECT id, COUNT(*) AS n_triangles FROM n GROUP BY id
+"""
+
+
+@register("kg_triangle_counts", oracle=_TRIANGLES_SQL)
+def q_kg_triangle_counts(sf_dir: str) -> rd.Dataset:
+    """Per-node triangle participation over the web-KG edge set —
+    degree-ordered distributed wedge counting (stages/graph.py:
+    triangle_counts); the oracle closes the 3-way self-join exhaustively
+    on the same distinct undirected pairs."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph import triangle_counts
+
+    return triangle_counts(edges_from_triples(triples_dataset(sf_dir)))
+
+
+_KG_CC_SQL = f"""
+WITH RECURSIVE tr AS ({TRIPLES_SQL}),
+e0 AS (SELECT DISTINCT 'E:' || subj AS x, 'E:' || obj AS y FROM tr),
+nodes AS (SELECT DISTINCT x AS id FROM e0 UNION SELECT y FROM e0),
+edges AS (SELECT x, y FROM e0 WHERE x <> y
+          UNION SELECT y, x FROM e0 WHERE x <> y),
+r(id, m) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.id, e.y FROM r JOIN edges e ON r.m = e.x
+)
+SELECT id, MIN(m) AS component FROM r GROUP BY id
+"""
+
+
+_KG_CN_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+e0 AS (
+  SELECT DISTINCT least('E:' || subj, 'E:' || obj) AS a,
+                  greatest('E:' || subj, 'E:' || obj) AS b
+  FROM tr WHERE subj <> obj
+),
+sym AS (SELECT a AS c, b AS v FROM e0 UNION ALL SELECT b AS c, a AS v FROM e0)
+SELECT e1.v AS x, e2.v AS y, COUNT(*) AS n_common
+FROM sym e1 JOIN sym e2 ON e1.c = e2.c AND e1.v < e2.v
+GROUP BY e1.v, e2.v
+"""
+
+
+@register("kg_common_neighbors", oracle=_KG_CN_SQL)
+def q_kg_common_neighbors(sf_dir: str) -> rd.Dataset:
+    """Common-neighbor counts per node pair (link-prediction signal) —
+    sharded-coarse distributed wedge enumeration (stages/graph.py:
+    common_neighbor_counts); oracle = the exhaustive wedge self-join."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph import common_neighbor_counts
+
+    return common_neighbor_counts(edges_from_triples(triples_dataset(sf_dir)))
+
+
+@register("kg_connected_components", oracle=_KG_CC_SQL)
+def q_kg_connected_components(sf_dir: str) -> rd.Dataset:
+    """Weakly connected components of the web-KG (min-id component
+    labels) — distributed min-label propagation with pointer jumping
+    (stages/canonicalize.py:connected_components, the same machinery the
+    near-dup closure uses); oracle = recursive-CTE reachability closure."""
+    import pyarrow as _pa
+
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.canonicalize import connected_components
+
+    edges = edges_from_triples(triples_dataset(sf_dir))
+    pairs = edges.map_batches(
+        lambda t: _pa.table(
+            {"a": t.column("source_id"), "b": t.column("target_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    return connected_components(pairs)
 
 
 # rows-only entries, last (approximate-by-design variants of gated twins):

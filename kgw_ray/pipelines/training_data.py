@@ -973,6 +973,287 @@ WHERE d.doc_id % {_DECONTAM_MOD} <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-document duplicated spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+_DUP_SPAN_K = 8
+_DUP_SPAN_MIN_COUNT = 2
+
+
+def _dup_window_hash_set(docs: rd.Dataset, k: int, min_count: int) -> rd.Dataset:
+    """Pass A of the duplicated-span family: per-batch window-hash
+    combiner → vocabulary-sized Sum → the (wh) set with corpus-wide
+    occurrence count ≥ min_count, materialized (both consumers probe its
+    size)."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.corpus import window_count_partial
+
+    partials = docs.map_batches(
+        lambda b: window_count_partial(b, k), batch_format="pyarrow"
+    )
+    counts = grouped_aggregate_hybrid(partials, "wh", [("n", "sum", "n")])
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)).select(["wh"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+
+def _dup_hash_broadcast(dup: rd.Dataset):
+    """Stream the dup vocabulary into ONE sorted uint64 array (bounded
+    pull: caller checked ≤ broadcast_limit rows) and ``ray.put`` it once."""
+    import ray
+
+    chunks = [
+        b["wh"].to_numpy(zero_copy_only=False)
+        for b in dup.iter_batches(batch_format="pyarrow")
+    ]
+    dup_sorted = (
+        np.sort(np.concatenate(chunks)) if chunks else np.zeros(0, np.uint64)
+    )
+    return ray.put(dup_sorted)
+
+
+def text_dup_spans(
+    sf_dir: str,
+    k: int = _DUP_SPAN_K,
+    min_count: int = _DUP_SPAN_MIN_COUNT,
+    broadcast_limit: int = 5_000_000,
+    _dup: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Cross-document duplicated-span extraction — substring-level dedup
+    (the Lee et al. 2021 "Deduplicating Training Data" operator): per
+    document, every MAXIMAL token span covered by word-``k``-gram windows
+    whose exact token sequence occurs ≥ ``min_count`` times corpus-wide.
+    Window identity is the engine-portable polynomial over md5-LE token
+    hashes (the fingerprint oracle's ring), so the SQL oracle re-derives
+    the VALUES, not a replay. Output: (doc_id, span_start, span_end,
+    n_windows), token positions 1-based inclusive.
+
+    Plan: (1) corpus pass → per-batch window-hash combiner, then a
+    vocabulary-sized Sum (``grouped_aggregate_hybrid``) and an ``n ≥
+    min_count`` filter; (2) under ``broadcast_limit`` the duplicated-hash
+    vocabulary broadcasts once (``ray.put`` of ONE sorted uint64 array)
+    and the mark pass is a zero-shuffle task map — a document's tokens
+    live in one row, so island merge is batch-local; beyond the limit the
+    exploded window table hash-semi-joins the dup set and spans assemble
+    per doc (the 10^9-dup-gram path; parity-pinned in
+    tests/test_training_data.py).
+
+    Reference scope: the reference dedups whole triples/nodes
+    (kgw/_shared/transform.py); span-level text dedup extends the
+    LLM-training-data surface.
+    """
+    import ray
+
+    from kgw_ray.stages.corpus import (
+        batch_window_positions,
+        covered_spans,
+        dup_span_mark_batch,
+    )
+
+    docs = _docs(sf_dir)
+    dup = _dup if _dup is not None else _dup_window_hash_set(docs, k, min_count)
+    if dup.count() <= broadcast_limit:
+        ref = _dup_hash_broadcast(dup)
+        return docs.map_batches(
+            lambda b: dup_span_mark_batch(b, ray.get(ref), k),
+            batch_format="pyarrow",
+        )
+
+    # scale path: exploded windows → size-hybrid semi join on wh → per-doc
+    # island merge (groups are document-sized: #windows < #tokens)
+    from kgw_ray.stages.joins import semi_join_dataset
+
+    def _window_rows(b: pa.Table) -> pa.Table:
+        d, starts, wh = batch_window_positions(b, k)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d]),
+                "st": pa.array(starts.astype(np.int64)),
+                "wh": pa.array(wh),
+            }
+        )
+
+    wins = docs.map_batches(_window_rows, batch_format="pyarrow")
+    hits = semi_join_dataset(
+        wins, dup, on="wh", broadcast_limit=broadcast_limit
+    )
+
+    def _merge_group(df) -> "pa.Table":
+        s = np.sort(df["st"].to_numpy())
+        ids = np.array([int(df["doc_id"].iloc[0])], dtype=np.int64)
+        return covered_spans(ids, np.zeros(len(s), dtype=np.int64), s, k)
+
+    return hits.groupby("doc_id").map_groups(_merge_group, batch_format="pandas")
+
+
+def _dup_spans_sql(k: int = _DUP_SPAN_K, min_count: int = _DUP_SPAN_MIN_COUNT) -> str:
+    """Independent SQL re-derivation of ``text_dup_spans``: per-position
+    md5-LE token hashes, the winh polynomial (same ring as the fingerprint
+    oracle), total-occurrence dup counts, and gaps-and-islands span
+    assembly via window functions."""
+    B, M = 1000003, 1 << 64
+    bp = [pow(B, j, M) for j in range(k)]
+    powcase = (
+        f"CASE {k - 1} - (t.i - w.st) "
+        + " ".join(f"WHEN {j} THEN CAST({bp[j]} AS UHUGEINT)" for j in range(k))
+        + " END"
+    )
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+nn AS (SELECT doc_id, len(w) AS n FROM toks),
+th AS (
+  SELECT doc_id, i, {_MD5_LE_UINT64} AS h
+  FROM (SELECT doc_id, u.i AS i, md5(w[u.i]) AS hx
+        FROM toks, UNNEST(generate_series(1, len(w))) AS u(i))
+),
+wins AS (
+  SELECT nn.doc_id, s.i AS st
+  FROM nn, UNNEST(generate_series(1, nn.n - {k} + 1)) AS s(i)
+  WHERE nn.n >= {k}
+),
+winh AS (
+  SELECT w.doc_id, w.st,
+    CAST(SUM(CAST((CAST(t.h AS UHUGEINT) * ({powcase}))
+                  % CAST(18446744073709551616 AS UHUGEINT) AS HUGEINT))
+         % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS wh
+  FROM wins w
+  JOIN th t ON t.doc_id = w.doc_id AND t.i BETWEEN w.st AND w.st + {k - 1}
+  GROUP BY w.doc_id, w.st
+),
+dup AS (SELECT wh FROM winh GROUP BY wh HAVING COUNT(*) >= {min_count}),
+cov AS (
+  SELECT doc_id, st,
+    CASE WHEN st - lag(st) OVER (PARTITION BY doc_id ORDER BY st) <= {k}
+         THEN 0 ELSE 1 END AS brk
+  FROM winh WHERE wh IN (SELECT wh FROM dup)
+),
+isl AS (
+  SELECT doc_id, st, SUM(brk) OVER (PARTITION BY doc_id ORDER BY st) AS g
+  FROM cov
+)
+SELECT doc_id, MIN(st) AS span_start, MAX(st) + {k - 1} AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, g
+"""
+
+
+DUP_SPANS_SQL = _dup_spans_sql()
+
+
+def text_dup_span_doc_stats(
+    sf_dir: str,
+    k: int = _DUP_SPAN_K,
+    min_count: int = _DUP_SPAN_MIN_COUNT,
+    broadcast_limit: int = 5_000_000,
+) -> rd.Dataset:
+    """Per-document duplication rollup — the curation-filter signal
+    (drop/trim docs whose duplicated-coverage fraction is high): one row
+    per doc, (doc_id, n_tokens, dup_tokens, n_spans, dup_permille), all
+    int64 (permille = dup_tokens·1000 // n_tokens — no float in the gate).
+
+    Broadcast regime: ONE zero-shuffle corpus pass (the dup-hash set rides
+    along like decontamination's gram set). Past ``broadcast_limit`` dup
+    grams: compose the span scale path's output with a per-doc rollup and
+    a left hash join onto the token counts (parity-pinned in tests).
+    """
+    import ray
+
+    from kgw_ray.stages.corpus import dup_span_doc_stats_batch
+
+    docs = _docs(sf_dir)
+    dup = _dup_window_hash_set(docs, k, min_count)
+    if dup.count() <= broadcast_limit:
+        ref = _dup_hash_broadcast(dup)
+        return docs.map_batches(
+            lambda b: dup_span_doc_stats_batch(b, ray.get(ref), k),
+            batch_format="pyarrow",
+        )
+
+    from kgw_ray.stages.corpus import flat_tokens
+    from kgw_ray.stages.joins import large_join
+
+    spans = text_dup_spans(
+        sf_dir, k, min_count, broadcast_limit=broadcast_limit, _dup=dup
+    )
+
+    def _rollup(t: pa.Table) -> pa.Table:
+        # doc-complete per batch: the scale path emits each doc's spans
+        # from ONE map_groups return, which never splits across blocks
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sl = (
+            t.column("span_end").to_numpy(zero_copy_only=False)
+            - t.column("span_start").to_numpy(zero_copy_only=False)
+            + 1
+        )
+        uq, inv = np.unique(ids, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uq),
+                "dup_tokens": pa.array(
+                    np.bincount(inv, weights=sl).astype(np.int64)
+                ),
+                "n_spans": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    def _tok_counts(b: pa.Table) -> pa.Table:
+        d, _toks = flat_tokens(b)
+        n = np.bincount(d, minlength=b.num_rows).astype(np.int64)
+        return pa.table({"doc_id": b.column("doc_id"), "n_tokens": pa.array(n)})
+
+    toks = docs.map_batches(_tok_counts, batch_format="pyarrow")
+    j = large_join(
+        toks,
+        spans.map_batches(_rollup, batch_format="pyarrow"),
+        on=["doc_id"],
+        how="left_outer",
+    )
+
+    def _fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dt = pc.fill_null(t["dup_tokens"], 0)
+        ns = pc.fill_null(t["n_spans"], 0)
+        nt = t["n_tokens"]
+        dtn = dt.to_numpy(zero_copy_only=False).astype(np.int64)
+        ntn = nt.to_numpy(zero_copy_only=False).astype(np.int64)
+        permille = np.where(ntn > 0, dtn * 1000 // np.maximum(ntn, 1), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": nt,
+                "dup_tokens": pc.cast(dt, pa.int64()),
+                "n_spans": pc.cast(ns, pa.int64()),
+                "dup_permille": pa.array(permille.astype(np.int64)),
+            }
+        )
+
+    return j.map_batches(_fill, batch_format="pyarrow")
+
+
+DUP_SPAN_DOC_STATS_SQL = f"""
+WITH spans AS ({DUP_SPANS_SQL}),
+toks2 AS ({_TOKS_SQL}),
+nn2 AS (SELECT doc_id, COALESCE(len(w), 0) AS n FROM toks2),
+agg AS (
+  SELECT doc_id, CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+         COUNT(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT nn2.doc_id, nn2.n AS n_tokens,
+       COALESCE(agg.dup_tokens, 0) AS dup_tokens,
+       COALESCE(agg.n_spans, 0) AS n_spans,
+       CASE WHEN nn2.n > 0 THEN COALESCE(agg.dup_tokens, 0) * 1000 // nn2.n
+            ELSE 0 END AS dup_permille
+FROM nn2 LEFT JOIN agg ON nn2.doc_id = agg.doc_id
+"""
+
+
 _NGRAM_TOPK_K = 20
 
 

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from kgw_ray.functions.tokenize import split_tokens
+from kgw_ray.functions.tokenize import py_tokens, split_tokens
 from kgw_ray.stages.dedup import _portable_token_hashes, batch_shingle_hashes
 from kgw_ray.stages.textstats import content_md5_list
 
@@ -215,6 +215,185 @@ def tfidf_batch(
             "score_micro": pa.array(top["score_micro"].to_numpy().astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span extraction (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+_POLY_B = np.uint64(1000003)  # same ring as textstats.rolling_fingerprint
+_POLY_B_INV = np.uint64(pow(1000003, -1, 1 << 64))
+
+
+def portable_window_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """``wh(i) = Σ_j th[i+j]·B^(k-1-j) mod 2^64`` for every FULL k-window
+    of a token-hash stream — the fingerprint oracle's ``winh`` formula
+    (training_data._fingerprint_sql), NO final mix, so the VALUE is
+    SQL-reproducible. Vectorized via the modular-inverse prefix trick
+    (B odd → invertible mod 2^64); streams shorter than k yield no
+    windows (unlike the fingerprint's min(n,k) clamp)."""
+    n = len(th)
+    if n < k:
+        return np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        invpow = np.cumprod(np.full(n, _POLY_B_INV, dtype=np.uint64)) * _POLY_B
+        S = np.cumsum(th * invpow)
+        Bpow = np.cumprod(np.full(n, _POLY_B, dtype=np.uint64)) * _POLY_B_INV
+        pre = np.empty(n + 1, dtype=np.uint64)
+        pre[0] = np.uint64(0)
+        pre[1:] = Bpow * S
+        win = pre[k:] - pre[:-k] * (Bpow[k - 1] * _POLY_B)
+    return win
+
+
+def batch_window_positions(
+    batch: pa.Table, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_id, text) batch → flat ``(doc_row_index, start_pos, wh)`` for
+    every full k-token window (start_pos 1-based, the SQL convention).
+
+    One md5 pass over the batch's unique tokens
+    (dedup._portable_token_hashes), ONE polynomial pass over the
+    concatenated hash stream — windows crossing a document boundary are
+    masked out (the polynomial is position-independent, so in-document
+    windows are unaffected by concatenation). Docs with < k tokens
+    contribute nothing."""
+    th, lens = _token_hash_stream(batch.column("text").to_pylist())
+    win = portable_window_hashes(th, k)
+    d, starts, valid = _mask_windows(win, lens, k)
+    return d, starts, win[valid]
+
+
+def _token_hash_stream(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated md5-LE token-hash stream + per-doc token counts."""
+    tok_lists = [py_tokens(t) for t in texts]
+    lens = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    flat_toks: list = []
+    for t in tok_lists:
+        flat_toks.extend(t)
+    return _portable_token_hashes(flat_toks), lens
+
+
+def _mask_windows(
+    win: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mask flat-stream windows that cross a document boundary; return
+    (doc_row_index, 1-based in-doc start, valid mask over ``win``)."""
+    if len(win) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=bool)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    p = np.arange(len(win), dtype=np.int64)  # flat window start (0-based)
+    valid = doc_of[p] == doc_of[p + k - 1]  # window inside ONE doc
+    d = doc_of[p[valid]]
+    starts = p[valid] - offsets[d] + 1
+    return d, starts, valid
+
+
+def window_count_partial(batch: pa.Table, k: int) -> pa.Table:
+    """Per-batch window-hash combiner: (wh, n) with within-batch counts
+    collapsed — the shuffle moves the batch's WINDOW VOCABULARY (sublinear
+    in windows for natural text), not the window stream."""
+    _, _, wh = batch_window_positions(batch, k)
+    uq, cnt = np.unique(wh, return_counts=True)
+    return pa.table(
+        {"wh": pa.array(uq), "n": pa.array(cnt.astype(np.int64))}
+    )
+
+
+def covered_spans(
+    doc_ids: np.ndarray, d: np.ndarray, starts: np.ndarray, k: int
+) -> pa.Table:
+    """Merge duplicated window starts into maximal covered spans —
+    gaps-and-islands, fully vectorized (one boundary mask, no per-doc
+    loop). Inputs must be ordered by (doc, start) — true by construction
+    for ``batch_window_positions`` output filtered by a mask. Two windows
+    merge when the next start ≤ prev start + k (overlapping or adjacent
+    coverage). Emits (doc_id, span_start, span_end, n_windows)."""
+    if len(starts) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+            }
+        )
+    new = np.ones(len(starts), dtype=bool)
+    new[1:] = (d[1:] != d[:-1]) | (starts[1:] > starts[:-1] + k)
+    b = np.nonzero(new)[0]
+    e = np.append(b[1:], len(starts)) - 1
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[d[b]]),
+            "span_start": pa.array(starts[b].astype(np.int64)),
+            "span_end": pa.array((starts[e] + k - 1).astype(np.int64)),
+            "n_windows": pa.array((e - b + 1).astype(np.int64)),
+        }
+    )
+
+
+def dup_span_doc_stats_batch(
+    batch: pa.Table, dup_sorted: np.ndarray, k: int
+) -> pa.Table:
+    """Per-document duplication rollup against the broadcast dup-hash set:
+    (doc_id, n_tokens, dup_tokens, n_spans, dup_permille) — dup_tokens is
+    the UNION size of all duplicated-window coverage (islands), and
+    dup_permille = dup_tokens·1000 // n_tokens (integer, no float in the
+    gate). Every input doc emits one row (zeros when nothing duplicated) —
+    the curation-filter shape (drop/trim docs above a duplication
+    threshold)."""
+    th, lens = _token_hash_stream(batch.column("text").to_pylist())
+    win = portable_window_hashes(th, k)
+    d, starts, valid = _mask_windows(win, lens, k)
+    wh = win[valid]
+    if len(dup_sorted) and len(wh):
+        pos = np.searchsorted(dup_sorted, wh)
+        pos[pos == len(dup_sorted)] = 0
+        hit = dup_sorted[pos] == wh
+    else:
+        hit = np.zeros(len(wh), dtype=bool)
+    d, starts = d[hit], starts[hit]
+    n = len(lens)
+    dup_tokens = np.zeros(n, dtype=np.int64)
+    n_spans = np.zeros(n, dtype=np.int64)
+    if len(starts):
+        new = np.ones(len(starts), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (starts[1:] > starts[:-1] + k)
+        b = np.nonzero(new)[0]
+        e = np.append(b[1:], len(starts)) - 1
+        span_len = starts[e] + k - 1 - starts[b] + 1
+        np.add.at(dup_tokens, d[b], span_len)
+        np.add.at(n_spans, d[b], 1)
+    permille = np.where(lens > 0, dup_tokens * 1000 // np.maximum(lens, 1), 0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(lens),
+            "dup_tokens": pa.array(dup_tokens),
+            "n_spans": pa.array(n_spans),
+            "dup_permille": pa.array(permille.astype(np.int64)),
+        }
+    )
+
+
+def dup_span_mark_batch(batch: pa.Table, dup_sorted: np.ndarray, k: int) -> pa.Table:
+    """Broadcast-path marker: membership of each window hash in the SORTED
+    duplicated-hash array (one searchsorted), then island merge — all of a
+    document's tokens live in one row, so span assembly is batch-local and
+    the whole mark pass is a zero-shuffle task map."""
+    d, starts, wh = batch_window_positions(batch, k)
+    if len(dup_sorted) and len(wh):
+        pos = np.searchsorted(dup_sorted, wh)
+        pos[pos == len(dup_sorted)] = 0
+        hit = dup_sorted[pos] == wh
+    else:
+        hit = np.zeros(len(wh), dtype=bool)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return covered_spans(ids, d[hit], starts[hit], k)
 
 
 def stratified_keep_mask(

@@ -578,3 +578,313 @@ def degree_distribution(edges: rd.Dataset) -> rd.Dataset:
         deg.select_columns(["degree"]), "degree", Count(alias_name="n_nodes")
     )
     return out.sort("degree")
+
+
+_TRI_SEP = "\x1f"  # wedge/edge pack separator (cannot appear in tokens)
+
+
+def _distinct_undirected_pairs(edges: rd.Dataset, src: str, dst: str) -> rd.Dataset:
+    """Distinct undirected simple-graph pairs (a < b lexicographic, the
+    DuckDB least/greatest order — byte order == codepoint order in UTF-8),
+    self-loops dropped; per-batch drop_duplicates combiner before the
+    vocabulary-sized exchange."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).to_numpy(zero_copy_only=False)
+        b = batch.column(dst).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        packed = pd.DataFrame({"a": lo[keep], "b": hi[keep]}).drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(packed["a"].to_numpy(), pa.string()),
+                "b": pa.array(packed["b"].to_numpy(), pa.string()),
+                "one": pa.array(np.ones(len(packed), dtype=np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        edges.map_batches(_pair_partial, batch_format="pyarrow"),
+        ["a", "b"],
+        [("one", "sum", "n")],
+    ).select_columns(["a", "b"])
+
+
+def triangle_counts(
+    edges: rd.Dataset,
+    *,
+    src: str = "source_id",
+    dst: str = "target_id",
+    num_shards: int = 64,
+    broadcast_limit: int = 5_000_000,
+) -> rd.Dataset:
+    """Per-node triangle participation over the UNDIRECTED simple graph of
+    ``edges`` (direction/type/multiplicity collapsed, self-loops dropped)
+    → (id, n_triangles).
+
+    Degree-ordered wedge counting (Suri & Vassilvitskii's MapReduce
+    formulation — public): orient every distinct edge from its
+    (degree, id)-smaller endpoint to the larger, enumerate ordered
+    out-neighbor pairs per pivot (Σ d_out² is O(m^1.5) under this
+    orientation — celebrity nodes cannot explode the wedge pass), close
+    wedges with a size-hybrid semi join against the packed oriented edge
+    set. Each triangle closes at exactly one pivot (its smallest vertex
+    under the total order). Wedge enumeration is sharded-coarse:
+    hash(pivot) % num_shards groups, one lexsort + per-segment triu
+    inside each shard — no per-node tasks. Degrees attach via broadcast
+    under ``broadcast_limit`` nodes, else via two hash joins (paths
+    parity-pinned in tests/test_webkg.py).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import semi_join_dataset
+
+    pairs = _distinct_undirected_pairs(edges, src, dst)
+    pairs = pairs.materialize()  # consumed by degrees AND orientation
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                batch.column("a").to_numpy(zero_copy_only=False),
+                batch.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        uq, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(uq, pa.string()),
+                "deg": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    degrees = grouped_aggregate_hybrid(
+        pairs.map_batches(_deg_partial, batch_format="pyarrow"),
+        "id",
+        [("deg", "sum", "deg")],
+    ).materialize()
+
+    def _orient_cols(a, b, deg_a, deg_b) -> pa.Table:
+        # total order (deg, id): u strictly smaller endpoint, v larger;
+        # the SAME order ranks wedge pairs, so a wedge's closing edge is
+        # always stored as (pair_lo → pair_hi)
+        a_first = (deg_a < deg_b) | ((deg_a == deg_b) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, deg_b, deg_a)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.string()),
+                "v": pa.array(v, pa.string()),
+                "dv": pa.array(dv.astype(np.int64)),
+            }
+        )
+
+    if degrees.count() <= broadcast_limit:
+        dpdf = degrees.to_pandas()
+        order = np.argsort(dpdf["id"].to_numpy())
+        ref = ray.put(
+            (
+                dpdf["id"].to_numpy()[order],
+                dpdf["deg"].to_numpy()[order].astype(np.int64),
+            )
+        )
+
+        def _orient(batch: pa.Table) -> pa.Table:
+            ids_s, degs_s = ray.get(ref)
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            return _orient_cols(
+                a,
+                b,
+                degs_s[np.searchsorted(ids_s, a)],
+                degs_s[np.searchsorted(ids_s, b)],
+            )
+
+        oriented = pairs.map_batches(_orient, batch_format="pyarrow")
+    else:
+        j = large_join(pairs, degrees, on=["a"], right_on=["id"]).rename_columns(
+            {"deg": "deg_a"}
+        )
+        j = large_join(
+            j.select_columns(["a", "b", "deg_a"]),
+            degrees,
+            on=["b"],
+            right_on=["id"],
+        ).rename_columns({"deg": "deg_b"})
+
+        def _orient_joined(batch: pa.Table) -> pa.Table:
+            return _orient_cols(
+                batch.column("a").to_numpy(zero_copy_only=False),
+                batch.column("b").to_numpy(zero_copy_only=False),
+                batch.column("deg_a").to_numpy(zero_copy_only=False),
+                batch.column("deg_b").to_numpy(zero_copy_only=False),
+            )
+
+        oriented = j.map_batches(_orient_joined, batch_format="pyarrow")
+
+    oriented = oriented.materialize()  # consumed by wedges AND closure keys
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(u, hash_key="kgw_ray_triangle") % num_shards
+        return batch.append_column("shard", pa.array(h.astype(np.int64)))
+
+    def _wedges(df: pd.DataFrame) -> pa.Table:
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        dv = df["dv"].to_numpy()
+        order = np.lexsort((v, dv, u))  # per pivot, neighbors (deg,id)-asc
+        u, v = u[order], v[order]
+        seg = np.nonzero(np.concatenate(([True], u[1:] != u[:-1])))[0]
+        ends = np.append(seg[1:], len(u))
+        ps, xs, ys = [], [], []
+        for s, e in zip(seg, ends):
+            d = e - s
+            if d < 2:
+                continue
+            i, j2 = np.triu_indices(d, 1)
+            ps.append(np.repeat(u[s], len(i)))
+            xs.append(v[s:e][i])
+            ys.append(v[s:e][j2])
+        if not ps:
+            e = pa.array([], pa.string())
+            return pa.table({"p": e, "x": e, "y": e})
+        return pa.table(
+            {
+                "p": pa.array(np.concatenate(ps), pa.string()),
+                "x": pa.array(np.concatenate(xs), pa.string()),
+                "y": pa.array(np.concatenate(ys), pa.string()),
+            }
+        )
+
+    wedges = (
+        oriented.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_wedges, batch_format="pandas")
+    )
+
+    def _wedge_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "ek",
+            pc.binary_join_element_wise(batch["x"], batch["y"], _TRI_SEP),
+        )
+
+    edge_keys = oriented.map_batches(
+        lambda t: pa.table(
+            {"ek": pc.binary_join_element_wise(t["u"], t["v"], _TRI_SEP)}
+        ),
+        batch_format="pyarrow",
+    )
+    closed = semi_join_dataset(
+        wedges.map_batches(_wedge_key, batch_format="pyarrow"),
+        edge_keys,
+        on="ek",
+        broadcast_limit=broadcast_limit,
+    )
+
+    def _node_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [batch.column(c).to_numpy(zero_copy_only=False) for c in ("p", "x", "y")]
+        )
+        uq, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(uq, pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        closed.map_batches(_node_partial, batch_format="pyarrow"),
+        "id",
+        [("n", "sum", "n_triangles")],
+    )
+
+
+def common_neighbor_counts(
+    edges: rd.Dataset,
+    *,
+    src: str = "source_id",
+    dst: str = "target_id",
+    num_shards: int = 64,
+) -> rd.Dataset:
+    """Common-neighbor counts for every node pair sharing ≥1 neighbor —
+    the classic link-prediction signal — over the undirected simple graph
+    of ``edges``: (x, y, n_common) with x < y.
+
+    Plan: symmetrize the distinct pair set to full adjacency, enumerate
+    each center's neighbor pairs (sharded-coarse: hash(center) %
+    num_shards groups, lexsort + per-segment triu — no per-node tasks),
+    then a per-batch pair combiner feeding a bounded exchange. Exact CN is
+    inherently Σ deg² work — a hub of degree d contributes d² wedges (no
+    orientation trick applies, unlike ``triangle_counts``); at web scale
+    cap or sample hub neighborhoods upstream if the degree distribution
+    has no natural ceiling."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    pairs = _distinct_undirected_pairs(edges, src, dst)
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate([a, b]), pa.string()),
+                "v": pa.array(np.concatenate([b, a]), pa.string()),
+            }
+        )
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(c, hash_key="kgw_ray_cn_shard") % num_shards
+        return batch.append_column("shard", pa.array(h.astype(np.int64)))
+
+    def _wedges(df: pd.DataFrame) -> pa.Table:
+        c = df["c"].to_numpy()
+        v = df["v"].to_numpy()
+        order = np.lexsort((v, c))  # neighbors id-asc per center → x < y
+        c, v = c[order], v[order]
+        seg = np.nonzero(np.concatenate(([True], c[1:] != c[:-1])))[0]
+        ends = np.append(seg[1:], len(c))
+        xs, ys = [], []
+        for s, e in zip(seg, ends):
+            d = e - s
+            if d < 2:
+                continue
+            i, j2 = np.triu_indices(d, 1)
+            xs.append(v[s:e][i])
+            ys.append(v[s:e][j2])
+        if not xs:
+            e0 = pa.array([], pa.string())
+            return pa.table(
+                {"x": e0, "y": e0, "n": pa.array([], pa.int64())}
+            )
+        packed = pd.DataFrame(
+            {"x": np.concatenate(xs), "y": np.concatenate(ys)}
+        )
+        cnt = packed.groupby(["x", "y"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "x": pa.array(cnt["x"].to_numpy(), pa.string()),
+                "y": pa.array(cnt["y"].to_numpy(), pa.string()),
+                "n": pa.array(cnt["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    wedges = (
+        pairs.map_batches(_sym, batch_format="pyarrow")
+        .map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_wedges, batch_format="pandas")
+    )
+    return grouped_aggregate_hybrid(
+        wedges, ["x", "y"], [("n", "sum", "n_common")]
+    )

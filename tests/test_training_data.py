@@ -1098,3 +1098,112 @@ def test_grouped_aggregate_hybrid_paths_agree(ray_session):
     assert canon(fast) == canon(slow) == {
         "a": (8, 3, 5), "b": (3, 1, 2), None: (11, 4, 7)
     }
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_portable_window_hashes_match_direct_polynomial():
+    """Vectorized modular-inverse prefix trick == the direct Σ h·B^j
+    definition the SQL oracle computes, for several window sizes."""
+    from kgw_ray.stages.corpus import portable_window_hashes
+
+    rng = np.random.default_rng(7)
+    th = rng.integers(0, 2**63, 50).astype(np.uint64)
+    B, M = 1000003, 1 << 64
+    for k in (1, 3, 8, 50):
+        win = portable_window_hashes(th, k)
+        exp = [
+            sum(int(th[i + j]) * pow(B, k - 1 - j, M) for j in range(k)) % M
+            for i in range(50 - k + 1)
+        ]
+        assert [int(x) for x in win] == exp
+    assert len(portable_window_hashes(th[:3], 8)) == 0  # no short windows
+
+
+def test_dup_spans_matches_bruteforce(sf_smoke):
+    """text_dup_spans == an independent pure-Python re-derivation over
+    token TUPLES (no hashing anywhere) — validates the hash-identity plan
+    semantically, not just against the hash-replaying SQL."""
+    from collections import Counter
+
+    from kgw_ray.functions.tokenize import py_tokens
+    from kgw_ray.pipelines.training_data import _DUP_SPAN_K, text_dup_spans
+
+    k = _DUP_SPAN_K
+    df = read_table(sf_smoke, "documents", columns=["doc_id", "text"]).to_pandas()
+    cnt: Counter = Counter()
+    toks = {}
+    for did, text in zip(df["doc_id"], df["text"]):
+        t = py_tokens(text)
+        toks[int(did)] = t
+        for i in range(len(t) - k + 1):
+            cnt[tuple(t[i : i + k])] += 1
+    expected = set()
+    for did, t in toks.items():
+        starts = [
+            i + 1
+            for i in range(len(t) - k + 1)
+            if cnt[tuple(t[i : i + k])] >= 2
+        ]
+        cur = None  # [span_start, last_start, n_windows]
+        for s in starts:
+            if cur is not None and s <= cur[1] + k:
+                cur[1] = s
+                cur[2] += 1
+            else:
+                if cur is not None:
+                    expected.add((did, cur[0], cur[1] + k - 1, cur[2]))
+                cur = [s, s, 1]
+        if cur is not None:
+            expected.add((did, cur[0], cur[1] + k - 1, cur[2]))
+
+    got = {
+        (int(r.doc_id), int(r.span_start), int(r.span_end), int(r.n_windows))
+        for r in text_dup_spans(sf_smoke).to_pandas().itertuples()
+    }
+    assert got == expected
+    assert len(got) > 0  # the fixture corpus contains duplicated spans
+
+
+def test_dup_spans_shuffle_path_parity(sf_smoke):
+    """broadcast_limit=0 forces the exploded-window semi-join + per-doc
+    merge scale path; it must emit exactly the broadcast path's spans."""
+    from kgw_ray.pipelines.training_data import text_dup_spans
+
+    def canon(ds):
+        return sorted(
+            (int(r.doc_id), int(r.span_start), int(r.span_end), int(r.n_windows))
+            for r in ds.to_pandas().itertuples()
+        )
+
+    assert canon(text_dup_spans(sf_smoke)) == canon(
+        text_dup_spans(sf_smoke, broadcast_limit=0)
+    )
+
+
+def test_dup_span_doc_stats_scale_path_parity(sf_smoke):
+    """broadcast_limit=0 pins the compose path (span scale path → per-doc
+    rollup → left hash join onto token counts); rows must equal the
+    one-pass broadcast kernel's, including all-zero rows."""
+    from kgw_ray.pipelines.training_data import text_dup_span_doc_stats
+
+    def canon(ds):
+        return sorted(
+            (
+                int(r.doc_id),
+                int(r.n_tokens),
+                int(r.dup_tokens),
+                int(r.n_spans),
+                int(r.dup_permille),
+            )
+            for r in ds.to_pandas().itertuples()
+        )
+
+    fast = canon(text_dup_span_doc_stats(sf_smoke))
+    slow = canon(text_dup_span_doc_stats(sf_smoke, broadcast_limit=0))
+    assert fast == slow
+    assert any(r[2] > 0 for r in fast)  # fixture has duplicated coverage
+    assert any(r[2] == 0 for r in fast)  # and clean docs (zero rows kept)

@@ -221,3 +221,100 @@ def test_pagerank_exchange_path_parity(sf_smoke):
         .reset_index(drop=True)
     )
     assert fast.equals(slow)
+
+
+def test_triangle_counts_bruteforce():
+    """triangle_counts == itertools brute force on a hand-built graph with
+    multiplicity, reversed duplicates, self-loops and isolated edges."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.graph import triangle_counts
+
+    raw = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),  # triangle abc
+        ("c", "d"), ("d", "a"),                          # triangle acd
+        ("d", "d"),                                      # self-loop
+        ("e", "f"),                                      # no triangle
+        ("a", "b"),                                      # duplicate
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": pa.array([x for x, _ in raw]),
+                "target_id": pa.array([y for _, y in raw]),
+            }
+        )
+    )
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    nodes = sorted({x for p in und for x in p})
+    expected = {}
+    for t in combinations(nodes, 3):
+        if all(tuple(sorted(e)) in und for e in combinations(t, 2)):
+            for n in t:
+                expected[n] = expected.get(n, 0) + 1
+    got = {
+        r.id: int(r.n_triangles)
+        for r in triangle_counts(ds, num_shards=4).to_pandas().itertuples()
+    }
+    assert got == expected == {"a": 2, "b": 1, "c": 2, "d": 1}
+
+
+def test_triangle_counts_join_path_parity(sf_smoke):
+    """broadcast_limit=0 pins the two-hash-join degree attach + shuffle
+    closure path; it must equal the broadcast path node-for-node."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph import triangle_counts
+
+    edges = edges_from_triples(triples_dataset(sf_smoke)).materialize()
+
+    def canon(ds):
+        return sorted(
+            (r.id, int(r.n_triangles)) for r in ds.to_pandas().itertuples()
+        )
+
+    assert canon(triangle_counts(edges)) == canon(
+        triangle_counts(edges, broadcast_limit=0)
+    )
+
+
+def test_common_neighbor_counts_bruteforce():
+    """common_neighbor_counts == itertools brute force on the same
+    hand-built graph (multiplicity/reverse/self-loop noise)."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.graph import common_neighbor_counts
+
+    raw = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "a"), ("d", "d"), ("e", "f"), ("a", "b"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": pa.array([x for x, _ in raw]),
+                "target_id": pa.array([y for _, y in raw]),
+            }
+        )
+    )
+    und = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    nbrs: dict = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    expected = {}
+    for x, y in combinations(sorted(nbrs), 2):
+        n = len(nbrs[x] & nbrs[y])
+        if n:
+            expected[(x, y)] = n
+    got = {
+        (r.x, r.y): int(r.n_common)
+        for r in common_neighbor_counts(ds, num_shards=4).to_pandas().itertuples()
+    }
+    assert got == expected
+    assert got[("a", "c")] == 2  # b and d
