@@ -667,6 +667,50 @@ SELECT id, MIN(m) AS component FROM r GROUP BY id
 """
 
 
+_KG_LCC_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+e0 AS (
+  SELECT DISTINCT least('E:' || subj, 'E:' || obj) AS a,
+                  greatest('E:' || subj, 'E:' || obj) AS b
+  FROM tr WHERE subj <> obj
+),
+deg AS (
+  SELECT id, COUNT(*) AS degree
+  FROM (SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)
+  GROUP BY id
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT id, COUNT(*) AS t
+  FROM (SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY id
+)
+SELECT deg.id, deg.degree, COALESCE(tcnt.t, 0) AS n_triangles,
+       CASE WHEN deg.degree >= 2
+            THEN 2000 * COALESCE(tcnt.t, 0) // (deg.degree * (deg.degree - 1))
+            ELSE 0 END AS lcc_permille
+FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id
+"""
+
+
+@register("kg_clustering_coefficients", oracle=_KG_LCC_SQL)
+def q_kg_clustering_coefficients(sf_dir: str) -> rd.Dataset:
+    """Integer local clustering coefficient per node (2000·T // d(d−1)) —
+    one triangle_counts pass with the coefficient attached to the
+    materialized degree table (stages/graph.py:clustering_coefficients)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph import clustering_coefficients
+
+    return clustering_coefficients(edges_from_triples(triples_dataset(sf_dir)))
+
+
 _KG_CN_SQL = f"""
 WITH tr AS ({TRIPLES_SQL}),
 e0 AS (
@@ -690,6 +734,37 @@ def q_kg_common_neighbors(sf_dir: str) -> rd.Dataset:
     from kgw_ray.stages.graph import common_neighbor_counts
 
     return common_neighbor_counts(edges_from_triples(triples_dataset(sf_dir)))
+
+
+_KG_BFS_SQL = f"""
+WITH RECURSIVE tr AS ({TRIPLES_SQL}),
+e0 AS (
+  SELECT DISTINCT least('E:' || subj, 'E:' || obj) AS a,
+                  greatest('E:' || subj, 'E:' || obj) AS b
+  FROM tr WHERE subj <> obj
+),
+edges AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b AS x, a AS y FROM e0),
+srcq AS (SELECT MIN(x) AS s FROM edges),
+r(id, depth) AS (
+  SELECT s, 0 FROM srcq WHERE s IS NOT NULL
+  UNION
+  SELECT e.y, r.depth + 1 FROM r JOIN edges e ON e.x = r.id
+  WHERE r.depth < 32
+)
+SELECT id, MIN(depth) AS depth FROM r GROUP BY id
+"""
+
+
+@register("kg_bfs_depths", oracle=_KG_BFS_SQL)
+def q_kg_bfs_depths(sf_dir: str) -> rd.Dataset:
+    """Single-source BFS hop depths from the lexicographically smallest
+    node — BSP frontier expansion, one size-hybrid anti-join per hop
+    (stages/graph.py:bfs_depths); oracle = depth-capped recursive-CTE
+    reachability with MIN(depth)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph import bfs_depths
+
+    return bfs_depths(edges_from_triples(triples_dataset(sf_dir)))
 
 
 @register("kg_connected_components", oracle=_KG_CC_SQL)

@@ -620,10 +620,13 @@ def triangle_counts(
     dst: str = "target_id",
     num_shards: int = 64,
     broadcast_limit: int = 5_000_000,
+    _clustering: bool = False,
 ) -> rd.Dataset:
     """Per-node triangle participation over the UNDIRECTED simple graph of
     ``edges`` (direction/type/multiplicity collapsed, self-loops dropped)
-    → (id, n_triangles).
+    → (id, n_triangles); with ``_clustering`` (use
+    ``clustering_coefficients``) every node joins its degree and integer
+    local clustering coefficient.
 
     Degree-ordered wedge counting (Suri & Vassilvitskii's MapReduce
     formulation — public): orient every distinct edge from its
@@ -800,10 +803,94 @@ def triangle_counts(
             }
         )
 
-    return grouped_aggregate_hybrid(
+    tri = grouped_aggregate_hybrid(
         closed.map_batches(_node_partial, batch_format="pyarrow"),
         "id",
         [("n", "sum", "n_triangles")],
+    )
+    if not _clustering:
+        return tri
+
+    # clustering mode: every node with its degree, triangle count and
+    # integer local clustering coefficient 2000·T // (d·(d−1)). Both
+    # sides are node-vocabulary-bounded; under the broadcast limit the
+    # triangle counts ride a ray.put lookup over the degree table, beyond
+    # it a left hash join (the same hybrid rule as the degree attach).
+    if tri.count() <= broadcast_limit:
+        tdf = tri.to_pandas()
+        t_order = np.argsort(tdf["id"].to_numpy())
+        tref = ray.put(
+            (
+                tdf["id"].to_numpy()[t_order],
+                tdf["n_triangles"].to_numpy()[t_order].astype(np.int64),
+            )
+        )
+
+        def _lcc(batch: pa.Table) -> pa.Table:
+            tids, tcnt = ray.get(tref)
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            d = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(tids):
+                pos = np.searchsorted(tids, ids)
+                pos[pos == len(tids)] = 0
+                t = np.where(tids[pos] == ids, tcnt[pos], 0)
+            else:
+                t = np.zeros(len(ids), dtype=np.int64)
+            denom = d * (d - 1)
+            lcc = np.where(denom > 0, 2000 * t // np.maximum(denom, 1), 0)
+            return pa.table(
+                {
+                    "id": batch.column("id"),
+                    "degree": pa.array(d),
+                    "n_triangles": pa.array(t.astype(np.int64)),
+                    "lcc_permille": pa.array(lcc.astype(np.int64)),
+                }
+            )
+
+        return degrees.map_batches(_lcc, batch_format="pyarrow")
+
+    j = large_join(degrees, tri, on=["id"], how="left_outer")
+
+    def _lcc_joined(batch: pa.Table) -> pa.Table:
+        d = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (
+            pc.fill_null(batch.column("n_triangles"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        denom = d * (d - 1)
+        lcc = np.where(denom > 0, 2000 * t // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "degree": pa.array(d),
+                "n_triangles": pa.array(t),
+                "lcc_permille": pa.array(lcc.astype(np.int64)),
+            }
+        )
+
+    return j.map_batches(_lcc_joined, batch_format="pyarrow")
+
+
+def clustering_coefficients(
+    edges: rd.Dataset,
+    *,
+    src: str = "source_id",
+    dst: str = "target_id",
+    num_shards: int = 64,
+    broadcast_limit: int = 5_000_000,
+) -> rd.Dataset:
+    """Local clustering coefficient per node (integer permille — no float
+    in the gate): (id, degree, n_triangles, lcc_permille) for EVERY node
+    of the undirected simple graph. One triangle_counts pass; the
+    coefficient attaches to the already-materialized degree table."""
+    return triangle_counts(
+        edges,
+        src=src,
+        dst=dst,
+        num_shards=num_shards,
+        broadcast_limit=broadcast_limit,
+        _clustering=True,
     )
 
 
@@ -888,3 +975,111 @@ def common_neighbor_counts(
     return grouped_aggregate_hybrid(
         wedges, ["x", "y"], [("n", "sum", "n_common")]
     )
+
+
+def bfs_depths(
+    edges: rd.Dataset,
+    source: str | None = None,
+    *,
+    src: str = "source_id",
+    dst: str = "target_id",
+    max_rounds: int = 32,
+) -> rd.Dataset:
+    """Single-source BFS hop depths over the undirected simple graph —
+    (id, depth) for every node reachable from ``source`` (default: the
+    lexicographically smallest node id, a deterministic choice both
+    engines can make).
+
+    BSP frontier expansion (one superstep per hop, the Pregel shape):
+    frontier ⋈ adjacency → distinct neighbors → size-hybrid ``anti_join``
+    against the visited set → next frontier. Each round's exchange is
+    bounded by the frontier-adjacency product, never the whole graph;
+    ``max_rounds`` caps pathological diameters (raises rather than
+    silently truncating, the connected_components convention)."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import anti_join, large_join
+
+    pairs = _distinct_undirected_pairs(edges, src, dst)
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate([a, b]), pa.string()),
+                "v": pa.array(np.concatenate([b, a]), pa.string()),
+            }
+        )
+
+    adj = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
+    if source is None:
+        sources = adj.min("c")
+        if sources is None:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "id": pa.array([], pa.string()),
+                        "depth": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        source = sources
+
+    import pyarrow.compute as pc
+
+    def _with_depth(d: int):
+        def tag(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": t.column("id"),
+                    "depth": pa.nulls(t.num_rows, pa.int64()).fill_null(d),
+                }
+            )
+
+        return tag
+
+    def _distinct_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t.column("v"))
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        return pa.table(
+            {
+                "v": u,
+                "one": pa.nulls(len(u), pa.int64()).fill_null(1),
+            }
+        )
+
+    frontier = rd.from_arrow(
+        pa.table({"id": pa.array([source], pa.string())})
+    ).materialize()
+    visited = frontier
+    results = frontier.map_batches(_with_depth(0), batch_format="pyarrow")
+    for depth in range(1, max_rounds + 1):
+        nxt = large_join(
+            adj, frontier, on=["c"], right_on=["id"]
+        ).select_columns(["v"])
+        # distinct new neighbors, then drop already-visited (size-hybrid)
+        nxt = grouped_aggregate_hybrid(
+            nxt.map_batches(_distinct_partial, batch_format="pyarrow"),
+            "v",
+            [("one", "sum", "n")],
+        ).select_columns(["v"])
+        frontier = (
+            anti_join(nxt, visited, on="v", key_col="id")
+            .rename_columns({"v": "id"})
+            .materialize()
+        )
+        if frontier.count() == 0:
+            break
+        results = results.union(
+            frontier.map_batches(_with_depth(depth), batch_format="pyarrow")
+        )
+        visited = visited.union(frontier).materialize()
+    else:
+        raise RuntimeError(
+            f"bfs_depths did not exhaust the component in {max_rounds} "
+            "rounds — raise max_rounds for this diameter"
+        )
+    return results

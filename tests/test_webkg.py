@@ -318,3 +318,52 @@ def test_common_neighbor_counts_bruteforce():
     }
     assert got == expected
     assert got[("a", "c")] == 2  # b and d
+
+
+def test_clustering_coefficients_paths_and_values(sf_smoke):
+    """Join path (broadcast_limit=0) == broadcast path, and the permille
+    formula spot-checked against n_triangles/degree on every row."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph import clustering_coefficients
+
+    edges = edges_from_triples(triples_dataset(sf_smoke)).materialize()
+
+    def canon(ds):
+        return sorted(
+            (r.id, int(r.degree), int(r.n_triangles), int(r.lcc_permille))
+            for r in ds.to_pandas().itertuples()
+        )
+
+    fast = canon(clustering_coefficients(edges))
+    assert fast == canon(clustering_coefficients(edges, broadcast_limit=0))
+    for _id, d, t, lcc in fast:
+        assert lcc == (2000 * t // (d * (d - 1)) if d >= 2 else 0)
+    assert any(lcc > 0 for *_, lcc in fast)
+
+
+def test_bfs_depths_bruteforce():
+    """bfs_depths from the min node on the hand-built graph: exact hop
+    depths, unreachable component absent, self-loops ignored."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.graph import bfs_depths
+
+    raw = [
+        ("b", "c"), ("c", "a"), ("c", "d2"), ("d2", "x"),
+        ("d", "d"), ("e", "f"), ("a", "b"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": pa.array([x for x, _ in raw]),
+                "target_id": pa.array([y for _, y in raw]),
+            }
+        )
+    )
+    got = {
+        r.id: int(r.depth) for r in bfs_depths(ds).to_pandas().itertuples()
+    }
+    # source = min id "a"; a adjoins b and c; d2 via c; x via d2; e/f and
+    # the d self-loop component are unreachable
+    assert got == {"a": 0, "b": 1, "c": 1, "d2": 2, "x": 3}
