@@ -237,3 +237,67 @@ def test_exact_quantiles_property(ray_session, vals, dup_factor, q, bins, pull_c
     sv = np.sort(v)
     want = float(sv[int(np.ceil(q * len(v))) - 1])
     assert got == {q: want}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=30),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(deadline=None, max_examples=60)
+def test_dup_span_kernels_match_bruteforce(docs, k):
+    """Window hashing + membership + island merge == a pure-Python
+    token-tuple brute force on random small-alphabet corpora (dense
+    duplication stresses every merge/boundary case)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+
+    from kgw_ray.stages.corpus import (
+        batch_window_positions,
+        dup_span_mark_batch,
+    )
+
+    texts = [" ".join(d) for d in docs]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    _, _, wh = batch_window_positions(batch, k)
+    uq, cnt = np.unique(wh, return_counts=True)
+    dup_sorted = np.sort(uq[cnt >= 2])
+    out = dup_span_mark_batch(batch, dup_sorted, k)
+    got = {
+        (int(r["doc_id"]), int(r["span_start"]), int(r["span_end"]), int(r["n_windows"]))
+        for r in out.to_pylist()
+    }
+
+    counts: Counter = Counter()
+    for d in docs:
+        for i in range(len(d) - k + 1):
+            counts[tuple(d[i : i + k])] += 1
+    expected = set()
+    for did, d in enumerate(docs):
+        starts = [
+            i + 1
+            for i in range(len(d) - k + 1)
+            if counts[tuple(d[i : i + k])] >= 2
+        ]
+        cur = None
+        for s in starts:
+            if cur is not None and s <= cur[1] + k:
+                cur[1] = s
+                cur[2] += 1
+            else:
+                if cur is not None:
+                    expected.add((did, cur[0], cur[1] + k - 1, cur[2]))
+                cur = [s, s, 1]
+        if cur is not None:
+            expected.add((did, cur[0], cur[1] + k - 1, cur[2]))
+    assert got == expected

@@ -59,6 +59,12 @@ _TOKEN_QUERIES = [
     "text_normalize",
     "tfidf_top_terms",
     "decontaminate_documents",
+    # r4 substring-level dedup: window hashes = md5-LE token hashes
+    # through the polynomial ring — the whole chain must stay byte-exact
+    # on hostile UTF-8 (docs 0/1 and 12/13 share cross-doc 8-gram runs,
+    # so the span output is non-trivial here)
+    "text_dup_spans",
+    "text_dup_span_doc_stats",
 ]
 
 
