@@ -788,6 +788,158 @@ def q_kg_connected_components(sf_dir: str) -> rd.Dataset:
     return connected_components(pairs)
 
 
+_KG_RECIP_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+e AS (SELECT DISTINCT 'E:' || subj AS s, 'E:' || obj AS t
+      FROM tr WHERE subj <> obj),
+p AS (SELECT least(s, t) AS a, greatest(s, t) AS b,
+             SUM(CASE WHEN s < t THEN 1 ELSE 2 END) AS f
+      FROM e GROUP BY 1, 2),
+agg AS (SELECT SUM(CASE WHEN f = 3 THEN 2 ELSE 1 END) AS n_edges,
+               SUM(CASE WHEN f = 3 THEN 2 ELSE 0 END) AS n_recip
+        FROM p)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_recip AS BIGINT) AS n_reciprocal,
+       CAST(CASE WHEN n_edges > 0 THEN 1000 * n_recip // n_edges
+                 ELSE 0 END AS BIGINT) AS recip_permille
+FROM agg
+"""
+
+
+@register("kg_reciprocity", oracle=_KG_RECIP_SQL)
+def q_kg_reciprocity(sf_dir: str) -> pa.Table:
+    """Directed-edge reciprocity of the web-KG (distinct simple edges,
+    integer permille) — distinct-pair combiner → direction-flag fold →
+    per-block partial counts (stages/graph_metrics.py:reciprocity)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import reciprocity
+
+    return reciprocity(edges_from_triples(triples_dataset(sf_dir)))
+
+
+_KG_MOMENTS_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+e0 AS (
+  SELECT DISTINCT least('E:' || subj, 'E:' || obj) AS a,
+                  greatest('E:' || subj, 'E:' || obj) AS b
+  FROM tr WHERE subj <> obj
+),
+deg AS (
+  SELECT id, COUNT(*) AS deg
+  FROM (SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)
+  GROUP BY id
+),
+nodes AS (SELECT COUNT(*) AS n_nodes, SUM(deg * deg) AS sum_deg2,
+                 SUM(deg * deg * deg) AS sum_deg3 FROM deg),
+ed AS (SELECT COUNT(*) AS m_edges, SUM(da.deg * db.deg) AS sum_dudv
+       FROM e0 JOIN deg da ON e0.a = da.id JOIN deg db ON e0.b = db.id)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(m_edges AS BIGINT) AS m_edges,
+       CAST(sum_deg2 AS BIGINT) AS sum_deg2, CAST(sum_deg3 AS BIGINT) AS sum_deg3,
+       CAST(sum_dudv AS BIGINT) AS sum_dudv
+FROM nodes, ed
+"""
+
+
+@register("kg_degree_moments", oracle=_KG_MOMENTS_SQL)
+def q_kg_degree_moments(sf_dir: str) -> pa.Table:
+    """Exact integer degree-assortativity components (n, m, Σd², Σd³,
+    Σ d(u)·d(v) over edges) — node moments from the vocabulary-sized degree
+    table, edge products via the size-hybrid degree attach
+    (stages/graph_metrics.py:degree_moments)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import degree_moments
+
+    return degree_moments(edges_from_triples(triples_dataset(sf_dir)))
+
+
+_KG_JACCARD_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+e0 AS (
+  SELECT DISTINCT least('E:' || subj, 'E:' || obj) AS a,
+                  greatest('E:' || subj, 'E:' || obj) AS b
+  FROM tr WHERE subj <> obj
+),
+sym AS (SELECT a AS c, b AS v FROM e0 UNION ALL SELECT b AS c, a AS v FROM e0),
+deg AS (SELECT c AS id, COUNT(*) AS deg FROM sym GROUP BY c),
+cn AS (SELECT e1.v AS x, e2.v AS y, COUNT(*) AS n_common
+       FROM sym e1 JOIN sym e2 ON e1.c = e2.c AND e1.v < e2.v
+       GROUP BY 1, 2)
+SELECT cn.x, cn.y, cn.n_common,
+       CAST(1000 * cn.n_common // (dx.deg + dy.deg - cn.n_common) AS BIGINT)
+         AS jaccard_permille
+FROM cn JOIN deg dx ON cn.x = dx.id JOIN deg dy ON cn.y = dy.id
+"""
+
+
+@register("kg_jaccard_link_pred", oracle=_KG_JACCARD_SQL)
+def q_kg_jaccard_link_pred(sf_dir: str) -> rd.Dataset:
+    """Jaccard link-prediction scores (integer permille) for every node
+    pair sharing a neighbor — one common-neighbors wedge pass + the
+    size-hybrid degree attach (stages/graph_metrics.py:
+    jaccard_link_prediction)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import jaccard_link_prediction
+
+    return jaccard_link_prediction(edges_from_triples(triples_dataset(sf_dir)))
+
+
+def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    # every CTE is MATERIALIZED: each round references the previous one
+    # multiple times, and DuckDB's default CTE inlining would expand the
+    # chain exponentially (hundreds of parquet re-opens at rounds=8)
+    parts = [
+        f"""WITH tr AS MATERIALIZED ({TRIPLES_SQL}),
+p0 AS MATERIALIZED (
+  SELECT DISTINCT least('E:' || subj, 'E:' || obj) AS a,
+                  greatest('E:' || subj, 'E:' || obj) AS b
+  FROM tr WHERE subj <> obj
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (SELECT id, COUNT(*) AS deg
+  FROM (SELECT a AS id FROM p{i} UNION ALL SELECT b AS id FROM p{i})
+  GROUP BY id),
+s{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE deg >= {k}),
+p{i + 1} AS MATERIALIZED (SELECT p{i}.a, p{i}.b FROM p{i}
+  JOIN s{i} sa ON p{i}.a = sa.id JOIN s{i} sb ON p{i}.b = sb.id)"""
+        )
+    parts.append(
+        f""",
+dfin AS (SELECT id, COUNT(*) AS deg
+  FROM (SELECT a AS id FROM p{rounds} UNION ALL SELECT b AS id FROM p{rounds})
+  GROUP BY id)
+SELECT id, CAST(deg AS BIGINT) AS degree FROM dfin"""
+    )
+    return "".join(parts)
+
+
+_KG_KCORE_SQL = _kcore_sql(3, 8)
+
+
+@register("kg_kcore", oracle=_KG_KCORE_SQL)
+def q_kg_kcore(sf_dir: str) -> rd.Dataset:
+    """8-round k=3 core peeling of the web-KG (exact k-core once
+    converged — convergence at fixture scale asserted in
+    tests/test_graph_metrics.py): per round one vocabulary-sized degree
+    exchange plus two size-hybrid semi joins
+    (stages/graph_metrics.py:kcore); the oracle unrolls the identical
+    rounds as chained CTEs."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import kcore
+
+    return kcore(edges_from_triples(triples_dataset(sf_dir)), k=3, rounds=8)
+
+
+# r4 continuation: OLAP super-aggregates, CDC snapshot diff, anti-entropy
+# checksum (replica-checked like the rest of the tail)
+register("events_rollup", _rel.EVENTS_ROLLUP_SQL)(_rel.events_rollup)
+register("events_snapshot_diff", _rel.EVENTS_SNAPSHOT_DIFF_SQL)(
+    _rel.events_snapshot_diff
+)
+register("docs_table_checksum", _rel.DOCS_CHECKSUM_SQL)(_rel.docs_table_checksum)
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

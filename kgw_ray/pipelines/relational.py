@@ -1331,3 +1331,200 @@ SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
 FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
         LEFT JOIN t3 ON t1.user_id = t3.user_id
 """
+
+
+def events_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(event_type, hour): the three aggregation levels —
+    (type, hour), (type), grand total — from ONE combiner pass over the
+    event log. The detail level is the only distributed aggregate (same
+    exchange as events_hourly_window); the two super-aggregate levels
+    re-reduce the bounded detail table (types × hours rows) on the
+    driver, never the corpus. Super-levels sum the UNROUNDED detail sums
+    so rounding composes exactly like the SQL ROLLUP."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], sort=False)["value"]
+        return arrow_from_pandas(g.agg(n="size", sum_value="sum").reset_index())
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    detail = grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour"],
+        [("n", "sum", "n"), ("sum_value", "sum", "sum_value")],
+    ).to_pandas()
+    lvl1 = (
+        detail.groupby("event_type", sort=False)
+        .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+        .reset_index()
+    )
+    lvl1["hour"] = pd.NaT
+    lvl0 = pd.DataFrame(
+        {
+            "event_type": [None],
+            "hour": [pd.NaT],
+            "n": [detail["n"].sum()],
+            "sum_value": [detail["sum_value"].sum()],
+        }
+    )
+    out = pd.concat(
+        [detail[["event_type", "hour", "n", "sum_value"]], lvl1, lvl0],
+        ignore_index=True,
+    )
+    out["n"] = out["n"].astype("int64")
+    out["hour"] = out["hour"].astype("datetime64[us]")
+    out["sum_value"] = out["sum_value"].round(_R)
+    return arrow_from_pandas(out[["event_type", "hour", "n", "sum_value"]])
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, date_trunc('hour', ts))
+"""
+
+
+def events_snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """CDC snapshot diff: compare the latest-event-per-user state at the
+    HALFWAY point of the log (event_id ≤ max(event_id)//2) against the
+    final state → (user_id, old_event_id, new_event_id, status in
+    added/changed/unchanged) — the table-diff every incremental-ingest
+    pipeline runs to validate a changefeed replay.
+
+    Physical plan: ONE pass packs both snapshots' arg-max keys per batch
+    (zero-padded ts|event_id, lexicographic Max == (ts, event_id) max;
+    the old-snapshot key is NULL for rows past the cutoff so the same
+    grouped Max ignores them); one vocabulary-sized exchange merges both
+    columns, then a vectorized unpack + compare. The event log itself
+    never shuffles. Sibling of events_latest_per_user (the gated single
+    snapshot)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    cutoff = ds.max("event_id") // 2
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        if len(ts_us) and (ts_us.min() < 0 or eid.min() < 0 or eid.max() >= 10**12):
+            raise ValueError(
+                "events_snapshot_diff: ts/event_id outside the packed-key "
+                "width contract (0 <= ts_us, 0 <= event_id < 10^12)"
+            )
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(pa.array(ts_us), pa.string()), 20, "0"),
+            pc.utf8_lpad(pc.cast(pa.array(eid), pa.string()), 12, "0"),
+            "",
+        ).to_numpy(zero_copy_only=False)
+        # "" sentinel for rows past the cutoff: every packed key is 52
+        # digits so "" sorts below all of them and the SAME Max aggregate
+        # works on both merge paths (pandas object-max chokes on None)
+        old_key = np.where(eid <= cutoff, key, "")
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+                "new_key": key,
+                "old_key": old_key,
+            }
+        )
+        g = df.groupby("user_id", sort=False).agg(
+            new_key=("new_key", "max"), old_key=("old_key", "max")
+        )
+        return arrow_from_pandas(g.reset_index())
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    merged = grouped_aggregate_hybrid(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        "user_id",
+        [("new_key", "max", "new_key"), ("old_key", "max", "old_key")],
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        new_keys = batch.column("new_key").to_pylist()
+        old_keys = batch.column("old_key").to_pylist()
+        new_eid = np.array([int(k[20:32]) for k in new_keys], dtype=np.int64)
+        old_eid = pa.array(
+            [None if not k else int(k[20:32]) for k in old_keys], pa.int64()
+        )
+        status = [
+            "added" if not o else ("unchanged" if int(o[20:32]) == n else "changed")
+            for o, n in zip(old_keys, new_eid)
+        ]
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "old_event_id": old_eid,
+                "new_event_id": pa.array(new_eid),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+    return merged.map_batches(unpack, batch_format="pyarrow")
+
+
+EVENTS_SNAPSHOT_DIFF_SQL = """
+WITH cut AS (SELECT MAX(event_id) // 2 AS c FROM events),
+nw AS (
+  SELECT user_id, event_id, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+newest AS (SELECT user_id, event_id AS new_event_id FROM nw WHERE rn = 1),
+od AS (
+  SELECT e.user_id, e.event_id, ROW_NUMBER() OVER (
+    PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM events e, cut WHERE e.event_id <= cut.c
+),
+oldest AS (SELECT user_id, event_id AS old_event_id FROM od WHERE rn = 1)
+SELECT n.user_id, o.old_event_id, n.new_event_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN o.old_event_id = n.new_event_id THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM newest n LEFT JOIN oldest o ON n.user_id = o.user_id
+"""
+
+
+def docs_table_checksum(sf_dir: str) -> pa.Table:
+    """Anti-entropy fingerprint of the documents table: order-insensitive
+    md5-sum checksum + row count (stages/agg.py:table_checksum) — the
+    replica/engine-parity check that validates a 10^12-row copy without
+    moving it. Zero shuffle: one (sum, n) row per block."""
+    from kgw_ray.stages.agg import table_checksum
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = read_table(sf_dir, "documents", columns=cols)
+    r = table_checksum(ds, cols)
+    return pa.table(
+        {
+            "n_rows": pa.array([r["n_rows"]], pa.int64()),
+            "checksum": pa.array([r["checksum"]], pa.string()),
+        }
+    )
+
+
+def _docs_checksum_sql() -> str:
+    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+
+    row = (
+        "COALESCE(CAST(doc_id AS VARCHAR), '') || '|' || COALESCE(text, '')"
+        " || '|' || COALESCE(lang, '') || '|' || COALESCE(source, '')"
+        " || '|' || COALESCE(CAST(n_chars AS VARCHAR), '')"
+    )
+    return f"""
+WITH h AS (SELECT md5({row}) AS hx FROM documents),
+u AS (SELECT ({_MD5_LE_UINT64}) AS hv FROM h)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(hv AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)
+            AS VARCHAR) AS checksum
+FROM u
+"""
+
+
+DOCS_CHECKSUM_SQL = _docs_checksum_sql()

@@ -788,3 +788,43 @@ def grouped_aggregate_hybrid(
     return partials.groupby(keys).aggregate(
         *[ctor[op](col, alias_name=alias) for col, op, alias in specs]
     )
+
+
+def table_checksum(ds: rd.Dataset, cols: "Sequence[str]") -> dict:
+    """Order-insensitive distributed table fingerprint: per-row md5 of the
+    '|'-joined canonical column rendering (None → ''), first 8 digest bytes
+    little-endian as uint64, summed mod 2⁶⁴, plus the row count — the
+    cheap anti-entropy check two replicas/engines can both compute to
+    verify a 10^12-row table without moving it (per-block partials are one
+    (sum, count) row each; no shuffle, no sort).
+
+    Engine-exact: md5 + wrap-around integer addition have one answer, so
+    a SQL oracle reproduces the checksum bit-for-bit. Canonical renders
+    must match the SQL side: integers via str(), floats are NOT supported
+    (no portable text rendering) — pass pre-scaled integer columns.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        rendered = [
+            [("" if v is None else str(v)) for v in t.column(c).to_pylist()]
+            for c in cols
+        ]
+        acc = 0  # unbounded python int; one mod at the end (no numpy
+        # overflow warnings, same wrap-around result)
+        for row in zip(*rendered):
+            d = hashlib.md5("|".join(row).encode("utf-8")).digest()
+            acc += int.from_bytes(d[:8], "little")
+        return pa.table(
+            {
+                "sum": pa.array([acc % (1 << 64)], pa.uint64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = sum(int(p["sum"]) for p in parts) % (1 << 64)
+    return {"n_rows": int(sum(p["n"] for p in parts)), "checksum": str(total)}

@@ -1,0 +1,355 @@
+"""Whole-graph structural metrics over the web-KG edge table: reciprocity,
+exact degree moments (assortativity components), Jaccard link prediction,
+and fixed-round k-core peeling.
+
+Reference scope: kgw's Analyze stage reports graph statistics
+(``kgw/_shared/tasks.py`` statistics sinks — node/edge counts, type
+histograms); these operators extend the same analyze surface with the
+structural metrics a web-scale KG needs (hub detection, link prediction,
+core extraction). All outputs are exact integers (permille scaling where a
+ratio is reported) so the DuckDB oracles gate byte-identical values.
+
+Scale notes (every operator):
+- the only corpus-sized pass is ``_distinct_undirected_pairs`` /
+  ``_distinct_ordered_pairs`` — a per-batch dedup combiner feeding a
+  vocabulary-sized exchange (never raw triples);
+- degree tables are node-vocabulary-sized; they attach to pair streams via
+  broadcast under ``broadcast_limit`` and hash joins beyond it (the same
+  size-hybrid trade as ``triangle_counts``);
+- single-row outputs (reciprocity, moments) reduce through per-block
+  partial sums — one tiny row per block crosses the cluster, never pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from kgw_ray.stages.agg import grouped_aggregate_hybrid
+from kgw_ray.stages.graph import _distinct_undirected_pairs
+
+_BROADCAST_LIMIT = 5_000_000
+
+
+def _degree_table(pairs: rd.Dataset) -> rd.Dataset:
+    """(id, deg) distinct-neighbor degrees over an undirected distinct-pair
+    dataset — per-batch ``np.unique`` combiner, vocabulary-sized exchange."""
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                batch.column("a").to_numpy(zero_copy_only=False),
+                batch.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        uq, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"id": pa.array(uq, pa.string()), "deg": pa.array(cnt.astype(np.int64))}
+        )
+
+    return grouped_aggregate_hybrid(
+        pairs.map_batches(_deg_partial, batch_format="pyarrow"),
+        "id",
+        [("deg", "sum", "deg")],
+    )
+
+
+def _sum_partials(ds: rd.Dataset, fn) -> list[np.ndarray]:
+    """Reduce ``ds`` to per-block int64 partial-sum rows via ``fn(batch) ->
+    1-row Table`` and pull the tiny partials (one row per block)."""
+    parts = ds.map_batches(fn, batch_format="pyarrow").take_all()
+    return parts
+
+
+def reciprocity(
+    edges: rd.Dataset, *, src: str = "source_id", dst: str = "target_id"
+) -> pa.Table:
+    """Directed-graph reciprocity over the distinct simple edge set →
+    one row (n_edges, n_reciprocal, recip_permille).
+
+    ``n_edges`` counts distinct ordered (s, t) pairs with s ≠ t;
+    ``n_reciprocal`` counts the ordered edges whose reverse also exists
+    (so it is always even); ``recip_permille = 1000·n_reciprocal //
+    n_edges`` — the standard reciprocity ratio in integer permille.
+
+    Plan: per-batch distinct combiner over ordered pairs → vocabulary
+    exchange; each ordered pair then folds into its undirected key with a
+    direction flag (1 = s<t, 2 = s>t) so ONE grouped Sum distinguishes
+    one-way (flag 1 or 2) from reciprocal (flag 3); per-block partial
+    counts reduce to a single row on the driver.
+    """
+
+    def _ordered_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False)
+        t = batch.column(dst).to_numpy(zero_copy_only=False)
+        keep = s != t
+        packed = pd.DataFrame({"s": s[keep], "t": t[keep]}).drop_duplicates()
+        return pa.table(
+            {
+                "s": pa.array(packed["s"].to_numpy(), pa.string()),
+                "t": pa.array(packed["t"].to_numpy(), pa.string()),
+                "one": pa.array(np.ones(len(packed), dtype=np.int64)),
+            }
+        )
+
+    ordered = grouped_aggregate_hybrid(
+        edges.map_batches(_ordered_partial, batch_format="pyarrow"),
+        ["s", "t"],
+        [("one", "min", "one")],
+    )
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(s, t), np.maximum(s, t)
+        flag = np.where(s < t, 1, 2).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(lo, pa.string()),
+                "b": pa.array(hi, pa.string()),
+                "f": pa.array(flag),
+            }
+        )
+
+    folded = grouped_aggregate_hybrid(
+        ordered.map_batches(_fold, batch_format="pyarrow"),
+        ["a", "b"],
+        [("f", "sum", "f")],
+    )
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        f = batch.column("f").to_numpy(zero_copy_only=False)
+        both = int(np.count_nonzero(f == 3))
+        return pa.table(
+            {
+                "n_edges": pa.array([2 * both + int(np.count_nonzero(f != 3))], pa.int64()),
+                "n_reciprocal": pa.array([2 * both], pa.int64()),
+            }
+        )
+
+    parts = _sum_partials(folded, _counts)
+    n_edges = sum(p["n_edges"] for p in parts)
+    n_recip = sum(p["n_reciprocal"] for p in parts)
+    permille = (1000 * n_recip) // n_edges if n_edges else 0
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_reciprocal": pa.array([n_recip], pa.int64()),
+            "recip_permille": pa.array([permille], pa.int64()),
+        }
+    )
+
+
+def degree_moments(
+    edges: rd.Dataset, *, src: str = "source_id", dst: str = "target_id"
+) -> pa.Table:
+    """Exact integer moments of the undirected simple graph's degree
+    sequence plus the edge-wise degree product — the components of
+    degree assortativity, emitted as exact BIGINTs so the oracle gates
+    value-identical (the float Pearson coefficient is derivable from
+    them): one row (n_nodes, m_edges, sum_deg2, sum_deg3, sum_dudv).
+
+    ``sum_deg2 = Σ_v d(v)²`` (= Σ_edges d(u)+d(v)), ``sum_deg3 = Σ_v
+    d(v)³``, ``sum_dudv = Σ_edges d(u)·d(v)``. Assortativity r =
+    (4m·sum_dudv − sum_deg2²) / (2m·sum_deg3 − sum_deg2²).
+
+    Plan: degree table (vocabulary exchange) → node moments as per-block
+    partials; degrees broadcast once (hash-join fallback beyond the
+    limit) onto the pair stream for the edge-product partials.
+    """
+    pairs = _distinct_undirected_pairs(edges, src, dst).materialize()
+    degrees = _degree_table(pairs).materialize()
+
+    def _node_moments(batch: pa.Table) -> pa.Table:
+        d = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_nodes": pa.array([len(d)], pa.int64()),
+                "sum_deg2": pa.array([int((d * d).sum())], pa.int64()),
+                "sum_deg3": pa.array([int((d * d * d).sum())], pa.int64()),
+            }
+        )
+
+    node_parts = _sum_partials(degrees, _node_moments)
+
+    pair_moments = _attach_degrees(pairs, degrees)
+
+    def _edge_moments(batch: pa.Table) -> pa.Table:
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "m_edges": pa.array([len(da)], pa.int64()),
+                "sum_dudv": pa.array([int((da * db).sum())], pa.int64()),
+            }
+        )
+
+    edge_parts = _sum_partials(pair_moments, _edge_moments)
+
+    return pa.table(
+        {
+            "n_nodes": pa.array([sum(p["n_nodes"] for p in node_parts)], pa.int64()),
+            "m_edges": pa.array([sum(p["m_edges"] for p in edge_parts)], pa.int64()),
+            "sum_deg2": pa.array([sum(p["sum_deg2"] for p in node_parts)], pa.int64()),
+            "sum_deg3": pa.array([sum(p["sum_deg3"] for p in node_parts)], pa.int64()),
+            "sum_dudv": pa.array([sum(p["sum_dudv"] for p in edge_parts)], pa.int64()),
+        }
+    )
+
+
+def _attach_degrees(
+    pairs: rd.Dataset,
+    degrees: rd.Dataset,
+    *,
+    broadcast_limit: int = _BROADCAST_LIMIT,
+    cols: tuple[str, str] = ("a", "b"),
+) -> rd.Dataset:
+    """Attach deg_<col> for both endpoints of a pair stream. Broadcast
+    ``ray.put`` of the sorted (id, deg) arrays under ``broadcast_limit``
+    nodes (np.searchsorted probe per batch — a task map reading plasma
+    zero-copy), two hash joins beyond it."""
+    ca, cb = cols
+    if degrees.count() <= broadcast_limit:
+        dpdf = degrees.to_pandas()
+        order = np.argsort(dpdf["id"].to_numpy())
+        ref = ray.put(
+            (
+                dpdf["id"].to_numpy()[order],
+                dpdf["deg"].to_numpy()[order].astype(np.int64),
+            )
+        )
+
+        def probe(batch: pa.Table) -> pa.Table:
+            ids, degs = ray.get(ref)
+            a = batch.column(ca).to_numpy(zero_copy_only=False)
+            b = batch.column(cb).to_numpy(zero_copy_only=False)
+            da = degs[np.searchsorted(ids, a)]
+            db = degs[np.searchsorted(ids, b)]
+            return batch.append_column("deg_a", pa.array(da)).append_column(
+                "deg_b", pa.array(db)
+            )
+
+        return pairs.map_batches(probe, batch_format="pyarrow")
+
+    from kgw_ray.stages.joins import large_join
+
+    keep = pairs.schema().names + ["deg_a", "deg_b"]
+    j = large_join(
+        pairs,
+        degrees.map_batches(
+            lambda t: t.rename_columns(["id", "deg_a"]), batch_format="pyarrow"
+        ),
+        on=(ca,),
+        right_on=("id",),
+        how="inner",
+    ).materialize()  # chained joins: materialize so empty-block compaction runs
+    j = large_join(
+        j,
+        degrees.map_batches(
+            lambda t: t.rename_columns(["id", "deg_b"]), batch_format="pyarrow"
+        ),
+        on=(cb,),
+        right_on=("id",),
+        how="inner",
+    )
+    return j.select_columns(keep)
+
+
+def jaccard_link_prediction(
+    edges: rd.Dataset,
+    *,
+    src: str = "source_id",
+    dst: str = "target_id",
+    broadcast_limit: int = _BROADCAST_LIMIT,
+) -> rd.Dataset:
+    """Jaccard link-prediction scores for every node pair sharing ≥1
+    neighbor: (x, y, n_common, jaccard_permille) with x < y and
+    ``jaccard_permille = 1000·|N(x)∩N(y)| // (d(x)+d(y)−|N(x)∩N(y)|)``
+    over the undirected simple graph — exact integers end to end.
+
+    Plan: one ``common_neighbor_counts`` pass (sharded-coarse wedge
+    enumeration, Σ deg² work — the documented CN ceiling applies) plus
+    the size-hybrid degree attach; no additional shuffle beyond the CN
+    exchange."""
+    from kgw_ray.stages.graph import common_neighbor_counts
+
+    pairs = _distinct_undirected_pairs(edges, src, dst).materialize()
+    degrees = _degree_table(pairs).materialize()
+    cn = common_neighbor_counts(edges, src=src, dst=dst)
+    withdeg = _attach_degrees(
+        cn, degrees, broadcast_limit=broadcast_limit, cols=("x", "y")
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_common").to_numpy(zero_copy_only=False)
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False)
+        union = da + db - n
+        jp = (1000 * n) // union
+        return pa.table(
+            {
+                "x": batch.column("x"),
+                "y": batch.column("y"),
+                "n_common": batch.column("n_common"),
+                "jaccard_permille": pa.array(jp.astype(np.int64)),
+            }
+        )
+
+    return withdeg.map_batches(_score, batch_format="pyarrow")
+
+
+def kcore(
+    edges: rd.Dataset,
+    *,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "source_id",
+    dst: str = "target_id",
+) -> rd.Dataset:
+    """``rounds``-round k-core peeling over the undirected simple graph →
+    (id, degree) for every node still carrying an edge after the final
+    round, with its degree in the surviving subgraph.
+
+    Each round drops nodes whose degree in the CURRENT subgraph is < k
+    and restricts the pair set to survivors (two size-hybrid semi joins).
+    Peeling is monotone, so once a round removes nothing the result IS
+    the exact k-core and further rounds are no-ops — the fixed ``rounds``
+    unroll makes the operator reproducible in SQL (the oracle unrolls the
+    same R rounds); a converged-early run and the R-round run coincide.
+    The degenerate non-converged case (R too small for the diameter of
+    the peeling cascade) is still deterministic: exactly R rounds on both
+    engines. Per round: one vocabulary-sized degree exchange + two
+    semi joins (broadcast at test scale, hash-partitioned at 10^12)."""
+    pairs = _distinct_undirected_pairs(edges, src, dst).materialize()
+    from kgw_ray.stages.joins import semi_join_dataset
+
+    prev_nodes = None
+    for _ in range(rounds):
+        import pyarrow.compute as pc
+
+        degrees = _degree_table(pairs).materialize()
+        survivors = degrees.map_batches(
+            lambda t, _k=k: t.filter(pc.greater_equal(t.column("deg"), _k)),
+            batch_format="pyarrow",
+        ).materialize()
+        n_surv = survivors.count()
+        if prev_nodes is not None and n_surv == prev_nodes:
+            break  # converged: identical to running the remaining rounds
+        prev_nodes = n_surv
+        if n_surv == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.string()),
+                    "degree": pa.array([], pa.int64()),
+                }
+            )
+        pairs = semi_join_dataset(pairs, survivors, on="a", key_col="id")
+        pairs = semi_join_dataset(pairs, survivors, on="b", key_col="id").materialize()
+
+    final = _degree_table(pairs)
+    return final.map_batches(
+        lambda t: t.rename_columns(["id", "degree"]), batch_format="pyarrow"
+    )

@@ -75,6 +75,48 @@ def default_join_partitions() -> int:
     return max(2, min(16, n // 4 if n >= 16 else n))
 
 
+def _compact_if_sparse(ds: rd.Dataset) -> rd.Dataset:
+    """Rebalance a MATERIALIZED join input so no block is empty.
+
+    Ray 2.49's hash-shuffle join skips empty input blocks when scattering;
+    an aggregator partition fed only by skipped blocks never learns that
+    side's schema and ``pyarrow.Table.join`` raises ``ArrowInvalid: No
+    match ... FieldRef`` at finalize (repro pinned in
+    tests/test_graph_metrics.py + test_joins_empty_blocks.py). Empty
+    blocks arise exactly on join-output/filtered intermediates — the
+    chained-join shape — so compaction runs only when the input is already
+    materialized (count/num_blocks are then metadata reads, no extra
+    execution) and provably contains an empty block (rows < blocks)."""
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(ds, MaterializedDataset):
+        return ds
+    n = ds.count()
+    if n == 0:
+        return ds
+    try:
+        # per-block row counts are metadata on a materialized dataset —
+        # no block fetch, no re-execution
+        has_empty = any(
+            (meta.num_rows or 0) == 0
+            for bundle in ds.iter_internal_ref_bundles()
+            for _, meta in bundle.blocks
+        )
+    except Exception:  # pragma: no cover - internal API drift
+        has_empty = n < ds.num_blocks()
+    if not has_empty:
+        return ds
+    return ds.repartition(max(1, min(n, default_join_partitions()))).materialize()
+
+
+def _empty_arrow_like(ds: rd.Dataset) -> Optional[pa.Table]:
+    sch = ds.schema()
+    if sch is None:
+        return None  # schema-less empty dataset: caller falls through
+    base = getattr(sch, "base_schema", sch)
+    return base.empty_table()
+
+
 def large_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -84,7 +126,64 @@ def large_join(
     how: str = "inner",
     num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
-    """Hash-partitioned shuffle join (both sides large)."""
+    """Hash-partitioned shuffle join (both sides large).
+
+    Materialized inputs are compacted so empty blocks never reach the
+    shuffle (see ``_compact_if_sparse``); an empty materialized side
+    short-circuits to the schema-correct empty result computed by the
+    SAME pyarrow join kernel Ray uses, since the distributed path cannot
+    learn a schema from zero blocks."""
+    from ray.data.dataset import MaterializedDataset
+
+    left = _compact_if_sparse(left)
+    right = _compact_if_sparse(right)
+    left_empty = isinstance(left, MaterializedDataset) and left.count() == 0
+    right_empty = isinstance(right, MaterializedDataset) and right.count() == 0
+    if left_empty or right_empty:
+        if right_empty and how == "left_anti":
+            return left  # anti vs nothing keeps everything
+        if left_empty and how in ("left_semi", "left_anti"):
+            return left  # already the schema-correct empty result
+        if right_empty and how == "left_semi":
+            return left.limit(0)
+        rt = _empty_arrow_like(right)
+        lt = _empty_arrow_like(left)
+        if rt is None or lt is None:
+            return _distributed_join(left, right, on, right_on, how, num_partitions)
+        keys = list(on)
+        rkeys = list(right_on) if right_on else None
+        jt = how.replace("_", " ")
+        if right_empty and how == "left_outer" and not left_empty:
+            # null-pad the right columns per batch with the SAME pyarrow
+            # kernel Ray's aggregator uses — semantics identical, and the
+            # (big) left keeps streaming
+            rt_ref = ray.put(rt)
+
+            def pad(batch: pa.Table) -> pa.Table:
+                return batch.join(
+                    ray.get(rt_ref),
+                    keys=keys,
+                    right_keys=rkeys,
+                    join_type="left outer",
+                    right_suffix="_r",
+                )
+
+            return left.map_batches(pad, batch_format="pyarrow")
+        out = lt.join(
+            rt, keys=keys, right_keys=rkeys, join_type=jt, right_suffix="_r"
+        )
+        return rd.from_arrow(out)
+    return _distributed_join(left, right, on, right_on, how, num_partitions)
+
+
+def _distributed_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]],
+    how: str,
+    num_partitions: Optional[int],
+) -> rd.Dataset:
     return left.join(
         right,
         join_type=how,

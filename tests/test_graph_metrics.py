@@ -1,0 +1,130 @@
+"""Structural graph metrics (stages/graph_metrics.py): reciprocity, degree
+moments, Jaccard link prediction, fixed-round k-core — synthetic-graph
+truths plus the at-scale path pins the oracles can't see."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kgw_ray.stages.graph_metrics import (
+    _attach_degrees,
+    _degree_table,
+    degree_moments,
+    jaccard_link_prediction,
+    kcore,
+    reciprocity,
+)
+from kgw_ray.stages.graph import _distinct_undirected_pairs
+
+
+def _edges(pairs):
+    s, t = zip(*pairs)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source_id": pa.array(s, pa.string()),
+                "target_id": pa.array(t, pa.string()),
+            }
+        )
+    )
+
+
+def test_reciprocity_known_graph(ray_session):
+    # a<->b reciprocal, a->c b->c one-way, self-loop dropped, duplicate edge
+    # collapsed: 4 distinct ordered simple edges, 2 reciprocal
+    ds = _edges([("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"), ("c", "c"), ("a", "b")])
+    row = reciprocity(ds).to_pylist()[0]
+    assert row == {"n_edges": 4, "n_reciprocal": 2, "recip_permille": 500}
+
+
+def test_reciprocity_empty(ray_session):
+    ds = _edges([("a", "a")])  # only a self-loop → zero simple edges
+    row = reciprocity(ds).to_pylist()[0]
+    assert row == {"n_edges": 0, "n_reciprocal": 0, "recip_permille": 0}
+
+
+def test_degree_moments_triangle_plus_tail(ray_session):
+    # triangle a-b-c plus tail c-d: deg a=2 b=2 c=3 d=1
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    row = degree_moments(ds).to_pylist()[0]
+    assert row["n_nodes"] == 4 and row["m_edges"] == 4
+    assert row["sum_deg2"] == 4 + 4 + 9 + 1
+    assert row["sum_deg3"] == 8 + 8 + 27 + 1
+    # edges: ab 2*2, bc 2*3, ca 3*2, cd 3*1
+    assert row["sum_dudv"] == 4 + 6 + 6 + 3
+
+
+def test_jaccard_link_pred_square(ray_session):
+    # 4-cycle a-b-c-d-a: opposite corners share BOTH neighbors
+    # J(a,c) = |{b,d}| / |{b,d}| = 1 → 1000 permille; adjacent pairs share
+    # none (no output row)
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    out = {
+        (r["x"], r["y"]): (r["n_common"], r["jaccard_permille"])
+        for r in jaccard_link_prediction(ds).take_all()
+    }
+    assert out == {("a", "c"): (2, 1000), ("b", "d"): (2, 1000)}
+
+
+def test_jaccard_hash_join_path_matches_broadcast(ray_session):
+    rng = np.random.default_rng(7)
+    pairs = {(f"n{a}", f"n{b}") for a, b in rng.integers(0, 30, (120, 2)) if a != b}
+    ds = _edges(sorted(pairs))
+    bc = {
+        (r["x"], r["y"]): (r["n_common"], r["jaccard_permille"])
+        for r in jaccard_link_prediction(ds).take_all()
+    }
+    sh = {
+        (r["x"], r["y"]): (r["n_common"], r["jaccard_permille"])
+        for r in jaccard_link_prediction(ds, broadcast_limit=0).take_all()
+    }
+    assert bc == sh and len(bc) > 0
+
+
+def test_kcore_peels_tail_keeps_clique(ray_session):
+    # K4 clique (3-core) with a pendant path hanging off it: the path peels
+    # away over multiple rounds, the clique survives with degree 3
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("d", "e"), ("e", "f"), ("f", "g")]
+    out = {r["id"]: r["degree"] for r in kcore(_edges(clique + tail), k=3, rounds=8).take_all()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_fully_peeled_graph_is_empty(ray_session):
+    # a tree has no 2-core
+    out = kcore(_edges([("a", "b"), ("b", "c"), ("c", "d")]), k=2, rounds=8)
+    rows = out.to_pylist() if isinstance(out, pa.Table) else out.take_all()
+    assert rows == []
+
+
+def test_kcore_converges_on_fixture(ray_session, sf_smoke):
+    """The registered rounds=8 run IS the exact k-core at fixture scale:
+    one more round changes nothing (the convergence claim in the
+    registry docstring)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+
+    edges = edges_from_triples(triples_dataset(sf_smoke))
+    r8 = {(r["id"], r["degree"]) for r in kcore(edges, k=3, rounds=8).take_all()}
+    r9 = {(r["id"], r["degree"]) for r in kcore(edges, k=3, rounds=9).take_all()}
+    assert r8 == r9 and len(r8) > 0
+
+
+def test_attach_degrees_paths_agree(ray_session):
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    pairs = _distinct_undirected_pairs(ds, "source_id", "target_id").materialize()
+    degrees = _degree_table(pairs).materialize()
+    bc = sorted(
+        (r["a"], r["b"], r["deg_a"], r["deg_b"])
+        for r in _attach_degrees(pairs, degrees).take_all()
+    )
+    sh = sorted(
+        (r["a"], r["b"], r["deg_a"], r["deg_b"])
+        for r in _attach_degrees(pairs, degrees, broadcast_limit=0).take_all()
+    )
+    assert bc == sh == [
+        ("a", "b", 2, 2),
+        ("a", "c", 2, 3),
+        ("b", "c", 2, 3),
+        ("c", "d", 3, 1),
+    ]
