@@ -939,6 +939,129 @@ register("events_snapshot_diff", _rel.EVENTS_SNAPSHOT_DIFF_SQL)(
     _rel.events_snapshot_diff
 )
 register("docs_table_checksum", _rel.DOCS_CHECKSUM_SQL)(_rel.docs_table_checksum)
+register("text_pii_redact", _td.PII_REDACT_SQL)(_td.text_pii_redact)
+register("web_host_stats", _td.WEB_HOST_STATS_SQL)(_td.web_host_stats)
+register("orders_period_diff", _rel.ORDERS_PERIOD_DIFF_SQL)(
+    _rel.orders_period_diff
+)
+register("dq_validate_orders", _rel.DQ_ORDERS_SQL)(_rel.dq_validate_orders)
+
+_DOC_YIELD_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+d AS (SELECT doc_id, subj, pred, obj, COUNT(*) AS n FROM tr
+      GROUP BY doc_id, subj, pred, obj)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_mentions,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_triples
+FROM d GROUP BY doc_id
+"""
+
+
+@register("webkg_doc_yield", oracle=_DOC_YIELD_SQL)
+def q_webkg_doc_yield(sf_dir: str) -> rd.Dataset:
+    """Per-document triple yield (crawl-quality signal: mention count +
+    distinct-triple count per page) — two chained combiner aggregates over
+    ONE triple scan: (doc,s,p,o)-keyed multiplicity dedup, then the
+    doc-keyed rollup. Shuffles move one row per (batch, key), never raw
+    mention streams."""
+    import numpy as np
+
+    from kgw_ray.pipelines.webkg import triples_dataset
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    tr = triples_dataset(sf_dir)
+
+    def _dedup_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+                "subj": batch.column("subj").to_numpy(zero_copy_only=False),
+                "pred": batch.column("pred").to_numpy(zero_copy_only=False),
+                "obj": batch.column("obj").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby(["doc_id", "subj", "pred", "obj"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "subj": pa.array(g["subj"].to_numpy(), pa.string()),
+                "pred": pa.array(g["pred"].to_numpy(), pa.string()),
+                "obj": pa.array(g["obj"].to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    deduped = grouped_aggregate_hybrid(
+        tr.map_batches(_dedup_partial, batch_format="pyarrow"),
+        ["doc_id", "subj", "pred", "obj"],
+        [("n", "sum", "n")],
+    )
+
+    def _doc_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(ids, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uq, pa.int64()),
+                "n_mentions": pa.array(
+                    np.bincount(inv, weights=n).astype(np.int64)
+                ),
+                "n_distinct_triples": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        deduped.map_batches(_doc_partial, batch_format="pyarrow"),
+        "doc_id",
+        [
+            ("n_mentions", "sum", "n_mentions"),
+            ("n_distinct_triples", "sum", "n_distinct_triples"),
+        ],
+    )
+
+
+_KG_CLOSENESS_SQL = f"""
+WITH RECURSIVE tr AS ({TRIPLES_SQL}),
+e0 AS (
+  SELECT DISTINCT least('E:' || subj, 'E:' || obj) AS a,
+                  greatest('E:' || subj, 'E:' || obj) AS b
+  FROM tr WHERE subj <> obj
+),
+edges AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b AS x, a AS y FROM e0),
+nodes AS (SELECT DISTINCT x AS id FROM edges),
+srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 4),
+r(s, id, depth) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT r.s, e.y, r.depth + 1 FROM r JOIN edges e ON e.x = r.id
+  WHERE r.depth < 32
+),
+m AS (SELECT s, id, MIN(depth) AS d FROM r GROUP BY s, id)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(d) AS BIGINT) AS sum_depth
+FROM m GROUP BY id
+"""
+
+
+@register("kg_closeness", oracle=_KG_CLOSENESS_SQL)
+def q_kg_closeness(sf_dir: str) -> rd.Dataset:
+    """Landmark-closeness sketch: hop depths from the 4 smallest node ids,
+    summed per reached node — synchronized multi-source BSP frontier
+    expansion, one superstep per hop for ALL landmarks
+    (stages/graph_metrics.py:multi_bfs_closeness); oracle = depth-capped
+    recursive-CTE reachability per landmark."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import multi_bfs_closeness
+
+    return multi_bfs_closeness(
+        edges_from_triples(triples_dataset(sf_dir)), n_sources=4
+    )
 
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)

@@ -1528,3 +1528,179 @@ FROM u
 
 
 DOCS_CHECKSUM_SQL = _docs_checksum_sql()
+
+
+def orders_period_diff(sf_dir: str) -> rd.Dataset:
+    """Period-over-period customer activity: per-customer order counts in
+    the first vs second half of the order-date range, FULL OUTER joined so
+    single-period customers surface with a NULL other side → (o_custkey,
+    n_h1, n_h2, status in both/h1_only/h2_only).
+
+    Pins the full_outer path of the hash-shuffle join (the one join type
+    no other registered query exercises; a single-pass conditional-sum
+    aggregate could compute the same table — this operator exists to keep
+    the outer-join machinery under the value gate). The halfway cutoff is
+    integer epoch-µs arithmetic on both engines."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import large_join
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    lo = pc.cast(
+        pa.scalar(ds.min("o_orderdate")), pa.timestamp("us")
+    ).cast(pa.int64()).as_py()
+    hi = pc.cast(
+        pa.scalar(ds.max("o_orderdate")), pa.timestamp("us")
+    ).cast(pa.int64()).as_py()
+    cut = (lo + hi) // 2
+
+    def half_counts(which_first: bool):
+        def partial(batch: pa.Table) -> pa.Table:
+            ts = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            keep = ts < cut if which_first else ts >= cut
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)[keep]
+            uq, cnt = np.unique(keys, return_counts=True)
+            col = "n_h1" if which_first else "n_h2"
+            return pa.table(
+                {
+                    "o_custkey": pa.array(uq, pa.int64()),
+                    col: pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        col = "n_h1" if which_first else "n_h2"
+        return grouped_aggregate_hybrid(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "o_custkey",
+            [(col, "sum", col)],
+        ).materialize()
+
+    joined = large_join(
+        half_counts(True), half_counts(False), on=("o_custkey",), how="full_outer"
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        h1 = batch.column("n_h1").to_numpy(zero_copy_only=False)
+        h2 = batch.column("n_h2").to_numpy(zero_copy_only=False)
+        status = np.where(
+            np.isnan(h1.astype(np.float64)),
+            "h2_only",
+            np.where(np.isnan(h2.astype(np.float64)), "h1_only", "both"),
+        )
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "n_h1": batch.column("n_h1"),
+                "n_h2": batch.column("n_h2"),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+ORDERS_PERIOD_DIFF_SQL = """
+WITH cut AS (
+  SELECT (epoch_us(MIN(o_orderdate)) + epoch_us(MAX(o_orderdate))) // 2 AS c
+  FROM orders
+),
+h1 AS (SELECT o_custkey, COUNT(*) AS n_h1 FROM orders, cut
+       WHERE epoch_us(o_orderdate) < cut.c GROUP BY o_custkey),
+h2 AS (SELECT o_custkey, COUNT(*) AS n_h2 FROM orders, cut
+       WHERE epoch_us(o_orderdate) >= cut.c GROUP BY o_custkey)
+SELECT COALESCE(h1.o_custkey, h2.o_custkey) AS o_custkey, h1.n_h1, h2.n_h2,
+       CASE WHEN h1.o_custkey IS NULL THEN 'h2_only'
+            WHEN h2.o_custkey IS NULL THEN 'h1_only'
+            ELSE 'both' END AS status
+FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+"""
+
+
+def dq_validate_orders(sf_dir: str) -> pa.Table:
+    """Data-quality gate over the orders table: one streaming pass counts
+    NULL keys, non-positive totals and out-of-domain statuses (per-block
+    partials, driver add), plus referential orphans vs customer via the
+    size-hybrid anti join — the ingest-validation report a pipeline runs
+    before promoting a snapshot. One row: n_rows, n_null_custkey,
+    n_nonpositive_total, n_bad_status, n_orphan_orders."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.joins import anti_join
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    )
+    valid_status = pa.array(["O", "F", "P"], pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        null_ck = pc.sum(
+            pc.cast(pc.is_null(batch.column("o_custkey")), pa.int64())
+        ).as_py() or 0
+        tot = batch.column("o_totalprice")
+        nonpos = pc.sum(
+            pc.cast(pc.less_equal(pc.fill_null(tot, 0.0), 0.0), pa.int64())
+        ).as_py() or 0
+        bad = pc.sum(
+            pc.cast(
+                pc.invert(
+                    pc.is_in(
+                        pc.fill_null(batch.column("o_orderstatus"), ""),
+                        value_set=valid_status,
+                    )
+                ),
+                pa.int64(),
+            )
+        ).as_py() or 0
+        return pa.table(
+            {
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "n_null_custkey": pa.array([null_ck], pa.int64()),
+                "n_nonpositive_total": pa.array([nonpos], pa.int64()),
+                "n_bad_status": pa.array([bad], pa.int64()),
+            }
+        )
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").take_all()
+    customers = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orphans = anti_join(
+        orders.select_columns(["o_orderkey", "o_custkey"]),
+        customers,
+        on="o_custkey",
+        key_col="c_custkey",
+    ).count()
+    return pa.table(
+        {
+            "n_rows": pa.array([sum(p["n_rows"] for p in parts)], pa.int64()),
+            "n_null_custkey": pa.array(
+                [sum(p["n_null_custkey"] for p in parts)], pa.int64()
+            ),
+            "n_nonpositive_total": pa.array(
+                [sum(p["n_nonpositive_total"] for p in parts)], pa.int64()
+            ),
+            "n_bad_status": pa.array(
+                [sum(p["n_bad_status"] for p in parts)], pa.int64()
+            ),
+            "n_orphan_orders": pa.array([orphans], pa.int64()),
+        }
+    )
+
+
+DQ_ORDERS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_custkey,
+       CAST(SUM(CASE WHEN COALESCE(o_totalprice, 0) <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nonpositive_total,
+       CAST(SUM(CASE WHEN COALESCE(o_orderstatus, '')
+                     NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_status,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_custkey IS NOT NULL)) AS n_orphan_orders
+FROM orders
+"""

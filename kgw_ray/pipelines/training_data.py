@@ -1684,3 +1684,117 @@ WHERE ({_MD5_LE_UINT64}) % (CASE lang {case} ELSE {_MIX_DEFAULT} END) = 0"""
 
 
 CURATE_FULL_SQL = _curate_full_sql()
+
+
+def text_pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII redaction compliance pass: per doc the redaction count and the
+    md5 of the text after the ordered email/IPv4/phone regex chain
+    (stages/textstats.py:pii_redact_batch — Arrow RE2 kernels; DuckDB's
+    regexp_* is RE2 too, so the oracle replays the identical chain). Only
+    digests cross the cluster, never redacted text. The fixture corpus
+    carries no PII (counts are 0 and the digest equals the raw-text md5);
+    the machinery is exercised on a PII-laden fixture in
+    tests/test_training_data.py."""
+    from kgw_ray.stages.textstats import pii_redact_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(pii_redact_batch, batch_format="pyarrow")
+
+
+def _pii_sql() -> str:
+    from kgw_ray.stages.textstats import pii_redact_sql
+
+    return pii_redact_sql("documents")
+
+
+PII_REDACT_SQL = _pii_sql()
+
+
+def web_host_stats(sf_dir: str) -> rd.Dataset:
+    """Per-HOST crawl rollup over the flagship pages table: page count,
+    first/last observed warc_ts, total extracted-text codepoints — the
+    crawl-frontier / politeness summary a CommonCrawl-scale pipeline keeps
+    per host. The host is parsed from the page URL string (RE2 extract);
+    the oracle re-derives it independently from the source column. One
+    np-vectorized partial per batch, then a host-vocabulary exchange."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.sources.pages import url_for  # noqa: F401 (derivation doc)
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = pc.binary_join_element_wise(
+            "https://",
+            batch.column("source"),
+            ".example.org/doc/",
+            pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 8, "0"),
+            "",
+        )
+        host = pc.struct_field(
+            pc.extract_regex(urls, pattern=r"^https://(?P<host>[^/]+)/"), "host"
+        ).to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        chars = pc.cast(
+            pc.utf8_length(pc.fill_null(batch.column("text"), "")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(host, return_inverse=True)
+        first = np.full(len(uq), np.iinfo(np.int64).max, dtype=np.int64)
+        last = np.full(len(uq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(first, inv, ids)
+        np.maximum.at(last, inv, ids)
+        return pa.table(
+            {
+                "host": pa.array(uq, pa.string()),
+                "n_pages": pa.array(np.bincount(inv).astype(np.int64)),
+                "first_id": pa.array(first),
+                "last_id": pa.array(last),
+                "total_text_chars": pa.array(
+                    np.bincount(inv, weights=chars).astype(np.int64)
+                ),
+            }
+        )
+
+    merged = grouped_aggregate_hybrid(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "host",
+        [
+            ("n_pages", "sum", "n_pages"),
+            ("first_id", "min", "first_id"),
+            ("last_id", "max", "last_id"),
+            ("total_text_chars", "sum", "total_text_chars"),
+        ],
+    )
+
+    _EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in µs since Unix epoch
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        first = batch.column("first_id").to_numpy(zero_copy_only=False)
+        last = batch.column("last_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_pages": batch.column("n_pages"),
+                "first_ts": pa.array(_EPOCH_US + first * 1_000_000, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "last_ts": pa.array(_EPOCH_US + last * 1_000_000, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "total_text_chars": batch.column("total_text_chars"),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+WEB_HOST_STATS_SQL = """
+SELECT source || '.example.org' AS host,
+       COUNT(*) AS n_pages,
+       TIMESTAMP '2024-01-01' + MIN(doc_id) * INTERVAL 1 SECOND AS first_ts,
+       TIMESTAMP '2024-01-01' + MAX(doc_id) * INTERVAL 1 SECOND AS last_ts,
+       CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_text_chars
+FROM documents
+GROUP BY source
+"""

@@ -353,3 +353,153 @@ def kcore(
     return final.map_batches(
         lambda t: t.rename_columns(["id", "degree"]), batch_format="pyarrow"
     )
+
+
+def multi_bfs_closeness(
+    edges: rd.Dataset,
+    *,
+    n_sources: int = 4,
+    src: str = "source_id",
+    dst: str = "target_id",
+    max_rounds: int = 32,
+) -> rd.Dataset:
+    """Multi-source BFS closeness summary: hop depths from the
+    ``n_sources`` lexicographically-smallest nodes (the deterministic
+    landmark set both engines can pick), aggregated per reached node →
+    (id, n_reached, sum_depth) — the landmark-closeness sketch large
+    graphs use instead of exact all-pairs closeness (exact integers; the
+    closeness estimate n_reached/sum_depth is derivable).
+
+    BSP frontier expansion like ``graph.bfs_depths`` but with rows
+    (source, node): every landmark's frontier advances in the SAME
+    superstep, so the round count is one diameter regardless of
+    ``n_sources``; the visited/anti-join key packs source|node. Exchanges
+    stay bounded by frontier-adjacency products; landmark count scales
+    work linearly (pick n_sources, not the graph, at 10^12 edges)."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import anti_join, large_join
+    from kgw_ray.stages.graph import _distinct_undirected_pairs
+
+    pairs = _distinct_undirected_pairs(edges, src, dst)
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate([a, b]), pa.string()),
+                "v": pa.array(np.concatenate([b, a]), pa.string()),
+            }
+        )
+
+    adj = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
+    node_ids = _degree_table(pairs).select_columns(["id"])
+    srcs = sorted(r["id"] for r in node_ids.take_all())[:n_sources]
+    empty = pa.table(
+        {
+            "id": pa.array([], pa.string()),
+            "n_reached": pa.array([], pa.int64()),
+            "sum_depth": pa.array([], pa.int64()),
+        }
+    )
+    if not srcs:
+        return rd.from_arrow(empty)
+
+    def _pack(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t.column("s"), t.column("id"), "|")
+        return t.append_column("key", key)
+
+    def _with_depth(d: int):
+        def tag(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "s": t.column("s"),
+                    "id": t.column("id"),
+                    "depth": pa.nulls(t.num_rows, pa.int64()).fill_null(d),
+                }
+            )
+
+        return tag
+
+    frontier = rd.from_arrow(
+        pa.table(
+            {
+                "s": pa.array(srcs, pa.string()),
+                "id": pa.array(srcs, pa.string()),
+            }
+        )
+    ).materialize()
+    visited = (
+        frontier.map_batches(_pack, batch_format="pyarrow")
+        .select_columns(["key", "s", "id"])  # pin column order for unions
+        .materialize()
+    )
+    results = frontier.map_batches(_with_depth(0), batch_format="pyarrow")
+    for depth in range(1, max_rounds + 1):
+        hop = large_join(
+            adj, frontier, on=["c"], right_on=["id"]
+        ).select_columns(["s", "v"])
+
+        def _distinct_partial(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame(
+                {
+                    "s": t.column("s").to_numpy(zero_copy_only=False),
+                    "id": t.column("v").to_numpy(zero_copy_only=False),
+                }
+            ).drop_duplicates()
+            out = pa.table(
+                {
+                    "s": pa.array(df["s"].to_numpy(), pa.string()),
+                    "id": pa.array(df["id"].to_numpy(), pa.string()),
+                    "one": pa.array(np.ones(len(df), dtype=np.int64)),
+                }
+            )
+            return _pack(out)
+
+        nxt = grouped_aggregate_hybrid(
+            hop.map_batches(_distinct_partial, batch_format="pyarrow"),
+            "key",
+            [("s", "min", "s"), ("id", "min", "id")],
+        ).select_columns(["key", "s", "id"])
+        frontier = anti_join(nxt, visited, on="key", key_col="key").materialize()
+        if frontier.count() == 0:
+            break
+        results = results.union(
+            frontier.map_batches(_with_depth(depth), batch_format="pyarrow")
+        )
+        visited = visited.union(
+            frontier.select_columns(["key", "s", "id"])
+        ).materialize()
+        frontier = frontier.select_columns(["s", "id"]).materialize()
+    else:
+        raise RuntimeError(
+            f"multi_bfs_closeness: diameter exceeds max_rounds={max_rounds}"
+        )
+
+    def _node_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "id": t.column("id").to_numpy(zero_copy_only=False),
+                "depth": t.column("depth").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("id", sort=False)["depth"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "id": pa.array(g["id"].to_numpy(), pa.string()),
+                "n_reached": pa.array(g["size"].to_numpy().astype(np.int64)),
+                "sum_depth": pa.array(g["sum"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        results.map_batches(_node_partial, batch_format="pyarrow"),
+        "id",
+        [("n_reached", "sum", "n_reached"), ("sum_depth", "sum", "sum_depth")],
+    )

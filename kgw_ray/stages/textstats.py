@@ -478,3 +478,73 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fingerprint": pa.array(np.array(fps, dtype=np.uint64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data compliance pass)
+# ---------------------------------------------------------------------------
+
+# RE2 patterns, byte-compatible between Arrow (pc.*_substring_regex) and
+# DuckDB's regexp_* (both RE2): applied IN ORDER, each over the previous
+# stage's output, so counts compose deterministically.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+)
+PII_TOKEN = "<PII>"
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_redactions, redacted_md5): counts + md5 of the text after
+    sequential regex redaction — the compliance pass every training-data
+    corpus runs before release. Vectorized column scans (compiled RE2 via
+    Arrow kernels); the redacted text itself never leaves the worker, only
+    the digest does."""
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(batch.column(text_col), "")
+    total = np.zeros(len(batch), dtype=np.int64)
+    for _, pat in PII_PATTERNS:
+        total += pc.cast(
+            pc.count_substring_regex(txt, pattern=pat), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        txt = pc.replace_substring_regex(txt, pattern=pat, replacement=PII_TOKEN)
+    md5s = content_md5_list(txt.to_pylist())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_redactions": pa.array(total),
+            "redacted_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
+def pii_redact_sql(source: str = "documents") -> str:
+    """DuckDB oracle: the same ordered regexp_replace chain (RE2 on both
+    engines), counting via regexp_extract_all lengths at each stage."""
+    expr = "COALESCE(text, '')"
+    counts = []
+    for i, (_, pat) in enumerate(PII_PATTERNS):
+        sql_pat = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all(s{i}, '{sql_pat}'))")
+        expr = f"regexp_replace(s{i}, '{sql_pat}', '{PII_TOKEN}', 'g')"
+        expr_alias = f"s{i + 1}"
+        if i == 0:
+            base = f"SELECT doc_id, COALESCE(text, '') AS s0 FROM {source}"
+            stages = [base]
+        stages.append(
+            f"SELECT doc_id, {', '.join(f's{k}' for k in range(i + 1))}, "
+            f"{expr} AS {expr_alias} FROM st{i}"
+        )
+    n = len(PII_PATTERNS)
+    ctes = ", ".join(
+        f"st{i} AS ({stages[i]})" for i in range(len(stages))
+    )
+    count_sum = " + ".join(counts)
+    return f"""
+WITH {ctes}
+SELECT doc_id, CAST({count_sum} AS BIGINT) AS n_redactions,
+       md5(s{n}) AS redacted_md5
+FROM st{n}
+"""

@@ -128,3 +128,34 @@ def test_attach_degrees_paths_agree(ray_session):
         ("b", "c", 2, 3),
         ("c", "d", 3, 1),
     ]
+
+
+def test_multi_bfs_closeness_path_graph(ray_session):
+    # path a-b-c-d-e, landmarks = 2 smallest ids (a, b):
+    # depths from a: a0 b1 c2 d3 e4; from b: a1 b0 c1 d2 e3
+    from kgw_ray.stages.graph_metrics import multi_bfs_closeness
+
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    out = {
+        r["id"]: (r["n_reached"], r["sum_depth"])
+        for r in multi_bfs_closeness(ds, n_sources=2).take_all()
+    }
+    assert out == {
+        "a": (2, 1),
+        "b": (2, 1),
+        "c": (2, 3),
+        "d": (2, 5),
+        "e": (2, 7),
+    }
+
+
+def test_multi_bfs_closeness_disconnected(ray_session):
+    # landmarks a, b live in one component; x-y is unreachable from them
+    from kgw_ray.stages.graph_metrics import multi_bfs_closeness
+
+    ds = _edges([("a", "b"), ("x", "y")])
+    out = {
+        r["id"]: (r["n_reached"], r["sum_depth"])
+        for r in multi_bfs_closeness(ds, n_sources=2).take_all()
+    }
+    assert out == {"a": (2, 1), "b": (2, 1)}

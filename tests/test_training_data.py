@@ -1207,3 +1207,121 @@ def test_dup_span_doc_stats_scale_path_parity(sf_smoke):
     assert fast == slow
     assert any(r[2] > 0 for r in fast)  # fixture has duplicated coverage
     assert any(r[2] == 0 for r in fast)  # and clean docs (zero rows kept)
+
+
+def test_pii_redact_fires_on_pii_corpus(ray_session):
+    """The fixture corpus has no PII, so the gated query proves only the
+    zero-match path; this injected corpus proves the redaction chain
+    actually fires AND matches DuckDB's RE2 on the same rows."""
+    import duckdb
+    import ray.data as rd
+
+    from kgw_ray.stages.textstats import pii_redact_batch, pii_redact_sql
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "contact alice.smith+spam@example-mail.co for details",
+                    "server at 192.168.001.254 and 10.0.0.1 responded",
+                    "call 415-555-1234 or 415.555.9876 today",
+                    "no pii here at all",
+                    "mixed: bob@x.io from 8.8.8.8 dials 650-555-0000",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        rd.from_arrow(tbl)
+        .map_batches(pii_redact_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(pii_redact_sql("documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_redactions"].tolist() == want["n_redactions"].tolist()
+    assert got["redacted_md5"].tolist() == want["redacted_md5"].tolist()
+    assert got["n_redactions"].tolist() == [1, 2, 2, 0, 3]
+
+
+def test_table_checksum_detects_single_row_change(ray_session):
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import table_checksum
+
+    base = pa.table(
+        {"id": pa.array([1, 2, 3], pa.int64()), "v": ["a", "b", "c"]}
+    )
+    tweaked = pa.table(
+        {"id": pa.array([1, 2, 3], pa.int64()), "v": ["a", "B", "c"]}
+    )
+    a = table_checksum(rd.from_arrow(base), ["id", "v"])
+    b = table_checksum(rd.from_arrow(tweaked), ["id", "v"])
+    assert a["n_rows"] == b["n_rows"] == 3
+    assert a["checksum"] != b["checksum"]
+    # order-insensitive: a shuffled copy has the SAME checksum
+    shuffled = base.take(pa.array([2, 0, 1]))
+    c = table_checksum(rd.from_arrow(shuffled), ["id", "v"])
+    assert c["checksum"] == a["checksum"]
+
+
+def test_snapshot_diff_statuses_cover_all_cases(ray_session, tmp_path):
+    """Synthetic log engineered so added / changed / unchanged ALL occur
+    (cutoff = max(event_id)//2 = 5): user 1 updates after the cutoff,
+    user 2 first appears after it, user 3 never changes."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from kgw_ray.pipelines.relational import events_snapshot_diff
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (0, t0, 1),                             # user 1 old state
+        (4, t0 + pd.Timedelta("1h"), 3),        # user 3, final state, pre-cutoff
+        (6, t0 + pd.Timedelta("2h"), 2),        # user 2 appears post-cutoff
+        (10, t0 + pd.Timedelta("3h"), 1),       # user 1 new state
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    df = (
+        events_snapshot_diff(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert df.loc[1, "status"] == "changed"
+    assert df.loc[1, "old_event_id"] == 0 and df.loc[1, "new_event_id"] == 10
+    assert df.loc[2, "status"] == "added" and pd.isna(df.loc[2, "old_event_id"])
+    assert df.loc[3, "status"] == "unchanged"
+    assert df.loc[3, "old_event_id"] == 4 == df.loc[3, "new_event_id"]
+
+
+def test_orders_period_diff_statuses(ray_session, sf_smoke):
+    """The full-outer period comparison must surface all three statuses on
+    the fixture, with NULLs exactly on the missing side."""
+    from kgw_ray.pipelines.relational import orders_period_diff
+
+    import pandas as pd
+
+    df = orders_period_diff(sf_smoke).to_pandas()
+    assert set(df["status"]) == {"both", "h1_only", "h2_only"}
+    assert df[df["status"] == "h1_only"]["n_h2"].isna().all()
+    assert df[df["status"] == "h2_only"]["n_h1"].isna().all()
+    both = df[df["status"] == "both"]
+    assert both["n_h1"].notna().all() and both["n_h2"].notna().all()
+    assert df["o_custkey"].notna().all() and df["o_custkey"].is_unique
