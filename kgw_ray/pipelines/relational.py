@@ -1547,13 +1547,16 @@ def orders_period_diff(sf_dir: str) -> rd.Dataset:
     from kgw_ray.stages.agg import grouped_aggregate_hybrid
     from kgw_ray.stages.joins import large_join
 
-    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
-    lo = pc.cast(
-        pa.scalar(ds.min("o_orderdate")), pa.timestamp("us")
-    ).cast(pa.int64()).as_py()
-    hi = pc.cast(
-        pa.scalar(ds.max("o_orderdate")), pa.timestamp("us")
-    ).cast(pa.int64()).as_py()
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).materialize()  # consumed three times: min/max probe + both halves
+    bounds = ds.aggregate(
+        Min("o_orderdate", alias_name="lo"), Max("o_orderdate", alias_name="hi")
+    )
+    lo = pc.cast(pa.scalar(bounds["lo"]), pa.timestamp("us")).cast(pa.int64()).as_py()
+    hi = pc.cast(pa.scalar(bounds["hi"]), pa.timestamp("us")).cast(pa.int64()).as_py()
     cut = (lo + hi) // 2
 
     def half_counts(which_first: bool):

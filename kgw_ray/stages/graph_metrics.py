@@ -75,57 +75,55 @@ def reciprocity(
     (so it is always even); ``recip_permille = 1000·n_reciprocal //
     n_edges`` — the standard reciprocity ratio in integer permille.
 
-    Plan: per-batch distinct combiner over ordered pairs → vocabulary
-    exchange; each ordered pair then folds into its undirected key with a
-    direction flag (1 = s<t, 2 = s>t) so ONE grouped Sum distinguishes
-    one-way (flag 1 or 2) from reciprocal (flag 3); per-block partial
-    counts reduce to a single row on the driver.
+    Plan: the batch combiner dedups ordered pairs AND folds them onto the
+    undirected key with per-direction min/max flags in one step, so a
+    single vocabulary-sized exchange (grouped Min+Max) classifies every
+    pair: fmin ≠ fmax ⟺ both directions observed. Per-block partial
+    counts then reduce to a single row on the driver.
     """
 
-    def _ordered_partial(batch: pa.Table) -> pa.Table:
+    def _fold_partial(batch: pa.Table) -> pa.Table:
+        # fold to the undirected key IN the combiner with per-direction
+        # min/max flags: a pair seen in both directions ends with
+        # fmin=1 < fmax=2; duplicate same-direction observations (any
+        # batch split) leave fmin == fmax — ONE exchange total, where the
+        # naive plan pays two (distinct ordered pairs, then the fold)
         s = batch.column(src).to_numpy(zero_copy_only=False)
         t = batch.column(dst).to_numpy(zero_copy_only=False)
         keep = s != t
-        packed = pd.DataFrame({"s": s[keep], "t": t[keep]}).drop_duplicates()
-        return pa.table(
-            {
-                "s": pa.array(packed["s"].to_numpy(), pa.string()),
-                "t": pa.array(packed["t"].to_numpy(), pa.string()),
-                "one": pa.array(np.ones(len(packed), dtype=np.int64)),
-            }
-        )
-
-    ordered = grouped_aggregate_hybrid(
-        edges.map_batches(_ordered_partial, batch_format="pyarrow"),
-        ["s", "t"],
-        [("one", "min", "one")],
-    )
-
-    def _fold(batch: pa.Table) -> pa.Table:
-        s = batch.column("s").to_numpy(zero_copy_only=False)
-        t = batch.column("t").to_numpy(zero_copy_only=False)
+        s, t = s[keep], t[keep]
         lo, hi = np.minimum(s, t), np.maximum(s, t)
         flag = np.where(s < t, 1, 2).astype(np.int64)
+        g = (
+            pd.DataFrame({"a": lo, "b": hi, "fmin": flag, "fmax": flag})
+            .groupby(["a", "b"], sort=False)
+            .agg(fmin=("fmin", "min"), fmax=("fmax", "max"))
+            .reset_index()
+        )
         return pa.table(
             {
-                "a": pa.array(lo, pa.string()),
-                "b": pa.array(hi, pa.string()),
-                "f": pa.array(flag),
+                "a": pa.array(g["a"].to_numpy(), pa.string()),
+                "b": pa.array(g["b"].to_numpy(), pa.string()),
+                "fmin": pa.array(g["fmin"].to_numpy().astype(np.int64)),
+                "fmax": pa.array(g["fmax"].to_numpy().astype(np.int64)),
             }
         )
 
     folded = grouped_aggregate_hybrid(
-        ordered.map_batches(_fold, batch_format="pyarrow"),
+        edges.map_batches(_fold_partial, batch_format="pyarrow"),
         ["a", "b"],
-        [("f", "sum", "f")],
+        [("fmin", "min", "fmin"), ("fmax", "max", "fmax")],
     )
 
     def _counts(batch: pa.Table) -> pa.Table:
-        f = batch.column("f").to_numpy(zero_copy_only=False)
-        both = int(np.count_nonzero(f == 3))
+        fmin = batch.column("fmin").to_numpy(zero_copy_only=False)
+        fmax = batch.column("fmax").to_numpy(zero_copy_only=False)
+        both = int(np.count_nonzero(fmin != fmax))
         return pa.table(
             {
-                "n_edges": pa.array([2 * both + int(np.count_nonzero(f != 3))], pa.int64()),
+                "n_edges": pa.array(
+                    [2 * both + int(np.count_nonzero(fmin == fmax))], pa.int64()
+                ),
                 "n_reciprocal": pa.array([2 * both], pa.int64()),
             }
         )
@@ -438,9 +436,26 @@ def multi_bfs_closeness(
     )
     results = frontier.map_batches(_with_depth(0), batch_format="pyarrow")
     for depth in range(1, max_rounds + 1):
-        hop = large_join(
-            adj, frontier, on=["c"], right_on=["id"]
-        ).select_columns(["s", "v"])
+        # size-hybrid hop expansion: landmark frontiers are tiny relative
+        # to the graph (≤ n_sources × frontier width), so broadcast the
+        # frontier and map-join the adjacency — a hash exchange per hop
+        # pays aggregator-actor startup ~diameter times (measured 9.5s →
+        # ~2s on the fixture sweep); fall back to the shuffle join only
+        # for frontiers too big to broadcast
+        n_frontier = frontier.count()
+        if n_frontier <= _BROADCAST_LIMIT:
+            from kgw_ray.stages.joins import broadcast_join
+
+            hop = broadcast_join(
+                adj,
+                frontier.select_columns(["s", "id"]).to_pandas(),
+                on=["c"],
+                right_on=["id"],
+            ).select_columns(["s", "v"])
+        else:
+            hop = large_join(
+                adj, frontier, on=["c"], right_on=["id"]
+            ).select_columns(["s", "v"])
 
         def _distinct_partial(t: pa.Table) -> pa.Table:
             import pandas as pd
