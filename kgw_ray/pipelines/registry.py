@@ -1063,6 +1063,147 @@ def q_kg_closeness(sf_dir: str) -> rd.Dataset:
         edges_from_triples(triples_dataset(sf_dir)), n_sources=4
     )
 
+_KG_NODES_FROM_EDGES_SQL = f"""
+SELECT DISTINCT id FROM (
+  SELECT 'E:' || subj AS id FROM ({TRIPLES_SQL})
+  UNION SELECT 'E:' || obj FROM ({TRIPLES_SQL})
+)
+"""
+
+
+def _kg_hits_sql() -> str:
+    from kgw_ray.stages.graph_metrics import hits_sql
+
+    return hits_sql(
+        _KG_NODES_FROM_EDGES_SQL,
+        f"SELECT 'E:' || subj AS source_id, 'E:' || obj AS target_id"
+        f" FROM ({TRIPLES_SQL})",
+    )
+
+
+@register("kg_hits", oracle=_kg_hits_sql())
+def q_kg_hits(sf_dir: str) -> rd.Dataset:
+    """HITS hub/authority scores over the web-KG — 2 exact-integer power
+    rounds, one distinct-pair exchange + three size-hybrid join/Sum rounds
+    (stages/graph_metrics.py:hits_scores); oracle = the identical rounds
+    unrolled into BIGINT CTEs, exact hash equality."""
+    import pyarrow as _pa
+
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import hits_scores
+
+    edges = edges_from_triples(triples_dataset(sf_dir)).materialize()
+
+    def _melt(t: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        ids = _np.concatenate(
+            [
+                t.column("source_id").to_numpy(zero_copy_only=False),
+                t.column("target_id").to_numpy(zero_copy_only=False),
+            ]
+        )
+        return _pa.table({"id": _pa.array(_np.unique(ids), _pa.string())})
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid as _gah
+
+    nodes = _gah(
+        edges.map_batches(_melt, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column(
+                "one", _pa.array([1] * len(t), _pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        "id",
+        [("one", "sum", "n")],
+    ).select_columns(["id"])
+    return hits_scores(nodes, edges)
+
+
+def _kg_lpa_sql() -> str:
+    from kgw_ray.stages.graph_metrics import label_propagation_sql
+
+    return label_propagation_sql(
+        _KG_NODES_FROM_EDGES_SQL,
+        f"SELECT 'E:' || subj AS source_id, 'E:' || obj AS target_id"
+        f" FROM ({TRIPLES_SQL})",
+        iters=3,
+    )
+
+
+@register("kg_label_propagation", oracle=_kg_lpa_sql())
+def q_kg_label_propagation(sf_dir: str) -> rd.Dataset:
+    """Deterministic synchronous label propagation (3 rounds, min
+    tie-break) — community detection over the web-KG; every round is one
+    size-hybrid label join + (node, label)-count combiner + three
+    vocabulary-sized exchanges (stages/graph_metrics.py:
+    label_propagation); oracle = the identical rounds unrolled into
+    window-function CTEs."""
+    import pyarrow as _pa
+
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import label_propagation
+
+    edges = edges_from_triples(triples_dataset(sf_dir)).materialize()
+
+    def _melt(t: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        ids = _np.concatenate(
+            [
+                t.column("source_id").to_numpy(zero_copy_only=False),
+                t.column("target_id").to_numpy(zero_copy_only=False),
+            ]
+        )
+        return _pa.table(
+            {
+                "id": _pa.array(_np.unique(ids), _pa.string()),
+                "one": _pa.array(
+                    _np.ones(len(_np.unique(ids)), dtype=_np.int64)
+                ),
+            }
+        )
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid as _gah
+
+    nodes = _gah(
+        edges.map_batches(_melt, batch_format="pyarrow"),
+        "id",
+        [("one", "sum", "n")],
+    ).select_columns(["id"])
+    return label_propagation(nodes, edges, iters=3)
+
+
+_KG_ADJ_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+e AS (SELECT DISTINCT 'E:' || subj AS s, 'E:' || obj AS t FROM tr)
+SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS outdeg,
+       string_agg(t, ',' ORDER BY t) AS neighbors
+FROM e GROUP BY s
+"""
+
+
+@register("kg_adjacency_lists", oracle=_KG_ADJ_SQL)
+def q_kg_adjacency_lists(sf_dir: str) -> rd.Dataset:
+    """Materialized sorted adjacency lists (id, outdeg, comma-joined
+    neighbors) — kgw's idx_edges_source access path
+    (reference transform.py:27) as an exportable table; fully-vectorized
+    per-shard fold, the string join is ONE Arrow binary_join over segment
+    offsets (stages/graph_metrics.py:adjacency_lists)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import adjacency_lists
+
+    return adjacency_lists(edges_from_triples(triples_dataset(sf_dir)))
+
+
+register("events_pivot_by_type", _rel.EVENTS_PIVOT_SQL)(
+    _rel.events_pivot_by_type
+)
+register("events_cumulative_value", _rel.EVENTS_CUMSUM_SQL)(
+    _rel.events_cumulative_value
+)
+
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

@@ -1707,3 +1707,118 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                                   WHERE c_custkey IS NOT NULL)) AS n_orphan_orders
 FROM orders
 """
+
+
+def events_pivot_by_type(sf_dir: str) -> rd.Dataset:
+    """Pivot (crosstab): per user one row with a count column per event
+    type — the wide feature layout feature stores and BI extracts want.
+
+    The type list is FIXED (the five generator types, sorted) so the
+    output schema is static: a dynamic pivot would need a driver-side
+    distinct first; callers with open vocabularies should stay long-form.
+    Physical plan: per-batch vectorized crosstab partial (pandas
+    groupby-size + unstack against the fixed columns) then ONE
+    vocabulary-sized grouped Sum over the five int columns — the classic
+    conditional-aggregation plan, no row explosion, no shuffle of the log.
+    """
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = [f"n_{t}" for t in types]
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .unstack(fill_value=0)
+            .reindex(columns=types, fill_value=0)
+        )
+        out = {"user_id": pa.array(g.index.to_numpy())}
+        for t, c in zip(types, cols):
+            out[c] = pa.array(g[t].to_numpy().astype(np.int64))
+        return pa.table(out)
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id",
+        [(c, "sum", c) for c in cols],
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def events_cumulative_value(sf_dir: str) -> rd.Dataset:
+    """Per-user running total (prefix scan): cumulative event value in
+    integer cents ordered by (ts, event_id) — the balance/LTV scan every
+    ledger pipeline runs.
+
+    Integer cents (``rint(value·100)``) make the prefix sum
+    associative-exact, so the hash gate holds — a float running sum is
+    engine-order-dependent (DuckDB's windowed SUM uses segment trees).
+    Physical plan: the sharded-coarse window pattern (``user_id % 64``
+    exchange, one lexsort per shard, segment-reset ``np.cumsum``) — the
+    same vectorized shape as events_rank_in_user, no per-user Python.
+    """
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("ns")),
+            "cum_value_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        starts, lengths = _user_segments(u)
+        run = np.cumsum(cents)
+        # subtract the running total just before each segment start
+        base = np.where(starts > 0, run[starts - 1], 0)
+        cum = run - np.repeat(base, lengths)
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy()),
+                "user_id": pa.array(u),
+                "ts": pa.array(g["ts"].to_numpy()),
+                "cum_value_cents": pa.array(cum),
+            }
+        )
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+EVENTS_CUMSUM_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS BIGINT) AS cum_value_cents
+FROM events
+"""

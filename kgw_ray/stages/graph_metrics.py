@@ -518,3 +518,380 @@ def multi_bfs_closeness(
         "id",
         [("n_reached", "sum", "n_reached"), ("sum_depth", "sum", "sum_depth")],
     )
+
+
+def _distinct_ordered_pairs(
+    edges: rd.Dataset, src: str = "source_id", dst: str = "target_id"
+) -> rd.Dataset:
+    """Distinct ordered (s, t) pairs — the directed simple-edge set
+    (self-loops kept: HITS/adjacency semantics match DuckDB's plain
+    ``SELECT DISTINCT``). Per-batch drop_duplicates combiner before the
+    vocabulary-sized exchange (same shape as _distinct_undirected_pairs,
+    kgw_ray/stages/graph.py)."""
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "s": batch.column(src).to_numpy(zero_copy_only=False),
+                "t": batch.column(dst).to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "s": pa.array(df["s"].to_numpy(), pa.string()),
+                "t": pa.array(df["t"].to_numpy(), pa.string()),
+                "one": pa.array(np.ones(len(df), dtype=np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        edges.map_batches(_pair_partial, batch_format="pyarrow"),
+        ["s", "t"],
+        [("one", "sum", "n")],
+    ).select_columns(["s", "t"])
+
+
+def _hybrid_attach(
+    big: rd.Dataset, small: rd.Dataset, *, on: str, right_on: str, how: str = "inner"
+) -> rd.Dataset:
+    """Size-hybrid lookup join: the (materialized, vocabulary-sized) right
+    side broadcasts via ``ray.put`` under ``_BROADCAST_LIMIT`` rows and
+    falls back to the hash-partitioned Dataset.join beyond (the repo-wide
+    size rule, stages/joins.py)."""
+    from kgw_ray.stages.joins import broadcast_join, large_join
+
+    small = small.materialize()
+    if small.count() <= _BROADCAST_LIMIT:
+        return broadcast_join(
+            big, small.to_pandas(), on=[on], right_on=[right_on], how=how
+        )
+    return large_join(
+        big,
+        small,
+        on=(on,),
+        right_on=(right_on,),
+        how="inner" if how == "inner" else "left_outer",
+    )
+
+
+def _grouped_sum_of(
+    ds: rd.Dataset, key: str, val: str, out_key: str, out_val: str
+) -> rd.Dataset:
+    """Per-batch pandas partial-sum combiner + vocabulary-sized grouped Sum
+    → (out_key, out_val). The exchange moves ≤ one row per (block, key)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                out_key: batch.column(key).to_numpy(zero_copy_only=False),
+                out_val: pc_int64(batch.column(val)),
+            }
+        )
+        g = df.groupby(out_key, sort=False)[out_val].sum().reset_index()
+        return pa.table(
+            {
+                out_key: pa.array(g[out_key].to_numpy(), pa.string()),
+                out_val: pa.array(g[out_val].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        out_key,
+        [(out_val, "sum", out_val)],
+    )
+
+
+def pc_int64(col: pa.ChunkedArray) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    return (
+        pc.cast(pc.fill_null(col, 0), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def hits_scores(nodes: rd.Dataset, edges: rd.Dataset) -> rd.Dataset:
+    """HITS hub/authority scores, 2 exact-integer power rounds (no float
+    normalization — every engine reproduces the arithmetic bit-for-bit):
+
+        h1(u) = |distinct out-neighbors of u|        (a0 ≡ 1)
+        a1(v) = Σ_{(u,v)∈E} h1(u)
+        h2(u) = Σ_{(u,v)∈E} a1(v)
+        a2(v) = Σ_{(u,v)∈E} h2(u)
+
+    over the distinct directed edge set; output ``(id, hub, auth)`` =
+    (h2, a2) for every node (0 where a node has no out-/in-edges).
+
+    Physical plan: ONE distinct-pair exchange, then each round is one
+    size-hybrid lookup join (score table is node-vocabulary-sized →
+    broadcast under the limit) + a per-batch partial-sum combiner + a
+    vocabulary-sized grouped Sum — the pair stream never re-shuffles.
+    Overflow ceiling: a2 ≤ Σ deg⁴ terms; int64 holds webgraph-scale values
+    for max-degree up to ~10⁴·⁵ — beyond, rescale rounds by a shift (the
+    pagerank SCALE note, stages/graph.py:pagerank).
+
+    Reference scope: extends kgw's Analyze stage (statistics sinks,
+    kgw/_shared/tasks.py) with link-analysis scores.
+    """
+    pairs = _distinct_ordered_pairs(edges).materialize()
+
+    def _h1_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        uq, cnt = np.unique(s, return_counts=True)
+        return pa.table(
+            {"id": pa.array(uq, pa.string()), "h": pa.array(cnt.astype(np.int64))}
+        )
+
+    h1 = grouped_aggregate_hybrid(
+        pairs.map_batches(_h1_partial, batch_format="pyarrow"),
+        "id",
+        [("h", "sum", "h")],
+    )
+    a1 = _grouped_sum_of(
+        _hybrid_attach(pairs, h1, on="s", right_on="id"), "t", "h", "id", "a"
+    )
+    h2 = _grouped_sum_of(
+        _hybrid_attach(pairs, a1, on="t", right_on="id"), "s", "a", "id", "h"
+    )
+    a2 = _grouped_sum_of(
+        _hybrid_attach(pairs, h2, on="s", right_on="id"), "t", "h", "id", "a"
+    )
+
+    out = _hybrid_attach(
+        nodes.select_columns(["id"]), h2, on="id", right_on="id", how="left"
+    )
+    out = _hybrid_attach(out, a2, on="id", right_on="id", how="left")
+
+    def _final(batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        hub = (
+            pc_int64(batch.column("h"))
+            if "h" in names
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        auth = (
+            pc_int64(batch.column("a"))
+            if "a" in names
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "hub": pa.array(hub),
+                "auth": pa.array(auth),
+            }
+        )
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
+def hits_sql(nodes_sql: str, edges_sql: str) -> str:
+    """The identical 2-round integer HITS unrolled into BIGINT CTEs."""
+    return f"""
+WITH nodes AS ({nodes_sql}), alledges AS ({edges_sql}),
+e AS (SELECT DISTINCT source_id AS s, target_id AS t FROM alledges),
+h1 AS (SELECT s AS id, COUNT(*) AS h FROM e GROUP BY s),
+a1 AS (SELECT e.t AS id, SUM(h1.h) AS a FROM e JOIN h1 ON h1.id = e.s GROUP BY e.t),
+h2 AS (SELECT e.s AS id, SUM(a1.a) AS h FROM e JOIN a1 ON a1.id = e.t GROUP BY e.s),
+a2 AS (SELECT e.t AS id, SUM(h2.h) AS a FROM e JOIN h2 ON h2.id = e.s GROUP BY e.t)
+SELECT n.id,
+       CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
+FROM nodes n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
+"""
+
+
+def label_propagation(
+    nodes: rd.Dataset, edges: rd.Dataset, *, iters: int = 3
+) -> rd.Dataset:
+    """Deterministic synchronous label propagation (community detection),
+    ``iters`` rounds over the undirected distinct simple edge set:
+
+        l0(v) = v
+        l_{k+1}(v) = the most frequent label among v's neighbors,
+                     ties broken by MIN label; isolated nodes keep l_k.
+
+    The min tie-break makes every round a pure function of the edge set —
+    no randomness, so the DuckDB oracle (the same rounds unrolled into
+    window-function CTEs) gates exact hash equality.
+
+    Physical plan per round (labels are node-vocabulary-sized, so every
+    exchange is vocabulary-bounded): one size-hybrid lookup join of the
+    label table onto the symmetric pair stream, a per-batch (node,
+    label)-count partial combiner, then grouped Sum → grouped Max(count)
+    → filter-to-argmax → grouped Min(label). The symmetric pair stream is
+    materialized ONCE and re-consumed each round — raw edges are read a
+    single time. Output: ``(id, community)``.
+    """
+    sym_src = _distinct_undirected_pairs(edges, "source_id", "target_id")
+
+    def _mirror(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, b]), pa.string()),
+                "b": pa.array(np.concatenate([b, a]), pa.string()),
+            }
+        )
+
+    sym = sym_src.map_batches(_mirror, batch_format="pyarrow").materialize()
+
+    def _self_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column("id"), "lbl": batch.column("id")})
+
+    node_ids = nodes.select_columns(["id"]).materialize()
+    labels = node_ids.map_batches(_self_labels, batch_format="pyarrow")
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "a": batch.column("a").to_numpy(zero_copy_only=False),
+                "lbl": batch.column("lbl").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["a", "lbl"], sort=False).size().rename("c").reset_index()
+        return pa.table(
+            {
+                "a": pa.array(g["a"].to_numpy(), pa.string()),
+                "lbl": pa.array(g["lbl"].to_numpy(), pa.string()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    for _ in range(iters):
+        tagged = _hybrid_attach(sym, labels, on="b", right_on="id")
+        counts = grouped_aggregate_hybrid(
+            tagged.map_batches(_count_partial, batch_format="pyarrow"),
+            ["a", "lbl"],
+            [("c", "sum", "c")],
+        ).materialize()
+        maxc = grouped_aggregate_hybrid(
+            counts.select_columns(["a", "c"]), "a", [("c", "max", "cmax")]
+        )
+        at_max = _hybrid_attach(counts, maxc, on="a", right_on="a")
+
+        def _keep_max(batch: pa.Table) -> pa.Table:
+            c = pc_int64(batch.column("c"))
+            cm = pc_int64(batch.column("cmax"))
+            keep = c == cm
+            return pa.table(
+                {
+                    "a": batch.column("a").filter(pa.array(keep)),
+                    "lbl": batch.column("lbl").filter(pa.array(keep)),
+                }
+            )
+
+        winners = grouped_aggregate_hybrid(
+            at_max.map_batches(_keep_max, batch_format="pyarrow"),
+            "a",
+            [("lbl", "min", "new_lbl")],
+        )
+        joined = _hybrid_attach(labels, winners, on="id", right_on="a", how="left")
+
+        def _coalesce(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            names = batch.column_names
+            if "new_lbl" in names:
+                new = pc.coalesce(batch.column("new_lbl"), batch.column("lbl"))
+            else:  # empty hash partitions can drop the right schema
+                new = batch.column("lbl")
+            return pa.table({"id": batch.column("id"), "lbl": new})
+
+        labels = joined.map_batches(_coalesce, batch_format="pyarrow").materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table({"id": b.column("id"), "community": b.column("lbl")}),
+        batch_format="pyarrow",
+    )
+
+
+def label_propagation_sql(nodes_sql: str, edges_sql: str, *, iters: int = 3) -> str:
+    """The identical min-tie-break synchronous LPA unrolled into CTEs."""
+    parts = [
+        f"WITH nodes AS ({nodes_sql}), alledges AS ({edges_sql}),",
+        "e0 AS (SELECT DISTINCT least(source_id, target_id) AS a,"
+        " greatest(source_id, target_id) AS b FROM alledges"
+        " WHERE source_id <> target_id),",
+        "sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),",
+        "l0 AS (SELECT id, id AS lbl FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f""",
+c{c} AS (SELECT s.a, l.lbl, COUNT(*) AS c
+        FROM sym s JOIN l{p} l ON l.id = s.b GROUP BY s.a, l.lbl),
+w{c} AS (SELECT a, lbl FROM (
+          SELECT a, lbl,
+                 ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lbl) AS rn
+          FROM c{c}) WHERE rn = 1),
+l{c} AS (SELECT n.id, COALESCE(w.lbl, n.id) AS lbl
+        FROM l{p} n LEFT JOIN w{c} w ON w.a = n.id)"""
+        )
+    parts.append(f"\nSELECT id, lbl AS community FROM l{iters}")
+    return "\n".join(parts)
+
+
+def adjacency_lists(edges: rd.Dataset) -> rd.Dataset:
+    """Materialized sorted adjacency lists: per source node the distinct
+    out-neighbor count and the comma-joined target list in byte order —
+    kgw's edges-indexed-by-source access path (transform.py:27
+    idx_edges_source) as an exportable table.
+
+    Physical plan: distinct ordered pairs (ONE vocabulary-sized exchange),
+    then a hash-sharded exchange on source and a fully-vectorized
+    per-shard fold: lexsort by (s, t), segment boundaries via
+    ``np.unique``, and the string join as ONE Arrow ``binary_join`` over a
+    ListArray built from the segment offsets — no per-group Python loop.
+    Skew note: a super-hub's list is one row; lists beyond ~10⁷ neighbors
+    should switch to the exploded layout (this operator is for serving
+    bounded-degree adjacency).
+    """
+    import pyarrow.compute as pc
+
+    pairs = _distinct_ordered_pairs(edges)
+    num_shards = 64
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(s.astype("U"), hash_key="kgw_ray_adjlist0") % num_shards
+        return batch.append_column("_shard", pa.array(h.astype(np.int64)))
+
+    _empty = pa.table(
+        {
+            "id": pa.array([], pa.string()),
+            "outdeg": pa.array([], pa.int64()),
+            "neighbors": pa.array([], pa.string()),
+        }
+    )
+
+    def _per_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _empty
+        s = g["s"].to_numpy()
+        t = g["t"].to_numpy()
+        order = np.lexsort((t, s))
+        s, t = s[order], t[order]
+        uq, starts, counts = np.unique(s, return_index=True, return_counts=True)
+        offsets = np.append(starts, len(t)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(t, pa.string())
+        )
+        joined = pc.binary_join(lists, ",")
+        return pa.table(
+            {
+                "id": pa.array(uq, pa.string()),
+                "outdeg": pa.array(counts.astype(np.int64)),
+                "neighbors": joined,
+            }
+        )
+
+    return (
+        pairs.map_batches(_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(_per_shard, batch_format="pandas")
+    )

@@ -159,3 +159,104 @@ def test_multi_bfs_closeness_disconnected(ray_session):
         for r in multi_bfs_closeness(ds, n_sources=2).take_all()
     }
     assert out == {"a": (2, 1), "b": (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# r4 continuation: HITS, label propagation, adjacency lists
+# ---------------------------------------------------------------------------
+
+
+def _nodes(ids):
+    return rd.from_arrow(pa.table({"id": pa.array(list(ids), pa.string())}))
+
+
+class TestHits:
+    def test_two_round_integer_hits_by_hand(self):
+        # star + chain: A->B, A->C, B->C, D isolated-ish (in-edge only)
+        from kgw_ray.stages.graph_metrics import hits_scores
+
+        e = _edges([("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")])
+        out = (
+            hits_scores(_nodes("ABCD"), e)
+            .to_pandas()
+            .set_index("id")
+            .sort_index()
+        )
+        # h1: A=2, B=1, C=1 ; a1: B=h1(A)=2, C=h1(A)+h1(B)=3, D=h1(C)=1
+        # h2: A=a1(B)+a1(C)=5, B=a1(C)=3, C=a1(D)=1
+        # a2: B=h2(A)=5, C=h2(A)+h2(B)=8, D=h2(C)=1
+        assert out.loc["A", ["hub", "auth"]].tolist() == [5, 0]
+        assert out.loc["B", ["hub", "auth"]].tolist() == [3, 5]
+        assert out.loc["C", ["hub", "auth"]].tolist() == [1, 8]
+        assert out.loc["D", ["hub", "auth"]].tolist() == [0, 1]
+
+    def test_duplicate_edges_collapse(self):
+        from kgw_ray.stages.graph_metrics import hits_scores
+
+        e1 = _edges([("A", "B")])
+        e2 = _edges([("A", "B"), ("A", "B"), ("A", "B")])
+        a = hits_scores(_nodes("AB"), e1).to_pandas().sort_values("id")
+        b = hits_scores(_nodes("AB"), e2).to_pandas().sort_values("id")
+        assert a.values.tolist() == b.values.tolist()
+
+
+class TestLabelPropagation:
+    def test_tie_breaks_to_min_label(self):
+        from kgw_ray.stages.graph_metrics import label_propagation
+
+        # path graph B - A - C: A's neighbors {B, C} tie at count 1 → min B
+        e = _edges([("B", "A"), ("A", "C")])
+        out = (
+            label_propagation(_nodes("ABC"), e, iters=1)
+            .to_pandas()
+            .set_index("id")["community"]
+        )
+        assert out["A"] == "B"
+        # B and C each have the single neighbor A
+        assert out["B"] == "A" and out["C"] == "A"
+
+    def test_isolated_node_keeps_own_label(self):
+        from kgw_ray.stages.graph_metrics import label_propagation
+
+        e = _edges([("A", "B")])
+        out = (
+            label_propagation(_nodes("ABZ"), e, iters=3)
+            .to_pandas()
+            .set_index("id")["community"]
+        )
+        assert out["Z"] == "Z"
+
+    def test_clique_converges_to_min_id(self):
+        from kgw_ray.stages.graph_metrics import label_propagation
+
+        clique = [("A", "B"), ("A", "C"), ("B", "C")]
+        out = (
+            label_propagation(_nodes("ABC"), _edges(clique), iters=3)
+            .to_pandas()["community"]
+            .tolist()
+        )
+        # round 1: each node takes its min neighbor; round 2+: mode
+        # stabilizes — every member ends on the same community label
+        assert len(set(out)) == 1
+
+
+class TestAdjacencyLists:
+    def test_sorted_joined_lists(self):
+        from kgw_ray.stages.graph_metrics import adjacency_lists
+
+        e = _edges(
+            [("A", "C"), ("A", "B"), ("A", "C"), ("B", "A"), ("A", "D")]
+        )
+        out = adjacency_lists(e).to_pandas().set_index("id")
+        assert out.loc["A", "neighbors"] == "B,C,D"
+        assert int(out.loc["A", "outdeg"]) == 3
+        assert out.loc["B", "neighbors"] == "A"
+
+    def test_many_sources_across_shards(self):
+        from kgw_ray.stages.graph_metrics import adjacency_lists
+
+        pairs = [(f"s{i:03d}", f"t{j}") for i in range(200) for j in range(3)]
+        out = adjacency_lists(_edges(pairs)).to_pandas()
+        assert len(out) == 200
+        assert set(out["neighbors"]) == {"t0,t1,t2"}
+        assert set(out["outdeg"]) == {3}
