@@ -1204,6 +1204,33 @@ register("events_cumulative_value", _rel.EVENTS_CUMSUM_SQL)(
 )
 
 
+# window/OLAP continuation: LAG delta, ROWS-frame moving aggregate, CUBE
+register("events_value_delta", _rel.EVENTS_DELTA_SQL)(_rel.events_value_delta)
+register("events_moving_avg", _rel.EVENTS_MOVING_AVG_SQL)(
+    _rel.events_moving_avg
+)
+register("events_cube", _rel.EVENTS_CUBE_SQL)(_rel.events_cube)
+
+_FUZZY_NAME_SQL = """
+WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+SELECT a.name AS a, b.name AS b
+FROM n a JOIN n b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+@register("fuzzy_name_pairs", oracle=_FUZZY_NAME_SQL)
+def q_fuzzy_name_pairs(sf_dir: str) -> rd.Dataset:
+    """Edit-distance-≤1 fuzzy-match pairs over distinct customer names —
+    SymSpell deletion-neighborhood blocking + vectorized byte-matrix
+    verification (stages/dedup.py:edit_distance_pairs); oracle = the
+    uncapped all-pairs levenshtein join."""
+    from kgw_ray.stages.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        read_table(sf_dir, "customer", columns=["c_name"]), "c_name"
+    )
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

@@ -1822,3 +1822,234 @@ SELECT event_id, user_id, ts,
        ) AS BIGINT) AS cum_value_cents
 FROM events
 """
+
+
+def events_value_delta(sf_dir: str) -> rd.Dataset:
+    """LAG window: per event, the change in value (integer cents) vs the
+    user's previous event by (ts, event_id) — NULL on each user's first
+    event. The sessionize/trend-detection primitive.
+
+    Physical plan: sharded-coarse window (``user_id % 64`` exchange, one
+    lexsort per shard), the lag itself is ONE shifted-array subtraction
+    with the segment-start rows masked to NULL — no per-user Python.
+    """
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "delta_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        prev = np.empty_like(cents)
+        prev[1:] = cents[:-1]
+        prev[0] = 0
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        delta = cents - prev
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy()),
+                "user_id": pa.array(u),
+                "delta_cents": pa.array(
+                    np.where(first, 0, delta), mask=first
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+EVENTS_DELTA_SQL = """
+SELECT event_id, user_id,
+       CAST(ROUND(value * 100) AS BIGINT)
+       - LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS delta_cents
+FROM events
+"""
+
+
+def events_moving_avg(sf_dir: str, window: int = 3) -> rd.Dataset:
+    """ROWS-frame moving aggregate: per event the mean value (integer
+    permille-cents, floor) over the user's last ``window`` events
+    including this one — the rows-frame complement of the time-based
+    events_sliding_window.
+
+    Integer output (``1000·sum_cents // n``) keeps the hash gate exact.
+    Physical plan: sharded window; the rows-frame sum is a cumsum
+    difference with the frame clipped at each segment start — two numpy
+    ops, no per-user Python, no per-row frame scan.
+    """
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "avg_permille_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        n = len(u)
+        starts, lengths = _user_segments(u)
+        seg_start = np.repeat(starts, lengths)
+        pos = np.arange(n)
+        # frame start: max(row - window + 1, segment start)
+        fstart = np.maximum(pos - (window - 1), seg_start)
+        run = np.concatenate(([0], np.cumsum(cents)))
+        fsum = run[pos + 1] - run[fstart]
+        fn = pos - fstart + 1
+        avg = (1000 * fsum) // fn
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy()),
+                "user_id": pa.array(u),
+                "avg_permille_cents": pa.array(avg),
+            }
+        )
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+EVENTS_MOVING_AVG_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(1000 * SUM(cents) OVER w AS BIGINT)
+       // CAST(COUNT(*) OVER w AS BIGINT) AS avg_permille_cents
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_cube(sf_dir: str) -> pa.Table:
+    """CUBE grouping sets: event counts + total integer cents for every
+    combination of (event_type, hour-of-day) including both marginals and
+    the grand total — the OLAP complement of events_rollup (which pins
+    the ROLLUP hierarchy).
+
+    Physical plan: ONE per-batch partial pass computes the finest
+    (type, hour) cell counts; the three coarser grouping sets are exact
+    integer re-aggregations of those cells on the driver (the cell table
+    is |types|·24 rows — never the log). NULL marks the rolled-up
+    dimension, mirroring SQL CUBE output.
+    """
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hour = pc.hour(t.column("ts")).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
+                "hour": hour,
+                "cents": cents,
+            }
+        )
+        g = (
+            df.groupby(["event_type", "hour"], sort=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+                "hour": pa.array(g["hour"].to_numpy().astype(np.int64)),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    cells = grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        [("n", "sum", "n"), ("cents", "sum", "cents")],
+    ).to_pandas()  # |types|·24 rows — bounded
+
+    frames = [cells.assign(grp=0)]
+    by_type = (
+        cells.groupby("event_type", as_index=False)[["n", "cents"]]
+        .sum()
+        .assign(hour=pd.NA, grp=1)
+    )
+    by_hour = (
+        cells.groupby("hour", as_index=False)[["n", "cents"]]
+        .sum()
+        .assign(event_type=pd.NA, grp=2)
+    )
+    total = pd.DataFrame(
+        {
+            "event_type": [pd.NA],
+            "hour": [pd.NA],
+            "n": [cells["n"].sum()],
+            "cents": [cells["cents"].sum()],
+            "grp": [3],
+        }
+    )
+    out = pd.concat([frames[0], by_type, by_hour, total], ignore_index=True)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].astype(object), pa.string()),
+            "hour": pa.array(
+                [None if pd.isna(x) else int(x) for x in out["hour"]], pa.int64()
+            ),
+            "n": pa.array(out["n"].to_numpy().astype(np.int64)),
+            "cents": pa.array(out["cents"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+"""

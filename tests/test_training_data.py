@@ -1325,3 +1325,51 @@ def test_orders_period_diff_statuses(ray_session, sf_smoke):
     both = df[df["status"] == "both"]
     assert both["n_h1"].notna().all() and both["n_h2"].notna().all()
     assert df["o_custkey"].notna().all() and df["o_custkey"].is_unique
+
+
+class TestEditDistancePairs:
+    def _run(self, names):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kgw_ray.stages.dedup import edit_distance_pairs
+
+        ds = rd.from_arrow(pa.table({"c": pa.array(names, pa.string())}))
+        out = edit_distance_pairs(ds, "c").to_pandas()
+        return set(map(tuple, out[["a", "b"]].values.tolist()))
+
+    def test_substitution_insertion_deletion(self):
+        got = self._run(["abcd", "abed", "abcde", "bcd", "zzzz"])
+        # dist(abcd, abed)=1 sub; dist(abcd, abcde)=1 ins;
+        # dist(abcd, bcd)=1 del; dist(abed, abcde)=2; zzzz isolated
+        assert got == {
+            ("abcd", "abcde"),
+            ("abcd", "abed"),
+            ("abcd", "bcd"),
+        }
+
+    def test_exhaustive_vs_bruteforce(self):
+        import itertools
+
+        names = [f"n{i:02d}x" for i in range(20)] + ["n05y", "n05", "xn05x"]
+
+        def lev(s, t):
+            dp = list(range(len(t) + 1))
+            for i, cs in enumerate(s, 1):
+                prev, dp[0] = dp[0], i
+                for j, ct in enumerate(t, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (cs != ct)
+                    )
+            return dp[-1]
+
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(set(names)), 2)
+            if lev(a, b) <= 1
+        }
+        assert self._run(names) == want
+
+    def test_duplicates_collapse_to_distinct(self):
+        got = self._run(["aa", "aa", "ab", "ab", "ab"])
+        assert got == {("aa", "ab")}
