@@ -1231,6 +1231,45 @@ def q_fuzzy_name_pairs(sf_dir: str) -> rd.Dataset:
         read_table(sf_dir, "customer", columns=["c_name"]), "c_name"
     )
 
+_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+         AS w FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY w
+HAVING COUNT(*) * 64 > (SELECT n FROM tot)
+"""
+
+
+@register("text_heavy_hitters", oracle=_HEAVY_HITTERS_SQL)
+def q_text_heavy_hitters(sf_dir: str) -> rd.Dataset:
+    """Exact tokens above N/64 corpus frequency — two-pass
+    local-heavy-hitter candidates + broadcast-verified exact counts,
+    bounded shuffle for UNBOUNDED vocabularies
+    (stages/corpus.py:token_heavy_hitters)."""
+    from kgw_ray.stages.corpus import token_heavy_hitters
+
+    return token_heavy_hitters(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), k=64
+    )
+
+register("events_unpivot_type_counts", _rel.EVENTS_UNPIVOT_SQL)(
+    _rel.events_unpivot_type_counts
+)
+register("events_global_rank", _rel.EVENTS_GLOBAL_RANK_SQL)(
+    _rel.events_global_rank
+)
+
+register("events_users_per_type", _rel.EVENTS_USERS_PER_TYPE_SQL)(
+    _rel.events_users_per_type
+)
+
+register("events_user_skew", _rel.EVENTS_USER_SKEW_SQL)(
+    _rel.events_user_skew
+)
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

@@ -2053,3 +2053,213 @@ SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
 FROM events
 GROUP BY CUBE (event_type, hour(ts))
 """
+
+
+def events_unpivot_type_counts(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT (melt): the wide per-user type-count table
+    (events_pivot_by_type) back to long form (user_id, event_type, n),
+    zero cells dropped — the wide→long reshaping half of the pivot pair.
+
+    Physical plan: the pivot's one vocabulary-sized exchange, then a
+    per-batch vectorized melt (np.repeat/tile over the five fixed
+    columns) — reshaping adds NO further shuffle.
+    """
+    import numpy as np
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = [f"n_{t}" for t in types]
+    wide = events_pivot_by_type(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        mat = np.stack(
+            [t.column(c).to_numpy(zero_copy_only=False) for c in cols], axis=1
+        )
+        flat = mat.reshape(-1)
+        keep = flat > 0
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, len(types))[keep]),
+                "event_type": pa.array(
+                    np.tile(np.array(types, dtype=object), len(u))[keep],
+                    pa.string(),
+                ),
+                "n": pa.array(flat[keep].astype(np.int64)),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+EVENTS_UNPIVOT_SQL = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def events_global_rank(sf_dir: str) -> rd.Dataset:
+    """Global ROW_NUMBER over events ordered by (value cents, event_id) —
+    the distributed total-order ranking primitive
+    (stages/agg.py:global_row_number: range-bucket histogram + per-bucket
+    lexsort + exclusive prefix offsets; one key-column exchange, no
+    global sort, nothing corpus-sized on the driver). event_id breaks
+    value ties, making the order — and the hash gate — deterministic.
+    """
+    import numpy as np
+
+    from kgw_ray.stages.agg import global_row_number
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def with_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"cents": pa.array(cents), "event_id": t.column("event_id")}
+        )
+
+    return global_row_number(
+        ds.map_batches(with_cents, batch_format="pyarrow"),
+        ["cents", "event_id"],
+        rank_name="rn",
+    )
+
+
+EVENTS_GLOBAL_RANK_SQL = """
+SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id,
+       ROW_NUMBER() OVER (
+         ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id
+       ) AS rn
+FROM events
+"""
+
+
+def events_users_per_type(sf_dir: str) -> rd.Dataset:
+    """Exact grouped COUNT DISTINCT: unique users per event type — the
+    audience-size query. Two-level exact plan: per-batch (type, user)
+    dedup combiner → ONE exchange keyed on the pair (≤ one row per
+    (block, type, user)) → vocabulary-sized per-type count. The user
+    payload never shuffles twice; contrast events_user_distinct_sketch,
+    the zero-shuffle approximate path for when even the pair exchange is
+    too wide.
+    """
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+                "user_id": pa.array(g["user_id"].to_numpy().astype(np.int64)),
+                "one": pa.array(np.ones(len(g), dtype=np.int64)),
+            }
+        )
+
+    pairs = grouped_aggregate_hybrid(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["event_type", "user_id"],
+        [("one", "sum", "n")],
+    )
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("event_type", sort=False).size().rename("n_users").reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+                "n_users": pa.array(g["n_users"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        pairs.map_batches(count_partial, batch_format="pandas"),
+        "event_type",
+        [("n_users", "sum", "n_users")],
+    )
+
+
+EVENTS_USERS_PER_TYPE_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def events_user_skew(sf_dir: str) -> pa.Table:
+    """Key-skew diagnostic: the per-user event-count distribution as ONE
+    row — user count, total events, hottest key's count, and the Gini
+    coefficient in integer permille. The pre-flight check that tells a
+    pipeline whether a user-keyed shuffle needs salting BEFORE it runs.
+
+    Exact integer plan: per-user counts (vocabulary exchange) → global
+    rank of (count, user_id) via the range-bucket ranking primitive
+    (stages/agg.py:global_row_number — no global sort) → one tiny
+    partial-sum reduce for Σ rn·cnt. Gini = (2·Σ rn·cnt − (n+1)·Σcnt)
+    · 1000 // (n·Σcnt), nonnegative by the rearrangement inequality, so
+    floor division is engine-portable.
+    """
+    import numpy as np
+
+    from kgw_ray.stages.agg import global_row_number, grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def cnt_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("user_id", sort=False).size().rename("cnt").reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy().astype(np.int64)),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    counts = grouped_aggregate_hybrid(
+        ds.map_batches(cnt_partial, batch_format="pandas"),
+        "user_id",
+        [("cnt", "sum", "cnt")],
+    )
+    ranked = global_row_number(counts, ["cnt", "user_id"], rank_name="rn")
+
+    def fold_partial(t: pa.Table) -> pa.Table:
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        rn = t.column("rn").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(cnt)], pa.int64()),
+                "tot": pa.array([int(cnt.sum())], pa.int64()),
+                "mx": pa.array([int(cnt.max()) if len(cnt) else 0], pa.int64()),
+                "w": pa.array([int((rn * cnt).sum())], pa.int64()),
+            }
+        )
+
+    parts = ranked.map_batches(fold_partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    tot = int(parts["tot"].sum())
+    mx = int(parts["mx"].max()) if len(parts) else 0
+    w = int(parts["w"].sum())
+    gini = (1000 * (2 * w - (n + 1) * tot)) // (n * tot) if n and tot else 0
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "total_events": pa.array([tot], pa.int64()),
+            "max_count": pa.array([mx], pa.int64()),
+            "gini_permille": pa.array([gini], pa.int64()),
+        }
+    )
+
+
+EVENTS_USER_SKEW_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rn FROM c),
+s AS (SELECT COUNT(*) AS n, SUM(cnt) AS tot, MAX(cnt) AS mx,
+             SUM(rn * cnt) AS w
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS total_events,
+       CAST(mx AS BIGINT) AS max_count,
+       CAST((1000 * (2 * w - (n + 1) * tot)) // (n * tot) AS BIGINT)
+         AS gini_permille
+FROM s
+"""

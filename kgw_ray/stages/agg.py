@@ -828,3 +828,104 @@ def table_checksum(ds: rd.Dataset, cols: "Sequence[str]") -> dict:
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
     total = sum(int(p["sum"]) for p in parts) % (1 << 64)
     return {"n_rows": int(sum(p["n"] for p in parts)), "checksum": str(total)}
+
+
+def global_row_number(
+    ds: rd.Dataset,
+    keys: "Sequence[str]",
+    *,
+    n_buckets: int = 1024,
+    rank_name: str = "rn",
+) -> rd.Dataset:
+    """EXACT global ROW_NUMBER() ORDER BY ``keys`` (int64 columns, the
+    composite must be unique) — the classic distributed ranking plan:
+
+    1. one partial pass bincounts the LEADING key into ``n_buckets``
+       equal-width value ranges (driver folds the tiny per-block
+       histograms → exclusive prefix offsets);
+    2. one bucket-keyed exchange co-locates each range; inside a bucket a
+       single lexsort assigns local ranks, shifted by the bucket's offset.
+
+    No global sort, no driver-sized pull: the exchange moves only the key
+    columns + the bucket tag, and every bucket is a value RANGE so the
+    concatenation of (offset + local rank) is the total order. Skew note:
+    equal-width ranges are exact for any distribution (a hot range just
+    makes one bucket bigger — correctness unaffected); re-bucket by
+    splitting on the histogram when one range exceeds a worker's heap.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
+    lead = keys[0]
+
+    def _minmax_partial(t: pa.Table) -> pa.Table:
+        v = t.column(lead).to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(v.min())], pa.int64()),
+                "hi": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    proj = ds.select_columns(list(keys)).materialize()
+    mm = proj.map_batches(_minmax_partial, batch_format="pyarrow").to_pandas()
+    if len(mm) == 0:
+        return proj.map_batches(
+            lambda t: t.append_column(rank_name, pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def _hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column(lead).to_numpy(zero_copy_only=False)
+        b = np.minimum((v - lo) // width, n_buckets - 1)
+        cnt = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"bucket": pa.array(nz.astype(np.int64)), "c": pa.array(cnt[nz])}
+        )
+
+    hist = (
+        proj.map_batches(_hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket")["c"]
+        .sum()
+    )
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    counts[hist.index.to_numpy()] = hist.to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    def _tag(t: pa.Table) -> pa.Table:
+        v = t.column(lead).to_numpy(zero_copy_only=False)
+        b = np.minimum((v - lo) // width, n_buckets - 1)
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    key_list = list(keys)
+
+    def _per_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    **{k: pa.array([], pa.int64()) for k in key_list},
+                    rank_name: pa.array([], pa.int64()),
+                }
+            )
+        b = int(g["_bucket"].iloc[0])
+        order = np.lexsort(tuple(g[k].to_numpy() for k in reversed(key_list)))
+        out = g.iloc[order][key_list].reset_index(drop=True)
+        out[rank_name] = offsets[b] + 1 + np.arange(len(g), dtype=np.int64)
+        return arrow_from_pandas(out)
+
+    return (
+        proj.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_per_bucket, batch_format="pandas")
+    )

@@ -426,3 +426,95 @@ def stratified_keep_batch(batch: pa.Table, denoms: dict, default: int) -> pa.Tab
             "lang": pa.array(np.asarray(langs, dtype=object)[keep], pa.string()),
         }
     )
+
+
+def token_heavy_hitters(docs, *, k: int = 64):
+    """EXACT corpus heavy hitters: every token with frequency strictly
+    above ``N/k`` (N = total token count) and its exact count — the
+    two-pass candidate/verify plan that stays bounded when the token
+    vocabulary is NOT (the regime where ngram_topk's vocabulary-sized
+    exchange stops being safe).
+
+    Pass 1 (candidates, zero shuffle): per block, exact local counts via
+    ``np.unique``; a block emits the tokens with ``c_b > n_b/k`` (at most
+    k per block) plus its token total. The local-heavy-hitter lemma makes
+    the union a SUPERSET of every global heavy hitter: if
+    ``Σc_b(v) > Σn_b/k`` then ``c_b(v) > n_b/k`` in at least one block.
+    Driver folds the ≤k-per-block candidate partials (tiny) and
+    broadcasts the candidate vocabulary once via ``ray.put``.
+
+    Pass 2 (verify): per block, exact counts restricted to candidates
+    (one ``np.isin`` mask) → vocabulary-≤-candidates grouped Sum →
+    strict integer filter ``k·c > N``. Output: ``(token, n)``.
+    """
+    import ray
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    def _cand_partial(batch: pa.Table) -> pa.Table:
+        _, toks = flat_tokens(batch)
+        n_b = len(toks)
+        if n_b == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
+        uq, cnt = np.unique(toks, return_counts=True)
+        hot = cnt * k > n_b  # strict c_b > n_b/k without float division
+        return pa.table(
+            {
+                "token": pa.array(np.append(uq[hot], [""]), pa.string()),
+                "c": pa.array(
+                    np.append(cnt[hot], [0]).astype(np.int64)
+                ),
+                "n_b": pa.array(
+                    np.append(np.zeros(hot.sum(), dtype=np.int64), [n_b])
+                ),
+            }
+        )
+
+    parts = docs.map_batches(_cand_partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or "n_b" not in parts.columns:
+        # never-executed/empty corpus: typed empty result
+        return rd.from_arrow(
+            pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        )
+    total = int(parts["n_b"].sum())
+    cand = np.unique(parts.loc[parts["c"] > 0, "token"].to_numpy())
+    cand_ref = ray.put(cand)
+
+    def _verify_partial(batch: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        _, toks = flat_tokens(batch)
+        toks = toks[np.isin(toks, cset)]
+        uq, cnt = np.unique(toks, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uq, pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = grouped_aggregate_hybrid(
+        docs.map_batches(_verify_partial, batch_format="pyarrow"),
+        "token",
+        [("n", "sum", "n")],
+    )
+
+    def _thresh(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        keep = pa.array(n * k > total)
+        return pa.table(
+            {
+                "token": batch.column("token").filter(keep),
+                "n": batch.column("n").filter(keep),
+            }
+        )
+
+    return counts.map_batches(_thresh, batch_format="pyarrow")

@@ -301,3 +301,43 @@ def test_dup_span_kernels_match_bruteforce(docs, k):
         if cur is not None:
             expected.add((did, cur[0], cur[1] + k - 1, cur[2]))
     assert got == expected
+
+
+class TestGlobalRowNumber:
+    def _check(self, cents, n_buckets=8):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kgw_ray.stages.agg import global_row_number
+
+        ids = np.arange(len(cents), dtype=np.int64)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "cents": pa.array(np.asarray(cents, dtype=np.int64)),
+                    "event_id": pa.array(ids),
+                }
+            )
+        ).repartition(4)
+        out = (
+            global_row_number(ds, ["cents", "event_id"], n_buckets=n_buckets)
+            .to_pandas()
+            .sort_values("rn")
+        )
+        order = np.lexsort((ids, np.asarray(cents)))
+        assert out["event_id"].tolist() == ids[order].tolist()
+        assert out["rn"].tolist() == list(range(1, len(cents) + 1))
+
+    def test_duplicates_and_negatives(self):
+        self._check([5, -3, 5, 5, 0, -3, 99, 0])
+
+    def test_skewed_single_value(self):
+        # every row lands in ONE range bucket — correctness unaffected
+        self._check([7] * 50 + [1000])
+
+    def test_spread(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        self._check(rng.integers(-(10**6), 10**6, size=500), n_buckets=16)

@@ -1373,3 +1373,50 @@ class TestEditDistancePairs:
     def test_duplicates_collapse_to_distinct(self):
         got = self._run(["aa", "aa", "ab", "ab", "ab"])
         assert got == {("aa", "ab")}
+
+
+class TestTokenHeavyHitters:
+    def test_matches_bruteforce_threshold(self):
+        from collections import Counter
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kgw_ray.stages.corpus import token_heavy_hitters
+
+        texts = (
+            ["the cat sat on the mat"] * 5
+            + ["a b c d e f g h"] * 3
+            + ["the the the"]
+        )
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        ).repartition(4)
+        k = 8
+        out = token_heavy_hitters(ds, k=k).to_pandas()
+        toks = [w for t in texts for w in t.split()]
+        n = len(toks)
+        want = {w: c for w, c in Counter(toks).items() if c * k > n}
+        assert dict(zip(out["token"], out["n"])) == want
+        assert "the" in want  # the fixture actually exercises the filter
+
+    def test_empty_corpus(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kgw_ray.stages.corpus import token_heavy_hitters
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        )
+        assert token_heavy_hitters(ds, k=4).count() == 0
