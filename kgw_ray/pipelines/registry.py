@@ -1270,6 +1270,74 @@ register("events_user_skew", _rel.EVENTS_USER_SKEW_SQL)(
     _rel.events_user_skew
 )
 
+def _kg_sssp_sql() -> str:
+    from kgw_ray.stages.graph_metrics import bellman_ford_sql
+
+    return bellman_ford_sql(
+        f"""SELECT 'E:' || subj AS s, 'E:' || obj AS t,
+               CAST(1 + 1000 // COUNT(*) AS BIGINT) AS w
+        FROM ({TRIPLES_SQL}) WHERE subj <> obj GROUP BY subj, obj""",
+        rounds=6,
+    )
+
+
+@register("kg_shortest_paths", oracle=_kg_sssp_sql())
+def q_kg_shortest_paths(sf_dir: str) -> rd.Dataset:
+    """6-round weighted single-source shortest paths (integer min-plus
+    Bellman-Ford) over the directed web-KG with rarity costs
+    w = 1 + 1000//n_obs — one size-hybrid join + min combiner + grouped
+    Min per round (stages/graph_metrics.py:bellman_ford); oracle = the
+    identical rounds unrolled into CTEs."""
+    import numpy as _np
+    import pandas as _pd
+
+    from kgw_ray.pipelines.webkg import triples_dataset
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid as _gah
+    from kgw_ray.stages.graph_metrics import bellman_ford
+
+    tr = triples_dataset(sf_dir)
+
+    def _pair_count(t: pa.Table) -> pa.Table:
+        subj = t.column("subj").to_numpy(zero_copy_only=False)
+        obj = t.column("obj").to_numpy(zero_copy_only=False)
+        keep = subj != obj
+        g = (
+            _pd.DataFrame({"s": subj[keep], "t": obj[keep]})
+            .groupby(["s", "t"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "s": pa.array("E:" + g["s"].to_numpy(dtype=object), pa.string()),
+                "t": pa.array("E:" + g["t"].to_numpy(dtype=object), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(_np.int64)),
+            }
+        )
+
+    counted = _gah(
+        tr.map_batches(_pair_count, batch_format="pyarrow"),
+        ["s", "t"],
+        [("n", "sum", "n")],
+    )
+
+    def _weight(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s": t.column("s"),
+                "t": t.column("t"),
+                "w": pa.array(1 + 1000 // n),
+            }
+        )
+
+    return bellman_ford(
+        counted.map_batches(_weight, batch_format="pyarrow"), rounds=6
+    )
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

@@ -895,3 +895,97 @@ def adjacency_lists(edges: rd.Dataset) -> rd.Dataset:
         .groupby("_shard")
         .map_groups(_per_shard, batch_format="pandas")
     )
+
+
+def bellman_ford(
+    edges_w: rd.Dataset,
+    *,
+    rounds: int = 6,
+    src_col: str = "s",
+    dst_col: str = "t",
+    w_col: str = "w",
+) -> rd.Dataset:
+    """k-round single-source WEIGHTED shortest paths (min-plus semiring —
+    Bellman-Ford) over a directed edge set with nonnegative int64 weights:
+    dist after round r = exact cheapest cost among paths of ≤ r edges
+    from the lexicographically smallest node (the BFS source convention).
+
+    Integer min-plus is engine-exact (the oracle unrolls the identical
+    rounds). Physical plan per round: ONE size-hybrid join of the
+    (node-vocabulary-sized) dist table onto the edge stream at ``s``, a
+    per-batch min combiner of ``dist+w`` per target, then a grouped Min
+    folding candidates against the previous dist table — the edge stream
+    is materialized once and re-consumed; nothing corpus-sized crosses
+    per round beyond ≤ one row per (block, reached node).
+
+    Returns ``(id, dist)`` for nodes reachable within ``rounds`` edges.
+    Overflow: path cost ≤ rounds·max(w) must fit int64.
+    """
+    pairs = edges_w.materialize()
+
+    def _src_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.min(t.column(src_col)).as_py()
+        n = pc.min(t.column(dst_col)).as_py()
+        lo = min(x for x in (m, n) if x is not None) if (m or n) else None
+        if lo is None:
+            return pa.table({"lo": pa.array([], pa.string())})
+        return pa.table({"lo": pa.array([lo], pa.string())})
+
+    los = pairs.map_batches(_src_partial, batch_format="pyarrow").to_pandas()
+    if len(los) == 0:
+        return rd.from_arrow(
+            pa.table({"id": pa.array([], pa.string()), "dist": pa.array([], pa.int64())})
+        )
+    source = los["lo"].min()
+
+    dist = rd.from_arrow(
+        pa.table({"id": pa.array([source], pa.string()), "dist": pa.array([0], pa.int64())})
+    )
+
+    def _cand_partial(batch: pa.Table) -> pa.Table:
+        d = pc_int64(batch.column("dist"))
+        w = pc_int64(batch.column(w_col))
+        df = pd.DataFrame(
+            {"id": batch.column(dst_col).to_numpy(zero_copy_only=False), "dist": d + w}
+        )
+        g = df.groupby("id", sort=False)["dist"].min().reset_index()
+        return pa.table(
+            {
+                "id": pa.array(g["id"].to_numpy(), pa.string()),
+                "dist": pa.array(g["dist"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    for _ in range(rounds):
+        reached = _hybrid_attach(pairs, dist, on=src_col, right_on="id")
+        cands = reached.map_batches(_cand_partial, batch_format="pyarrow")
+        dist = grouped_aggregate_hybrid(
+            cands.union(dist), "id", [("dist", "min", "dist")]
+        ).materialize()
+
+    return dist
+
+
+def bellman_ford_sql(edges_sql: str, *, rounds: int = 6) -> str:
+    """The identical k-round integer min-plus iteration unrolled into CTEs.
+    ``edges_sql`` must yield (s, t, w)."""
+    parts = [
+        f"WITH e AS ({edges_sql}),",
+        "src AS (SELECT LEAST(MIN(s), MIN(t)) AS v FROM e),",
+        "d0 AS (SELECT v AS id, CAST(0 AS BIGINT) AS dist FROM src"
+        " WHERE v IS NOT NULL)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+c{r} AS (SELECT e.t AS id, MIN(d.dist + e.w) AS dist
+        FROM e JOIN d{p} d ON d.id = e.s GROUP BY e.t),
+d{r} AS (SELECT id, MIN(dist) AS dist FROM (
+          SELECT id, dist FROM d{p} UNION ALL SELECT id, dist FROM c{r}
+        ) GROUP BY id)"""
+        )
+    parts.append(f"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM d{rounds}")
+    return "\n".join(parts)

@@ -260,3 +260,47 @@ class TestAdjacencyLists:
         assert len(out) == 200
         assert set(out["neighbors"]) == {"t0,t1,t2"}
         assert set(out["outdeg"]) == {3}
+
+
+class TestBellmanFord:
+    def _edges_w(self, triples):
+        s, t, w = zip(*triples)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "s": pa.array(s, pa.string()),
+                    "t": pa.array(t, pa.string()),
+                    "w": pa.array(list(w), pa.int64()),
+                }
+            )
+        )
+
+    def test_cheaper_long_path_beats_direct_edge(self):
+        from kgw_ray.stages.graph_metrics import bellman_ford
+
+        # source = 'A' (lexicographic min). A->D direct costs 10;
+        # A->B->C->D costs 3. Directed: no route back to A.
+        e = self._edges_w(
+            [("A", "D", 10), ("A", "B", 1), ("B", "C", 1), ("C", "D", 1)]
+        )
+        out = (
+            bellman_ford(e, rounds=6).to_pandas().set_index("id")["dist"]
+        )
+        assert out.to_dict() == {"A": 0, "B": 1, "C": 2, "D": 3}
+
+    def test_round_cap_limits_path_length(self):
+        from kgw_ray.stages.graph_metrics import bellman_ford
+
+        # chain of 4 edges; rounds=2 reaches only 2 hops
+        e = self._edges_w(
+            [("A", "B", 1), ("B", "C", 1), ("C", "D", 1), ("D", "E", 1)]
+        )
+        out = bellman_ford(e, rounds=2).to_pandas().set_index("id")["dist"]
+        assert out.to_dict() == {"A": 0, "B": 1, "C": 2}
+
+    def test_unreachable_nodes_absent(self):
+        from kgw_ray.stages.graph_metrics import bellman_ford
+
+        e = self._edges_w([("A", "B", 5), ("Z", "Y", 1)])
+        out = bellman_ford(e, rounds=4).to_pandas().set_index("id")["dist"]
+        assert out.to_dict() == {"A": 0, "B": 5}
