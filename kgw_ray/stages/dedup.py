@@ -1188,11 +1188,11 @@ def edit_distance_pairs(
         vals = batch.column("v").to_pylist()
         out_k, out_v = [], []
         for s in vals:
-            out_k.append(s)
-            out_v.append(s)
+            ks = {s}
             for i in range(len(s)):
-                out_k.append(s[:i] + s[i + 1 :])
-                out_v.append(s)
+                ks.add(s[:i] + s[i + 1 :])  # set-dedup: repeated-char runs
+            out_k.extend(ks)
+            out_v.extend([s] * len(ks))
         return pa.table(
             {
                 "k": pa.array(out_k, pa.string()),
@@ -1200,30 +1200,66 @@ def edit_distance_pairs(
             }
         )
 
-    def _bucket_pairs_of(g: pd.DataFrame) -> pa.Table:
-        vs = np.sort(pd.unique(g["v"].to_numpy()))
-        m = len(vs)
-        empty = pa.table(
-            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
-        )
-        if m < 2:
-            return empty
-        if m > max_bucket:
-            # skew guard: stride-1 + stride-2 chains (sorted order keeps
-            # near-identical values adjacent, the _bucket_pairs rationale)
-            a = np.concatenate([vs[:-1], vs[:-2]])
-            b = np.concatenate([vs[1:], vs[2:]])
-        else:
-            iu = np.triu_indices(m, k=1)
-            a, b = vs[iu[0]], vs[iu[1]]
+    # sharded-coarse bucket expansion (the lsh_candidate_pairs shape):
+    # ONE exchange keyed on hash(variant) % 64, then a vectorized
+    # sort + run-boundary pass per shard. A groupby(variant).map_groups
+    # plan pays per-group pandas overhead × |variants| (measured 112s on
+    # 285k buckets at sf0.1 — 40× this plan); shard groups are O(64).
+    n_shards = 64
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(k.astype("U"), hash_key="kgw_ray_editdist") % n_shards
+        return batch.append_column("_shard", pa.array(h.astype(np.int64)))
+
+    _cand_empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+    )
+
+    def _per_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _cand_empty
+        g = g.sort_values(["k", "v"], kind="mergesort")
+        k = g["k"].to_numpy()
+        v = g["v"].to_numpy()
+        new_k = np.ones(len(k), dtype=bool)
+        new_k[1:] = k[1:] != k[:-1]
+        starts = np.append(np.flatnonzero(new_k), len(k))
+        out_a, out_b = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            run = v[s:e]
+            run = run[np.append(True, run[1:] != run[:-1])]  # sorted unique
+            m = len(run)
+            if m < 2:
+                continue
+            if m > max_bucket:
+                # skew guard: stride-1 + stride-2 chains (sorted order
+                # keeps near-identical values adjacent)
+                out_a.append(run[:-1])
+                out_b.append(run[1:])
+                out_a.append(run[:-2])
+                out_b.append(run[2:])
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+                out_a.append(run[iu])
+                out_b.append(run[ju])
+        if not out_a:
+            return _cand_empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        keep = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
         return pa.table(
-            {"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())}
+            {
+                "a": pa.array(keep["a"].to_numpy(), pa.string()),
+                "b": pa.array(keep["b"].to_numpy(), pa.string()),
+            }
         )
 
     cand = (
         vocab.map_batches(_variants, batch_format="pyarrow")
-        .groupby("k")
-        .map_groups(_bucket_pairs_of, batch_format="pandas")
+        .map_batches(_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(_per_shard, batch_format="pandas")
     )
 
     def _dedup_partial(batch: pa.Table) -> pa.Table:
