@@ -1338,6 +1338,8 @@ def q_kg_shortest_paths(sf_dir: str) -> rd.Dataset:
         counted.map_batches(_weight, batch_format="pyarrow"), rounds=6
     )
 
+register("events_value_mad", _rel.EVENTS_MAD_SQL)(_rel.events_value_mad)
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

@@ -2263,3 +2263,57 @@ SELECT CAST(n AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS total_events,
          AS gini_permille
 FROM s
 """
+
+
+def events_value_mad(sf_dir: str) -> pa.Table:
+    """Robust dispersion: exact median and median-absolute-deviation of
+    the event value in integer cents — the outlier-resistant (median,
+    MAD) pair monitoring pipelines prefer over (mean, stddev).
+
+    Two chained EXACT rank selections (stages/agg.py:exact_quantiles —
+    histogram-refinement, no sort, no shuffle): median of cents, then
+    median of |cents − median|. Both are element SELECTIONS of the
+    ceil(N/2)-th order statistic, so the oracle reproduces them with
+    ROW_NUMBER rank math — no float arithmetic anywhere.
+    """
+    import numpy as np
+
+    from kgw_ray.stages.agg import exact_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def cents_of(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array(c)})
+
+    cents = ds.map_batches(cents_of, batch_format="pyarrow")
+    med = int(exact_quantiles(cents, "cents", [0.5])[0.5])
+
+    def dev_of(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table({"dev": pa.array(np.abs(c - med).astype(np.int64))})
+
+    devs = cents.map_batches(dev_of, batch_format="pyarrow")
+    mad = int(exact_quantiles(devs, "dev", [0.5])[0.5])
+    return pa.table(
+        {
+            "median_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([mad], pa.int64()),
+        }
+    )
+
+
+EVENTS_MAD_SQL = """
+WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n FROM c),
+m AS (SELECT cents AS med FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+d AS (SELECT ABS(cents - (SELECT med FROM m)) AS dev FROM c),
+rd AS (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev) AS rn,
+              COUNT(*) OVER () AS n FROM d)
+SELECT (SELECT med FROM m) AS median_cents,
+       (SELECT dev FROM rd WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+         AS mad_cents
+"""

@@ -1143,6 +1143,7 @@ def edit_distance_pairs(
     col: str,
     *,
     max_bucket: int = 256,
+    n_shards: int = 64,
 ) -> "rd.Dataset":
     """Fuzzy-match pairs at edit distance ≤ 1 over the DISTINCT values of
     ``col`` — SymSpell-style deletion-neighborhood blocking (Garbe's
@@ -1204,8 +1205,8 @@ def edit_distance_pairs(
     # ONE exchange keyed on hash(variant) % 64, then a vectorized
     # sort + run-boundary pass per shard. A groupby(variant).map_groups
     # plan pays per-group pandas overhead × |variants| (measured 112s on
-    # 285k buckets at sf0.1 — 40× this plan); shard groups are O(64).
-    n_shards = 64
+    # 285k buckets at sf0.1 — 40× this plan); shard groups are O(n_shards)
+    # — raise n_shards on a cluster so one shard group fits a worker.
 
     def _shard(batch: pa.Table) -> pa.Table:
         k = batch.column("k").to_numpy(zero_copy_only=False)

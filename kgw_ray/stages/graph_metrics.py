@@ -836,7 +836,7 @@ l{c} AS (SELECT n.id, COALESCE(w.lbl, n.id) AS lbl
     return "\n".join(parts)
 
 
-def adjacency_lists(edges: rd.Dataset) -> rd.Dataset:
+def adjacency_lists(edges: rd.Dataset, *, num_shards: int = 64) -> rd.Dataset:
     """Materialized sorted adjacency lists: per source node the distinct
     out-neighbor count and the comma-joined target list in byte order —
     kgw's edges-indexed-by-source access path (transform.py:27
@@ -854,7 +854,7 @@ def adjacency_lists(edges: rd.Dataset) -> rd.Dataset:
     import pyarrow.compute as pc
 
     pairs = _distinct_ordered_pairs(edges)
-    num_shards = 64
+    # num_shards: raise on a cluster so one shard group fits a worker
 
     def _shard(batch: pa.Table) -> pa.Table:
         s = batch.column("s").to_numpy(zero_copy_only=False)
