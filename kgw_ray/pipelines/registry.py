@@ -1340,6 +1340,10 @@ def q_kg_shortest_paths(sf_dir: str) -> rd.Dataset:
 
 register("events_value_mad", _rel.EVENTS_MAD_SQL)(_rel.events_value_mad)
 
+register("events_trailing_hour_sum", _rel.EVENTS_TRAILING_HOUR_SQL)(
+    _rel.events_trailing_hour_sum
+)
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

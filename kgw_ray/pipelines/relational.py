@@ -2317,3 +2317,81 @@ SELECT (SELECT med FROM m) AS median_cents,
        (SELECT dev FROM rd WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
          AS mad_cents
 """
+
+
+def events_trailing_hour_sum(sf_dir: str) -> rd.Dataset:
+    """Time-RANGE window aggregate: per event, the user's total value
+    (integer cents) over the trailing hour INCLUSIVE of equal-timestamp
+    peers — SQL's ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW`` (value-based frame; contrast the ROWS frame of
+    events_moving_avg and the tumbling events_sliding_window).
+
+    Fully vectorized frame lookup, no per-user Python: within a shard
+    sorted by (user, ts), users factorize to dense codes and the
+    composite key ``code·2⁴⁵ + (ts − ts_min)`` is globally monotone, so
+    ONE ``np.searchsorted`` of ``key − 1h`` finds every row's frame
+    start (an out-of-range query clamps to the user's segment start by
+    construction) and a prefix-sum difference finishes the job.
+    """
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "trailing_hour_cents": pa.array([], pa.int64()),
+        }
+    )
+    W = 3_600_000_000  # 1 hour in µs
+    SEG = np.int64(1) << np.int64(45)  # > any single-shard ts span + W
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        codes = np.unique(u, return_inverse=True)[1].astype(np.int64)
+        dt = ts - ts.min()
+        if len(dt) and dt.max() + W >= SEG:
+            raise ValueError(
+                "events_trailing_hour_sum: shard time span exceeds the "
+                "2^45 µs composite-key budget — raise SEG"
+            )
+        key = codes * SEG + dt
+        lo = np.searchsorted(key, key - W, side="left")
+        pre = np.concatenate(([0], np.cumsum(cents)))
+        hi = np.searchsorted(key, key, side="right")
+        out = pre[hi] - pre[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy()),
+                "user_id": pa.array(u),
+                "trailing_hour_cents": pa.array(out),
+            }
+        )
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+EVENTS_TRAILING_HOUR_SQL = """
+WITH c AS (SELECT event_id, user_id, ts,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(cents) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_hour_cents
+FROM c
+"""

@@ -341,3 +341,44 @@ class TestGlobalRowNumber:
 
         rng = np.random.default_rng(7)
         self._check(rng.integers(-(10**6), 10**6, size=500), n_buckets=16)
+
+
+def test_trailing_hour_sum_includes_equal_ts_peers(tmp_path):
+    """RANGE frames include ALL peers of the current row (equal ts), even
+    those later in partition order — the semantics DuckDB implements and
+    the composite-key searchsorted must reproduce."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgw_ray.pipelines.relational import events_trailing_hour_sum
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "user_id": [7, 7, 7, 7, 8],
+            "ts": [
+                base,
+                base + pd.Timedelta(minutes=30),
+                base + pd.Timedelta(minutes=30),  # peer of event 1
+                base + pd.Timedelta(minutes=85),  # window [25m,85m]: keeps 1,2, drops 0
+                base,
+            ],
+            "event_type": ["click"] * 5,
+            "value": [1.00, 2.00, 4.00, 8.00, 16.00],
+            "props": ["{}"] * 5,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "events.parquet")
+    out = (
+        events_trailing_hour_sum(str(tmp_path))
+        .to_pandas()
+        .set_index("event_id")["trailing_hour_cents"]
+    )
+    # event 1 and 2 are peers: both frames = {0,1,2} -> 700
+    assert out[1] == 700 and out[2] == 700
+    assert out[0] == 100
+    assert out[3] == 8 * 100 + 600  # events 1,2 within [25m,85m]; 0 aged out
+    assert out[4] == 1600
