@@ -1087,37 +1087,11 @@ def q_kg_hits(sf_dir: str) -> rd.Dataset:
     rounds, one distinct-pair exchange + three size-hybrid join/Sum rounds
     (stages/graph_metrics.py:hits_scores); oracle = the identical rounds
     unrolled into BIGINT CTEs, exact hash equality."""
-    import pyarrow as _pa
-
     from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
-    from kgw_ray.stages.graph_metrics import hits_scores
+    from kgw_ray.stages.graph_metrics import hits_scores, nodes_from_edges
 
     edges = edges_from_triples(triples_dataset(sf_dir)).materialize()
-
-    def _melt(t: _pa.Table) -> _pa.Table:
-        import numpy as _np
-
-        ids = _np.concatenate(
-            [
-                t.column("source_id").to_numpy(zero_copy_only=False),
-                t.column("target_id").to_numpy(zero_copy_only=False),
-            ]
-        )
-        return _pa.table({"id": _pa.array(_np.unique(ids), _pa.string())})
-
-    from kgw_ray.stages.agg import grouped_aggregate_hybrid as _gah
-
-    nodes = _gah(
-        edges.map_batches(_melt, batch_format="pyarrow").map_batches(
-            lambda t: t.append_column(
-                "one", _pa.array([1] * len(t), _pa.int64())
-            ),
-            batch_format="pyarrow",
-        ),
-        "id",
-        [("one", "sum", "n")],
-    ).select_columns(["id"])
-    return hits_scores(nodes, edges)
+    return hits_scores(nodes_from_edges(edges), edges)
 
 
 def _kg_lpa_sql() -> str:
@@ -1139,39 +1113,11 @@ def q_kg_label_propagation(sf_dir: str) -> rd.Dataset:
     vocabulary-sized exchanges (stages/graph_metrics.py:
     label_propagation); oracle = the identical rounds unrolled into
     window-function CTEs."""
-    import pyarrow as _pa
-
     from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
-    from kgw_ray.stages.graph_metrics import label_propagation
+    from kgw_ray.stages.graph_metrics import label_propagation, nodes_from_edges
 
     edges = edges_from_triples(triples_dataset(sf_dir)).materialize()
-
-    def _melt(t: _pa.Table) -> _pa.Table:
-        import numpy as _np
-
-        ids = _np.concatenate(
-            [
-                t.column("source_id").to_numpy(zero_copy_only=False),
-                t.column("target_id").to_numpy(zero_copy_only=False),
-            ]
-        )
-        return _pa.table(
-            {
-                "id": _pa.array(_np.unique(ids), _pa.string()),
-                "one": _pa.array(
-                    _np.ones(len(_np.unique(ids)), dtype=_np.int64)
-                ),
-            }
-        )
-
-    from kgw_ray.stages.agg import grouped_aggregate_hybrid as _gah
-
-    nodes = _gah(
-        edges.map_batches(_melt, batch_format="pyarrow"),
-        "id",
-        [("one", "sum", "n")],
-    ).select_columns(["id"])
-    return label_propagation(nodes, edges, iters=3)
+    return label_propagation(nodes_from_edges(edges), edges, iters=3)
 
 
 _KG_ADJ_SQL = f"""
@@ -1224,14 +1170,20 @@ def q_fuzzy_name_pairs(sf_dir: str) -> rd.Dataset:
     """Edit-distance-≤1 fuzzy-match pairs over distinct customer names —
     SymSpell deletion-neighborhood blocking + vectorized byte-matrix
     verification (stages/dedup.py:edit_distance_pairs); oracle = the
-    uncapped all-pairs levenshtein join."""
+    uncapped all-pairs levenshtein join, so the pipeline runs UNCAPPED
+    (max_bucket=None) — exact for any bucket shape; the default cap is
+    the documented skew guard for uncapped web corpora."""
     from kgw_ray.stages.dedup import edit_distance_pairs
 
     return edit_distance_pairs(
-        read_table(sf_dir, "customer", columns=["c_name"]), "c_name"
+        read_table(sf_dir, "customer", columns=["c_name"]),
+        "c_name",
+        max_bucket=None,
     )
 
-_HEAVY_HITTERS_SQL = """
+_HEAVY_HITTERS_K = 64  # shared by the pipeline call AND the oracle SQL
+
+_HEAVY_HITTERS_SQL = f"""
 WITH toks AS (
   SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
          AS w FROM documents
@@ -1239,7 +1191,7 @@ WITH toks AS (
 tot AS (SELECT COUNT(*) AS n FROM toks)
 SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS n
 FROM toks GROUP BY w
-HAVING COUNT(*) * 64 > (SELECT n FROM tot)
+HAVING COUNT(*) * {_HEAVY_HITTERS_K} > (SELECT n FROM tot)
 """
 
 
@@ -1252,7 +1204,8 @@ def q_text_heavy_hitters(sf_dir: str) -> rd.Dataset:
     from kgw_ray.stages.corpus import token_heavy_hitters
 
     return token_heavy_hitters(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]), k=64
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=_HEAVY_HITTERS_K,
     )
 
 register("events_unpivot_type_counts", _rel.EVENTS_UNPIVOT_SQL)(

@@ -405,6 +405,13 @@ def _user_segments(u: "np.ndarray"):
     return starts, lengths
 
 
+def _shard_by_user(t: "pa.Table") -> "pa.Table":
+    """Append the window-family shard key (``user_id % _WINDOW_SHARDS``) —
+    ONE definition for every sharded-coarse per-user window operator."""
+    u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+    return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user (gap > 30min starts a new session):
     (user_id, n_sessions, n_events).
@@ -418,10 +425,6 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes).to_timedelta64()
-
-    def shard(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
-        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
 
     def per_shard(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
@@ -450,7 +453,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         )
 
     return (
-        ds.map_batches(shard, batch_format="pyarrow")
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
         .groupby("_shard")
         .map_groups(per_shard, batch_format="pandas")
     )
@@ -495,9 +498,7 @@ def events_asof_last_signup(sf_dir: str) -> rd.Dataset:
             t.column("event_type"),
             value_set=pa.array(["purchase", "signup"], pa.string()),
         )
-        t = t.filter(keep)
-        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
-        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
+        return _shard_by_user(t.filter(keep))
 
     _empty = pa.table(
         {
@@ -611,10 +612,6 @@ def events_rank_in_user(sf_dir: str, k: int = 3) -> rd.Dataset:
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
-    def shard(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
-        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
-
     def per_shard(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
             return pa.table(
@@ -644,7 +641,7 @@ def events_rank_in_user(sf_dir: str, k: int = 3) -> rd.Dataset:
         )
 
     return (
-        ds.map_batches(shard, batch_format="pyarrow")
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
         .groupby("_shard")
         .map_groups(per_shard, batch_format="pandas")
     )
@@ -1775,10 +1772,6 @@ def events_cumulative_value(sf_dir: str) -> rd.Dataset:
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def shard(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
-        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
-
     _empty = pa.table(
         {
             "event_id": pa.array([], pa.int64()),
@@ -1809,7 +1802,7 @@ def events_cumulative_value(sf_dir: str) -> rd.Dataset:
         )
 
     return (
-        ds.map_batches(shard, batch_format="pyarrow")
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
         .groupby("_shard")
         .map_groups(per_shard, batch_format="pandas")
     )
@@ -1836,10 +1829,6 @@ def events_value_delta(sf_dir: str) -> rd.Dataset:
     import numpy as np
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-
-    def shard(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
-        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
 
     _empty = pa.table(
         {
@@ -1872,7 +1861,7 @@ def events_value_delta(sf_dir: str) -> rd.Dataset:
         )
 
     return (
-        ds.map_batches(shard, batch_format="pyarrow")
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
         .groupby("_shard")
         .map_groups(per_shard, batch_format="pandas")
     )
@@ -1888,7 +1877,12 @@ FROM events
 """
 
 
-def events_moving_avg(sf_dir: str, window: int = 3) -> rd.Dataset:
+_MOVING_AVG_WINDOW = 3  # shared by the pipeline AND its oracle SQL below
+
+
+def events_moving_avg(
+    sf_dir: str, window: int = _MOVING_AVG_WINDOW
+) -> rd.Dataset:
     """ROWS-frame moving aggregate: per event the mean value (integer
     permille-cents, floor) over the user's last ``window`` events
     including this one — the rows-frame complement of the time-based
@@ -1902,10 +1896,6 @@ def events_moving_avg(sf_dir: str, window: int = 3) -> rd.Dataset:
     import numpy as np
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-
-    def shard(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
-        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
 
     _empty = pa.table(
         {
@@ -1940,13 +1930,13 @@ def events_moving_avg(sf_dir: str, window: int = 3) -> rd.Dataset:
         )
 
     return (
-        ds.map_batches(shard, batch_format="pyarrow")
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
         .groupby("_shard")
         .map_groups(per_shard, batch_format="pandas")
     )
 
 
-EVENTS_MOVING_AVG_SQL = """
+EVENTS_MOVING_AVG_SQL = f"""
 WITH c AS (
   SELECT event_id, user_id, ts,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
@@ -1957,7 +1947,7 @@ SELECT event_id, user_id,
        // CAST(COUNT(*) OVER w AS BIGINT) AS avg_permille_cents
 FROM c
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             ROWS BETWEEN {_MOVING_AVG_WINDOW - 1} PRECEDING AND CURRENT ROW)
 """
 
 
@@ -2024,12 +2014,14 @@ def events_cube(sf_dir: str) -> pa.Table:
         .sum()
         .assign(event_type=pd.NA, grp=2)
     )
+    # empty-input parity with SQL CUBE: the () grouping set still emits
+    # one row, with COUNT(*) = 0 but SUM(...) = NULL (not 0)
     total = pd.DataFrame(
         {
             "event_type": [pd.NA],
             "hour": [pd.NA],
-            "n": [cells["n"].sum()],
-            "cents": [cells["cents"].sum()],
+            "n": [cells["n"].sum() if len(cells) else 0],
+            "cents": [cells["cents"].sum() if len(cells) else pd.NA],
             "grp": [3],
         }
     )
@@ -2040,8 +2032,11 @@ def events_cube(sf_dir: str) -> pa.Table:
             "hour": pa.array(
                 [None if pd.isna(x) else int(x) for x in out["hour"]], pa.int64()
             ),
-            "n": pa.array(out["n"].to_numpy().astype(np.int64)),
-            "cents": pa.array(out["cents"].to_numpy().astype(np.int64)),
+            "n": pa.array(out["n"].to_numpy(dtype=object), pa.int64()),
+            "cents": pa.array(
+                [None if pd.isna(x) else int(x) for x in out["cents"]],
+                pa.int64(),
+            ),
         }
     )
 
@@ -2337,10 +2332,6 @@ def events_trailing_hour_sum(sf_dir: str) -> rd.Dataset:
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def shard(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
-        return t.append_column("_shard", pa.array(u % _WINDOW_SHARDS))
-
     _empty = pa.table(
         {
             "event_id": pa.array([], pa.int64()),
@@ -2360,10 +2351,13 @@ def events_trailing_hour_sum(sf_dir: str) -> rd.Dataset:
         cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
         codes = np.unique(u, return_inverse=True)[1].astype(np.int64)
         dt = ts - ts.min()
-        if len(dt) and dt.max() + W >= SEG:
+        if len(dt) and (
+            dt.max() + W >= SEG or codes.max() >= (1 << 63) // SEG
+        ):
             raise ValueError(
-                "events_trailing_hour_sum: shard time span exceeds the "
-                "2^45 µs composite-key budget — raise SEG"
+                "events_trailing_hour_sum: composite-key budget exceeded "
+                "(shard time span >= 2^45 µs or >= 2^18 distinct users "
+                "per shard) — raise SEG / _WINDOW_SHARDS"
             )
         key = codes * SEG + dt
         lo = np.searchsorted(key, key - W, side="left")
@@ -2379,7 +2373,7 @@ def events_trailing_hour_sum(sf_dir: str) -> rd.Dataset:
         )
 
     return (
-        ds.map_batches(shard, batch_format="pyarrow")
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
         .groupby("_shard")
         .map_groups(per_shard, batch_format="pandas")
     )

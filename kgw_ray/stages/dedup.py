@@ -1142,7 +1142,7 @@ def edit_distance_pairs(
     ds: "rd.Dataset",
     col: str,
     *,
-    max_bucket: int = 256,
+    max_bucket: Optional[int] = 256,
     n_shards: int = 64,
 ) -> "rd.Dataset":
     """Fuzzy-match pairs at edit distance ≤ 1 over the DISTINCT values of
@@ -1162,8 +1162,13 @@ def edit_distance_pairs(
     is a bounded candidate set) → distinct (a < b) pairs.
 
     Exactness: blocking RECALL is 1.0 for distance ≤ 1 when no bucket
-    overflows the cap (asserted for the gated fixture in tests); the
-    verify step makes precision exact. Output: ``(a, b)``.
+    overflows the cap; a bucket past ``max_bucket`` falls back to the
+    stride-1/2 chains and SILENTLY loses the non-adjacent pairs of that
+    bucket, so the EXACT label is cap-conditional. The oracle-gated
+    pipeline (registry: fuzzy_name_pairs) therefore passes
+    ``max_bucket=None`` — unconditionally exact, at O(m²) per bucket;
+    the default cap is the skew guard for uncapped web corpora. The
+    verify step makes precision exact either way. Output: ``(a, b)``.
     """
     import numpy as np
     import pandas as pd
@@ -1233,7 +1238,7 @@ def edit_distance_pairs(
             m = len(run)
             if m < 2:
                 continue
-            if m > max_bucket:
+            if max_bucket is not None and m > max_bucket:
                 # skew guard: stride-1 + stride-2 chains (sorted order
                 # keeps near-identical values adjacent)
                 out_a.append(run[:-1])

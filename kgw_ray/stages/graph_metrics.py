@@ -928,10 +928,10 @@ def bellman_ford(
 
         m = pc.min(t.column(src_col)).as_py()
         n = pc.min(t.column(dst_col)).as_py()
-        lo = min(x for x in (m, n) if x is not None) if (m or n) else None
-        if lo is None:
+        cand = [x for x in (m, n) if x is not None]
+        if not cand:  # explicit None test: "" is a VALID (falsy) node id
             return pa.table({"lo": pa.array([], pa.string())})
-        return pa.table({"lo": pa.array([lo], pa.string())})
+        return pa.table({"lo": pa.array([min(cand)], pa.string())})
 
     los = pairs.map_batches(_src_partial, batch_format="pyarrow").to_pandas()
     if len(los) == 0:
@@ -989,3 +989,34 @@ d{r} AS (SELECT id, MIN(dist) AS dist FROM (
         )
     parts.append(f"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM d{rounds}")
     return "\n".join(parts)
+
+
+def nodes_from_edges(
+    edges: rd.Dataset, *, src: str = "source_id", dst: str = "target_id"
+) -> rd.Dataset:
+    """Distinct endpoint ids of an edge dataset → ``(id)`` — the shared
+    node-derivation for operators whose node set IS the edge vocabulary
+    (HITS, label propagation). Per-batch melt + unique combiner, one
+    vocabulary-sized exchange."""
+
+    def _melt(t: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    t.column(src).to_numpy(zero_copy_only=False),
+                    t.column(dst).to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.string()),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        edges.map_batches(_melt, batch_format="pyarrow"),
+        "id",
+        [("one", "sum", "n")],
+    ).select_columns(["id"])
