@@ -1420,3 +1420,22 @@ class TestTokenHeavyHitters:
             )
         )
         assert token_heavy_hitters(ds, k=4).count() == 0
+
+
+def test_edit_distance_cap_boundary():
+    """Pins the max_bucket trade the docstring documents: 300 names
+    'a<c>z' (single middle substitution) all share the deletion variant
+    "az", one bucket of 300 > the 256 cap — the capped plan keeps only
+    the stride-1/2 chain pairs, and max_bucket=None (the oracle-gated
+    configuration) restores the full exact C(300,2) pair set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.dedup import edit_distance_pairs
+
+    names = ["a" + chr(0x4E00 + i) + "z" for i in range(300)]
+    ds = rd.from_arrow(pa.table({"c": pa.array(names, pa.string())}))
+    full = edit_distance_pairs(ds, "c", max_bucket=None).count()
+    capped = edit_distance_pairs(ds, "c", max_bucket=256).count()
+    assert full == 300 * 299 // 2  # every pair is one substitution apart
+    assert capped == 299 + 298  # stride-1 + stride-2 chains only
