@@ -1297,6 +1297,10 @@ register("events_trailing_hour_sum", _rel.EVENTS_TRAILING_HOUR_SQL)(
     _rel.events_trailing_hour_sum
 )
 
+register("events_value_outliers", _rel.EVENTS_OUTLIERS_SQL)(
+    _rel.events_value_outliers
+)
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

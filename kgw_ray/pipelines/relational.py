@@ -2389,3 +2389,68 @@ SELECT event_id, user_id,
        ) AS BIGINT) AS trailing_hour_cents
 FROM c
 """
+
+
+def events_value_outliers(sf_dir: str) -> rd.Dataset:
+    """Robust outlier detection: events whose value deviates from the
+    corpus median by more than 5×MAD (integer cents — the modified
+    z-score cut data-cleaning pipelines run before training-data
+    aggregation). Composition: the exact (median, MAD) pair
+    (events_value_mad) broadcast into one vectorized filter pass —
+    detection costs two rank selections plus a single streaming scan.
+    """
+    import numpy as np
+
+    from kgw_ray.stages.agg import exact_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def cents_of(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"), "cents": pa.array(c)})
+
+    cents = ds.map_batches(cents_of, batch_format="pyarrow").materialize()
+    med = int(exact_quantiles(cents, "cents", [0.5])[0.5])
+
+    def dev_of(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table({"dev": pa.array(np.abs(c - med).astype(np.int64))})
+
+    mad = int(
+        exact_quantiles(
+            cents.map_batches(dev_of, batch_format="pyarrow"), "dev", [0.5]
+        )[0.5]
+    )
+    cut = 5 * mad
+
+    def flag(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        keep = np.abs(c - med) > cut
+        return pa.table(
+            {
+                "event_id": t.column("event_id").filter(pa.array(keep)),
+                "cents": pa.array(c[keep]),
+                "abs_dev_cents": pa.array(np.abs(c[keep] - med)),
+            }
+        )
+
+    return cents.map_batches(flag, batch_format="pyarrow")
+
+
+EVENTS_OUTLIERS_SQL = """
+WITH c AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n FROM c),
+m AS (SELECT cents AS med FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+d AS (SELECT ABS(cents - (SELECT med FROM m)) AS dev FROM c),
+rd AS (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev) AS rn,
+              COUNT(*) OVER () AS n FROM d),
+mad AS (SELECT dev FROM rd WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+SELECT event_id, cents,
+       ABS(cents - (SELECT med FROM m)) AS abs_dev_cents
+FROM c
+WHERE ABS(cents - (SELECT med FROM m)) > 5 * (SELECT dev FROM mad)
+"""
