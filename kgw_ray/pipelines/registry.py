@@ -1301,6 +1301,11 @@ register("events_value_outliers", _rel.EVENTS_OUTLIERS_SQL)(
     _rel.events_value_outliers
 )
 
+register("events_users_click_and_purchase", _rel.EVENTS_INTERSECT_SQL)(
+    _rel.events_users_click_and_purchase
+)
+register("docs_token_rows", _td.DOCS_TOKEN_ROWS_SQL)(_td.docs_token_rows)
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

@@ -2454,3 +2454,57 @@ SELECT event_id, cents,
 FROM c
 WHERE ABS(cents - (SELECT med FROM m)) > 5 * (SELECT dev FROM mad)
 """
+
+
+def events_users_click_and_purchase(sf_dir: str) -> rd.Dataset:
+    """Set INTERSECT: users that both clicked AND purchased — the
+    audience-overlap query (contrast events_users_no_purchase's anti
+    side). ONE scan folds each user's type presence into a 2-bit mask
+    (per-batch bitwise-OR combiner → vocabulary-sized Max), so the plan
+    never materializes either side of the intersection separately."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    # mergeable fold: per-batch per-user presence bits, grouped Max —
+    # bitwise-OR isn't a native grouped agg and Sum would double-count
+    def bits_partial(df: pd.DataFrame) -> pa.Table:
+        et = df["event_type"].to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(),
+                    "b_click": (et == "click").astype(np.int64),
+                    "b_purchase": (et == "purchase").astype(np.int64),
+                }
+            )
+            .groupby("user_id", sort=False)
+            .agg(b_click=("b_click", "max"), b_purchase=("b_purchase", "max"))
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    folded = grouped_aggregate_hybrid(
+        ds.map_batches(bits_partial, batch_format="pandas"),
+        "user_id",
+        [("b_click", "max", "b_click"), ("b_purchase", "max", "b_purchase")],
+    )
+
+    def both(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.equal(t.column("b_click"), 1), pc.equal(t.column("b_purchase"), 1)
+        )
+        return pa.table({"user_id": t.column("user_id").filter(keep)})
+
+    return folded.map_batches(both, batch_format="pyarrow")
+
+
+EVENTS_INTERSECT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""

@@ -1798,3 +1798,56 @@ SELECT source || '.example.org' AS host,
 FROM documents
 GROUP BY source
 """
+
+
+def docs_token_rows(sf_dir: str, max_doc_id: int = 50) -> "rd.Dataset":
+    """EXPLODE (flat_map): the first ``max_doc_id`` documents unnested to
+    one row per token position — (doc_id, pos, token), the long-form
+    layout token-level labeling/inspection tools consume. Predicate
+    pushed into the read; the explode itself is the vectorized
+    flat-token pass (ONE Arrow split per batch, np.repeat for ids,
+    grouped cumcount-free position arithmetic — no per-row loop)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kgw_ray.sources.readers import read_table
+    from kgw_ray.stages.corpus import flat_tokens
+
+    import pyarrow.dataset as pads
+
+    ds = read_table(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < max_doc_id,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        idx, toks = flat_tokens(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[idx]
+        # position within doc: run-relative arange (docs are contiguous)
+        boundary = np.ones(len(idx), dtype=bool)
+        boundary[1:] = idx[1:] != idx[:-1]
+        starts = np.flatnonzero(boundary)
+        lengths = np.diff(np.append(starts, len(idx)))
+        pos = np.arange(len(idx)) - np.repeat(starts, lengths)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "pos": pa.array(pos.astype(np.int64)),
+                "token": pa.array(toks, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+DOCS_TOKEN_ROWS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS token
+FROM t, UNNEST(generate_series(1, len(w))) AS u(i)
+"""
