@@ -1306,6 +1306,10 @@ register("events_users_click_and_purchase", _rel.EVENTS_INTERSECT_SQL)(
 )
 register("docs_token_rows", _td.DOCS_TOKEN_ROWS_SQL)(_td.docs_token_rows)
 
+register("events_value_histogram", _rel.EVENTS_HISTOGRAM_SQL)(
+    _rel.events_value_histogram
+)
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

@@ -2508,3 +2508,46 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 """
+
+
+def events_value_histogram(sf_dir: str, width_cents: int = 1000) -> rd.Dataset:
+    """Equi-width histogram of event value (bucket = cents // width,
+    left-closed) — the fixed-bin reporting complement of the equi-depth
+    docs_length_band. ONE pass: per-batch ``np.bincount``-style partial
+    (np.unique on integer bucket ids) → vocabulary-sized grouped Sum;
+    empty buckets are omitted (SQL GROUP BY parity).
+    """
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        b = c // width_cents
+        uq, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uq),
+                "lo_cents": pa.array(uq * width_cents),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket",
+        [("lo_cents", "min", "lo_cents"), ("n", "sum", "n")],
+    )
+
+
+EVENTS_HISTOGRAM_SQL = """
+WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+SELECT cents // 1000 AS bucket,
+       CAST((cents // 1000) * 1000 AS BIGINT) AS lo_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM c GROUP BY cents // 1000
+"""
