@@ -1310,6 +1310,59 @@ register("events_value_histogram", _rel.EVENTS_HISTOGRAM_SQL)(
     _rel.events_value_histogram
 )
 
+register("events_percent_rank", _rel.EVENTS_PERCENT_RANK_SQL)(
+    _rel.events_percent_rank
+)
+register("orders_monthly_rollup", _rel.ORDERS_MONTHLY_SQL)(
+    _rel.orders_monthly_rollup
+)
+
+
+_KG_2HOP_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+e AS (SELECT DISTINCT 'E:' || subj AS s, 'E:' || obj AS t FROM tr),
+d AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s)
+SELECT e.s AS id, CAST(SUM(d.outdeg) AS BIGINT) AS n_two_hop_paths
+FROM e JOIN d ON d.s = e.t GROUP BY e.s
+"""
+
+
+@register("kg_two_hop_paths", oracle=_KG_2HOP_SQL)
+def q_kg_two_hop_paths(sf_dir: str) -> rd.Dataset:
+    """Directed 2-hop path counts per source node (the A² row sums —
+    fan-out signal for traversal planning): distinct-pair exchange once,
+    then one size-hybrid outdeg join + grouped Sum (the HITS round
+    machinery, stages/graph_metrics.py)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import (
+        _distinct_ordered_pairs,
+        _grouped_sum_of,
+        _hybrid_attach,
+    )
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid as _gah
+    import numpy as _np
+
+    edges = edges_from_triples(triples_dataset(sf_dir))
+    pairs = _distinct_ordered_pairs(edges).materialize()
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        uq, cnt = _np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(uq, pa.string()),
+                "outdeg": pa.array(cnt.astype(_np.int64)),
+            }
+        )
+
+    deg = _gah(
+        pairs.map_batches(_deg_partial, batch_format="pyarrow"),
+        "id",
+        [("outdeg", "sum", "outdeg")],
+    )
+    joined = _hybrid_attach(pairs, deg, on="t", right_on="id")
+    return _grouped_sum_of(joined, "s", "outdeg", "id", "n_two_hop_paths")
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

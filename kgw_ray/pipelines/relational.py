@@ -2551,3 +2551,106 @@ SELECT cents // 1000 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM c GROUP BY cents // 1000
 """
+
+
+def events_percent_rank(sf_dir: str) -> rd.Dataset:
+    """Percent rank in integer PERMILLION: each event's position in the
+    global (cents, event_id) total order scaled to [0, 1e6] — the
+    feature-scaling / calibration transform, exact at any N. Reuses the
+    distributed ranking primitive (stages/agg.py:global_row_number);
+    the permillion formula ``(rn−1)·10⁶ // (N−1)`` is pure integer math
+    both engines reproduce (N>1 on any real corpus; N==1 maps to 0).
+    """
+    import numpy as np
+
+    from kgw_ray.stages.agg import global_row_number
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def with_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"cents": pa.array(cents), "event_id": t.column("event_id")}
+        )
+
+    ranked = global_row_number(
+        ds.map_batches(with_cents, batch_format="pyarrow"),
+        ["cents", "event_id"],
+        rank_name="rn",
+    ).materialize()
+    n = ranked.count()
+
+    def scale(t: pa.Table) -> pa.Table:
+        rn = t.column("rn").to_numpy(zero_copy_only=False)
+        pr = (rn - 1) * 1_000_000 // (n - 1) if n > 1 else np.zeros(len(rn), dtype=np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "cents": t.column("cents"),
+                "pr_permillion": pa.array(pr.astype(np.int64)),
+            }
+        )
+
+    return ranked.map_batches(scale, batch_format="pyarrow")
+
+
+EVENTS_PERCENT_RANK_SQL = """
+WITH c AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT event_id, cents,
+             ROW_NUMBER() OVER (ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM c)
+SELECT event_id, cents,
+       CAST(CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pr_permillion
+FROM r
+"""
+
+
+def orders_monthly_rollup(sf_dir: str) -> rd.Dataset:
+    """Calendar rollup on a DATE column: order count + total price cents
+    per (year, month) — the time-bucketed reporting aggregate over the
+    orders table (the events table's hourly windows, at date grain).
+    ONE pass: per-batch Arrow year()/month() + pandas partial, then a
+    (year, month)-vocabulary grouped Sum.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        y = pc.year(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.month(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"year": y, "month": m, "cents": cents})
+            .groupby(["year", "month"], sort=False)
+            .agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["year", "month"],
+        [("n_orders", "sum", "n_orders"), ("total_cents", "sum", "total_cents")],
+    )
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+       CAST(month(o_orderdate) AS BIGINT) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+"""
