@@ -1363,6 +1363,13 @@ def q_kg_two_hop_paths(sf_dir: str) -> rd.Dataset:
     joined = _hybrid_attach(pairs, deg, on="t", right_on="id")
     return _grouped_sum_of(joined, "s", "outdeg", "id", "n_two_hop_paths")
 
+register("parts_by_type_stats", _rel.PARTS_BY_TYPE_SQL)(
+    _rel.parts_by_type_stats
+)
+register("customers_by_segment_nation", _rel.CUSTOMERS_SEGMENT_NATION_SQL)(
+    _rel.customers_by_segment_nation
+)
+
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)
 register("media_frame_sample")(_td.media_frame_sample)

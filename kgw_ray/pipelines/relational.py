@@ -2654,3 +2654,123 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
          AS total_cents
 FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
 """
+
+
+def parts_by_type_stats(sf_dir: str) -> rd.Dataset:
+    """Dimension-table profile: per part type the count, size span and
+    retail-price extremes/total in exact cents — the catalog summary a
+    pricing pipeline reads before joining parts at fact scale. One
+    combiner pass + a type-vocabulary grouped reduce (Min/Max/Sum all
+    mergeable)."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(
+        sf_dir, "part", columns=["p_type", "p_size", "p_retailprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cents = np.rint(df["p_retailprice"].to_numpy() * 100.0).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "p_type": df["p_type"].to_numpy(),
+                    "n_parts": 1,
+                    "min_size": df["p_size"].to_numpy().astype(np.int64),
+                    "max_size": df["p_size"].to_numpy().astype(np.int64),
+                    "min_price_cents": cents,
+                    "max_price_cents": cents,
+                    "total_price_cents": cents,
+                }
+            )
+            .groupby("p_type", sort=False)
+            .agg(
+                n_parts=("n_parts", "sum"),
+                min_size=("min_size", "min"),
+                max_size=("max_size", "max"),
+                min_price_cents=("min_price_cents", "min"),
+                max_price_cents=("max_price_cents", "max"),
+                total_price_cents=("total_price_cents", "sum"),
+            )
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pandas"),
+        "p_type",
+        [
+            ("n_parts", "sum", "n_parts"),
+            ("min_size", "min", "min_size"),
+            ("max_size", "max", "max_size"),
+            ("min_price_cents", "min", "min_price_cents"),
+            ("max_price_cents", "max", "max_price_cents"),
+            ("total_price_cents", "sum", "total_price_cents"),
+        ],
+    )
+
+
+PARTS_BY_TYPE_SQL = """
+SELECT p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(p_size) AS BIGINT) AS min_size,
+       CAST(MAX(p_size) AS BIGINT) AS max_size,
+       CAST(MIN(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_price_cents,
+       CAST(MAX(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_price_cents,
+       CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_price_cents
+FROM part GROUP BY p_type
+"""
+
+
+def customers_by_segment_nation(sf_dir: str) -> rd.Dataset:
+    """Two-dimension dimension-table profile with a name join: customer
+    count + exact account-balance cents per (market segment, nation
+    NAME) — the broadcast-dimension pattern (nation is tiny → pandas
+    merge inside the combiner, never a shuffle)."""
+    import numpy as np
+
+    from kgw_ray.sources.readers import read_table_pandas
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    nat = read_table_pandas(
+        sf_dir, "nation", columns=["n_nationkey", "n_name"]
+    )
+
+    ds = read_table(
+        sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_acctbal"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cents = np.rint(df["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        j = df.assign(bal_cents=cents).merge(
+            nat, left_on="c_nationkey", right_on="n_nationkey", how="left"
+        )
+        g = (
+            j.groupby(["c_mktsegment", "n_name"], sort=False)
+            .agg(n_customers=("bal_cents", "size"), total_bal_cents=("bal_cents", "sum"))
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["c_mktsegment", "n_name"],
+        [
+            ("n_customers", "sum", "n_customers"),
+            ("total_bal_cents", "sum", "total_bal_cents"),
+        ],
+    )
+
+
+CUSTOMERS_SEGMENT_NATION_SQL = """
+SELECT c_mktsegment, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_bal_cents
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY c_mktsegment, n_name
+"""
