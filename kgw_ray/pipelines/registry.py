@@ -1369,6 +1369,17 @@ register("parts_by_type_stats", _rel.PARTS_BY_TYPE_SQL)(
 register("customers_by_segment_nation", _rel.CUSTOMERS_SEGMENT_NATION_SQL)(
     _rel.customers_by_segment_nation
 )
+register("q6_revenue_forecast", _rel.Q6_FORECAST_SQL)(_rel.q6_revenue_forecast)
+register("q4_priority_returned", _rel.Q4_PRIORITY_SQL)(_rel.q4_priority_returned)
+register("q12_priority_by_returnflag", _rel.Q12_RETURNFLAG_SQL)(
+    _rel.q12_priority_by_returnflag
+)
+register("q14_promo_revenue_monthly", _rel.Q14_PROMO_SQL)(
+    _rel.q14_promo_revenue_monthly
+)
+register("q18_large_orders_by_customer", _rel.Q18_LARGE_ORDERS_SQL)(
+    _rel.q18_large_orders_by_customer
+)
 
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)

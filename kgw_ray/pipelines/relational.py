@@ -2774,3 +2774,328 @@ SELECT c_mktsegment, n_name,
 FROM customer JOIN nation ON n_nationkey = c_nationkey
 GROUP BY c_mktsegment, n_name
 """
+
+
+def q6_revenue_forecast(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q6 shape: highly selective filter + global sum — the
+    predicate-pushdown showcase (shipdate year + discount band + quantity
+    cap all pushed into the Parquet scan, ~2% of row groups survive).
+    Revenue in exact cents; one combiner row per block, tiny final Sum."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1996-01-01")
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= lo)
+            & (pads.field("l_shipdate") < hi)
+            & (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24)
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # quantize each 2-decimal factor SEPARATELY (price cents x discount
+        # percent -> exact 1e-4-dollar integers); rounding the double
+        # product hits genuine .5 ties where np.rint (half-even) and SQL
+        # ROUND (half-away) disagree
+        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        e4 = np.rint(ext * 100.0).astype(np.int64) * np.rint(disc * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n_items": pa.array([len(t)], pa.int64()),
+                "revenue_e4": pa.array([int(e4.sum())], pa.int64()),
+            }
+        )
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "one",
+        [("n_items", "sum", "n_items"), ("revenue_e4", "sum", "revenue_e4")],
+    ).select_columns(["n_items", "revenue_e4"])
+
+
+Q6_FORECAST_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q4_priority_returned(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q4 shape (EXISTS rewrite): orders with at least one returned
+    lineitem, counted per order priority. The R-flag keys are distinct-ed
+    by a per-block unique combiner + grouped reduce, then the orders scan
+    is semi-joined size-hybrid (broadcast value-set under the limit,
+    left_semi hash join beyond) — no fact-x-fact row expansion anywhere."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import semi_join_dataset
+
+    rline = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+
+    def uniq(t: pa.Table) -> pa.Table:
+        k = np.unique(t.column("l_orderkey").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "l_orderkey": pa.array(k, pa.int64()),
+                "one": pa.array(np.ones(len(k), np.int64)),
+            }
+        )
+
+    rkeys = grouped_aggregate_hybrid(
+        rline.map_batches(uniq, batch_format="pyarrow"),
+        "l_orderkey",
+        [("one", "sum", "n")],
+    ).select_columns(["l_orderkey"])
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    hit = semi_join_dataset(orders, rkeys, on="o_orderkey", key_col="l_orderkey")
+
+    def cnt(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        g = (
+            _pd.Series(t.column("o_orderpriority").to_pandas())
+            .value_counts()
+            .rename_axis("o_orderpriority")
+            .reset_index(name="n_orders")
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        hit.map_batches(cnt, batch_format="pyarrow"),
+        "o_orderpriority",
+        [("n_orders", "sum", "n_orders")],
+    )
+
+
+Q4_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q12_priority_by_returnflag(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q12 shape (shipmode → returnflag adaptation): per return
+    flag, how many lineitems belong to critical (1-URGENT/2-HIGH) orders
+    vs not. Size-hybrid fact join (orders side broadcasts under the
+    limit, hash-partitioned beyond) + conditional-count combiner."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import large_join
+
+    line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    orders_side = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).materialize()
+    if orders_side.count() <= _BROADCAST_SIDE_LIMIT:
+        j = broadcast_join(
+            line,
+            orders_side.to_pandas(),
+            on=["l_orderkey"],
+            right_on=["o_orderkey"],
+        )
+    else:
+        j = large_join(line, orders_side, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        crit = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": df["l_returnflag"].to_numpy(),
+                    "critical_items": crit.astype(np.int64),
+                    "normal_items": (~crit).astype(np.int64),
+                }
+            )
+            .groupby("l_returnflag", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        j.map_batches(partial, batch_format="pandas"),
+        "l_returnflag",
+        [
+            ("critical_items", "sum", "critical_items"),
+            ("normal_items", "sum", "normal_items"),
+        ],
+    )
+
+
+Q12_RETURNFLAG_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS critical_items,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS normal_items
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_revenue_monthly(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q14 shape: promo vs total revenue per ship month. The part
+    dimension (p_partkey → is-promo bit) broadcasts once into a combiner
+    that merges + aggregates in the same pass — the revenue share stays
+    exact-integer (promo_cents / total_cents emitted separately, no float
+    division under the hash gate)."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    part = read_table_pandas(sf_dir, "part", columns=["p_partkey", "p_type"])
+    part["is_promo"] = (part["p_type"] == "PROMO").to_numpy()
+    promo = part[["p_partkey", "is_promo"]]
+
+    line = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        # exact 1e-4-dollar integers: price cents x (100 - discount pct),
+        # each factor quantized separately (see q6_revenue_forecast note)
+        e4 = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64) * (
+            100 - np.rint(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        )
+        j = df.assign(e4=e4).merge(
+            promo, left_on="l_partkey", right_on="p_partkey", how="left"
+        )
+        isp = j["is_promo"].fillna(False).to_numpy(dtype=bool)
+        g = (
+            pd.DataFrame(
+                {
+                    "year": j["l_shipdate"].dt.year.to_numpy().astype(np.int64),
+                    "month": j["l_shipdate"].dt.month.to_numpy().astype(np.int64),
+                    "promo_e4": np.where(isp, j["e4"].to_numpy(), 0),
+                    "total_e4": j["e4"].to_numpy(),
+                }
+            )
+            .groupby(["year", "month"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        line.map_batches(partial, batch_format="pandas"),
+        ["year", "month"],
+        [
+            ("promo_e4", "sum", "promo_e4"),
+            ("total_e4", "sum", "total_e4"),
+        ],
+    )
+
+
+Q14_PROMO_SQL = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_e4,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS total_e4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY year(l_shipdate), month(l_shipdate)
+"""
+
+
+def q18_large_orders_by_customer(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    rolled up per customer. Per-orderkey quantity totals come from a
+    combiner + grouped Sum (never a row shuffle of lineitem), the HAVING
+    filter drops ~80% before the custkey attach (size-hybrid), and the
+    final rollup is one more combiner pass."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import broadcast_join as _bj, large_join as _lj
+
+    line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame({"l_orderkey": k, "qty": np.rint(q).astype(np.int64)})
+            .groupby("l_orderkey", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(df)
+
+    totals = grouped_aggregate_hybrid(
+        line.map_batches(qty_partial, batch_format="pyarrow"),
+        "l_orderkey",
+        [("qty", "sum", "qty")],
+    )
+    big = totals.map_batches(
+        lambda t: t.filter(pc.greater(t["qty"], pa.scalar(150))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    orders_side = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).materialize()
+    if orders_side.count() <= _BROADCAST_SIDE_LIMIT:
+        j = _bj(big, orders_side.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"])
+    else:
+        j = _lj(big, orders_side, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def roll(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby("o_custkey", sort=False)
+            .agg(n_big_orders=("qty", "size"), total_qty=("qty", "sum"))
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        j.map_batches(roll, batch_format="pandas"),
+        "o_custkey",
+        [("n_big_orders", "sum", "n_big_orders"), ("total_qty", "sum", "total_qty")],
+    )
+
+
+Q18_LARGE_ORDERS_SQL = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+       CAST(SUM(qty) AS BIGINT) AS total_qty
+FROM orders JOIN (
+  SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150
+) ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+"""
