@@ -1363,6 +1363,85 @@ def q_kg_two_hop_paths(sf_dir: str) -> rd.Dataset:
     joined = _hybrid_attach(pairs, deg, on="t", right_on="id")
     return _grouped_sum_of(joined, "s", "outdeg", "id", "n_two_hop_paths")
 
+
+_KG_ASSORT_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+e AS (SELECT DISTINCT 'E:' || subj AS s, 'E:' || obj AS t FROM tr),
+od AS (SELECT s, COUNT(*) AS xd FROM e GROUP BY s),
+idg AS (SELECT t, COUNT(*) AS yd FROM e GROUP BY t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(od.xd) AS BIGINT) AS sum_x,
+       CAST(SUM(idg.yd) AS BIGINT) AS sum_y,
+       CAST(SUM(od.xd * idg.yd) AS BIGINT) AS sum_xy,
+       CAST(SUM(od.xd * od.xd) AS BIGINT) AS sum_x2,
+       CAST(SUM(idg.yd * idg.yd) AS BIGINT) AS sum_y2
+FROM e JOIN od ON od.s = e.s JOIN idg ON idg.t = e.t
+"""
+
+
+@register("kg_degree_assortativity", oracle=_KG_ASSORT_SQL)
+def q_kg_degree_assortativity(sf_dir: str) -> rd.Dataset:
+    """Degree-assortativity sufficient statistics over the directed simple
+    edge set: per edge x = outdeg(source), y = indeg(target); emits the
+    six exact BIGINT sums (n, Σx, Σy, Σxy, Σx², Σy²) from which Pearson's
+    r derives — integers shuffle, the float never does. Plan: ONE
+    distinct-pair exchange, two vocabulary-sized degree reduces attached
+    size-hybrid, then a single-row-per-block moment combiner."""
+    import numpy as _np
+
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid as _gah
+    from kgw_ray.stages.graph_metrics import (
+        _distinct_ordered_pairs,
+        _hybrid_attach,
+    )
+
+    edges = edges_from_triples(triples_dataset(sf_dir))
+    pairs = _distinct_ordered_pairs(edges).materialize()
+
+    def _deg_of(col: str, alias: str):
+        def _partial(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            uq, cnt = _np.unique(v, return_counts=True)
+            return pa.table(
+                {
+                    "id": pa.array(uq, pa.string()),
+                    alias: pa.array(cnt.astype(_np.int64)),
+                }
+            )
+
+        return _gah(
+            pairs.map_batches(_partial, batch_format="pyarrow"),
+            "id",
+            [(alias, "sum", alias)],
+        )
+
+    withx = _hybrid_attach(pairs, _deg_of("s", "xd"), on="s", right_on="id")
+    withxy = _hybrid_attach(withx, _deg_of("t", "yd"), on="t", right_on="id")
+
+    def _moments(t: pa.Table) -> pa.Table:
+        x = t.column("xd").to_numpy(zero_copy_only=False)
+        y = t.column("yd").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n_edges": pa.array([len(t)], pa.int64()),
+                "sum_x": pa.array([int(x.sum())], pa.int64()),
+                "sum_y": pa.array([int(y.sum())], pa.int64()),
+                "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+                "sum_x2": pa.array([int((x * x).sum())], pa.int64()),
+                "sum_y2": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    cols = ["n_edges", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+    return _gah(
+        withxy.map_batches(_moments, batch_format="pyarrow"),
+        "one",
+        [(c, "sum", c) for c in cols],
+    ).select_columns(cols)
+
+
 register("parts_by_type_stats", _rel.PARTS_BY_TYPE_SQL)(
     _rel.parts_by_type_stats
 )
@@ -1379,6 +1458,16 @@ register("q14_promo_revenue_monthly", _rel.Q14_PROMO_SQL)(
 )
 register("q18_large_orders_by_customer", _rel.Q18_LARGE_ORDERS_SQL)(
     _rel.q18_large_orders_by_customer
+)
+register("events_retention_cohorts", _rel.RETENTION_COHORTS_SQL)(
+    _rel.events_retention_cohorts
+)
+register("events_time_to_convert", _rel.TIME_TO_CONVERT_SQL)(
+    _rel.events_time_to_convert
+)
+register("docs_chunk_windows", _td.CHUNK_WINDOWS_SQL)(_td.docs_chunk_windows)
+register("embeddings_norm_quantized", _td.EMB_NORM_SQL)(
+    _td.embeddings_norm_quantized
 )
 
 # rows-only entries, last (approximate-by-design variants of gated twins):

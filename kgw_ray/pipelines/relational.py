@@ -3099,3 +3099,196 @@ FROM orders JOIN (
 ) ON l_orderkey = o_orderkey
 GROUP BY o_custkey
 """
+
+
+def events_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Cohort retention matrix: users grouped by their FIRST-signup week,
+    counted distinct per week offset of later activity. Plan: per-user
+    min-signup (combiner + grouped Min), size-hybrid attach onto the
+    event stream, then the exact grouped COUNT DISTINCT two-level plan
+    (per-block (cohort, offset, user) dedup combiner → one pair-keyed
+    exchange → vocabulary-sized count). Weeks are epoch-microsecond floor
+    divisions — integer-exact on both engines."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.graph_metrics import _hybrid_attach
+
+    WEEK_US = 604_800 * 1_000_000
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def first_signup(df: pd.DataFrame) -> pa.Table:
+        s = df[df["event_type"] == "signup"]
+        g = s.groupby("user_id", sort=False)["ts"].min().reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy().astype(np.int64)),
+                "signup_us": pa.array(
+                    g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+            }
+        )
+
+    cohorts = grouped_aggregate_hybrid(
+        ds.map_batches(first_signup, batch_format="pandas"),
+        "user_id",
+        [("signup_us", "min", "signup_us")],
+    )
+
+    # event_type is consumed by the cohort combiner only — drop it before
+    # the fact-side join so the attach moves two columns, not three
+    joined = _hybrid_attach(
+        ds.select_columns(["user_id", "ts"]), cohorts, on="user_id", right_on="user_id"
+    )
+
+    def triple_partial(df: pd.DataFrame) -> pa.Table:
+        ev_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cohort_week = df["signup_us"].to_numpy() // WEEK_US
+        week_offset = ev_us // WEEK_US - cohort_week
+        keep = week_offset >= 0
+        g = pd.DataFrame(
+            {
+                "cohort_week": cohort_week[keep],
+                "week_offset": week_offset[keep],
+                "user_id": df["user_id"].to_numpy()[keep].astype(np.int64),
+            }
+        ).drop_duplicates()
+        g["one"] = np.int64(1)
+        return arrow_from_pandas(g)
+
+    triples = grouped_aggregate_hybrid(
+        joined.map_batches(triple_partial, batch_format="pandas"),
+        ["cohort_week", "week_offset", "user_id"],
+        [("one", "min", "n")],
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "cohort_week": t.column("cohort_week").to_numpy(),
+                    "week_offset": t.column("week_offset").to_numpy(),
+                }
+            )
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return arrow_from_pandas(df)
+
+    return grouped_aggregate_hybrid(
+        triples.map_batches(count_partial, batch_format="pyarrow"),
+        ["cohort_week", "week_offset"],
+        [("n_users", "sum", "n_users")],
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH fs AS (
+  SELECT user_id,
+         CAST(epoch_us(MIN(ts)) AS BIGINT) // 604800000000 AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+a AS (
+  SELECT fs.cohort_week,
+         CAST(epoch_us(e.ts) AS BIGINT) // 604800000000 - fs.cohort_week
+           AS week_offset,
+         e.user_id
+  FROM events e JOIN fs ON fs.user_id = e.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM a WHERE week_offset >= 0
+GROUP BY cohort_week, week_offset
+"""
+
+
+def events_time_to_convert(sf_dir: str) -> rd.Dataset:
+    """Per-user click→purchase conversion latency: microseconds between
+    the FIRST click and the first purchase at-or-after it — the funnel
+    timing metric. Two grouped Mins (combiner each) + one size-hybrid
+    attach; the conditional second Min never sees pre-click purchases
+    (filtered in the combiner), and the delta stays integer microseconds
+    end-to-end."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.graph_metrics import _hybrid_attach
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def first_click(df: pd.DataFrame) -> pa.Table:
+        s = df[df["event_type"] == "click"]
+        g = s.groupby("user_id", sort=False)["ts"].min().reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy().astype(np.int64)),
+                "click_us": pa.array(
+                    g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+            }
+        )
+
+    clicks = grouped_aggregate_hybrid(
+        ds.map_batches(first_click, batch_format="pandas"),
+        "user_id",
+        [("click_us", "min", "click_us")],
+    )
+
+    purchases = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))),
+        batch_format="pyarrow",
+    )
+    j = _hybrid_attach(purchases, clicks, on="user_id", right_on="user_id")
+
+    def min_after(df: pd.DataFrame) -> pa.Table:
+        ev_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keep = ev_us >= df["click_us"].to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy()[keep].astype(np.int64),
+                    "purchase_us": ev_us[keep],
+                    "click_us": df["click_us"].to_numpy()[keep],
+                }
+            )
+            .groupby("user_id", sort=False)
+            .min()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    merged = grouped_aggregate_hybrid(
+        j.map_batches(min_after, batch_format="pandas"),
+        "user_id",
+        [("purchase_us", "min", "purchase_us"), ("click_us", "min", "click_us")],
+    )
+
+    def delta(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "convert_us": pc.subtract(
+                    t.column("purchase_us"), t.column("click_us")
+                ),
+            }
+        )
+
+    return merged.map_batches(delta, batch_format="pyarrow")
+
+
+TIME_TO_CONVERT_SQL = """
+WITH fc AS (
+  SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS click_us
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, CAST(epoch_us(MIN(e.ts)) AS BIGINT) AS purchase_us
+  FROM events e JOIN fc ON fc.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND CAST(epoch_us(e.ts) AS BIGINT) >= fc.click_us
+  GROUP BY e.user_id
+)
+SELECT fp.user_id, CAST(fp.purchase_us - fc.click_us AS BIGINT) AS convert_us
+FROM fp JOIN fc ON fc.user_id = fp.user_id
+"""

@@ -1851,3 +1851,117 @@ WITH t AS (
 SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS token
 FROM t, UNNEST(generate_series(1, len(w))) AS u(i)
 """
+
+
+def docs_chunk_windows(
+    sf_dir: str, *, window: int = 128, stride: int = 96
+) -> rd.Dataset:
+    """Fixed-size token-window chunking with overlap — the sequence-prep
+    stage that turns documents into training examples. Emits one row per
+    chunk ``(doc_id, chunk_idx, tok_start, tok_end)``; the explode is a
+    vectorized repeat/arange inside ONE ``map_batches`` (no per-doc
+    Python), and only token COUNTS are computed (single RE2 scan) — the
+    text itself never re-materializes. Zero-token docs emit no chunks
+    (matching the SQL lateral-unnest semantics)."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        n_tok = pc.cast(
+            pc.count_substring_regex(text, pattern=r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tail = np.maximum(n_tok - window, 0)
+        n_chunks = np.where(n_tok > 0, 1 + (tail + stride - 1) // stride, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "tok_start": pa.array([], pa.int64()),
+                    "tok_end": pa.array([], pa.int64()),
+                }
+            )
+        doc_rep = np.repeat(ids, n_chunks)
+        ntok_rep = np.repeat(n_tok, n_chunks)
+        offs = np.cumsum(n_chunks) - n_chunks
+        idx = np.arange(total, dtype=np.int64) - np.repeat(offs, n_chunks)
+        start = idx * stride
+        end = np.minimum(start + window, ntok_rep)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep.astype(np.int64)),
+                "chunk_idx": pa.array(idx),
+                "tok_start": pa.array(start.astype(np.int64)),
+                "tok_end": pa.array(end.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+CHUNK_WINDOWS_SQL = """
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok = 0 THEN 0
+              ELSE 1 + (GREATEST(n_tok - 128, 0) + 95) // 96 END AS n_chunks
+  FROM t
+),
+x AS (
+  SELECT doc_id, n_tok,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM c WHERE n_chunks > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 96 AS BIGINT) AS tok_start,
+       CAST(LEAST(chunk_idx * 96 + 128, n_tok) AS BIGINT) AS tok_end
+FROM x
+"""
+
+
+def embeddings_norm_quantized(sf_dir: str, *, scale: int = 1000) -> rd.Dataset:
+    """Per-vector quantized squared L2 norm: each float32 component is
+    promoted to double and half-up-quantized to ``round(x*scale)`` int64
+    (the kmeans_embeddings convention — exact on both engines), so the
+    squared norm is an exact BIGINT under the hash gate. The normalize /
+    magnitude-filter precursor every embedding pipeline runs; one
+    vectorized pass, no shuffle."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        V = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        Q = np.floor(V * scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "label": pa.array(
+                    t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "qnorm2": pa.array(np.einsum("ij,ij->i", Q, Q)),
+            }
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow")
+
+
+EMB_NORM_SQL = """
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(SUM(q * q) AS BIGINT) AS qnorm2
+FROM (
+  SELECT vec_id, label,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings
+)
+GROUP BY vec_id, label
+"""
