@@ -1469,6 +1469,15 @@ register("docs_chunk_windows", _td.CHUNK_WINDOWS_SQL)(_td.docs_chunk_windows)
 register("embeddings_norm_quantized", _td.EMB_NORM_SQL)(
     _td.embeddings_norm_quantized
 )
+register("docs_batch_by_token_budget", _td.BATCH_BY_BUDGET_SQL)(
+    _td.docs_batch_by_token_budget
+)
+register("dedup_cross_source_overlap", _td.CROSS_SOURCE_OVERLAP_SQL)(
+    _td.dedup_cross_source_overlap
+)
+register("events_value_quartile", _rel.EVENTS_QUARTILE_SQL)(
+    _rel.events_value_quartile
+)
 
 # rows-only entries, last (approximate-by-design variants of gated twins):
 register("media_resize")(_td.media_resize)

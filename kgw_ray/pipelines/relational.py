@@ -3292,3 +3292,61 @@ fp AS (
 SELECT fp.user_id, CAST(fp.purchase_us - fc.click_us AS BIGINT) AS convert_us
 FROM fp JOIN fc ON fc.user_id = fp.user_id
 """
+
+
+def events_value_quartile(sf_dir: str) -> rd.Dataset:
+    """NTILE-style quartile assignment under the deterministic total order
+    (value cents, event_id): quartile = (rank-1)*4 // n. Reuses the
+    distributed ranking plan (stages/agg.py:global_row_number — range
+    buckets + per-bucket lexsort, no global sort); n is one driver-side
+    count of the already-materialized ranked keys. The bucket formula is
+    pinned identically in the oracle (instead of SQL NTILE, whose
+    remainder distribution differs)."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import global_row_number
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def with_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array(cents), "event_id": t.column("event_id")})
+
+    ranked = global_row_number(
+        ds.map_batches(with_cents, batch_format="pyarrow"),
+        ["cents", "event_id"],
+        rank_name="rn",
+    ).materialize()
+    n = ranked.count()
+    if n == 0:
+        return ranked.map_batches(
+            lambda t: t.append_column("quartile", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        rn = t.column("rn").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "cents": t.column("cents"),
+                "quartile": pa.array(((rn - 1) * 4 // n).astype(np.int64)),
+            }
+        )
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
+EVENTS_QUARTILE_SQL = """
+WITH w AS (
+  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id
+         ) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+)
+SELECT event_id, cents, CAST((rn - 1) * 4 // n AS BIGINT) AS quartile FROM w
+"""

@@ -1965,3 +1965,141 @@ FROM (
 )
 GROUP BY vec_id, label
 """
+
+
+def docs_batch_by_token_budget(sf_dir: str, *, budget: int = 2048) -> rd.Dataset:
+    """Token-budget batching: documents in doc_id order are assigned to
+    consecutive training batches of ~``budget`` tokens (a document may
+    straddle a boundary — this is the bytes-per-batch planner, not the
+    no-split packer). batch_id = exclusive-prefix-sum // budget, computed
+    by the distributed ordered-scan (stages/agg.py:
+    global_ordered_prefix_sum — range-bucket exchange, no global sort)."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import global_ordered_prefix_sum
+
+    ds = _docs(sf_dir)
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        n_tok = pc.cast(
+            pc.count_substring_regex(text, pattern=r"\S+"), pa.int64()
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "n_tok": n_tok})
+
+    scanned = global_ordered_prefix_sum(
+        ds.map_batches(counts, batch_format="pyarrow"), ["doc_id"], "n_tok"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        excl = t.column("prefix").to_numpy(zero_copy_only=False) - t.column(
+            "n_tok"
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tok": t.column("n_tok"),
+                "batch_id": pa.array((excl // budget).astype(_np.int64)),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+BATCH_BY_BUDGET_SQL = """
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tok FROM documents
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) - n_tok) // 2048 AS BIGINT) AS batch_id
+FROM t
+"""
+
+
+def dedup_cross_source_overlap(sf_dir: str, *, prefix_tokens: int = 16) -> rd.Dataset:
+    """Cross-source syndication matrix: for every source pair, how many
+    distinct 16-token document PREFIXES they share — the "same article on
+    two domains" detector that exact whole-text dedup misses. Plan: one
+    text pass hashes each doc's prefix (pinned tokenizer, md5 of the
+    space-joined head — byte-identical to the SQL), per-block dedup
+    combiner + ONE (hash, source) exchange, then a size-hybrid self-join
+    keyed on the 32-char hash and a vocabulary-sized pair count. Nothing
+    wider than the distinct (hash, source) set ever shuffles."""
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+    from kgw_ray.functions.tokenize import py_tokens
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.graph_metrics import _hybrid_attach
+    import hashlib as _hashlib
+    import pandas as _pd
+
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def prefix_hash(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        hs = [
+            _hashlib.md5(
+                " ".join(py_tokens(x)[:prefix_tokens]).encode("utf-8")
+            ).hexdigest()
+            for x in texts
+        ]
+        g = _pd.DataFrame(
+            {"h": hs, "source": t.column("source").to_pylist()}
+        ).drop_duplicates()
+        g["one"] = 1
+        return pa.table(
+            {
+                "h": pa.array(g["h"].to_numpy(), pa.string()),
+                "source": pa.array(g["source"].to_numpy(), pa.string()),
+                "one": pa.array(g["one"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    distinct = grouped_aggregate_hybrid(
+        ds.map_batches(prefix_hash, batch_format="pyarrow"),
+        ["h", "source"],
+        [("one", "min", "n")],
+    ).select_columns(["h", "source"])
+
+    right = distinct.map_batches(
+        lambda t: pa.table({"h2": t.column("h"), "source_b": t.column("source")}),
+        batch_format="pyarrow",
+    )
+    joined = _hybrid_attach(distinct, right, on="h", right_on="h2")
+
+    def pair_count(t: pa.Table) -> pa.Table:
+        df = _pd.DataFrame(
+            {
+                "source_a": t.column("source").to_pylist(),
+                "source_b": t.column("source_b").to_pylist(),
+            }
+        )
+        df = df[df["source_a"] < df["source_b"]]
+        g = df.groupby(["source_a", "source_b"], sort=False).size().reset_index(
+            name="n_shared"
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        joined.map_batches(pair_count, batch_format="pyarrow"),
+        ["source_a", "source_b"],
+        [("n_shared", "sum", "n_shared")],
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = """
+WITH d AS (
+  SELECT DISTINCT
+         md5(array_to_string(
+           list_slice(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> ''), 1, 16), ' ')) AS h,
+         source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""

@@ -929,3 +929,109 @@ def global_row_number(
         .groupby("_bucket")
         .map_groups(_per_bucket, batch_format="pandas")
     )
+
+
+def global_ordered_prefix_sum(
+    ds: rd.Dataset,
+    keys: "Sequence[str]",
+    val: str,
+    *,
+    n_buckets: int = 1024,
+    out_name: str = "prefix",
+) -> rd.Dataset:
+    """EXACT running ``SUM(val) OVER (ORDER BY keys ROWS UNBOUNDED
+    PRECEDING)`` (inclusive; int64 columns, composite key unique) — the
+    ordered-scan analog of :func:`global_row_number`, same two-pass plan:
+
+    1. one partial pass range-buckets the LEADING key and folds per-bucket
+       VALUE SUMS on the driver (tiny: ``n_buckets`` int64s) → exclusive
+       bucket offsets;
+    2. one bucket-keyed exchange; inside a bucket a single lexsort orders
+       the rows and a local cumsum, shifted by the bucket's offset, is the
+       global running total.
+
+    The exchange moves keys + one value column; nothing corpus-sized lands
+    on the driver. Same skew note as global_row_number (a hot value range
+    only makes one bucket bigger)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
+    lead = keys[0]
+    cols = list(keys) + [val]
+
+    def _minmax_partial(t: pa.Table) -> pa.Table:
+        v = t.column(lead).to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(v.min())], pa.int64()),
+                "hi": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    proj = ds.select_columns(cols).materialize()
+    mm = proj.map_batches(_minmax_partial, batch_format="pyarrow").to_pandas()
+    if len(mm) == 0:
+        return proj.map_batches(
+            lambda t: t.append_column(out_name, pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def _sum_partial(t: pa.Table) -> pa.Table:
+        k = t.column(lead).to_numpy(zero_copy_only=False)
+        v = t.column(val).to_numpy(zero_copy_only=False)
+        b = np.minimum((k - lo) // width, n_buckets - 1)
+        s = np.bincount(b, weights=v.astype(np.float64), minlength=n_buckets)
+        # weights force float64; totals < 2^53 stay exact (documented cap)
+        nz = np.flatnonzero(s)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "s": pa.array(s[nz].astype(np.int64)),
+            }
+        )
+
+    hist = (
+        proj.map_batches(_sum_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket")["s"]
+        .sum()
+    )
+    sums = np.zeros(n_buckets, dtype=np.int64)
+    sums[hist.index.to_numpy()] = hist.to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+
+    def _tag(t: pa.Table) -> pa.Table:
+        k = t.column(lead).to_numpy(zero_copy_only=False)
+        b = np.minimum((k - lo) // width, n_buckets - 1)
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    key_list = list(keys)
+
+    def _per_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], pa.int64()) for c in cols},
+                    out_name: pa.array([], pa.int64()),
+                }
+            )
+        b = int(g["_bucket"].iloc[0])
+        order = np.lexsort(tuple(g[k].to_numpy() for k in reversed(key_list)))
+        out = g.iloc[order][cols].reset_index(drop=True)
+        out[out_name] = offsets[b] + np.cumsum(out[val].to_numpy().astype(np.int64))
+        return arrow_from_pandas(out)
+
+    return (
+        proj.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_per_bucket, batch_format="pandas")
+    )

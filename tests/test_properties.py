@@ -382,3 +382,46 @@ def test_trailing_hour_sum_includes_equal_ts_peers(tmp_path):
     assert out[0] == 100
     assert out[3] == 8 * 100 + 600  # events 1,2 within [25m,85m]; 0 aged out
     assert out[4] == 1600
+
+
+class TestGlobalOrderedPrefixSum:
+    def _check(self, keys, vals, n_buckets=8):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kgw_ray.stages.agg import global_ordered_prefix_sum
+
+        k = np.asarray(keys, dtype=np.int64)
+        v = np.asarray(vals, dtype=np.int64)
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(k), "n_tok": pa.array(v)})
+        ).repartition(4)
+        out = (
+            global_ordered_prefix_sum(
+                ds, ["doc_id"], "n_tok", n_buckets=n_buckets
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        order = np.argsort(k)
+        assert out["doc_id"].tolist() == k[order].tolist()
+        assert out["prefix"].tolist() == np.cumsum(v[order]).tolist()
+
+    def test_basic(self):
+        self._check([3, 1, 4, 0, 2], [10, 20, 30, 40, 50])
+
+    def test_skewed_one_bucket(self):
+        # all leading keys in one range bucket + one outlier
+        self._check([7] * 40 + [100000], [1] * 41)
+
+    def test_zero_and_negative_values(self):
+        self._check([5, 2, 9, 1], [0, -7, 3, 0])
+
+    def test_spread(self):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        k = rng.permutation(200).astype(np.int64) * 1000
+        v = rng.randint(0, 500, size=200)
+        self._check(k, v, n_buckets=16)
