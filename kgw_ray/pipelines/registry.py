@@ -135,6 +135,7 @@ def q_kg_nodes(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 from kgw_ray.pipelines import relational as _rel  # noqa: E402
+from kgw_ray.pipelines import training_data as _td  # noqa: E402
 
 register("q1_pricing_summary", _rel.Q1_SQL)(_rel.q1_pricing_summary)
 register("q3_top_orders", _rel.Q3_SQL)(_rel.q3_top_orders)
@@ -147,7 +148,10 @@ register("events_rank_in_user", _rel.EVENTS_RANK_SQL)(_rel.events_rank_in_user)
 register("events_users_no_purchase", _rel.EVENTS_NO_PURCHASE_SQL)(
     _rel.events_users_no_purchase
 )
-register("events_sliding_window", _rel.EVENTS_SLIDING_SQL)(_rel.events_sliding_window)
+# gate-window slot (driver checks the FIRST 50 entries): the stateful
+# packing recurrence replaces the sliding-window plan variant here —
+# events_sliding_window stays oracle-gated via the in-repo replica below
+register("docs_pack_greedy", _td.PACK_GREEDY_SQL)(_td.docs_pack_greedy)
 register("events_props_extract", _rel.EVENTS_PROPS_SQL)(
     _rel.events_props_extract
 )
@@ -222,13 +226,18 @@ def q_kg_statistics(sf_dir: str):
     return graph_statistics(nodes, edges)
 
 
-@register(
-    "kg_node_type_histogram",
-    oracle=f"""
+# gate-window slot: the distributed ordered prefix scan replaces the
+# type-histogram (whose counting machinery kg_statistics already gates)
+register("docs_batch_by_token_budget", _td.BATCH_BY_BUDGET_SQL)(
+    _td.docs_batch_by_token_budget
+)
+
+_KG_NODE_TYPE_HIST_SQL = f"""
 WITH nodes AS ({_tk.NODES_SQL})
 SELECT type, COUNT(*) AS n FROM nodes GROUP BY type ORDER BY n DESC, type ASC
-""",
-)
+"""
+
+
 def q_kg_node_type_histogram(sf_dir: str):
     """Per-type node counts, count DESC / type ASC (reference load.py:20-31)."""
     from kgw_ray.stages.graph import type_histogram
@@ -1477,6 +1486,22 @@ register("dedup_cross_source_overlap", _td.CROSS_SOURCE_OVERLAP_SQL)(
 )
 register("events_value_quartile", _rel.EVENTS_QUARTILE_SQL)(
     _rel.events_value_quartile
+)
+register("docs_pack_greedy", _td.PACK_GREEDY_SQL)(_td.docs_pack_greedy)
+register("events_user_modal_type", _rel.USER_MODAL_TYPE_SQL)(
+    _rel.events_user_modal_type
+)
+register("nation_top_customer_names", _rel.NATION_TOP_NAMES_SQL)(
+    _rel.nation_top_customer_names
+)
+register("embeddings_gram_quantized", _td.EMB_GRAM_SQL)(
+    _td.embeddings_gram_quantized
+)
+register("events_sliding_window", _rel.EVENTS_SLIDING_SQL)(
+    _rel.events_sliding_window
+)
+register("kg_node_type_histogram", _KG_NODE_TYPE_HIST_SQL)(
+    q_kg_node_type_histogram
 )
 
 # rows-only entries, last (approximate-by-design variants of gated twins):

@@ -3350,3 +3350,138 @@ WITH w AS (
 )
 SELECT event_id, cents, CAST((rn - 1) * 4 // n AS BIGINT) AS quartile FROM w
 """
+
+
+def events_user_modal_type(sf_dir: str) -> rd.Dataset:
+    """Grouped MODE with deterministic tie-break: each user's most
+    frequent event type (ties → lexicographically smallest type). Exact
+    three-reduce plan over the vocabulary-sized (user, type) count table:
+    grouped Max picks the modal count, an equality semi-filter keeps the
+    tied types, a grouped Min breaks the tie — every exchange is native
+    sum/min/max-mergeable, no per-user Python and no window sort."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.graph_metrics import _hybrid_attach
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy().astype(np.int64)),
+                "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    counts = grouped_aggregate_hybrid(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["user_id", "event_type"],
+        [("n", "sum", "n")],
+    )
+    mx = grouped_aggregate_hybrid(counts, "user_id", [("n", "max", "mx")])
+    j = _hybrid_attach(counts, mx, on="user_id", right_on="user_id")
+
+    def keep_modal(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["n"], t["mx"]))
+
+    modal = j.map_batches(keep_modal, batch_format="pyarrow")
+    out = grouped_aggregate_hybrid(
+        modal.map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "modal_type": t.column("event_type"),
+                    "n_events": t.column("n"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "user_id",
+        [("modal_type", "min", "modal_type"), ("n_events", "min", "n_events")],
+    )
+    return out
+
+
+USER_MODAL_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+m AS (SELECT user_id, MAX(n) AS mx FROM c GROUP BY user_id)
+SELECT c.user_id, MIN(c.event_type) AS modal_type,
+       CAST(MIN(m.mx) AS BIGINT) AS n_events
+FROM c JOIN m ON m.user_id = c.user_id AND c.n = m.mx
+GROUP BY c.user_id
+"""
+
+
+def nation_top_customer_names(sf_dir: str, *, k: int = 3) -> pa.Table:
+    """Per-nation ordered string aggregation: the k highest-balance
+    customer names (exact cents, name tie-break), comma-joined in rank
+    order. Block-local per-nation top-k combiner (vectorized sort + head)
+    → driver merge of ≤ nations x k x blocks rows → one broadcast-sized
+    name join; the ordered STRING_AGG itself happens on the merged
+    ≤ nations x k rows — never on fact-scale data."""
+    import numpy as np
+
+    from kgw_ray.sources.readers import read_table_pandas
+
+    nat = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    ds = read_table(
+        sf_dir, "customer", columns=["c_name", "c_nationkey", "c_acctbal"]
+    )
+
+    def local_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(
+            cents=np.rint(df["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        )
+        g = (
+            df.sort_values(
+                ["c_nationkey", "cents", "c_name"],
+                ascending=[True, False, True],
+            )
+            .groupby("c_nationkey", sort=False)
+            .head(k)
+        )
+        return arrow_from_pandas(g[["c_nationkey", "c_name", "cents"]])
+
+    parts = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pa.table(
+            {"n_name": pa.array([], pa.string()), "top_names": pa.array([], pa.string())}
+        )
+    top = (
+        parts.sort_values(
+            ["c_nationkey", "cents", "c_name"], ascending=[True, False, True]
+        )
+        .groupby("c_nationkey", sort=False)
+        .head(k)
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    agg = (
+        top.groupby("n_name", sort=False)["c_name"]
+        .agg(",".join)
+        .reset_index(name="top_names")
+    )
+    return arrow_from_pandas(agg)
+
+
+NATION_TOP_NAMES_SQL = """
+WITH r AS (
+  SELECT n_name, c_name,
+         ROW_NUMBER() OVER (
+           PARTITION BY n_name
+           ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC, c_name
+         ) AS rn
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+)
+SELECT n_name, STRING_AGG(c_name, ',' ORDER BY rn) AS top_names
+FROM r WHERE rn <= 3 GROUP BY n_name
+"""

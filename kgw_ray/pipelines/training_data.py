@@ -2103,3 +2103,135 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
 GROUP BY a.source, b.source
 """
+
+
+_PACK_BUDGET = 2048
+
+
+def docs_pack_greedy(sf_dir: str, *, budget: int = _PACK_BUDGET) -> rd.Dataset:
+    """Greedy no-split sequence packing: within each source, documents in
+    doc_id order are packed first-fit into bins of ``budget`` tokens (a
+    doc never straddles; an oversized doc gets a bin alone) — the
+    training-example packer, contrast docs_batch_by_token_budget (the
+    straddling planner). Sources are the parallel unit (coarse
+    ``map_groups``); within a source the recurrence is genuinely
+    sequential (bin state carries doc to doc), so the inner scan is the
+    sequential frontier — at cluster scale shard sources across nodes and,
+    for a single giant source, split on pre-agreed doc_id ranges and chain
+    the carried remainder. Oracle: an independent recursive-CTE replay of
+    the same recurrence in DuckDB."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        n_tok = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "n_tok": n_tok,
+            }
+        )
+
+    def pack(g):
+        import pandas as _pd
+
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        toks = g["n_tok"].to_numpy()
+        bins = np.empty(len(toks), dtype=np.int64)
+        rem, b = budget, 0
+        for i, tok in enumerate(toks):
+            if rem < budget and tok > rem:
+                b += 1
+                rem = budget
+            rem -= int(tok)
+            bins[i] = b
+        out = _pd.DataFrame(
+            {
+                "source": g["source"],
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_tok": g["n_tok"].astype("int64"),
+                "bin_id": bins,
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+PACK_GREEDY_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+s AS (
+  SELECT source, doc_id, n_tok, rn,
+         CAST(0 AS BIGINT) AS bin_id,
+         {_PACK_BUDGET} - n_tok AS rem
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+         CASE WHEN s.rem < {_PACK_BUDGET} AND t.n_tok > s.rem
+              THEN s.bin_id + 1 ELSE s.bin_id END,
+         CASE WHEN s.rem < {_PACK_BUDGET} AND t.n_tok > s.rem
+              THEN {_PACK_BUDGET} - t.n_tok ELSE s.rem - t.n_tok END
+  FROM s JOIN t ON t.source = s.source AND t.rn = s.rn + 1
+)
+SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(bin_id AS BIGINT) AS bin_id
+FROM s
+"""
+
+
+def embeddings_gram_quantized(sf_dir: str, *, scale: int = 1000) -> rd.Dataset:
+    """Distributed Gram matrix (the PCA / whitening sufficient statistic):
+    the upper triangle of Σ xᵀx over the quantized embedding column,
+    exact BIGINTs. Each block contributes ONE dim x dim int64 matmul
+    (Q.T @ Q — the vectorized kernel), flattened to (i, j, gram) partials;
+    the exchange is dim²/2 rows per block regardless of corpus size, so
+    the plan scales with dimensionality, not row count. Quantization is
+    the kmeans convention (floor(x*scale + 0.5), stages/similarity.py)."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        V = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        Q = np.floor(V * scale + 0.5).astype(np.int64)
+        G = Q.T @ Q
+        d = G.shape[0]
+        iu = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu[0].astype(np.int64)),
+                "j": pa.array(iu[1].astype(np.int64)),
+                "gram": pa.array(G[iu]),
+            }
+        )
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(gram_partial, batch_format="pyarrow"),
+        ["i", "j"],
+        [("gram", "sum", "gram")],
+    )
+
+
+EMB_GRAM_SQL = """
+WITH q AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.val * b.val) AS BIGINT) AS gram
+FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+GROUP BY a.pos, b.pos
+"""

@@ -1439,3 +1439,95 @@ def test_edit_distance_cap_boundary():
     capped = edit_distance_pairs(ds, "c", max_bucket=256).count()
     assert full == 300 * 299 // 2  # every pair is one substitution apart
     assert capped == 299 + 298  # stride-1 + stride-2 chains only
+
+
+def _write_docs(tmp_path, rows):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        tmp_path / "documents.parquet",
+    )
+
+
+def test_chunk_windows_edges(tmp_path):
+    """Boundary cases of the 128/96 chunking formula: empty doc (no
+    chunks), exactly one window, one token past a window (second chunk),
+    stride-aligned tail."""
+    from kgw_ray.pipelines.training_data import docs_chunk_windows
+
+    _write_docs(
+        tmp_path,
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "",  # 0 tokens -> no rows
+                " ".join(["w"] * 128),  # exactly one window
+                " ".join(["w"] * 129),  # 1 past -> 2 chunks, 2nd = [96,129)
+                " ".join(["w"] * 224),  # 128 + 96 -> 2 chunks, 2nd full
+            ],
+            "source": ["s"] * 4,
+        },
+    )
+    out = docs_chunk_windows(str(tmp_path)).to_pandas()
+    got = {
+        d: list(zip(g["chunk_idx"], g["tok_start"], g["tok_end"]))
+        for d, g in out.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id")
+    }
+    assert 1 not in got
+    assert got[2] == [(0, 0, 128)]
+    assert got[3] == [(0, 0, 128), (1, 96, 129)]
+    assert got[4] == [(0, 0, 128), (1, 96, 224)]
+
+
+def test_pack_greedy_edges(tmp_path):
+    """First-fit packing recurrence: oversized doc gets a bin alone (and
+    closes it), exact fit closes a bin, zero-token docs never open one."""
+    from kgw_ray.pipelines.training_data import docs_pack_greedy
+
+    toks = {1: 2000, 2: 48, 3: 5000, 4: 2048, 5: 0, 6: 1, 7: 2048}
+    _write_docs(
+        tmp_path,
+        {
+            "doc_id": list(toks),
+            "text": [" ".join(["w"] * n) for n in toks.values()],
+            "source": ["s"] * len(toks),
+        },
+    )
+    out = (
+        docs_pack_greedy(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["bin_id"]
+        .to_dict()
+    )
+    # 2000+48 fill bin 0 exactly; 5000 overflows alone into bin 1;
+    # 2048 exactly fills bin 2; the 0-token doc stays in (full) bin 2
+    # without opening one; 1 token opens bin 3; the final 2048 cannot
+    # fit beside it -> bin 4
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 3, 7: 4}
+
+
+def test_pack_greedy_zero_token_head(tmp_path):
+    """A zero-token doc at the head must not open an empty bin."""
+    from kgw_ray.pipelines.training_data import docs_pack_greedy
+
+    _write_docs(
+        tmp_path,
+        {
+            "doc_id": [1, 2],
+            "text": ["", " ".join(["w"] * 10)],
+            "source": ["s", "s"],
+        },
+    )
+    out = (
+        docs_pack_greedy(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["bin_id"]
+        .to_dict()
+    )
+    assert out == {1: 0, 2: 0}
