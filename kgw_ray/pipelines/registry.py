@@ -201,11 +201,35 @@ def q_tpch_kg_nodes(sf_dir: str):
     return _tk.tpch_graph(sf_dir)[0]
 
 
-@register("tpch_kg_edges", oracle=_tk.EDGES_SQL)
-def q_tpch_kg_edges(sf_dir: str):
-    """Unified-IR edge table; lineitem yields parallel multigraph edges.
-    Hub-served (see tpch_kg_nodes)."""
-    return _tk.tpch_graph(sf_dir)[1]
+# Two-crawl synthetic archive (sources/pages.py:recrawl_pages_batch): crawl 2
+# revisits doc_id % 3 != 0 urls 10^7 s later with a 'v2 '-prefixed body and a
+# provenance doc_id shifted by the replica stride. Pure function of documents,
+# so both oracles re-derive the full archive in SQL.
+_RECRAWL_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000000 AS doc_id, 'v2 ' || text AS text
+FROM documents WHERE doc_id % 3 != 0
+"""
+
+EDGES_INCR_SQL = f"""
+WITH corpus AS ({_RECRAWL_CORPUS_SQL}),
+tr AS ({TRIPLES_SQL.replace("FROM documents", "FROM corpus")})
+SELECT 'E:' || subj AS source_id, 'E:' || obj AS target_id, pred AS type,
+       '{{"n_obs":' || COUNT(*) || ',"first_doc":' || MIN(doc_id) || '}}' AS properties
+FROM tr GROUP BY subj, pred, obj
+"""
+
+
+@register("webkg_edges_incremental", oracle=EDGES_INCR_SQL)
+def q_webkg_edges_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental view maintenance under the EXTERNAL gate: edge state
+    built from crawl 1, crawl 2 ingested as an increment (prior-state
+    merge, pipelines/webkg.py:edge_state) — rendered edges must equal the
+    oracle's full recompute over the unioned two-crawl corpus."""
+    from kgw_ray.pipelines.webkg import edges_incremental_two_crawls
+
+    return edges_incremental_two_crawls(sf_dir)
 
 
 @register(
@@ -444,7 +468,34 @@ from kgw_ray.stages.textstats import (  # noqa: E402
 )
 
 register("text_token_stats", TOKEN_STATS_SQL)(_td.text_token_stats)
-register("text_quality", QUALITY_SQL)(_td.text_quality)
+
+LATEST_PAGES_SQL = f"""
+WITH pages AS (
+  SELECT {_URL_SQL} AS url,
+         1704067200000000 + doc_id * 1000000 AS warc_ts_us, text
+  FROM documents
+  UNION ALL
+  SELECT {_URL_SQL} AS url,
+         1704067200000000 + doc_id * 1000000 + 10000000000000 AS warc_ts_us,
+         'v2 ' || text AS text
+  FROM documents WHERE doc_id % 3 != 0
+)
+SELECT url, CAST(warc_ts_us AS BIGINT) AS warc_ts_us, md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM pages
+QUALIFY ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts_us DESC) = 1
+"""
+
+
+@register("webkg_latest_pages", oracle=LATEST_PAGES_SQL)
+def q_webkg_latest_pages(sf_dir: str) -> rd.Dataset:
+    """Re-crawl snapshot dedup (newest warc_ts per url) over the two-crawl
+    archive — the packed arg-max CDC combiner lifted to string group keys
+    (pipelines/webkg.py:latest_pages); selection happens on metadata
+    BEFORE any extraction cost."""
+    from kgw_ray.pipelines.webkg import latest_pages
+
+    return latest_pages(sf_dir)
 register("text_lang_id", LANG_ID_SQL)(_td.text_lang_id)
 register("text_fingerprint", _td.FINGERPRINT_SQL)(_td.text_fingerprint)
 register("dedup_exact", _td.EXACT_DEDUP_SQL)(_td.dedup_exact)
@@ -518,6 +569,12 @@ register("media_resize_digest", _td.MEDIA_RESIZE_SQL)(_td.media_resize_digest)
 
 # displaced by the r4 rotation (each is a sibling or plan variant of a
 # gated entry; oracle-bearing, replica-checked):
+register("tpch_kg_edges", _tk.EDGES_SQL)(
+    lambda sf_dir: _tk.tpch_graph(sf_dir)[1]
+)  # hub-served adapter sibling of gated tpch_kg_nodes
+register("text_quality", QUALITY_SQL)(
+    _td.text_quality
+)  # vectorized column-scan sibling of gated text_token_stats
 register("events_value_quantiles", _rel.EVENTS_QUANTILES_SQL)(
     _rel.events_value_quantiles
 )  # mergeable-sketch sibling of gated events_value_exact_quantiles
@@ -950,6 +1007,9 @@ register("events_snapshot_diff", _rel.EVENTS_SNAPSHOT_DIFF_SQL)(
 register("docs_table_checksum", _rel.DOCS_CHECKSUM_SQL)(_rel.docs_table_checksum)
 register("text_pii_redact", _td.PII_REDACT_SQL)(_td.text_pii_redact)
 register("web_host_stats", _td.WEB_HOST_STATS_SQL)(_td.web_host_stats)
+register("web_url_canonicalize", _td.WEB_URL_CANON_SQL)(
+    _td.web_url_canonicalize
+)
 register("orders_period_diff", _rel.ORDERS_PERIOD_DIFF_SQL)(
     _rel.orders_period_diff
 )

@@ -1800,6 +1800,102 @@ GROUP BY source
 """
 
 
+def web_url_canonicalize(sf_dir: str) -> rd.Dataset:
+    """URL canonicalization + grouped variant fold — the crawl-dedup
+    normalizer every CC-scale pipeline runs before url-level dedup
+    (scheme/host case-folding, www-stripping, https upgrade, trailing-slash
+    and query/fragment drop).
+
+    The deterministic variant synthesis (2-3 spellings per url: the base,
+    an http://www. + trailing-slash twin for even doc_ids, and an
+    uppercased + ?utm tracking twin for all) stands in for the
+    heterogeneous spellings a real frontier sees; the canonicalizer itself
+    is generic — ONE RE2 ``extract_regex`` per batch over arbitrary urls,
+    all Arrow kernels, no Python per row. Counts fold per batch
+    (np.unique) then one url-vocabulary exchange.
+    Output: (canon_url, n_variants)."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        ids = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 8, "0")
+        src = batch.column("source")
+        base = pc.binary_join_element_wise(
+            "https://", src, ".example.org/doc/", ids, ""
+        )
+        v_www = pc.binary_join_element_wise(
+            "http://www.", src, ".example.org/doc/", ids, "/", ""
+        )
+        v_track = pc.binary_join_element_wise(
+            "HTTPS://",
+            pc.utf8_upper(src),
+            ".EXAMPLE.ORG/doc/",
+            ids,
+            "?utm_source=feed#top",
+            "",
+        )
+        even = pa.array(
+            batch.column("doc_id").to_numpy(zero_copy_only=False) % 2 == 0
+        )
+        arrs = [base, v_www.filter(even), v_track]
+        return pa.table({"url": pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrs]
+        )})
+
+    def canonicalize(batch: pa.Table) -> pa.Table:
+        parts = pc.extract_regex(
+            batch.column("url"),
+            pattern=r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]+)(?P<path>[^?#]*)",
+        )
+        host = pc.replace_substring_regex(
+            pc.utf8_lower(pc.struct_field(parts, "host")), r"^www\.", ""
+        )
+        path = pc.replace_substring_regex(
+            pc.struct_field(parts, "path"), r"/+$", ""
+        )
+        canon = pc.binary_join_element_wise("https://", host, path, "")
+        uq, counts = np.unique(
+            canon.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "canon_url": pa.array(uq, pa.string()),
+                "n_variants": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = docs.map_batches(variants, batch_format="pyarrow").map_batches(
+        canonicalize, batch_format="pyarrow"
+    )
+    return grouped_aggregate_hybrid(
+        partials, "canon_url", [("n_variants", "sum", "n_variants")]
+    )
+
+
+WEB_URL_CANON_SQL = """
+WITH v AS (
+  SELECT 'https://' || source || '.example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS u
+  FROM documents
+  UNION ALL
+  SELECT 'http://www.' || source || '.example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/'
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'HTTPS://' || upper(source) || '.EXAMPLE.ORG/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '?utm_source=feed#top'
+  FROM documents
+),
+c AS (
+  SELECT 'https://' ||
+         regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') ||
+         regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS canon_url
+  FROM v
+)
+SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_variants FROM c GROUP BY canon_url
+"""
+
+
 def docs_token_rows(sf_dir: str, max_doc_id: int = 50) -> "rd.Dataset":
     """EXPLODE (flat_map): the first ``max_doc_id`` documents unnested to
     one row per token position — (doc_id, pos, token), the long-form

@@ -182,3 +182,112 @@ def pages_dataset(
 
         docs = docs.map_batches(replicate, batch_format="pyarrow")
     return docs.map_batches(synth_pages, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Deterministic re-crawl synthesis (Common-Crawl revisit model)
+# --------------------------------------------------------------------------
+# A real CC archive holds MULTIPLE snapshots of the same url across crawls;
+# the second synthetic crawl revisits two thirds of the urls 10^7 seconds
+# later with an edited body. Everything stays a pure function of
+# (doc_id, source, text) so DuckDB oracles re-derive both crawls in SQL.
+_RECRAWL_OFFSET_US = 10_000_000 * 1_000_000  # crawl-2 warc_ts offset (us)
+_RECRAWL_PREFIX = "v2 "  # crawl-2 body edit (prepended token)
+_RECRAWL_KEEP_MOD = 3  # doc_id % 3 != 0 ⇒ the url is re-crawled
+
+
+def recrawl_pages_batch(batch: pa.Table, *, crawls: str = "both") -> pa.Table:
+    """documents batch → two-crawl pages batch (no html; metadata + text).
+
+    Snapshot dedup happens BEFORE extraction in a crawl pipeline — selecting
+    the newest (url, warc_ts) needs no html bytes, so this source skips the
+    render entirely (the html-bearing path for downstream extraction is
+    ``recrawl_pages_dataset(with_html=True)``). Crawl-2 rows keep the url of
+    their crawl-1 twin but get a distinct doc_id (+``_REPEAT_STRIDE``) for
+    provenance, a later warc_ts, and an edited body.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    sources = batch.column("source")
+    if isinstance(sources, pa.ChunkedArray):
+        sources = sources.combine_chunks()
+    urls = pc.binary_join_element_wise(
+        "https://",
+        sources,
+        ".example.org/doc/",
+        pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 8, "0"),
+        "",
+    )
+    ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts1 = _WARC_EPOCH_US + ids_np * 1_000_000
+    parts = []
+    if crawls in ("both", "first"):
+        parts.append(
+            pa.table(
+                {
+                    "url": urls,
+                    "warc_ts": pa.array(ts1).cast(pa.timestamp("us")),
+                    "text": batch.column("text"),
+                    "lang": batch.column("lang"),
+                    "doc_id": batch.column("doc_id"),
+                }
+            )
+        )
+    if crawls in ("both", "second"):
+        keep = pa.array(ids_np % _RECRAWL_KEEP_MOD != 0)
+        b2 = batch.filter(keep)
+        u2 = urls.filter(keep) if isinstance(urls, pa.Array) else pc.filter(urls, keep)
+        ids2 = b2.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parts.append(
+            pa.table(
+                {
+                    "url": u2,
+                    "warc_ts": pa.array(
+                        _WARC_EPOCH_US + ids2 * 1_000_000 + _RECRAWL_OFFSET_US
+                    ).cast(pa.timestamp("us")),
+                    "text": pc.binary_join_element_wise(
+                        _RECRAWL_PREFIX, b2.column("text"), ""
+                    ),
+                    "lang": b2.column("lang"),
+                    "doc_id": pc.add(b2.column("doc_id"), _REPEAT_STRIDE),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def recrawl_pages_dataset(
+    sf_dir: str, *, crawls: str = "both", with_html: bool = False
+) -> rd.Dataset:
+    """Two-crawl page stream (url, warc_ts, [html,] text, lang, doc_id).
+
+    ``crawls`` selects "first" / "second" / "both"; ``with_html=True``
+    renders the crawl bodies through the standard deterministic HTML
+    template so the full extract→triples chain runs on re-crawl snapshots
+    exactly as on the flagship pages."""
+    from kgw_ray.sources.readers import read_table
+
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
+    )
+    pages = docs.map_batches(
+        recrawl_pages_batch, batch_format="pyarrow", fn_kwargs={"crawls": crawls}
+    )
+    if not with_html:
+        return pages
+
+    def add_html(batch: pa.Table) -> pa.Table:
+        # re-derive source from the url host (crawl-2 rows carry shifted
+        # doc_ids, so the render varies per snapshot exactly like the
+        # flagship synth — doc_id feeds the paragraph width)
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        srcs = [
+            u.split("https://", 1)[1].split(".example.org", 1)[0]
+            for u in batch.column("url").to_pylist()
+        ]
+        htmls = [render_html(d, s, t) for d, s, t in zip(doc_ids, srcs, texts)]
+        return batch.append_column("html", pa.array(htmls, pa.binary()))
+
+    return pages.map_batches(add_html, batch_format="pyarrow")

@@ -367,3 +367,80 @@ def test_bfs_depths_bruteforce():
     # source = min id "a"; a adjoins b and c; d2 via c; x via d2; e/f and
     # the d self-loop component are unreachable
     assert got == {"a": 0, "b": 1, "c": 1, "d2": 2, "x": 3}
+
+
+def test_recrawl_pages_shape(sf_smoke):
+    """Two-crawl archive: crawl-2 rows revisit doc_id%3!=0 urls with a
+    later warc_ts, an edited ('v2 '-prefixed) body and a stride-shifted
+    provenance doc_id; crawl-1 rows are the flagship pages verbatim."""
+    import pandas as pd
+
+    from kgw_ray.sources.pages import (
+        _RECRAWL_OFFSET_US,
+        _REPEAT_STRIDE,
+        recrawl_pages_dataset,
+    )
+
+    df = recrawl_pages_dataset(sf_smoke, crawls="both").to_pandas()
+    c1 = df[df.doc_id < _REPEAT_STRIDE].set_index("doc_id")
+    c2 = df[df.doc_id >= _REPEAT_STRIDE].copy()
+    c2["orig"] = c2.doc_id - _REPEAT_STRIDE
+    assert set(c2.orig) == {i for i in c1.index if i % 3 != 0}
+    c2 = c2.set_index("orig")
+    j = c1.join(c2, rsuffix="_2", how="inner")
+    assert (j.url == j.url_2).all()  # same url across crawls
+    assert (j.text_2 == "v2 " + j.text).all()
+    dt = (j.warc_ts_2 - j.warc_ts) / pd.Timedelta(microseconds=1)
+    assert (dt == _RECRAWL_OFFSET_US).all()
+
+
+def test_latest_pages_newest_wins(sf_smoke):
+    """latest_pages keeps exactly one row per url: the crawl-2 snapshot for
+    re-crawled urls (md5 of the edited body), crawl-1 otherwise."""
+    import hashlib
+
+    from kgw_ray.pipelines.webkg import latest_pages
+    from kgw_ray.sources.readers import read_table_pandas
+
+    docs = read_table_pandas(sf_smoke, "documents", columns=["doc_id", "text"])
+    got = latest_pages(sf_smoke).to_pandas()
+    assert got.url.is_unique and len(got) == len(docs)
+    by_id = {
+        int(u.rsplit("/", 1)[1]): (ts, md5, n)
+        for u, ts, md5, n in zip(
+            got.url, got.warc_ts_us, got.text_md5, got.n_chars
+        )
+    }
+    for row in docs.itertuples():
+        text = row.text if row.doc_id % 3 == 0 else "v2 " + row.text
+        _, md5, n = by_id[row.doc_id]
+        assert md5 == hashlib.md5(text.encode()).hexdigest()
+        assert n == len(text)
+
+
+def test_edges_incremental_equals_full(sf_smoke):
+    """Incremental two-crawl edge build == one-shot recompute over the
+    unioned corpus, row-for-row (Sum/Min monoid merge)."""
+    from kgw_ray.pipelines.webkg import (
+        edge_state,
+        edges_from_state,
+        edges_incremental_two_crawls,
+    )
+    from kgw_ray.sources.pages import recrawl_pages_dataset
+    from kgw_ray.stages.extract import extract_batch
+    from kgw_ray.stages.triples import extract_triples_batch
+    from kgw_ray.stages.linking import link_triples_batch
+
+    inc = edges_incremental_two_crawls(sf_smoke).to_pandas()
+
+    pages = recrawl_pages_dataset(sf_smoke, crawls="both", with_html=True)
+    tr = (
+        pages.map_batches(extract_batch, batch_format="pyarrow")
+        .map_batches(extract_triples_batch, batch_format="pyarrow")
+        .map_batches(link_triples_batch, batch_format="pyarrow")
+    )
+    full = edges_from_state(edge_state(tr)).to_pandas()
+    k = ["source_id", "target_id", "type"]
+    inc_s = inc.sort_values(k).reset_index(drop=True)
+    full_s = full.sort_values(k).reset_index(drop=True)
+    assert inc_s.equals(full_s)
