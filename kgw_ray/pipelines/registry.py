@@ -1010,6 +1010,36 @@ register("web_host_stats", _td.WEB_HOST_STATS_SQL)(_td.web_host_stats)
 register("web_url_canonicalize", _td.WEB_URL_CANON_SQL)(
     _td.web_url_canonicalize
 )
+
+EDGE_DELTAS_SQL = f"""
+WITH corpus AS ({_RECRAWL_CORPUS_SQL}),
+tr2 AS ({TRIPLES_SQL.replace("FROM documents", "FROM corpus")}),
+tr1 AS ({TRIPLES_SQL}),
+a AS (SELECT subj, pred, obj, COUNT(*) AS n FROM tr2 GROUP BY subj, pred, obj),
+b AS (SELECT subj, pred, obj, COUNT(*) AS n FROM tr1 GROUP BY subj, pred, obj)
+SELECT 'E:' || a.subj AS source_id, 'E:' || a.obj AS target_id, a.pred AS type,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_obs_before,
+       CAST(a.n AS BIGINT) AS n_obs_after,
+       CASE WHEN b.n IS NULL THEN 'new' ELSE 'updated' END AS change
+FROM a LEFT JOIN b
+  ON a.subj = b.subj AND a.pred = b.pred AND a.obj = b.obj
+WHERE b.n IS NULL OR a.n <> b.n
+"""
+
+
+@register("webkg_edge_deltas", oracle=EDGE_DELTAS_SQL)
+def q_webkg_edge_deltas(sf_dir: str) -> rd.Dataset:
+    """CDC on the KG: edges crawl 2 added or strengthened — diff of the two
+    mergeable states via one size-hybrid left-outer join
+    (pipelines/webkg.py:edge_deltas_two_crawls)."""
+    from kgw_ray.pipelines.webkg import edge_deltas_two_crawls
+
+    return edge_deltas_two_crawls(sf_dir)
+
+
+register("embeddings_top_component", _td.EMB_TOP_COMPONENT_SQL)(
+    _td.embeddings_top_component
+)
 register("orders_period_diff", _rel.ORDERS_PERIOD_DIFF_SQL)(
     _rel.orders_period_diff
 )

@@ -2331,3 +2331,94 @@ SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.val * b.val) AS BIGINT) AS gram
 FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.pos >= a.pos
 GROUP BY a.pos, b.pos
 """
+
+
+# 60 rounds: the synthetic embedding cloud's top eigen-gap is flat
+# (λ2/λ1 ≈ 0.93-0.98), so the direction needs tens of rounds — convergence
+# of the power method is spectrum-dependent; the oracle mirrors whatever
+# count is pinned here, so gate equality holds at ANY setting
+_POWER_ITERS = 60
+_POWER_OUT_SCALE = 1_000_000
+
+
+def embeddings_top_component(sf_dir: str) -> pa.Table:
+    """Top principal direction of the embedding cloud (uncentered PCA) by
+    POWER ITERATION over the distributed Gram sufficient statistic —
+    iterative distributed linear algebra in the kmeans/pagerank mold.
+
+    Scale shape: the corpus is touched ONCE — each block contributes one
+    dim x dim integer matmul and the exchange is dim²/2 rows per block
+    (embeddings_gram_quantized); the iterations then run on the driver
+    over the tiny d x d matrix (d=64 here), exactly like kmeans' centroid
+    updates. Arithmetic is exact integers end-to-end: Python bignums here,
+    HUGEINT in the oracle; the per-iteration max-norm rescale uses
+    sign-magnitude division ``sign(w) * (|w| * 10^6 // max|w|)`` because
+    Python ``//`` floors while DuckDB ``//`` truncates toward zero — on
+    magnitudes the two agree. Output: (pos, component), the direction
+    scaled to max|component| = 10^6."""
+    gram = embeddings_gram_quantized(sf_dir).to_pandas()
+    d = int(gram["i"].max()) + 1 if len(gram) else 0
+    G = [[0] * d for _ in range(d)]
+    for i, j, g in zip(gram["i"], gram["j"], gram["gram"]):
+        G[int(i)][int(j)] = int(g)
+        G[int(j)][int(i)] = int(g)
+    v = [1] * d
+    for _ in range(_POWER_ITERS):
+        w = [sum(Gi[j] * v[j] for j in range(d)) for Gi in G]
+        m = max((abs(x) for x in w), default=0)
+        if m == 0:
+            v = [0] * d
+            break
+        v = [
+            (1 if x >= 0 else -1) * ((abs(x) * _POWER_OUT_SCALE) // m)
+            for x in w
+        ]
+    return pa.table(
+        {
+            "pos": pa.array(range(d), pa.int64()),
+            "component": pa.array(v, pa.int64()),
+        }
+    )
+
+
+def _power_iteration_sql() -> str:
+    """Unrolled power-iteration CTE chain mirroring embeddings_top_component
+    in exact HUGEINT arithmetic (same Gram, same sign-magnitude rescale)."""
+    parts = [
+        # MATERIALIZED: DuckDB inlines plain CTEs per reference, so the 60
+        # unrolled iterations would otherwise re-scan the parquet 60+ times
+        # (and exhaust the open-file limit)
+        f"WITH gu AS MATERIALIZED ({EMB_GRAM_SQL}),",
+        "g AS MATERIALIZED (SELECT i, j, gram FROM gu"
+        " UNION ALL SELECT j AS i, i AS j, gram FROM gu WHERE i <> j),",
+        "dim AS (SELECT CAST(len(embedding) AS BIGINT) AS n"
+        " FROM embeddings LIMIT 1),",
+        "v0 AS (SELECT CAST(t.x - 1 AS BIGINT) AS pos,"
+        " CAST(1 AS HUGEINT) AS val"
+        " FROM dim, UNNEST(generate_series(1, dim.n)) AS t(x)),",
+    ]
+    prev = "v0"
+    # every iteration CTE is MATERIALIZED: each w/v is referenced twice
+    # downstream, so plain (inlined) CTEs would expand the plan 2^iters
+    for t in range(1, _POWER_ITERS + 1):
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT g.i AS pos,"
+            f" SUM(CAST(g.gram AS HUGEINT) * v.val) AS w"
+            f" FROM g JOIN {prev} v ON v.pos = g.j GROUP BY g.i),"
+        )
+        parts.append(f"m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t}),")
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT pos, CASE WHEN w >= 0"
+            f" THEN (ABS(w) * {_POWER_OUT_SCALE}) // m"
+            f" ELSE -((ABS(w) * {_POWER_OUT_SCALE}) // m) END AS val"
+            f" FROM w{t}, m{t}),"
+        )
+        prev = f"v{t}"
+    parts.append(
+        f"fin AS (SELECT pos, CAST(val AS BIGINT) AS component FROM {prev})\n"
+        "SELECT pos, component FROM fin"
+    )
+    return "\n".join(parts)
+
+
+EMB_TOP_COMPONENT_SQL = _power_iteration_sql()

@@ -830,14 +830,10 @@ def latest_pages(sf_dir: str) -> rd.Dataset:
     return merged.map_batches(unpack, batch_format="pyarrow")
 
 
-def edges_incremental_two_crawls(sf_dir: str) -> rd.Dataset:
-    """INCREMENTAL KG maintenance under the external gate: build the edge
-    state from crawl 1, then ingest crawl 2 as an increment
-    (``edge_state(prior=...)``) — only the NEW snapshots are extracted,
-    combined and re-merged with the prior state; crawl-1 pages are never
-    reprocessed. The rendered edges equal a full recompute over both crawls
-    (Sum/Min monoids), which is exactly what the DuckDB oracle computes
-    independently over the unioned corpus.
+def _two_crawl_states(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset]:
+    """(crawl-1 edge state, two-crawl edge state) — the second built by
+    ingesting ONLY crawl 2 as an increment over the first
+    (``edge_state(prior=...)``); crawl-1 pages are never reprocessed.
 
     This is the at-scale append-only ingest loop of the north rule: each
     new crawl is one ``edge_state`` call over its pages; the mergeable
@@ -853,4 +849,60 @@ def edges_incremental_two_crawls(sf_dir: str) -> rd.Dataset:
 
     state1 = edge_state(crawl_triples("first"))
     state2 = edge_state(crawl_triples("second"), prior=state1)
-    return edges_from_state(state2)
+    return state1, state2
+
+
+def edges_incremental_two_crawls(sf_dir: str) -> rd.Dataset:
+    """INCREMENTAL KG maintenance under the external gate: the rendered
+    two-crawl state equals a full recompute over the unioned corpus
+    (Sum/Min monoids), which is exactly what the DuckDB oracle computes
+    independently."""
+    return edges_from_state(_two_crawl_states(sf_dir)[1])
+
+
+def edge_deltas_two_crawls(sf_dir: str) -> rd.Dataset:
+    """CDC on the graph itself: which edges did crawl 2 ADD or STRENGTHEN?
+    Diff of the two mergeable states — the downstream-consumer feed
+    (embedding refresh, cache invalidation) an always-on KG pipeline
+    publishes per ingest instead of re-shipping the full edge table.
+
+    Physical plan: both states are already vocabulary-sized combiner
+    tables; the diff is ONE size-hybrid left-outer join of the after-state
+    against the before-state (stages/joins.py:large_join — broadcast under
+    the limit, hash-partitioned beyond, so open-vocabulary entity spaces
+    never funnel through the driver) followed by a vectorized classify
+    filter. Output: (source_id, target_id, type, n_obs_before,
+    n_obs_after, change ∈ {new, updated})."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.joins import large_join
+
+    state1, state2 = _two_crawl_states(sf_dir)
+    before = state1.drop_columns(["first_doc"]).rename_columns(
+        {"n_obs": "n_obs_before"}
+    )
+    joined = large_join(
+        state2, before, on=("subj_id", "pred", "obj_id"), how="left_outer"
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        after = batch.column("n_obs")
+        bef = pc.fill_null(batch.column("n_obs_before"), 0)
+        changed = pc.not_equal(after, bef)
+        b = batch.filter(changed)
+        bef_f = pc.fill_null(b.column("n_obs_before"), 0)
+        change = pc.if_else(
+            pc.equal(bef_f, pa.scalar(0, bef_f.type)), "new", "updated"
+        )
+        return pa.table(
+            {
+                "source_id": b.column("subj_id"),
+                "target_id": b.column("obj_id"),
+                "type": b.column("pred"),
+                "n_obs_before": pc.cast(bef_f, pa.int64()),
+                "n_obs_after": pc.cast(b.column("n_obs"), pa.int64()),
+                "change": change,
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -1531,3 +1531,26 @@ def test_pack_greedy_zero_token_head(tmp_path):
         .to_dict()
     )
     assert out == {1: 0, 2: 0}
+
+
+def test_top_component_matches_numpy_direction(sf_smoke):
+    """The quantized power-iteration direction aligns with numpy's top
+    eigenvector of the same quantized Gram (|cos| > 0.99 at the smoke
+    corpus, whose eigen-gap ratio is ~0.93; flatter spectra converge
+    slower — spectrum-dependence is inherent to the power method)."""
+    import numpy as np
+
+    from kgw_ray.pipelines.training_data import embeddings_top_component
+    from kgw_ray.sources.readers import read_table_pandas
+
+    got = embeddings_top_component(sf_smoke).to_pandas()
+    v = got.sort_values("pos")["component"].to_numpy(dtype=np.float64)
+    emb = read_table_pandas(sf_smoke, "embeddings", columns=["embedding"])
+    V = np.vstack(emb["embedding"].to_numpy())
+    Q = np.floor(V * 1000 + 0.5)
+    G = Q.T @ Q
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99
+    assert int(np.abs(v).max()) == 1_000_000  # max-norm rescale contract

@@ -444,3 +444,32 @@ def test_edges_incremental_equals_full(sf_smoke):
     inc_s = inc.sort_values(k).reset_index(drop=True)
     full_s = full.sort_values(k).reset_index(drop=True)
     assert inc_s.equals(full_s)
+
+
+def test_edge_deltas_classification(sf_smoke):
+    """Every delta row either did not exist before (change='new',
+    n_obs_before=0) or grew (change='updated', after > before); edges
+    untouched by crawl 2 never appear."""
+    from kgw_ray.pipelines.webkg import (
+        _two_crawl_states,
+        edge_deltas_two_crawls,
+    )
+
+    deltas = edge_deltas_two_crawls(sf_smoke).to_pandas()
+    assert len(deltas) > 0
+    new = deltas[deltas.change == "new"]
+    upd = deltas[deltas.change == "updated"]
+    assert len(new) + len(upd) == len(deltas)
+    assert (new.n_obs_before == 0).all()
+    assert (upd.n_obs_before > 0).all()
+    assert (deltas.n_obs_after > deltas.n_obs_before).all()
+    before = _two_crawl_states(sf_smoke)[0].to_pandas()
+    key = ["source_id", "target_id", "type"]
+    b = before.rename(
+        columns={"subj_id": "source_id", "obj_id": "target_id", "pred": "type"}
+    )
+    merged = deltas.merge(b, on=key, how="left")
+    # the before-state count embedded in each delta row is the true one
+    assert (
+        merged.n_obs_before == merged.n_obs.fillna(0).astype("int64")
+    ).all()
