@@ -1040,6 +1040,95 @@ def q_webkg_edge_deltas(sf_dir: str) -> rd.Dataset:
 register("embeddings_top_component", _td.EMB_TOP_COMPONENT_SQL)(
     _td.embeddings_top_component
 )
+
+# directed simple-edge set of the web-KG (dedup happens inside the BFS SQL)
+_KG_DIRECTED_SQL = f"""
+WITH tr AS ({TRIPLES_SQL})
+SELECT 'E:' || subj AS s, 'E:' || obj AS t FROM tr
+"""
+
+
+def _kg_apsp_sql() -> str:
+    from kgw_ray.stages.graph_metrics import sssp_counts_sql
+
+    return sssp_counts_sql(_KG_DIRECTED_SQL, rounds=8)
+
+
+@register("kg_apsp_counts", oracle=_kg_apsp_sql())
+def q_kg_apsp_counts(sf_dir: str) -> rd.Dataset:
+    """All-pairs shortest-path DISTANCES AND COUNTS (σ table) over the
+    directed web-KG — multi-source level-synchronized BFS, one
+    size-hybrid frontier attach + grouped Sum + packed-key anti join per
+    hop (stages/graph_metrics.py:sssp_counts); oracle = the identical
+    hops unrolled into MATERIALIZED CTEs. At open-vocabulary scale the
+    same operator takes a bounded seed set (source-sampled estimator)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import sssp_counts
+
+    return sssp_counts(
+        edges_from_triples(triples_dataset(sf_dir)), rounds=8
+    )
+
+
+def _kg_betweenness_sql() -> str:
+    from kgw_ray.stages.graph_metrics import sssp_counts_sql
+
+    return f"""
+WITH ap AS MATERIALIZED ({sssp_counts_sql(_KG_DIRECTED_SQL, rounds=8)}),
+nodes AS (SELECT DISTINCT src AS v FROM ap),
+b AS (
+  SELECT sv.id AS v,
+         SUM((sv.n_paths * vt.n_paths * 1000000) // st.n_paths) AS bc
+  FROM ap sv
+  JOIN ap vt ON vt.src = sv.id
+  JOIN ap st ON st.src = sv.src AND st.id = vt.id
+  WHERE sv.dist + vt.dist = st.dist
+    AND sv.src <> sv.id AND vt.src <> vt.id AND sv.src <> vt.id
+  GROUP BY sv.id
+)
+SELECT n.v AS id, CAST(COALESCE(b.bc, 0) AS BIGINT) AS betweenness_micro
+FROM nodes n LEFT JOIN b ON b.v = n.v
+"""
+
+
+def _kg_scc_sql() -> str:
+    from kgw_ray.stages.graph_metrics import scc_sql
+
+    return scc_sql(_KG_DIRECTED_SQL)
+
+
+@register("kg_scc", oracle=_kg_scc_sql())
+def q_kg_scc(sf_dir: str) -> rd.Dataset:
+    """Strongly connected components of the directed web-KG — distributed
+    FW-BW coloring (forward-min color rounds + parallel backward
+    confirmation + peel, stages/graph_metrics.py:
+    strongly_connected_components). The oracle re-derives components
+    INDEPENDENTLY via recursive-CTE mutual reachability — it does not
+    replay the coloring."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import strongly_connected_components
+
+    return strongly_connected_components(
+        edges_from_triples(triples_dataset(sf_dir))
+    )
+
+
+@register("kg_betweenness", oracle=_kg_betweenness_sql())
+def q_kg_betweenness(sf_dir: str) -> rd.Dataset:
+    """EXACT directed betweenness centrality in integer micro-units —
+    Brandes' pair-dependency identity folded over the distributed σ
+    table (stages/graph_metrics.py:betweenness_from_counts); per-term
+    integer floor keeps both engines bit-identical where the fractional
+    sum would be float-unstable."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import (
+        betweenness_from_counts,
+        sssp_counts,
+    )
+
+    return betweenness_from_counts(
+        sssp_counts(edges_from_triples(triples_dataset(sf_dir)), rounds=8)
+    )
 register("orders_period_diff", _rel.ORDERS_PERIOD_DIFF_SQL)(
     _rel.orders_period_diff
 )

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -991,6 +992,204 @@ d{r} AS (SELECT id, MIN(dist) AS dist FROM (
     return "\n".join(parts)
 
 
+# the packed (src, id) anti-join key separator: a control char no unified-IR
+# node id contains (ids are 'E:<word>' / '<type>:<key>' strings)
+_PAIR_SEP = "\x1f"
+
+
+def _pack_pair_key(t: pa.Table, a: str, b: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return t.append_column(
+        "k", pc.binary_join_element_wise(t.column(a), t.column(b), _PAIR_SEP)
+    )
+
+
+def sssp_counts(
+    edges: rd.Dataset,
+    *,
+    rounds: int = 6,
+    src: str = "source_id",
+    dst: str = "target_id",
+    seeds: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Multi-source level-synchronized BFS with shortest-path COUNTING —
+    the σ_st table Brandes-style betweenness and path-diversity metrics
+    consume. Runs on the distinct DIRECTED simple-edge set (parallel
+    edges deduped first: they would multiply counts).
+
+    ``seeds`` defaults to every node (all-pairs, right for
+    vocabulary-sized graphs); at open-vocabulary scale pass a bounded
+    deterministic seed set (e.g. the K smallest ids) — the published
+    source-sampled betweenness estimator runs on exactly this output.
+
+    Physical plan per hop (all vocabulary-sized, nothing corpus-sized on
+    the driver): ONE size-hybrid attach of the frontier onto the edge
+    set, a per-batch (seed, target) partial-sum combiner, the grouped
+    Sum, then a size-hybrid anti join against the settled set on a
+    packed (seed, node) key. Frontiers shrink monotonically; the loop
+    exits early when one empties. Returns (src, id, dist, n_paths) for
+    pairs reachable within ``rounds`` hops.
+
+    Correctness sketch: a node at hop d is settled exactly at round d,
+    when every hop-(d-1) predecessor's count is final; candidates in
+    later rounds are anti-joined away, so no shortest path is counted
+    twice (pinned against brute-force enumeration in tests)."""
+    pairs = _distinct_ordered_pairs(edges, src, dst).materialize()
+    if seeds is None:
+        seeds = nodes_from_edges(pairs, src="s", dst="t")
+
+    def _seed_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("id"),
+                "id": t.column("id"),
+                "cnt": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    frontier = seeds.map_batches(_seed_rows, batch_format="pyarrow")
+
+    def _with_dist(ds: rd.Dataset, d: int) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t, _d=d: _pack_pair_key(t, "src", "id").append_column(
+                "dist", pa.array(np.full(t.num_rows, _d, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+
+    settled = _with_dist(frontier, 0).materialize()
+    for r in range(1, rounds + 1):
+        reached = _hybrid_attach(pairs, frontier, on="s", right_on="id")
+
+        def _cand_partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "src": batch.column("src").to_numpy(zero_copy_only=False),
+                    "t": batch.column("t").to_numpy(zero_copy_only=False),
+                    "cnt": batch.column("cnt").to_numpy(zero_copy_only=False),
+                }
+            )
+            g = df.groupby(["src", "t"], sort=False)["cnt"].sum().reset_index()
+            return pa.table(
+                {
+                    "src": pa.array(g["src"].to_numpy(), pa.string()),
+                    "id": pa.array(g["t"].to_numpy(), pa.string()),
+                    "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64)),
+                }
+            )
+
+        cands = grouped_aggregate_hybrid(
+            reached.map_batches(_cand_partial, batch_format="pyarrow"),
+            ["src", "id"],
+            [("cnt", "sum", "cnt")],
+        )
+        from kgw_ray.stages.joins import anti_join
+
+        cands = cands.map_batches(
+            lambda t: _pack_pair_key(t, "src", "id"), batch_format="pyarrow"
+        )
+        fresh = anti_join(cands, settled, on="k").materialize()
+        if fresh.count() == 0:
+            break
+        frontier = fresh.drop_columns(["k"])
+        settled = settled.union(
+            fresh.map_batches(
+                lambda t, _d=r: t.append_column(
+                    "dist", pa.array(np.full(t.num_rows, _d, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+    return settled.drop_columns(["k"]).rename_columns({"cnt": "n_paths"})
+
+
+def sssp_counts_sql(edges_sql: str, *, rounds: int = 6) -> str:
+    """The identical level-synchronized counting BFS unrolled into CTEs
+    (all seeds = all nodes). ``edges_sql`` must yield directed (s, t);
+    pairs are deduped here. Iteration CTEs are MATERIALIZED — each level
+    is referenced twice downstream, so plain CTEs would inline the plan
+    exponentially in ``rounds``."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT s, t FROM ({edges_sql})),",
+        "n AS (SELECT s AS v FROM e UNION SELECT t AS v FROM e),",
+        "s0 AS MATERIALIZED (SELECT v AS src, v AS id,"
+        " CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS cnt FROM n)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+f{r} AS MATERIALIZED (
+  SELECT f.src, e.t AS id, CAST(SUM(f.cnt) AS BIGINT) AS cnt
+  FROM s{p} f JOIN e ON e.s = f.id
+  LEFT JOIN s{p} st ON st.src = f.src AND st.id = e.t
+  WHERE f.dist = {p} AND st.id IS NULL
+  GROUP BY f.src, e.t),
+s{r} AS MATERIALIZED (
+  SELECT src, id, dist, cnt FROM s{p}
+  UNION ALL
+  SELECT src, id, CAST({r} AS BIGINT) AS dist, cnt FROM f{r})"""
+        )
+    parts.append(
+        f"\nSELECT src, id, dist, cnt AS n_paths FROM s{rounds}"
+    )
+    return "\n".join(parts)
+
+
+def betweenness_from_counts(apsp: rd.Dataset) -> rd.Dataset:
+    """EXACT betweenness centrality in integer micro-units from the σ
+    table: bc_micro(v) = Σ_{s≠v≠t, s≠t} (σ_sv · σ_vt · 10^6) // σ_st over
+    triples with d_sv + d_vt = d_st — per-term integer floor keeps both
+    engines bit-identical (the fractional Brandes sum is float-unstable).
+
+    The fold itself runs on the driver over the (vocabulary²-bounded)
+    σ table — the kmeans/centroid rule: distribute the corpus-sized BFS,
+    fold the tiny sufficient statistic. At open-vocabulary scale feed a
+    seed-sampled σ table and divide by the seed fraction."""
+    ap = apsp.to_pandas()
+    nodes = pd.unique(ap["src"])
+    sv = ap.rename(columns={"src": "s", "id": "v", "dist": "d_sv", "n_paths": "c_sv"})
+    vt = ap.rename(columns={"src": "v", "id": "t", "dist": "d_vt", "n_paths": "c_vt"})
+    st = ap.rename(columns={"src": "s", "id": "t", "dist": "d_st", "n_paths": "c_st"})
+    m = sv.merge(vt, on="v").merge(st, on=["s", "t"])
+    m = m[
+        (m.d_sv + m.d_vt == m.d_st)
+        & (m.s != m.v)
+        & (m.v != m.t)
+        & (m.s != m.t)
+    ]
+    if len(m) and int(m.c_sv.max()) * int(m.c_vt.max()) > 2**42:
+        # σ products ride int64 alongside the 10^6 scale; fail loudly
+        # instead of wrapping (HUGEINT on the oracle side would diverge)
+        raise ValueError(
+            "betweenness_from_counts: path counts too large for the "
+            "int64 micro-unit fold"
+        )
+    term = (
+        m.c_sv.to_numpy(dtype=np.int64)
+        * m.c_vt.to_numpy(dtype=np.int64)
+        * 1_000_000
+    ) // m.c_st.to_numpy(dtype=np.int64)
+    bc = (
+        pd.DataFrame({"id": m.v.to_numpy(), "bc": term})
+        .groupby("id", sort=False)["bc"]
+        .sum()
+    )
+    out = pd.DataFrame({"id": nodes})
+    out["betweenness_micro"] = (
+        out["id"].map(bc).fillna(0).astype("int64")
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(out["id"].to_numpy(), pa.string()),
+                "betweenness_micro": pa.array(out["betweenness_micro"].to_numpy()),
+            }
+        )
+    )
+
+
 def nodes_from_edges(
     edges: rd.Dataset, *, src: str = "source_id", dst: str = "target_id"
 ) -> rd.Dataset:
@@ -1020,3 +1219,204 @@ def nodes_from_edges(
         "id",
         [("one", "sum", "n")],
     ).select_columns(["id"])
+
+
+def _grouped_min_label(ds: rd.Dataset) -> rd.Dataset:
+    """(id, label) partial rows → one MIN label per id (per-batch pandas
+    combiner + the size-hybrid grouped Min)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "id": t.column("id").to_numpy(zero_copy_only=False),
+                "label": t.column("label").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("id", sort=False)["label"].min().reset_index()
+        return pa.table(
+            {
+                "id": pa.array(g["id"].to_numpy(), pa.string()),
+                "label": pa.array(g["label"].to_numpy(), pa.string()),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        "id",
+        [("label", "min", "label")],
+    )
+
+
+def strongly_connected_components(
+    edges: rd.Dataset,
+    *,
+    src: str = "source_id",
+    dst: str = "target_id",
+    max_peels: int = 32,
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """Distributed SCC by FORWARD-MIN COLORING + BACKWARD CONFIRMATION
+    (the FW-BW / coloring family — Fleischer et al. 2000, Orzan 2004),
+    expressed entirely as vocabulary-sized Dataset joins:
+
+    peel loop (≤ ``max_peels``; typically O(log |SCC|) on web graphs):
+      1. color(v) = min node id that forward-reaches v within the
+         remaining subgraph — min-label propagation along edges, one
+         size-hybrid attach + grouped Min per round, early-exit when a
+         round changes nothing;
+      2. every color class contains exactly one ROOT r (color(r)=r);
+         nodes of SCC(r) all carry color r (reachers(v) = reachers(r)
+         for v in SCC(r)), so
+      3. the backward BFS from each root along REVERSED edges restricted
+         to its own color class reaches exactly SCC(r) — all roots
+         confirm in parallel in the same frontier Dataset;
+      4. confirmed nodes peel off (anti joins); repeat on the rest.
+
+    Returns (id, scc) with scc = the component's min node id. Raises if
+    coloring or peeling fails to converge within the caps (silent
+    truncation would mislabel components)."""
+    from kgw_ray.stages.joins import anti_join
+
+    pairs = _distinct_ordered_pairs(edges, src, dst).materialize()
+    remaining = nodes_from_edges(pairs, src="s", dst="t").materialize()
+    done_parts: list[rd.Dataset] = []
+    for _peel in range(max_peels):
+        if remaining.count() == 0:
+            break
+        # ---- 1. forward-min coloring within the remaining subgraph
+        color = remaining.map_batches(
+            lambda t: pa.table({"id": t.column("id"), "label": t.column("id")}),
+            batch_format="pyarrow",
+        ).materialize()
+        for _r in range(max_rounds):
+            # candidate labels flow s → t along remaining edges
+            reached = _hybrid_attach(pairs, color, on="s", right_on="id")
+            cands = reached.map_batches(
+                lambda t: pa.table(
+                    {"id": t.column("t"), "label": t.column("label")}
+                ),
+                batch_format="pyarrow",
+            )
+            new = _grouped_min_label(cands.union(color)).materialize()
+            # stability probe: any id whose label shrank this round?
+            chk = _hybrid_attach(
+                new.rename_columns({"label": "new_label"}),
+                color,
+                on="id",
+                right_on="id",
+            )
+            changed = chk.map_batches(
+                lambda t: t.filter(
+                    pc.not_equal(t.column("new_label"), t.column("label"))
+                ).select(["id"]),
+                batch_format="pyarrow",
+            ).count()
+            color = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: coloring did not converge "
+                f"within {max_rounds} rounds"
+            )
+        # colors only ever shrink toward the true min, so `color` is exact
+        # ---- 2+3. backward confirmation from all roots in parallel
+        roots = color.map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("id"), t.column("label"))
+            ).select(["id"]),
+            batch_format="pyarrow",
+        )
+        settled = roots.map_batches(
+            lambda t: _pack_pair_key(
+                pa.table({"root": t.column("id"), "id": t.column("id")}),
+                "root",
+                "id",
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        frontier = settled.drop_columns(["k"])
+        # reversed edges carrying the TARGET's color: predecessor v joins
+        # the root's set only if color(v) == root
+        rev = _hybrid_attach(pairs, color, on="s", right_on="id").map_batches(
+            # project away the joined-in 'id' column: the frontier attach
+            # below joins on right_on='id' and a lingering left 'id' would
+            # make pandas suffix both into id_x/id_y
+            lambda t: t.select(["s", "t", "label"]),
+            batch_format="pyarrow",
+        )
+        # rev rows: (s, t, label(s)); walk t → s restricted to label match
+        for _r in range(max_rounds):
+            hop = _hybrid_attach(rev, frontier, on="t", right_on="id")
+            cand = hop.map_batches(
+                lambda t: _pack_pair_key(
+                    pa.table(
+                        {"root": t.column("root"), "id": t.column("s")}
+                    ).filter(pc.equal(t.column("label"), t.column("root"))),
+                    "root",
+                    "id",
+                ),
+                batch_format="pyarrow",
+            )
+            # dedup candidates before the anti join (many paths, one row)
+            cand = grouped_aggregate_hybrid(
+                cand.map_batches(
+                    lambda t: t.append_column(
+                        "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["root", "id", "k"],
+                [("one", "sum", "n")],
+            ).drop_columns(["n"])
+            fresh = anti_join(cand, settled, on="k").materialize()
+            if fresh.count() == 0:
+                break
+            frontier = fresh.drop_columns(["k"])
+            settled = settled.union(fresh).materialize()
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: backward confirmation did "
+                f"not converge within {max_rounds} rounds"
+            )
+        part = settled.map_batches(
+            lambda t: pa.table(
+                {"id": t.column("id"), "scc": t.column("root")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        done_parts.append(part)
+        remaining = anti_join(remaining, part, on="id").materialize()
+        # shrink the edge set to the unassigned subgraph (both endpoints)
+        pairs = anti_join(
+            anti_join(pairs, part, on="s", key_col="id"),
+            part,
+            on="t",
+            key_col="id",
+        ).materialize()
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components: {max_peels} peels exhausted"
+        )
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def scc_sql(edges_sql: str) -> str:
+    """INDEPENDENT oracle: mutual reachability via one recursive CTE —
+    scc(x) = MIN over {y : x reaches y AND y reaches x} (self included).
+    Re-derives, does not replay the coloring algorithm."""
+    return f"""
+WITH RECURSIVE e AS (SELECT DISTINCT s, t FROM ({edges_sql})),
+n AS (SELECT s AS v FROM e UNION SELECT t AS v FROM e),
+r(src, id) AS (
+  SELECT v, v FROM n
+  UNION
+  SELECT r.src, e.t FROM r JOIN e ON e.s = r.id
+)
+SELECT a.src AS id, MIN(a.id) AS scc
+FROM r a JOIN r b ON b.src = a.id AND b.id = a.src
+GROUP BY a.src
+"""

@@ -304,3 +304,123 @@ class TestBellmanFord:
         e = self._edges_w([("A", "B", 5), ("Z", "Y", 1)])
         out = bellman_ford(e, rounds=4).to_pandas().set_index("id")["dist"]
         assert out.to_dict() == {"A": 0, "B": 5}
+
+
+def test_sssp_counts_bruteforce():
+    """σ table on a hand graph vs exhaustive path enumeration: diamond
+    A→B→D, A→C→D (two shortest A→D paths), plus a longer A→E→F→D path
+    that must NOT be counted, and an isolated edge X→Y."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.graph_metrics import sssp_counts
+
+    raw = [
+        ("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"),
+        ("A", "E"), ("E", "F"), ("F", "D"), ("X", "Y"),
+        ("A", "B"),  # parallel edge: must NOT double the count
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": pa.array([a for a, _ in raw]),
+                "target_id": pa.array([b for _, b in raw]),
+            }
+        )
+    )
+    got = {
+        (r.src, r.id): (int(r.dist), int(r.n_paths))
+        for r in sssp_counts(ds, rounds=6).to_pandas().itertuples()
+    }
+    # brute force: enumerate simple paths up to length 6
+    adj = {}
+    for a, b in set(raw):
+        adj.setdefault(a, set()).add(b)
+    nodes = sorted({x for e in raw for x in e})
+    want = {}
+    for s in nodes:
+        best: dict = {}
+        paths = [[s]]
+        for _ in range(6):
+            nxt = []
+            for p in paths:
+                for b in adj.get(p[-1], ()):
+                    if b in p:
+                        continue
+                    q = p + [b]
+                    d = len(q) - 1
+                    if b not in best or d < best[b][0]:
+                        best[b] = (d, 1)
+                    elif d == best[b][0]:
+                        best[b] = (d, best[b][1] + 1)
+                    nxt.append(q)
+            paths = nxt
+        want[s] = best
+    expected = {(s, v): dv for s in nodes for v, dv in want[s].items()}
+    expected.update({(s, s): (0, 1) for s in nodes})
+    assert got == expected
+
+
+def test_betweenness_path_graph():
+    """On the directed path A→B→C→D, interior nodes carry exactly the
+    pair-dependency mass: B sits on (A,C),(A,D); C on (A,D),(B,D) —
+    2·10^6 micro-units each; endpoints 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.graph_metrics import (
+        betweenness_from_counts,
+        sssp_counts,
+    )
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": pa.array(["A", "B", "C"]),
+                "target_id": pa.array(["B", "C", "D"]),
+            }
+        )
+    )
+    got = {
+        r.id: int(r.betweenness_micro)
+        for r in betweenness_from_counts(sssp_counts(ds)).to_pandas().itertuples()
+    }
+    assert got == {"A": 0, "B": 2_000_000, "C": 2_000_000, "D": 0}
+
+
+def test_scc_bruteforce():
+    """SCC on a hand graph: cycle {A,B,C}, 2-cycle {D,E} reachable from the
+    first, singleton F (no cycle), self-loop G (its own SCC), isolated
+    2-cycle {X,Y}."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.graph_metrics import strongly_connected_components
+
+    raw = [
+        ("A", "B"), ("B", "C"), ("C", "A"),
+        ("C", "D"), ("D", "E"), ("E", "D"),
+        ("E", "F"),
+        ("G", "G"),
+        ("X", "Y"), ("Y", "X"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": pa.array([a for a, _ in raw]),
+                "target_id": pa.array([b for _, b in raw]),
+            }
+        )
+    )
+    got = {
+        r.id: r.scc
+        for r in strongly_connected_components(ds).to_pandas().itertuples()
+    }
+    assert got == {
+        "A": "A", "B": "A", "C": "A",
+        "D": "D", "E": "D",
+        "F": "F", "G": "G",
+        "X": "X", "Y": "X",
+    }
