@@ -1091,6 +1091,17 @@ FROM nodes n LEFT JOIN b ON b.v = n.v
 """
 
 
+register("events_cms_estimates", _rel.EVENTS_CMS_SQL)(
+    _rel.events_cms_estimates
+)
+register("events_late_arrivals", _rel.EVENTS_LATE_SQL)(
+    _rel.events_late_arrivals
+)
+register("docs_sample_weighted", _td.SAMPLE_WEIGHTED_SQL)(
+    _td.docs_sample_weighted
+)
+
+
 def _kg_scc_sql() -> str:
     from kgw_ray.stages.graph_metrics import scc_sql
 

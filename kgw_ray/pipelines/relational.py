@@ -14,6 +14,7 @@ non-graph workloads. Design rules applied throughout:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -3484,4 +3485,267 @@ WITH r AS (
 )
 SELECT n_name, STRING_AGG(c_name, ',' ORDER BY rn) AS top_names
 FROM r WHERE rn <= 3 GROUP BY n_name
+"""
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def _cms_buckets(uids) -> "np.ndarray":
+    """(n, depth) bucket matrix: md5(f'{uid}|{j}') first-8-bytes-LE mod
+    width — the repo's portable-hash convention (training_data.py:
+    _MD5_LE_UINT64), so the oracle reproduces every bucket exactly."""
+    import hashlib
+
+    out = np.empty((len(uids), _CMS_DEPTH), dtype=np.int64)
+    for i, u in enumerate(uids):
+        for j in range(_CMS_DEPTH):
+            h = hashlib.md5(f"{u}|{j}".encode()).digest()
+            out[i, j] = int.from_bytes(h[:8], "little") % _CMS_WIDTH
+    return out
+
+
+def events_cms_estimates(sf_dir: str) -> rd.Dataset:
+    """COUNT-MIN SKETCH over the event stream, plus its point-query
+    estimates checked against truth: (user_id, n_events, cms_estimate)
+    with estimate = min over depth rows of the user's bucket counters
+    (always ≥ truth; collisions only inflate).
+
+    The sketch is the canonical MERGEABLE stream summary: each block
+    folds its users into a (depth x width) counter grid — 4096 int64s
+    regardless of corpus size — and grids merge by plain Sum, so the
+    exchange is sketch-sized, never stream-sized (the fixed-memory
+    companion to the KMV distinct sketch, stages/agg.py:kmv_sketch).
+    Hashes follow the portable md5-LE convention, which is what lets an
+    independent SQL oracle rebuild the identical sketch."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        uq, cnt = np.unique(
+            t.column("user_id").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uq.astype(np.int64)),
+                "n_events": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = grouped_aggregate_hybrid(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        "user_id",
+        [("n_events", "sum", "n_events")],
+    ).materialize()
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        uids = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_events").to_numpy(zero_copy_only=False)
+        b = _cms_buckets(uids)
+        rows, buckets, cnts = [], [], []
+        for j in range(_CMS_DEPTH):
+            # fold this block's users into the row-j counters
+            s = np.bincount(b[:, j], weights=n, minlength=_CMS_WIDTH)
+            nz = np.flatnonzero(s)
+            rows.append(np.full(len(nz), j, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            cnts.append(s[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                "cnt": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    sketch = grouped_aggregate_hybrid(
+        counts.map_batches(sketch_partial, batch_format="pyarrow"),
+        ["row", "bucket"],
+        [("cnt", "sum", "cnt")],
+    ).materialize()
+
+    # point queries: the (depth x width)-bounded grid broadcasts once
+    import ray as _ray
+
+    sk_df = sketch.to_pandas()
+    grid = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    grid[sk_df["row"].to_numpy(), sk_df["bucket"].to_numpy()] = sk_df[
+        "cnt"
+    ].to_numpy()
+    grid_ref = _ray.put(grid)
+
+    def estimate(t: pa.Table) -> pa.Table:
+        g = _ray.get(grid_ref)
+        uids = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = _cms_buckets(uids)
+        est = np.min(
+            np.stack([g[j, b[:, j]] for j in range(_CMS_DEPTH)]), axis=0
+        )
+        return t.append_column("cms_estimate", pa.array(est.astype(np.int64)))
+
+    return counts.map_batches(estimate, batch_format="pyarrow")
+
+
+def _cms_sql() -> str:
+    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+
+    js = ", ".join(str(j) for j in range(_CMS_DEPTH))
+    return f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+hx AS (
+  SELECT user_id, j,
+         md5(CAST(user_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)) AS hx
+  FROM counts, UNNEST([{js}]) AS t(j)
+),
+hb AS (
+  SELECT user_id, j,
+         CAST(({_MD5_LE_UINT64}) % {_CMS_WIDTH} AS BIGINT) AS bucket
+  FROM hx
+),
+sk AS (
+  SELECT hb.j, hb.bucket, SUM(c.n_events) AS cnt
+  FROM hb JOIN counts c USING (user_id) GROUP BY hb.j, hb.bucket
+),
+est AS (
+  SELECT hb.user_id, MIN(sk.cnt) AS e
+  FROM hb JOIN sk ON sk.j = hb.j AND sk.bucket = hb.bucket
+  GROUP BY hb.user_id
+)
+SELECT c.user_id, c.n_events, CAST(e.e AS BIGINT) AS cms_estimate
+FROM counts c JOIN est e USING (user_id)
+"""
+
+
+EVENTS_CMS_SQL = _cms_sql()
+
+
+_LATE_THRESHOLD_S = 600
+_LATE_BUCKETS = 1024
+# Knuth multiplicative hash — the deterministic ARRIVAL-ORDER permutation.
+# The fixture's event_ids are already time-sorted (nothing would ever be
+# late); a real ingest interleaves shards/network paths, which this
+# pseudo-shuffle models identically in numpy and SQL (BIGINT-safe:
+# max event_id × the constant stays far under 2^63).
+_LATE_MIX = 2654435761
+_LATE_MOD = 2**32
+
+
+def events_late_arrivals(sf_dir: str) -> rd.Dataset:
+    """Streaming WATERMARK audit: events whose event-time lags the running
+    maximum event-time over ARRIVAL order by more than 600 s — exactly
+    the rows a watermarking stream processor routes to the late-data
+    path. Arrival order is the deterministic hash permutation
+    ``(event_id · 2654435761) mod 2^32`` (tie-broken by event_id).
+    Output: (event_id, lateness_s).
+
+    Physical plan is the ordered-scan two-pass (stages/agg.py:
+    global_ordered_prefix_sum) on the MAX monoid: one partial pass
+    range-buckets the arrival key and folds per-bucket ts maxima on the
+    driver (n_buckets int64s), whose exclusive prefix-max is each
+    bucket's carry-in watermark; one coarse bucket exchange then scans
+    each bucket locally (sort + cummax). Nothing corpus-sized lands
+    anywhere."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        arr = (e * _LATE_MIX) % _LATE_MOD
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "arr": pa.array(arr.astype(np.int64)),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    proj = ds.map_batches(_proj, batch_format="pyarrow").materialize()
+    width = max(1, _LATE_MOD // _LATE_BUCKETS)
+
+    def _bmax(t: pa.Table) -> pa.Table:
+        e = t.column("arr").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        b = np.minimum(e // width, _LATE_BUCKETS - 1)
+        df = pd.DataFrame({"bucket": b, "m": ts})
+        g = df.groupby("bucket", sort=False)["m"].max().reset_index()
+        return pa.table(
+            {
+                "bucket": pa.array(g["bucket"].to_numpy().astype(np.int64)),
+                "m": pa.array(g["m"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    hist = (
+        proj.map_batches(_bmax, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket")["m"]
+        .max()
+    )
+    NEG = np.iinfo(np.int64).min
+    bmax = np.full(_LATE_BUCKETS, NEG, dtype=np.int64)
+    bmax[hist.index.to_numpy()] = hist.to_numpy()
+    # exclusive prefix max = each bucket's carry-in watermark
+    carry = np.concatenate(([NEG], np.maximum.accumulate(bmax)[:-1]))
+
+    def _tag(t: pa.Table) -> pa.Table:
+        e = t.column("arr").to_numpy(zero_copy_only=False)
+        b = np.minimum(e // width, _LATE_BUCKETS - 1)
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    thr_us = _LATE_THRESHOLD_S * 1_000_000
+
+    def _per_bucket(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "lateness_s": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        b = int(g["_bucket"].iloc[0])
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g["arr"].to_numpy())
+        )
+        e = g["event_id"].to_numpy()[order]
+        ts = g["ts_us"].to_numpy()[order]
+        run = np.maximum.accumulate(ts)
+        wm = np.maximum(
+            carry[b], np.concatenate(([NEG], run[:-1]))
+        )  # exclusive: strictly-earlier arrivals only
+        gap = wm - ts
+        late = (wm != NEG) & (gap > thr_us)
+        if not late.any():
+            return empty
+        return pa.table(
+            {
+                "event_id": pa.array(e[late].astype(np.int64)),
+                "lateness_s": pa.array((gap[late] // 1_000_000).astype(np.int64)),
+            }
+        )
+
+    return (
+        proj.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_per_bucket, batch_format="pandas")
+    )
+
+
+EVENTS_LATE_SQL = f"""
+WITH w AS (
+  SELECT event_id, ts,
+         MAX(ts) OVER (ORDER BY (event_id * {_LATE_MIX}) % {_LATE_MOD}, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_id,
+       CAST(date_diff('microsecond', ts, wm) // 1000000 AS BIGINT) AS lateness_s
+FROM w
+WHERE wm IS NOT NULL
+  AND date_diff('microsecond', ts, wm) > {_LATE_THRESHOLD_S} * 1000000
 """

@@ -2422,3 +2422,66 @@ def _power_iteration_sql() -> str:
 
 
 EMB_TOP_COMPONENT_SQL = _power_iteration_sql()
+
+
+_WSAMPLE_K = 100
+
+
+def docs_sample_weighted(sf_dir: str, k: int = _WSAMPLE_K) -> pa.Table:
+    """DETERMINISTIC weighted sampling (integer Efraimidis-Spirakis
+    analog): priority = (md5_le(doc_id) >> 1) // n_chars — a fixed
+    pseudo-random draw divided by the weight, so longer documents win
+    proportionally more often while the sample stays a pure function of
+    doc_id (bit-reproducible at any cluster size / block layout, which a
+    PRNG-based sampler is not). The k smallest priorities are selected
+    via block-local k-smallest + tiny driver merge (relational.py:
+    distributed_topk) — no global sort, no shuffle.
+    Output: (doc_id, n_chars, priority)."""
+    import hashlib
+
+    from kgw_ray.pipelines.relational import distributed_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(int(i)).encode()).digest()[:8], "little"
+                )
+                >> 1
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pa.array(w),
+                "priority": pa.array(h // np.maximum(w, 1)),
+            }
+        )
+
+    return distributed_topk(
+        docs.map_batches(prio, batch_format="pyarrow"),
+        ["priority", "doc_id"],
+        [False, False],
+        k,
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH p AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((({_MD5_LE_UINT64}) // 2) // greatest(n_chars, 1) AS BIGINT)
+         AS priority
+FROM p
+ORDER BY priority, doc_id
+LIMIT {_WSAMPLE_K}
+"""

@@ -1554,3 +1554,14 @@ def test_top_component_matches_numpy_direction(sf_smoke):
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.99
     assert int(np.abs(v).max()) == 1_000_000  # max-norm rescale contract
+
+
+def test_cms_overestimates_only(sf_smoke):
+    """Count-min invariant: every estimate >= the true count, and at this
+    load factor (users << depth x width) most point queries are exact."""
+    from kgw_ray.pipelines.relational import events_cms_estimates
+
+    df = events_cms_estimates(sf_smoke).to_pandas()
+    assert len(df) > 0
+    assert (df.cms_estimate >= df.n_events).all()
+    assert (df.cms_estimate == df.n_events).mean() > 0.9
