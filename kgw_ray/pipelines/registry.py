@@ -529,19 +529,34 @@ def q_kg_triple_dedup(sf_dir: str):
     return triple_dedup(_tk.tpch_graph(sf_dir)[1])
 
 
-@register(
-    "kg_degree_distribution",
-    oracle=f"""
-WITH edges AS ({_tk.EDGES_SQL}),
-deg AS (SELECT source_id, COUNT(*) AS degree FROM edges GROUP BY source_id)
-SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
-""",
-)
-def q_kg_degree_distribution(sf_dir: str):
-    """Out-degree histogram (two-level aggregation over the edge table)."""
-    from kgw_ray.stages.graph import degree_distribution
+# directed simple-edge set of the web-KG (dedup happens inside the BFS /
+# SCC SQL) — shared by the kg_scc / kg_apsp_counts / kg_betweenness oracles
+_KG_DIRECTED_SQL = f"""
+WITH tr AS ({TRIPLES_SQL})
+SELECT 'E:' || subj AS s, 'E:' || obj AS t FROM tr
+"""
 
-    return degree_distribution(_tk.tpch_graph(sf_dir)[1])
+
+def _kg_scc_sql() -> str:
+    from kgw_ray.stages.graph_metrics import scc_sql
+
+    return scc_sql(_KG_DIRECTED_SQL)
+
+
+@register("kg_scc", oracle=_kg_scc_sql())
+def q_kg_scc(sf_dir: str) -> rd.Dataset:
+    """Strongly connected components of the directed web-KG — distributed
+    FW-BW coloring (forward-min color rounds + parallel backward
+    confirmation + peel, stages/graph_metrics.py:
+    strongly_connected_components). The oracle re-derives components
+    INDEPENDENTLY via recursive-CTE mutual reachability — it does not
+    replay the coloring."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import strongly_connected_components
+
+    return strongly_connected_components(
+        edges_from_triples(triples_dataset(sf_dir))
+    )
 
 
 register("media_metadata", _td.MEDIA_META_SQL)(_td.media_metadata)
@@ -572,6 +587,22 @@ register("media_resize_digest", _td.MEDIA_RESIZE_SQL)(_td.media_resize_digest)
 register("tpch_kg_edges", _tk.EDGES_SQL)(
     lambda sf_dir: _tk.tpch_graph(sf_dir)[1]
 )  # hub-served adapter sibling of gated tpch_kg_nodes
+
+_KG_DEGREE_DIST_SQL = f"""
+WITH edges AS ({_tk.EDGES_SQL}),
+deg AS (SELECT source_id, COUNT(*) AS degree FROM edges GROUP BY source_id)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@register("kg_degree_distribution", oracle=_KG_DEGREE_DIST_SQL)
+def q_kg_degree_distribution(sf_dir: str):
+    """Out-degree histogram (two-level aggregation over the edge table) —
+    histogram-family sibling of gated kg_statistics; displaced from the
+    window by kg_scc."""
+    from kgw_ray.stages.graph import degree_distribution
+
+    return degree_distribution(_tk.tpch_graph(sf_dir)[1])
 register("text_quality", QUALITY_SQL)(
     _td.text_quality
 )  # vectorized column-scan sibling of gated text_token_stats
@@ -1041,13 +1072,6 @@ register("embeddings_top_component", _td.EMB_TOP_COMPONENT_SQL)(
     _td.embeddings_top_component
 )
 
-# directed simple-edge set of the web-KG (dedup happens inside the BFS SQL)
-_KG_DIRECTED_SQL = f"""
-WITH tr AS ({TRIPLES_SQL})
-SELECT 'E:' || subj AS s, 'E:' || obj AS t FROM tr
-"""
-
-
 def _kg_apsp_sql() -> str:
     from kgw_ray.stages.graph_metrics import sssp_counts_sql
 
@@ -1100,27 +1124,48 @@ register("events_late_arrivals", _rel.EVENTS_LATE_SQL)(
 register("docs_sample_weighted", _td.SAMPLE_WEIGHTED_SQL)(
     _td.docs_sample_weighted
 )
+register("embeddings_scatter_quantized", _td.EMB_SCATTER_SQL)(
+    _td.embeddings_scatter_quantized
+)
 
 
-def _kg_scc_sql() -> str:
-    from kgw_ray.stages.graph_metrics import scc_sql
+def _kg_ecc_sql() -> str:
+    from kgw_ray.stages.graph_metrics import sssp_counts_sql
 
-    return scc_sql(_KG_DIRECTED_SQL)
+    return f"""
+WITH ap AS MATERIALIZED ({sssp_counts_sql(_KG_DIRECTED_SQL, rounds=8)})
+SELECT src AS id, CAST(MAX(dist) AS BIGINT) AS ecc,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM ap GROUP BY src
+"""
 
 
-@register("kg_scc", oracle=_kg_scc_sql())
-def q_kg_scc(sf_dir: str) -> rd.Dataset:
-    """Strongly connected components of the directed web-KG — distributed
-    FW-BW coloring (forward-min color rounds + parallel backward
-    confirmation + peel, stages/graph_metrics.py:
-    strongly_connected_components). The oracle re-derives components
-    INDEPENDENTLY via recursive-CTE mutual reachability — it does not
-    replay the coloring."""
+@register("kg_eccentricity", oracle=_kg_ecc_sql())
+def q_kg_eccentricity(sf_dir: str) -> rd.Dataset:
+    """Per-node eccentricity (max forward hop distance) + reachable-set
+    size — the diameter/radius inputs; a grouped Max/Count fold over the
+    gated sssp_counts σ table (sibling machinery of kg_apsp_counts)."""
+    import pyarrow.compute as pc
+
     from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
-    from kgw_ray.stages.graph_metrics import strongly_connected_components
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.graph_metrics import sssp_counts
 
-    return strongly_connected_components(
-        edges_from_triples(triples_dataset(sf_dir))
+    ap = sssp_counts(edges_from_triples(triples_dataset(sf_dir)), rounds=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t.column("src"),
+                "ecc": pc.cast(t.column("dist"), pa.int64()),
+                "n_reached": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        ap.map_batches(partial, batch_format="pyarrow"),
+        "id",
+        [("ecc", "max", "ecc"), ("n_reached", "sum", "n_reached")],
     )
 
 

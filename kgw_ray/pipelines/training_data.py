@@ -2485,3 +2485,91 @@ FROM p
 ORDER BY priority, doc_id
 LIMIT {_WSAMPLE_K}
 """
+
+
+def embeddings_scatter_quantized(sf_dir: str, *, scale: int = 1000) -> pa.Table:
+    """CENTERED scatter matrix n·S = n·Σ qqᵀ − (Σq)(Σq)ᵀ over the quantized
+    embeddings — the covariance sufficient statistic (whitening / PCA with
+    mean removal), exact BIGINTs: multiplying through by n avoids the
+    mean division that would break integer equality. Upper triangle only.
+
+    Scale shape: same as the Gram (each block ships one d×d matmul, one
+    d-vector column sum and a count — the exchange is O(d²) per block);
+    the three partials fold on the driver (d=64 ⇒ 2080 output rows).
+    Output: (i, j, scatter)."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        V = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        Q = np.floor(V * scale + 0.5).astype(np.int64)
+        G = Q.T @ Q
+        s = Q.sum(axis=0)
+        d = G.shape[0]
+        iu = np.triu_indices(d)
+        # gram partial rows plus one marker row block for (count, colsums):
+        # encode colsums as j = -1 rows and the count as (i=-1, j=-1)
+        gi = np.concatenate([iu[0], np.arange(d), [-1]])
+        gj = np.concatenate([iu[1], np.full(d, -1), [-1]])
+        gv = np.concatenate([G[iu], s, [len(Q)]])
+        return pa.table(
+            {
+                "i": pa.array(gi.astype(np.int64)),
+                "j": pa.array(gj.astype(np.int64)),
+                "v": pa.array(gv.astype(np.int64)),
+            }
+        )
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    merged = grouped_aggregate_hybrid(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["i", "j"],
+        [("v", "sum", "v")],
+    ).to_pandas()
+    n = int(merged.loc[(merged.i == -1) & (merged.j == -1), "v"].iloc[0])
+    sums = merged[(merged.j == -1) & (merged.i >= 0)].set_index("i")["v"]
+    gram = merged[(merged.j >= 0)]
+    d = int(sums.index.max()) + 1
+    s = np.zeros(d, dtype=object)
+    for i, v in sums.items():
+        s[int(i)] = int(v)
+    ii = gram["i"].to_numpy()
+    jj = gram["j"].to_numpy()
+    gg = gram["v"].to_numpy()
+    scatter = [
+        int(n) * int(g) - int(s[i]) * int(s[j])
+        for i, j, g in zip(ii, jj, gg)
+    ]
+    order = np.lexsort((jj, ii))
+    return pa.table(
+        {
+            "i": pa.array(ii[order].astype(np.int64)),
+            "j": pa.array(jj[order].astype(np.int64)),
+            "scatter": pa.array(
+                np.array(scatter, dtype=object)[order].tolist(), pa.int64()
+            ),
+        }
+    )
+
+
+EMB_SCATTER_SQL = """
+WITH q AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM q),
+s AS (SELECT pos, SUM(val) AS sv FROM q GROUP BY pos),
+g AS (
+  SELECT a.pos AS i, b.pos AS j, SUM(a.val * b.val) AS gram
+  FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+  GROUP BY a.pos, b.pos
+)
+SELECT g.i, g.j,
+       CAST(n.n * g.gram - sa.sv * sb.sv AS BIGINT) AS scatter
+FROM g, n
+JOIN s sa ON sa.pos = g.i
+JOIN s sb ON sb.pos = g.j
+"""
