@@ -1127,6 +1127,10 @@ register("docs_sample_weighted", _td.SAMPLE_WEIGHTED_SQL)(
 register("embeddings_scatter_quantized", _td.EMB_SCATTER_SQL)(
     _td.embeddings_scatter_quantized
 )
+register("star_revenue_by_nation_parttype", _rel.STAR_REVENUE_SQL)(
+    _rel.star_revenue_by_nation_parttype
+)
+register("docs_zorder_keys", _td.ZORDER_SQL)(_td.docs_zorder_keys)
 
 
 def _kg_ecc_sql() -> str:

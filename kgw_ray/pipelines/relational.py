@@ -3749,3 +3749,111 @@ FROM w
 WHERE wm IS NOT NULL
   AND date_diff('microsecond', ts, wm) > {_LATE_THRESHOLD_S} * 1000000
 """
+
+
+def star_revenue_by_nation_parttype(sf_dir: str) -> rd.Dataset:
+    """Six-table STAR FLATTEN rollup — the warehouse denormalization
+    query: lineitem facts joined through orders→customer→nation (customer
+    side) and part (product side), rolled up to
+    (n_name, p_type, n_items, revenue_e4).
+
+    Physical plan: every true dimension (nation, customer, part)
+    broadcasts once via the object store; the orders fact scan absorbs
+    the customer→nation map distributed (broadcast-join inside the scan,
+    q5's rule), and the only potentially-large exchange — lineitem ⋈
+    orders — follows the size-hybrid rule (broadcast under the limit,
+    hash-partitioned large_join beyond). Revenue is the exact-1e-4-dollar
+    integer convention (q14): price cents × (100 − discount pct), each
+    factor quantized separately, so the hash gate holds with no float
+    sum anywhere."""
+    nation = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    customer = read_table_pandas(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    )
+    part = read_table_pandas(sf_dir, "part", columns=["p_partkey", "p_type"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    line = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    import ray as _ray
+
+    # no dimension STRING ever rides the fact join: the o2n map carries the
+    # int nationkey (q5's projection) and p_type resolves inside the
+    # combiner from a broadcast partkey→type Series — measured 7.1s → with
+    # strings through the join vs integer-only traffic
+    o2n = (
+        broadcast_join(orders, customer, on=["o_custkey"], right_on=["c_custkey"])
+        .map_batches(
+            lambda df: arrow_from_pandas(df[["o_orderkey", "c_nationkey"]]),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if o2n.count() <= _BROADCAST_SIDE_LIMIT:
+        j = broadcast_join(
+            line, o2n.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"]
+        )
+    else:
+        j = large_join(line, o2n, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    ptype_ref = _ray.put(
+        pd.Series(part["p_type"].to_numpy(), index=part["p_partkey"].to_numpy())
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        e4 = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64
+        ) * (100 - np.rint(df["l_discount"].to_numpy() * 100.0).astype(np.int64))
+        g = (
+            pd.DataFrame(
+                {
+                    "c_nationkey": df["c_nationkey"],
+                    "p_type": df["l_partkey"].map(_ray.get(ptype_ref)),
+                    "e4": e4,
+                }
+            )
+            .groupby(["c_nationkey", "p_type"], sort=False)
+            .agg(n_items=("e4", "size"), revenue_e4=("e4", "sum"))
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    merged = grouped_aggregate_hybrid(
+        j.map_batches(partial, batch_format="pandas"),
+        ["c_nationkey", "p_type"],
+        [("n_items", "sum", "n_items"), ("revenue_e4", "sum", "revenue_e4")],
+    )
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        return arrow_from_pandas(
+            pd.DataFrame(
+                {
+                    "n_name": df["c_nationkey"].map(nmap),
+                    "p_type": df["p_type"],
+                    "n_items": df["n_items"].astype("int64"),
+                    "revenue_e4": df["revenue_e4"].astype("int64"),
+                }
+            )
+        )
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+STAR_REVENUE_SQL = """
+SELECT n_name, p_type, COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY n_name, p_type
+"""

@@ -2573,3 +2573,58 @@ FROM g, n
 JOIN s sa ON sa.pos = g.i
 JOIN s sb ON sb.pos = g.j
 """
+
+
+_Z_BITS = 16
+
+
+def docs_zorder_keys(sf_dir: str) -> rd.Dataset:
+    """Z-ORDER (Morton) layout keys — the multi-dimensional sort key that
+    makes BOTH `n_chars` range filters and `doc_id` range filters prune
+    row groups after a single physical ordering (the 100 TB data-layout
+    lever: write Parquet sorted by zvalue and min/max stats skip on
+    either dimension). Interleaves the low 16 bits of n_chars (odd bit
+    positions) with the low 16 bits of doc_id (even positions) —
+    pure vectorized numpy bit ops; the oracle unrolls the identical
+    interleave as integer arithmetic. Output: (doc_id, zvalue, zbucket)
+    with zbucket = zvalue >> 24 (the coarse write-partition id)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def zkeys(t: pa.Table) -> pa.Table:
+        a = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        a &= (1 << _Z_BITS) - 1
+        b &= (1 << _Z_BITS) - 1
+        z = np.zeros(len(a), dtype=np.int64)
+        for k in range(_Z_BITS):
+            z |= ((a >> k) & 1) << (2 * k + 1)
+            z |= ((b >> k) & 1) << (2 * k)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "zvalue": pa.array(z),
+                "zbucket": pa.array(z >> 24),
+            }
+        )
+
+    return docs.map_batches(zkeys, batch_format="pyarrow")
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for k in range(_Z_BITS):
+        terms.append(f"((n_chars // {1 << k}) % 2) * {1 << (2 * k + 1)}")
+        terms.append(f"((doc_id // {1 << k}) % 2) * {1 << (2 * k)}")
+    z = " + ".join(terms)
+    return f"""
+WITH m AS (
+  SELECT doc_id, n_chars % {1 << _Z_BITS} AS n_chars,
+         doc_id % {1 << _Z_BITS} AS did
+  FROM documents
+),
+z AS (SELECT doc_id, CAST({z.replace('doc_id', 'did')} AS BIGINT) AS zvalue FROM m)
+SELECT doc_id, zvalue, CAST(zvalue // {1 << 24} AS BIGINT) AS zbucket FROM z
+"""
+
+
+ZORDER_SQL = _zorder_sql()

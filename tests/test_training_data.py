@@ -1565,3 +1565,34 @@ def test_cms_overestimates_only(sf_smoke):
     assert len(df) > 0
     assert (df.cms_estimate >= df.n_events).all()
     assert (df.cms_estimate == df.n_events).mean() > 0.9
+
+
+def test_zorder_bijective_and_monotone(sf_smoke):
+    """Morton keys: de-interleaving zvalue recovers exactly (n_chars mod
+    2^16, doc_id mod 2^16), and z is monotone in each dimension with the
+    other held fixed."""
+    import numpy as np
+
+    from kgw_ray.pipelines.training_data import docs_zorder_keys
+    from kgw_ray.sources.readers import read_table_pandas
+
+    got = docs_zorder_keys(sf_smoke).to_pandas()
+    docs = read_table_pandas(sf_smoke, "documents", columns=["doc_id", "n_chars"])
+    m = got.merge(docs, on="doc_id")
+    z = m.zvalue.to_numpy()
+    a = np.zeros(len(z), dtype=np.int64)
+    b = np.zeros(len(z), dtype=np.int64)
+    for k in range(16):
+        a |= ((z >> (2 * k + 1)) & 1) << k
+        b |= ((z >> (2 * k)) & 1) << k
+    assert (a == (m.n_chars.to_numpy() & 0xFFFF)).all()
+    assert (b == (m.doc_id.to_numpy() & 0xFFFF)).all()
+    # monotone in n_chars with doc_id bits fixed (compare two synthetic keys)
+    def zval(aa, bb):
+        out = 0
+        for k in range(16):
+            out |= ((aa >> k) & 1) << (2 * k + 1)
+            out |= ((bb >> k) & 1) << (2 * k)
+        return out
+
+    assert zval(5, 7) < zval(6, 7) and zval(5, 7) < zval(5, 8)
