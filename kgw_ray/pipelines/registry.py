@@ -1131,6 +1131,12 @@ register("star_revenue_by_nation_parttype", _rel.STAR_REVENUE_SQL)(
     _rel.star_revenue_by_nation_parttype
 )
 register("docs_zorder_keys", _td.ZORDER_SQL)(_td.docs_zorder_keys)
+register("embeddings_knn_graph", _td.KNN_GRAPH_SQL)(
+    _td.embeddings_knn_graph
+)
+register("events_user_gaps", _rel.EVENTS_USER_GAPS_SQL)(
+    _rel.events_user_gaps
+)
 
 
 def _kg_ecc_sql() -> str:

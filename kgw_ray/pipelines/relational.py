@@ -3857,3 +3857,72 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN part ON l_partkey = p_partkey
 GROUP BY n_name, p_type
 """
+
+
+def events_user_gaps(sf_dir: str) -> rd.Dataset:
+    """Per-user inter-event cadence: the MAX gap and the count of gaps
+    over an hour, from the time-ordered event sequence — churn-risk /
+    engagement features. Output: (user_id, n_gaps, max_gap_s,
+    n_gaps_over_1h); single-event users emit zero gaps.
+
+    Sharded-coarse window plan (the sessionize shape): ONE shuffle on
+    ``user_id % 64``, per-shard vectorized lexsort + boundary-masked
+    diff — no per-user Python."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "max_gap_s": pa.array([], pa.int64()),
+                "n_gaps_over_1h": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.concatenate(([False], u[1:] == u[:-1]))
+        gaps_s = np.where(
+            same, np.concatenate(([0], np.diff(ts))) // 1_000_000, 0
+        )
+        uq, inv = np.unique(u, return_inverse=True)
+        n_gaps = np.bincount(inv, weights=same).astype(np.int64)
+        mx = np.zeros(len(uq), dtype=np.int64)
+        np.maximum.at(mx, inv[same], gaps_s[same])
+        over = np.bincount(
+            inv, weights=same & (gaps_s > 3600), minlength=len(uq)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uq.astype(np.int64)),
+                "n_gaps": pa.array(n_gaps),
+                "max_gap_s": pa.array(mx),
+                "n_gaps_over_1h": pa.array(over),
+            }
+        )
+
+    return (
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+EVENTS_USER_GAPS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                   ts) // 1000000 AS gap_s
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(MAX(gap_s), 0) AS BIGINT) AS max_gap_s,
+       CAST(COALESCE(SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_gaps_over_1h
+FROM d GROUP BY user_id
+"""

@@ -2628,3 +2628,57 @@ SELECT doc_id, zvalue, CAST(zvalue // {1 << 24} AS BIGINT) AS zbucket FROM z
 
 
 ZORDER_SQL = _zorder_sql()
+
+
+_KNN_K = 5
+
+
+def embeddings_knn_graph(sf_dir: str, k: int = _KNN_K) -> pa.Table:
+    """k-NN GRAPH construction: every vector's k nearest neighbors by
+    cosine (self excluded) — the substrate for graph-based ANN indexes,
+    embedding-cluster analysis and near-dup chains. Output:
+    (query_id, vec_id, rank).
+
+    Plan: the query matrix IS the corpus — broadcast once via the object
+    store, each block computes one (block × corpus) matmul and its local
+    top-(k+1), the tiny partials merge on the driver
+    (stages/similarity.py:brute_force_topk; k+1 so dropping the self hit
+    still leaves k exact neighbors). This all-pairs form is the
+    exactness baseline (fine to ~10^6 vectors); at corpus scale the same
+    output comes from the IVF-bucketed plan (dedup_embedding_pairs_ivf's
+    shape) with this as its verification oracle."""
+    from kgw_ray.sources.readers import read_table_pandas
+    from kgw_ray.stages.similarity import brute_force_topk
+
+    emb_df = read_table_pandas(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).sort_values("vec_id")
+    Q = np.vstack(emb_df["embedding"].to_numpy())
+    qids = emb_df["vec_id"].to_numpy()
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top = brute_force_topk(emb, Q, qids, k=k + 1).to_pandas()
+    top = top[top["query_id"] != top["vec_id"]]
+    top = top.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    top = top[top["rank"] <= k]
+    return pa.table(
+        {
+            "query_id": pa.array(top["query_id"].to_numpy(), pa.int64()),
+            "vec_id": pa.array(top["vec_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(top["rank"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+KNN_GRAPH_SQL = f"""
+WITH s AS (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           list_cosine_similarity(q.embedding, e.embedding) AS sim
+    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= {_KNN_K}
+"""
