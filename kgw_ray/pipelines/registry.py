@@ -1137,6 +1137,12 @@ register("embeddings_knn_graph", _td.KNN_GRAPH_SQL)(
 register("events_user_gaps", _rel.EVENTS_USER_GAPS_SQL)(
     _rel.events_user_gaps
 )
+register("events_markov_transitions", _rel.EVENTS_MARKOV_SQL)(
+    _rel.events_markov_transitions
+)
+register("webkg_crawl_budget", _td.CRAWL_BUDGET_SQL)(
+    _td.webkg_crawl_budget
+)
 
 
 def _kg_ecc_sql() -> str:

@@ -3926,3 +3926,69 @@ SELECT user_id,
             AS BIGINT) AS n_gaps_over_1h
 FROM d GROUP BY user_id
 """
+
+
+def events_markov_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order behavior model: global event-type TRANSITION COUNTS
+    over each user's time-ordered stream — (from_type, to_type, n), the
+    sufficient statistic of the Markov chain session models train on.
+
+    Sharded-coarse window plan (the sessionize shape): ONE shuffle on
+    ``user_id % 64``; per shard a vectorized lexsort by (user, ts,
+    event_id) — the event_id tiebreak makes the order TOTAL, so both
+    engines see identical bigrams on equal timestamps — then a
+    boundary-masked shift + one pandas groupby folds the shard to its
+    ≤ |types|² transition rows before the tiny final Sum."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        same = np.concatenate(([False], u[1:] == u[:-1]))
+        if not same.any():
+            return empty
+        frm = np.concatenate(([""], t[:-1]))[same]
+        to = t[same]
+        out = (
+            pd.DataFrame({"from_type": frm, "to_type": to})
+            .groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return arrow_from_pandas(out)
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    shards = (
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+    return grouped_aggregate_hybrid(
+        shards, ["from_type", "to_type"], [("n", "sum", "n")]
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""

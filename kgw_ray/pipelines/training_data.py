@@ -2682,3 +2682,99 @@ SELECT query_id, vec_id,
 FROM s
 QUALIFY rank <= {_KNN_K}
 """
+
+
+_CRAWL_BUDGET = 10_000
+
+
+def webkg_crawl_budget(sf_dir: str, budget: int = _CRAWL_BUDGET) -> pa.Table:
+    """Crawl-budget APPORTIONMENT: split a global per-cycle fetch budget
+    across hosts proportional to their page counts by the
+    largest-remainder (Hamilton) method — the frontier-planning step a
+    polite distributed crawler runs each cycle. Integer-exact: quota
+    floor = B·n // total; the leftover seats go to the largest
+    remainders B·n mod total (host name breaks ties), so both engines
+    agree bit-for-bit where float quotas would not.
+
+    Plan: the host page counts are ONE vocabulary-sized distributed
+    rollup (web_host_stats' combiner); the apportionment folds on the
+    driver over that tiny table (the kmeans/centroid rule). Output:
+    (host, n_pages, budget)."""
+    from kgw_ray.pipelines.training_data import web_domain_stats  # noqa: F401
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = read_table(sf_dir, "documents", columns=["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uq, cnt = np.unique(
+            t.column("source").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"{s}.example.org" for s in uq], pa.string()
+                ),
+                "n_pages": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        grouped_aggregate_hybrid(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            "host",
+            [("n_pages", "sum", "n_pages")],
+        )
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    total = int(counts["n_pages"].sum())
+    if total == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "n_pages": pa.array([], pa.int64()),
+                "budget": pa.array([], pa.int64()),
+            }
+        )
+    n = counts["n_pages"].to_numpy().astype(object)
+    floor = np.array([budget * int(x) // total for x in n], dtype=np.int64)
+    rem = np.array([budget * int(x) % total for x in n], dtype=np.int64)
+    leftover = budget - int(floor.sum())
+    # seats to the largest remainders; host name ascending breaks ties
+    order = np.lexsort((counts["host"].to_numpy(), -rem))
+    bonus = np.zeros(len(n), dtype=np.int64)
+    bonus[order[:leftover]] = 1
+    return pa.table(
+        {
+            "host": pa.array(counts["host"].to_numpy(), pa.string()),
+            "n_pages": pa.array(counts["n_pages"].to_numpy().astype(np.int64)),
+            "budget": pa.array(floor + bonus),
+        }
+    )
+
+
+CRAWL_BUDGET_SQL = f"""
+WITH c AS (
+  SELECT source || '.example.org' AS host, CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_pages) AS t FROM c),
+q AS (
+  SELECT host, n_pages,
+         ({_CRAWL_BUDGET} * n_pages) // tot.t AS fl,
+         ({_CRAWL_BUDGET} * n_pages) % tot.t AS rem
+  FROM c, tot
+),
+lo AS (SELECT {_CRAWL_BUDGET} - SUM(fl) AS seats FROM q),
+r AS (
+  SELECT host, n_pages, fl,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk
+  FROM q
+)
+SELECT host, n_pages,
+       CAST(fl + CASE WHEN rk <= lo.seats THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM r, lo
+"""

@@ -1596,3 +1596,16 @@ def test_zorder_bijective_and_monotone(sf_smoke):
         return out
 
     assert zval(5, 7) < zval(6, 7) and zval(5, 7) < zval(5, 8)
+
+
+def test_crawl_budget_apportionment(sf_smoke):
+    """Hamilton apportionment invariants: budgets sum exactly to B, every
+    host gets at least its floor quota, and no host is more than 1 above
+    it (largest-remainder bound)."""
+    from kgw_ray.pipelines.training_data import _CRAWL_BUDGET, webkg_crawl_budget
+
+    df = webkg_crawl_budget(sf_smoke).to_pandas()
+    assert int(df.budget.sum()) == _CRAWL_BUDGET
+    total = int(df.n_pages.sum())
+    floor = (_CRAWL_BUDGET * df.n_pages) // total
+    assert ((df.budget - floor).isin((0, 1))).all()
