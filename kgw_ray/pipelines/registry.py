@@ -1145,6 +1145,33 @@ register("webkg_crawl_budget", _td.CRAWL_BUDGET_SQL)(
 )
 
 
+register("orders_fill_rate", _rel.ORDERS_FILL_RATE_SQL)(
+    _rel.orders_fill_rate
+)
+
+
+def _kg_walks_sql() -> str:
+    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+    from kgw_ray.stages.graph_metrics import random_walks_sql
+
+    return random_walks_sql(
+        _KG_DIRECTED_SQL, length=4, md5_le_expr=f"({_MD5_LE_UINT64})"
+    )
+
+
+@register("kg_random_walks", oracle=_kg_walks_sql())
+def q_kg_random_walks(sf_dir: str) -> rd.Dataset:
+    """Deterministic random walks from every node of the directed web-KG
+    (node2vec/DeepWalk sampler input): next hop = argmin of a portable
+    per-walk per-step hash, so any engine reproduces the same walks —
+    packed-key grouped Min per hop (stages/graph_metrics.py:
+    random_walks)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import random_walks
+
+    return random_walks(edges_from_triples(triples_dataset(sf_dir)), length=4)
+
+
 def _kg_ecc_sql() -> str:
     from kgw_ray.stages.graph_metrics import sssp_counts_sql
 

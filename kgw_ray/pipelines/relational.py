@@ -3992,3 +3992,81 @@ SELECT prev_type AS from_type, event_type AS to_type,
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY prev_type, event_type
 """
+
+
+def orders_fill_rate(sf_dir: str) -> rd.Dataset:
+    """Fulfilment SLA rollup: per order priority, how many lineitems
+    shipped within 30 days of the order date — (o_orderpriority, n_lines,
+    n_shipped_30d, fill_permille). The ratio is integer permille
+    (1000·shipped // lines) so the hash gate holds.
+
+    Plan: the orders fact scan projects (key, orderdate µs) and joins
+    into the lineitem stream under the size-hybrid rule; one vectorized
+    conditional-count combiner per batch, then a priority-vocabulary
+    Sum."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "odate_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    o = orders.map_batches(proj, batch_format="pyarrow").materialize()
+    line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    if o.count() <= _BROADCAST_SIDE_LIMIT:
+        j = broadcast_join(
+            line, o.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"]
+        )
+    else:
+        j = large_join(line, o, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    _30D_US = 30 * 86_400 * 1_000_000
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ship_us = df["l_shipdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ok = (ship_us - df["odate_us"].to_numpy()) <= _30D_US
+        g = (
+            pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "ok": ok})
+            .groupby("o_orderpriority", sort=False)["ok"]
+            .agg(n_lines="size", n_shipped_30d="sum")
+            .reset_index()
+        )
+        g["n_shipped_30d"] = g["n_shipped_30d"].astype("int64")
+        return arrow_from_pandas(g)
+
+    merged = grouped_aggregate_hybrid(
+        j.map_batches(partial, batch_format="pandas"),
+        "o_orderpriority",
+        [("n_lines", "sum", "n_lines"), ("n_shipped_30d", "sum", "n_shipped_30d")],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nl = t.column("n_lines").to_numpy(zero_copy_only=False)
+        ns = t.column("n_shipped_30d").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "fill_permille",
+            pa.array(np.where(nl > 0, 1000 * ns // np.maximum(nl, 1), 0)),
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+ORDERS_FILL_RATE_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shipped_30d,
+       CAST(1000 * SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+                            THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+         AS fill_permille
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""

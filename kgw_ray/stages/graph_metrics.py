@@ -1420,3 +1420,134 @@ SELECT a.src AS id, MIN(a.id) AS scc
 FROM r a JOIN r b ON b.src = a.id AND b.id = a.src
 GROUP BY a.src
 """
+
+
+def random_walks(
+    edges: rd.Dataset,
+    *,
+    length: int = 4,
+    src: str = "source_id",
+    dst: str = "target_id",
+) -> rd.Dataset:
+    """DETERMINISTIC random walks — one walk of ≤ ``length`` hops from
+    every node, the corpus node2vec/DeepWalk samplers feed on. The
+    "random" next hop is an argmin over a portable hash: at step r the
+    walk started at s moves to the out-neighbor t minimizing
+    ``md5_le(s|r|t)`` — per-walk, per-step pseudo-randomness that any
+    engine (and the SQL oracle) reproduces bit-for-bit, where a PRNG
+    would be block-layout-dependent.
+
+    Physical plan per hop: ONE size-hybrid attach of the walk frontier
+    onto the (distinct, materialized) edge set, a per-batch md5 of the
+    candidates, then the packed-key grouped Min (lpad(hash,20)||t — the
+    lexicographic Min IS the (hash, t) argmin, the repo's packed-order
+    trick) selects each walk's next node. Walks die at sinks (no row
+    emitted past a dead end). Output: (start, step, node), step 0 = the
+    start itself."""
+    import hashlib
+
+    pairs = _distinct_ordered_pairs(edges, src, dst).materialize()
+    nodes = nodes_from_edges(pairs, src="s", dst="t")
+
+    def _seed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "start": t.column("id"),
+                "step": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "node": t.column("id"),
+            }
+        )
+
+    walk_rows = [nodes.map_batches(_seed, batch_format="pyarrow").materialize()]
+    frontier = walk_rows[0].map_batches(
+        lambda t: pa.table({"start": t.column("start"), "cur": t.column("node")}),
+        batch_format="pyarrow",
+    )
+    for r in range(1, length + 1):
+        cands = _hybrid_attach(pairs, frontier, on="s", right_on="cur")
+
+        def _pick_partial(batch: pa.Table, *, _r=r) -> pa.Table:
+            starts = batch.column("start").to_numpy(zero_copy_only=False)
+            ts = batch.column("t").to_numpy(zero_copy_only=False)
+            keys = [
+                "{:020d}".format(
+                    int.from_bytes(
+                        hashlib.md5(f"{s}|{_r}|{t}".encode()).digest()[:8],
+                        "little",
+                    )
+                )
+                + t
+                for s, t in zip(starts, ts)
+            ]
+            df = pd.DataFrame({"start": starts, "key": keys})
+            g = df.groupby("start", sort=False)["key"].min().reset_index()
+            return pa.table(
+                {
+                    "start": pa.array(g["start"].to_numpy(), pa.string()),
+                    "key": pa.array(g["key"].to_numpy(), pa.string()),
+                }
+            )
+
+        picked = grouped_aggregate_hybrid(
+            cands.map_batches(_pick_partial, batch_format="pyarrow"),
+            "start",
+            [("key", "min", "key")],
+        )
+
+        def _unpack(t: pa.Table, *, _r=r) -> pa.Table:
+            key = t.column("key")
+            node = pc.utf8_slice_codeunits(key, 20, 2**31 - 1)
+            return pa.table(
+                {
+                    "start": t.column("start"),
+                    "step": pa.array(np.full(t.num_rows, _r, dtype=np.int64)),
+                    "node": node,
+                }
+            )
+
+        stepped = picked.map_batches(_unpack, batch_format="pyarrow").materialize()
+        if stepped.count() == 0:
+            break
+        walk_rows.append(stepped)
+        frontier = stepped.map_batches(
+            lambda t: pa.table(
+                {"start": t.column("start"), "cur": t.column("node")}
+            ),
+            batch_format="pyarrow",
+        )
+    out = walk_rows[0]
+    for w in walk_rows[1:]:
+        out = out.union(w)
+    return out
+
+
+def random_walks_sql(edges_sql: str, *, length: int = 4, md5_le_expr: str = "") -> str:
+    """The identical argmin-hash walk unrolled into CTEs. ``md5_le_expr``
+    is the portable md5-LE-uint64 SQL fragment over a column ``hx``
+    (training_data._MD5_LE_UINT64)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT s, t FROM ({edges_sql})),",
+        "n AS (SELECT s AS v FROM e UNION SELECT t AS v FROM e),",
+        "w0 AS (SELECT v AS start, v AS node FROM n)",
+    ]
+    sel = ["SELECT start, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    for r in range(1, length + 1):
+        p = r - 1
+        parts.append(
+            f""",
+c{r} AS (
+  SELECT w.start, e.t,
+         md5(w.start || '|{r}|' || e.t) AS hx
+  FROM w{p} w JOIN e ON e.s = w.node),
+h{r} AS (SELECT start, t, {md5_le_expr} AS hu FROM c{r}),
+w{r} AS MATERIALIZED (
+  SELECT start, t AS node FROM (
+    SELECT start, t,
+           ROW_NUMBER() OVER (PARTITION BY start ORDER BY hu, t) AS rk
+    FROM h{r}) WHERE rk = 1)"""
+        )
+        sel.append(
+            f"SELECT start, CAST({r} AS BIGINT) AS step, node FROM w{r}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(sel))
+    return "\n".join(parts)

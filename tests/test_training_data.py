@@ -1609,3 +1609,49 @@ def test_crawl_budget_apportionment(sf_smoke):
     total = int(df.n_pages.sum())
     floor = (_CRAWL_BUDGET * df.n_pages) // total
     assert ((df.budget - floor).isin((0, 1))).all()
+
+
+def test_zorder_layout_prunes_row_groups(sf_smoke, tmp_path):
+    """The point of docs_zorder_keys: after ONE physical ordering by
+    zvalue, row-group min/max stats prune an n_chars range filter that a
+    doc_id ordering cannot — measured on real Parquet metadata."""
+    import pyarrow.parquet as pq
+
+    from kgw_ray.pipelines.training_data import docs_zorder_keys
+    from kgw_ray.sources.readers import read_table_pandas
+
+    docs = read_table_pandas(sf_smoke, "documents", columns=["doc_id", "n_chars"])
+    z = docs_zorder_keys(sf_smoke).to_pandas()
+    m = docs.merge(z, on="doc_id")
+
+    def overlap_frac(df, order_col):
+        import pyarrow as pa
+
+        path = str(tmp_path / f"{order_col}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(
+                df.sort_values(order_col).reset_index(drop=True)
+            ),
+            path,
+            row_group_size=8,
+        )
+        md = pq.ParquetFile(path).metadata
+        idx = [
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "n_chars"
+        ][0]
+        lo, hi = 100, 140  # a selective n_chars band
+        touched = 0
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st.min <= hi and st.max >= lo:
+                touched += 1
+        return touched / md.num_row_groups
+
+    z_frac = overlap_frac(m, "zvalue")
+    id_frac = overlap_frac(m, "doc_id")
+    # doc_id order interleaves n_chars values → ~every group overlaps;
+    # z-order co-locates the n_chars bits → a strict subset is touched
+    assert z_frac < id_frac
+    assert z_frac < 0.7
