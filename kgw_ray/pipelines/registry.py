@@ -1148,6 +1148,12 @@ register("webkg_crawl_budget", _td.CRAWL_BUDGET_SQL)(
 register("orders_fill_rate", _rel.ORDERS_FILL_RATE_SQL)(
     _rel.orders_fill_rate
 )
+register("basket_brand_pairs", _rel.BASKET_BRAND_PAIRS_SQL)(
+    _rel.basket_brand_pairs
+)
+register("docs_interleave_roundrobin", _td.INTERLEAVE_RR_SQL)(
+    _td.docs_interleave_roundrobin
+)
 
 
 def _kg_walks_sql() -> str:

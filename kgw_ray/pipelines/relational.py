@@ -4070,3 +4070,80 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
+
+
+def basket_brand_pairs(sf_dir: str) -> rd.Dataset:
+    """MARKET-BASKET co-occurrence mining: for every unordered brand pair,
+    the number of orders containing parts of BOTH brands —
+    (brand_a, brand_b, n_orders), the support statistic association-rule
+    mining starts from.
+
+    Plan: the part→brand dim broadcasts once (a 25-value vocabulary);
+    ONE coarse shuffle on ``l_orderkey % 64`` co-locates each basket,
+    then a per-shard vectorized self-merge of the deduped (order, brand)
+    rows expands pairs (baskets are ≤ ~13 lines, so the expansion is
+    bounded by |basket|² per order, never corpus²); partials are ≤ 325
+    rows per shard (25·24/2) before the tiny final Sum."""
+    import ray as _ray
+
+    from kgw_ray.sources.readers import read_table_pandas
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    part = read_table_pandas(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    brand_ref = _ray.put(
+        pd.Series(part["p_brand"].to_numpy(), index=part["p_partkey"].to_numpy())
+    )
+    line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_shard", pa.array(k % 64))
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "brand_a": pa.array([], pa.string()),
+                "brand_b": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ob = pd.DataFrame(
+            {
+                "o": g["l_orderkey"].to_numpy(),
+                "b": g["l_partkey"].map(_ray.get(brand_ref)).to_numpy(),
+            }
+        ).drop_duplicates()
+        m = ob.merge(ob, on="o")
+        m = m[m["b_x"] < m["b_y"]]
+        out = (
+            m.groupby(["b_x", "b_y"], sort=False)
+            .size()
+            .rename("n_orders")
+            .reset_index()
+            .rename(columns={"b_x": "brand_a", "b_y": "brand_b"})
+        )
+        return arrow_from_pandas(out)
+
+    shards = (
+        line.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+    return grouped_aggregate_hybrid(
+        shards, ["brand_a", "brand_b"], [("n_orders", "sum", "n_orders")]
+    )
+
+
+BASKET_BRAND_PAIRS_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+"""

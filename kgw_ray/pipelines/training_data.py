@@ -2778,3 +2778,93 @@ SELECT host, n_pages,
        CAST(fl + CASE WHEN rk <= lo.seats THEN 1 ELSE 0 END AS BIGINT) AS budget
 FROM r, lo
 """
+
+
+def docs_interleave_roundrobin(sf_dir: str) -> rd.Dataset:
+    """Deterministic ROUND-ROBIN curriculum order: global training
+    positions that cycle across sources (doc 0 of every source first,
+    then doc 1 of every source, ...) — the source-interleave a training
+    run uses so no source dominates any window. Output: (doc_id, pos).
+
+    SORT-FREE global ordering: with per-source counts broadcast (a tiny
+    table), every doc computes its global position by pure rank
+    arithmetic — pos = Σ_s' min(cnt_s', r) + |{s' < s : cnt_s' > r}|
+    where r is the doc's rank inside its source — so the total order by
+    (r, source) materializes with ONE coarse per-source shuffle and no
+    global sort (the ordered-scan family's cheapest member)."""
+    import ray as _ray
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        uq, cnt = np.unique(
+            t.column("source").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "source": pa.array(uq, pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        grouped_aggregate_hybrid(
+            docs.map_batches(count_partial, batch_format="pyarrow"),
+            "source",
+            [("n", "sum", "n")],
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    srcs = counts["source"].to_numpy()
+    cnts = counts["n"].to_numpy().astype(np.int64)
+    src_idx = {s: i for i, s in enumerate(srcs)}
+    ref = _ray.put((src_idx, cnts))
+
+    def per_source(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        idx_map, all_cnts = _ray.get(ref)
+        g = g.sort_values("doc_id")
+        out_ids, out_pos = [], []
+        for s, sub in g.groupby("source", sort=False):
+            si = idx_map[s]
+            r = np.arange(len(sub), dtype=np.int64)
+            # docs ranked below r across all sources
+            below = np.minimum.outer(r, all_cnts).sum(axis=1)
+            # sources before this one still alive at rank r
+            alive_before = (all_cnts[:si, None] > r[None, :]).sum(axis=0)
+            out_ids.append(sub["doc_id"].to_numpy())
+            out_pos.append(below + alive_before)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids).astype(np.int64)),
+                "pos": pa.array(np.concatenate(out_pos).astype(np.int64)),
+            }
+        )
+
+    def shard(t: pa.Table) -> pa.Table:
+        return t.append_column("_shard", t.column("source"))
+
+    return (
+        docs.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_source, batch_format="pandas")
+    )
+
+
+INTERLEAVE_RR_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY rk, source) - 1 AS BIGINT) AS pos
+FROM r
+"""
