@@ -1154,6 +1154,11 @@ register("basket_brand_pairs", _rel.BASKET_BRAND_PAIRS_SQL)(
 register("docs_interleave_roundrobin", _td.INTERLEAVE_RR_SQL)(
     _td.docs_interleave_roundrobin
 )
+register("parts_skyline", _rel.PARTS_SKYLINE_SQL)(_rel.parts_skyline)
+register("text_template_groups", _td.TEMPLATE_GROUPS_SQL)(
+    _td.text_template_groups
+)
+register("embeddings_pq_codes", _td.PQ_CODES_SQL)(_td.embeddings_pq_codes)
 
 
 def _kg_walks_sql() -> str:

@@ -4147,3 +4147,79 @@ FROM ob a JOIN ob b
   ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
 GROUP BY a.p_brand, b.p_brand
 """
+
+
+def parts_skyline(sf_dir: str) -> pa.Table:
+    """SKYLINE (Pareto frontier) operator: parts not dominated on
+    (p_retailprice minimize, p_size maximize) — the classic
+    multi-criteria shortlist query. Output: (p_partkey, price_cents,
+    p_size), every non-dominated part (exact-duplicate criterion points
+    all survive together).
+
+    Distributed skyline = skyline-of-local-skylines: each block filters
+    to its own frontier with one vectorized pass (sort by price asc /
+    size desc; survivor ⟺ size strictly above the running max of
+    strictly-cheaper points), and the final pass applies the identical
+    scan to the pulled candidates — local frontiers of random data are
+    tiny (O(log² n) expected), so nothing corpus-sized reaches the
+    driver."""
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def _frontier(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        # per-price champion: only the max size at a given price can
+        # survive (same price, strictly larger size dominates) — but keep
+        # all rows TIED at that max
+        gmax = df.groupby("p_retailprice")["p_size"].transform("max")
+        df = df[df["p_size"] == gmax]
+        agg = (
+            df[["p_retailprice", "p_size"]]
+            .drop_duplicates()
+            .sort_values("p_retailprice")
+        )
+        p = agg["p_retailprice"].to_numpy()
+        s = agg["p_size"].to_numpy()
+        # running max size over STRICTLY cheaper prices
+        run = np.maximum.accumulate(s)
+        prev = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))
+        keep_pairs = agg[s > prev]
+        return df.merge(keep_pairs, on=["p_retailprice", "p_size"])
+
+    def local(df: pd.DataFrame) -> pa.Table:
+        return arrow_from_pandas(_frontier(df))
+
+    cands = part.map_batches(local, batch_format="pandas").to_pandas()
+    out = _frontier(cands) if len(cands) else cands
+    if len(out) == 0:
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "price_cents": pa.array([], pa.int64()),
+                "p_size": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values("p_partkey").reset_index(drop=True)
+    return pa.table(
+        {
+            "p_partkey": pa.array(out["p_partkey"].to_numpy(), pa.int64()),
+            "price_cents": pa.array(
+                np.rint(out["p_retailprice"].to_numpy() * 100.0).astype(np.int64)
+            ),
+            "p_size": pa.array(out["p_size"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+PARTS_SKYLINE_SQL = """
+SELECT p_partkey,
+       CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+       CAST(p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""

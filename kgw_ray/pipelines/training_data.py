@@ -11,6 +11,7 @@ names + identical rounding — the driver hashes values).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -2868,3 +2869,161 @@ SELECT doc_id,
        CAST(ROW_NUMBER() OVER (ORDER BY rk, source) - 1 AS BIGINT) AS pos
 FROM r
 """
+
+
+_TEMPLATE_PREFIX_LEN = 3
+
+
+def text_template_groups(sf_dir: str, k: int = _TEMPLATE_PREFIX_LEN) -> rd.Dataset:
+    """BOILERPLATE TEMPLATE detection: documents sharing an identical
+    k-token prefix — the shared-header/shared-intro pattern templated
+    web pages exhibit — grouped to (prefix_md5, n_docs, min_doc) for
+    groups of 2+. The md5 of the joined prefix (never the text) is what
+    crosses the exchange, so the shuffle is fixed-width regardless of
+    prefix length.
+
+    One vectorized tokenize + slice + hash per batch, per-batch combiner
+    (count + min doc per prefix), one hash-vocabulary Sum/Min, then a
+    trivial n>=2 filter."""
+    import hashlib
+
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = _docs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        hashes = [
+            hashlib.md5(" ".join(tx.split()[:k]).encode("utf-8")).hexdigest()
+            for tx in texts
+        ]
+        df = pd.DataFrame({"prefix_md5": hashes, "doc_id": ids})
+        g = (
+            df.groupby("prefix_md5", sort=False)["doc_id"]
+            .agg(n_docs="size", min_doc="min")
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    merged = grouped_aggregate_hybrid(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "prefix_md5",
+        [("n_docs", "sum", "n_docs"), ("min_doc", "min", "min_doc")],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(t.column("n_docs"), pa.scalar(2, pa.int64()))
+        b = t.filter(keep)
+        return pa.table(
+            {
+                "prefix_md5": b.column("prefix_md5"),
+                "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+                "min_doc": pc.cast(b.column("min_doc"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+TEMPLATE_GROUPS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+             1, {_TEMPLATE_PREFIX_LEN}), ' ')) AS prefix_md5
+  FROM documents
+)
+SELECT prefix_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM t GROUP BY prefix_md5 HAVING COUNT(*) >= 2
+"""
+
+
+_PQ_SUBSPACES = 4
+_PQ_K = 8
+
+
+def embeddings_pq_codes(sf_dir: str) -> rd.Dataset:
+    """PRODUCT QUANTIZATION (PQ) code assignment — the vector-compression
+    backbone of corpus-scale ANN (each 64-dim vector compresses to 4
+    one-byte codes: ~64x): the dimensions split into 4 subspaces of 16
+    and each subspace trains its own k=8 integer k-means codebook
+    (stages/similarity.py:kmeans_assignments — the micro-unit Lloyd's
+    whose unrolled SQL is hash-exact), then every vector takes its
+    nearest-centroid code per subspace.
+    Output: (vec_id, subspace, code).
+
+    Scale shape: 4 independent codebook trainings, each the no-shuffle
+    k x dim-partials exchange; the corpus is read once per subspace from
+    the same pruned column scan."""
+    from kgw_ray.stages.similarity import kmeans_assignments
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    width = None
+    outs = []
+    for s in range(_PQ_SUBSPACES):
+
+        def slicer(t: pa.Table, _s=s) -> pa.Table:
+            V = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False))
+            w = V.shape[1] // _PQ_SUBSPACES
+            sub = V[:, _s * w : (_s + 1) * w]
+            return pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "embedding": pa.array(list(sub)),
+                }
+            )
+
+        asg = kmeans_assignments(
+            emb.map_batches(slicer, batch_format="pyarrow"),
+            k=_PQ_K,
+            iters=3,
+        )
+
+        def tag(t: pa.Table, _s=s) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "subspace": pa.array(
+                        np.full(t.num_rows, _s, dtype=np.int64)
+                    ),
+                    "code": pc_cast_int64(t.column("cluster")),
+                }
+            )
+
+        outs.append(asg.map_batches(tag, batch_format="pyarrow"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def pc_cast_int64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())
+
+
+def _pq_sql() -> str:
+    from kgw_ray.stages.similarity import kmeans_sql
+
+    parts = []
+    for s in range(_PQ_SUBSPACES):
+        # 64 dims / 4 subspaces; list_slice is 1-based inclusive
+        lo = s * 16 + 1
+        hi = (s + 1) * 16
+        inner = kmeans_sql(
+            k=_PQ_K, iters=3, vec_expr=f"list_slice(embedding, {lo}, {hi})"
+        )
+        parts.append(
+            f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace,"
+            f" CAST(cluster AS BIGINT) AS code FROM ({inner})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+PQ_CODES_SQL = _pq_sql()

@@ -486,16 +486,23 @@ def kmeans_assignments(
     return hub.map_batches(assign_out, batch_format="pyarrow")
 
 
-def kmeans_sql(k: int = 8, iters: int = 3, scale: int = _KM_SCALE) -> str:
+def kmeans_sql(
+    k: int = 8,
+    iters: int = 3,
+    scale: int = _KM_SCALE,
+    vec_expr: str = "embedding",
+) -> str:
     """The exact SQL mirror of ``kmeans_assignments``: the same quantized
     integer iteration unrolled into CTEs (the pagerank-oracle technique).
     Centroids live as (cluster, pos, val) rows; DuckDB's truncating ``//``
-    matches ``_trunc_div`` by construction."""
+    matches ``_trunc_div`` by construction. ``vec_expr`` substitutes the
+    vector column (e.g. a ``list_slice`` for product-quantization
+    subspaces)."""
     ctes = [
         f"""q AS (
   SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-         CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS val
-  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+         CAST(floor(CAST(({vec_expr})[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(generate_series(1, len({vec_expr}))) AS t(i)
 )""",
         f"""ranked AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster

@@ -1655,3 +1655,42 @@ def test_zorder_layout_prunes_row_groups(sf_smoke, tmp_path):
     # z-order co-locates the n_chars bits → a strict subset is touched
     assert z_frac < id_frac
     assert z_frac < 0.7
+
+
+def test_skyline_bruteforce(tmp_path):
+    """Skyline on hand data incl. ties and duplicates: min price / max
+    size dominance; duplicate criterion points survive together."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgw_ray.pipelines.relational import parts_skyline
+
+    rows = [
+        # key, price, size
+        (1, 5.0, 10), (2, 5.0, 10),   # duplicates on the frontier
+        (3, 5.0, 7),                  # same price, smaller size: dominated
+        (4, 4.0, 9),                  # cheaper, smaller: frontier
+        (5, 6.0, 12),                 # pricier, bigger: frontier
+        (6, 6.0, 10),                 # dominated by 1/2 (cheaper, equal size)
+        (7, 4.0, 9),                  # duplicate of 4
+        (8, 7.0, 12),                 # dominated by 5 (cheaper, equal size)
+    ]
+    df = pd.DataFrame(rows, columns=["p_partkey", "p_retailprice", "p_size"])
+    d = tmp_path / "sky"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), str(d / "part.parquet"))
+    got = parts_skyline(str(d)).to_pandas()
+    assert sorted(got.p_partkey) == [1, 2, 4, 5, 7]
+
+    # brute force over the same rows
+    def dominated(i):
+        pi, si = rows[i][1], rows[i][2]
+        return any(
+            (q[1] <= pi and q[2] >= si and (q[1] < pi or q[2] > si))
+            for q in rows
+        )
+
+    want = sorted(r[0] for i, r in enumerate(rows) if not dominated(i))
+    assert sorted(got.p_partkey) == want
