@@ -1159,6 +1159,28 @@ register("text_template_groups", _td.TEMPLATE_GROUPS_SQL)(
     _td.text_template_groups
 )
 register("embeddings_pq_codes", _td.PQ_CODES_SQL)(_td.embeddings_pq_codes)
+register("orders_backlog_timeline", _rel.ORDERS_BACKLOG_SQL)(
+    _rel.orders_backlog_timeline
+)
+
+
+def _kg_motif_sql() -> str:
+    from kgw_ray.stages.graph_metrics import motif_census_sql
+
+    return motif_census_sql(_KG_DIRECTED_SQL)
+
+
+@register("kg_motif_census", oracle=_kg_motif_sql())
+def q_kg_motif_census(sf_dir: str) -> pa.Table:
+    """Directed triad census (wedges, 3-cycle rotations, feed-forward
+    loops) over the web-KG — one size-hybrid wedge self-join + per-block
+    closure classification against the broadcast simple-edge set
+    (stages/graph_metrics.py:motif_census); the oracle re-derives the
+    counts with independent ordered-triple joins."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import motif_census
+
+    return motif_census(edges_from_triples(triples_dataset(sf_dir)))
 
 
 def _kg_walks_sql() -> str:

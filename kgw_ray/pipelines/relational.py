@@ -4223,3 +4223,117 @@ WHERE NOT EXISTS (
   WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
 """
+
+
+def orders_backlog_timeline(sf_dir: str) -> pa.Table:
+    """SWEEP-LINE interval stabbing: how many orders are OPEN (placed but
+    not fully shipped) on each boundary day — the backlog-over-time
+    step function every fulfilment dashboard plots. An order is open
+    from o_orderdate through its last lineitem shipdate (inclusive).
+    Output: (day, open_orders) at every day the count changes, day as
+    integer epoch days.
+
+    Plan: the only fact-sized exchange is the per-order close date (a
+    packed Max combiner over l_orderkey — order-vocabulary rows); the
+    interval endpoints then collapse to ±1 deltas on a DAY vocabulary
+    (one tiny groupby), and the running sum folds on the driver over
+    the ~thousands of boundary days (the kmeans/centroid rule — no
+    distributed prefix machinery needed at day granularity)."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def close_partial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sd = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame({"o": ok, "s": sd})
+        g = df.groupby("o", sort=False)["s"].max().reset_index()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o"].to_numpy().astype(np.int64)),
+                "close_us": pa.array(g["s"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    closes = grouped_aggregate_hybrid(
+        line.map_batches(close_partial, batch_format="pyarrow"),
+        "o_orderkey",
+        [("close_us", "max", "close_us")],
+    ).materialize()
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def open_partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        days = d // 86_400_000_000
+        uq, cnt = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(uq.astype(np.int64)),
+                "net": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    # +1 at the order day — ONLY for orders that have lineitems (the close
+    # side is inner on both engines)
+    keyed = closes.map_batches(
+        lambda t: pa.table({"o_orderkey": t.column("o_orderkey")}),
+        batch_format="pyarrow",
+    )
+    from kgw_ray.stages.joins import semi_join_dataset
+
+    opened = semi_join_dataset(orders, keyed, on="o_orderkey").map_batches(
+        open_partial, batch_format="pyarrow"
+    )
+
+    def close_day_partial(t: pa.Table) -> pa.Table:
+        c = t.column("close_us").to_numpy(zero_copy_only=False)
+        days = c // 86_400_000_000 + 1  # open THROUGH the close day
+        uq, cnt = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(uq.astype(np.int64)),
+                "net": pa.array(-cnt.astype(np.int64)),
+            }
+        )
+
+    closed = closes.map_batches(close_day_partial, batch_format="pyarrow")
+    daily = (
+        grouped_aggregate_hybrid(
+            opened.union(closed), "day", [("net", "sum", "net")]
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    open_orders = daily["net"].cumsum().astype("int64")
+    return pa.table(
+        {
+            "day": pa.array(daily["day"].to_numpy().astype(np.int64)),
+            "open_orders": pa.array(open_orders.to_numpy()),
+        }
+    )
+
+
+ORDERS_BACKLOG_SQL = """
+WITH close AS (
+  SELECT l_orderkey AS ok, MAX(l_shipdate) AS cd FROM lineitem GROUP BY l_orderkey
+),
+ev AS (
+  SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+         CAST(1 AS BIGINT) AS net
+  FROM orders JOIN close ON ok = o_orderkey
+  UNION ALL
+  SELECT CAST(epoch(cd) // 86400 + 1 AS BIGINT) AS day, CAST(-1 AS BIGINT)
+  FROM close
+),
+daily AS (SELECT day, SUM(net) AS net FROM ev GROUP BY day)
+SELECT day, CAST(SUM(net) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_orders
+FROM daily
+"""

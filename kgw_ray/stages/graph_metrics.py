@@ -1551,3 +1551,84 @@ w{r} AS MATERIALIZED (
         )
     parts.append("\n" + "\nUNION ALL\n".join(sel))
     return "\n".join(parts)
+
+
+def motif_census(
+    edges: rd.Dataset, *, src: str = "source_id", dst: str = "target_id"
+) -> pa.Table:
+    """Directed TRIAD MOTIF census over the simple digraph: one row
+    (n_wedges, n_cycle_triples, n_ffl_triples) — the cycle-vs-feed-forward
+    balance network science uses to characterize directed graphs (a
+    3-cycle contributes 3 rotations to n_cycle_triples; a feed-forward
+    loop contributes 1 to n_ffl_triples per (source, sink) orientation,
+    matching the oracle's ordered-triple joins).
+
+    Plan: the wedge stream (a→b→c, distinct endpoints) is ONE
+    size-hybrid self-join of the distinct-pair set; each block then
+    classifies its wedges against the broadcast pair set (a hash set of
+    the vocabulary-sized simple edges — the triangle_counts trade) and
+    emits a single partial row."""
+    import ray
+
+    pairs = _distinct_ordered_pairs(edges, src, dst).materialize()
+    pairs_df = pairs.to_pandas()
+    pairs_df = pairs_df[pairs_df["s"] != pairs_df["t"]]
+    edge_set = set(zip(pairs_df["s"], pairs_df["t"]))
+    ref = ray.put(edge_set)
+    nonloop = rd.from_arrow(
+        pa.Table.from_pandas(pairs_df.reset_index(drop=True), preserve_index=False)
+    )
+    wedges = _hybrid_attach(
+        nonloop,
+        nonloop.rename_columns({"s": "b", "t": "c"}),
+        on="t",
+        right_on="b",
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        es = ray.get(ref)
+        a = t.column("s").to_numpy(zero_copy_only=False)
+        b = t.column("t").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        keep = a != c  # distinct triad endpoints
+        a, b, c = a[keep], b[keep], c[keep]
+        cyc = sum((cc, aa) in es for aa, cc in zip(a, c))
+        ffl = sum((aa, cc) in es for aa, cc in zip(a, c))
+        return pa.table(
+            {
+                "n_wedges": pa.array([len(a)], pa.int64()),
+                "n_cycle_triples": pa.array([cyc], pa.int64()),
+                "n_ffl_triples": pa.array([ffl], pa.int64()),
+            }
+        )
+
+    parts = wedges.map_batches(classify, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_wedges": pa.array([int(parts["n_wedges"].sum())], pa.int64()),
+            "n_cycle_triples": pa.array(
+                [int(parts["n_cycle_triples"].sum())], pa.int64()
+            ),
+            "n_ffl_triples": pa.array(
+                [int(parts["n_ffl_triples"].sum())], pa.int64()
+            ),
+        }
+    )
+
+
+def motif_census_sql(edges_sql: str) -> str:
+    """Ordered-triple joins re-deriving the census independently."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT s, t FROM ({edges_sql}) WHERE s <> t
+)
+SELECT
+  (SELECT COUNT(*) FROM e a JOIN e b ON b.s = a.t WHERE a.s <> b.t)
+    AS n_wedges,
+  (SELECT COUNT(*) FROM e a JOIN e b ON b.s = a.t
+     JOIN e c ON c.s = b.t AND c.t = a.s WHERE a.s <> b.t)
+    AS n_cycle_triples,
+  (SELECT COUNT(*) FROM e a JOIN e b ON b.s = a.t
+     JOIN e c ON c.s = a.s AND c.t = b.t WHERE a.s <> b.t)
+    AS n_ffl_triples
+"""
