@@ -1164,6 +1164,12 @@ register("orders_backlog_timeline", _rel.ORDERS_BACKLOG_SQL)(
 )
 
 
+register("docs_vocab_growth", _td.VOCAB_GROWTH_SQL)(_td.docs_vocab_growth)
+register("events_anomalous_hours", _rel.EVENTS_ANOMALOUS_HOURS_SQL)(
+    _rel.events_anomalous_hours
+)
+
+
 def _kg_motif_sql() -> str:
     from kgw_ray.stages.graph_metrics import motif_census_sql
 

@@ -4324,11 +4324,13 @@ WITH close AS (
   SELECT l_orderkey AS ok, MAX(l_shipdate) AS cd FROM lineitem GROUP BY l_orderkey
 ),
 ev AS (
-  SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+  -- epoch_us (BIGINT), not epoch (DOUBLE): integer day bucketing holds
+  -- even for non-midnight-aligned timestamps (the anomalous-hours lesson)
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
          CAST(1 AS BIGINT) AS net
   FROM orders JOIN close ON ok = o_orderkey
   UNION ALL
-  SELECT CAST(epoch(cd) // 86400 + 1 AS BIGINT) AS day, CAST(-1 AS BIGINT)
+  SELECT epoch_us(cd) // 86400000000 + 1 AS day, CAST(-1 AS BIGINT)
   FROM close
 ),
 daily AS (SELECT day, SUM(net) AS net FROM ev GROUP BY day)
@@ -4336,4 +4338,90 @@ SELECT day, CAST(SUM(net) OVER (ORDER BY day
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS open_orders
 FROM daily
+"""
+
+
+def events_anomalous_hours(sf_dir: str) -> pa.Table:
+    """Time-series anomaly flags on the AGGREGATED stream: hours whose
+    event count deviates from the hourly median by more than 5x the
+    median absolute deviation — the volume-spike/outage alarm an
+    always-on ingest monitors. Output: (hour_us, n, dev) for flagged
+    hours only. Integer order statistics end-to-end (median = the lower
+    middle element, rank (n-1)//2, on both engines — never the float
+    interpolation DuckDB's median() would return on even counts).
+
+    Plan: one hour-vocabulary count rollup (per-batch bincount partials),
+    then the median/MAD fold over the tiny hourly table on the driver."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        hours = us // 3_600_000_000
+        uq, cnt = np.unique(hours, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(uq.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    hourly = (
+        grouped_aggregate_hybrid(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "hour",
+            [("n", "sum", "n")],
+        )
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    if len(hourly) == 0:
+        return pa.table(
+            {
+                "hour_us": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "dev": pa.array([], pa.int64()),
+            }
+        )
+
+    def lower_median(a: np.ndarray) -> int:
+        return int(np.sort(a)[(len(a) - 1) // 2])
+
+    med = lower_median(hourly["n"].to_numpy())
+    dev = np.abs(hourly["n"].to_numpy() - med)
+    mad = lower_median(dev)
+    flag = dev > 5 * mad
+    out = hourly[flag]
+    return pa.table(
+        {
+            "hour_us": pa.array(
+                (out["hour"].to_numpy() * 3_600_000_000).astype(np.int64)
+            ),
+            "n": pa.array(out["n"].to_numpy().astype(np.int64)),
+            "dev": pa.array(dev[flag].astype(np.int64)),
+        }
+    )
+
+
+EVENTS_ANOMALOUS_HOURS_SQL = """
+WITH h AS (
+  -- epoch_us (BIGINT), not epoch (DOUBLE): float '//' + CAST rounds the
+  -- x.55-hour boundaries up, shifting events across hour buckets
+  SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+  FROM events GROUP BY hour
+),
+med AS (
+  SELECT n AS m FROM h ORDER BY n
+  LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM h)
+),
+dv AS (SELECT hour, n, ABS(n - med.m) AS dev FROM h, med),
+mad AS (
+  SELECT dev AS m FROM dv ORDER BY dev
+  LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM dv)
+)
+SELECT CAST(hour * 3600000000 AS BIGINT) AS hour_us,
+       CAST(n AS BIGINT) AS n, CAST(dev AS BIGINT) AS dev
+FROM dv, mad WHERE dev > 5 * mad.m
 """

@@ -3027,3 +3027,91 @@ def _pq_sql() -> str:
 
 
 PQ_CODES_SQL = _pq_sql()
+
+
+def docs_vocab_growth(sf_dir: str) -> pa.Table:
+    """HEAPS'-LAW vocabulary growth curve: cumulative distinct-token count
+    after each decile of the corpus (by doc_id order) — the
+    diminishing-returns statistic data-scaling studies plot. Output:
+    (decile, vocab_size), decile k covering doc_ids < (max+1)·(k+1)/10.
+
+    ONE vocabulary exchange total: tokens reduce to (token, first_doc)
+    via a grouped Min, each block then bins its tokens' first-appearance
+    deciles into a 10-int histogram partial, and the cumulative sum
+    folds on the driver — the corpus is never re-scanned per decile."""
+    import ray as _ray
+    from ray.data.aggregate import Max
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = _docs(sf_dir)
+    m = int(
+        read_table(sf_dir, "documents", columns=["doc_id"]).aggregate(
+            Max("doc_id", alias_name="m")
+        )["m"]
+    ) + 1
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        toks, firsts = [], []
+        seen = {}
+        for i, tx in zip(ids, texts):
+            for w in tx.split():
+                prev = seen.get(w)
+                if prev is None or i < prev:
+                    seen[w] = int(i)
+        return pa.table(
+            {
+                "tok": pa.array(list(seen.keys()), pa.string()),
+                "first_doc": pa.array(
+                    np.fromiter(seen.values(), dtype=np.int64, count=len(seen))
+                ),
+            }
+        )
+
+    firsts = grouped_aggregate_hybrid(
+        docs.map_batches(tok_partial, batch_format="pyarrow"),
+        "tok",
+        [("first_doc", "min", "first_doc")],
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        fd = t.column("first_doc").to_numpy(zero_copy_only=False)
+        dec = np.minimum(fd * 10 // m, 9)
+        h = np.bincount(dec, minlength=10).astype(np.int64)
+        return pa.table(
+            {
+                "decile": pa.array(np.arange(10, dtype=np.int64)),
+                "n": pa.array(h),
+            }
+        )
+
+    hist = (
+        firsts.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("decile")["n"]
+        .sum()
+    )
+    h = np.zeros(10, dtype=np.int64)
+    h[hist.index.to_numpy()] = hist.to_numpy()
+    return pa.table(
+        {
+            "decile": pa.array(np.arange(10, dtype=np.int64)),
+            "vocab_size": pa.array(np.cumsum(h)),
+        }
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+u AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+f AS (SELECT tok, MIN(doc_id) AS first_doc FROM u GROUP BY tok),
+mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+d AS (SELECT least(first_doc * 10 // mx.m, 9) AS dec FROM f, mx),
+s AS (SELECT unnest(generate_series(0, 9)) AS decile)
+SELECT CAST(s.decile AS BIGINT) AS decile,
+       CAST(COUNT(d.dec) AS BIGINT) AS vocab_size
+FROM s LEFT JOIN d ON d.dec <= s.decile
+GROUP BY s.decile
+"""
