@@ -1165,6 +1165,25 @@ register("orders_backlog_timeline", _rel.ORDERS_BACKLOG_SQL)(
 
 
 register("docs_vocab_growth", _td.VOCAB_GROWTH_SQL)(_td.docs_vocab_growth)
+register("semdedup_pairs", _td.SEMDEDUP_SQL)(_td.semdedup_pairs)
+
+
+def _kg_ktruss_sql() -> str:
+    from kgw_ray.stages.graph_metrics import k_truss_sql
+
+    return k_truss_sql(_KG_DIRECTED_SQL, k=4, rounds=6)
+
+
+@register("kg_ktruss", oracle=_kg_ktruss_sql())
+def q_kg_ktruss(sf_dir: str) -> rd.Dataset:
+    """4-truss of the web-KG (fixed 6 peel rounds): edges supported by
+    ≥2 triangles after iterative peeling — the edge-level cohesion core
+    (stages/graph_metrics.py:k_truss); oracle = the identical rounds
+    unrolled."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import k_truss
+
+    return k_truss(edges_from_triples(triples_dataset(sf_dir)), k=4, rounds=6)
 register("events_anomalous_hours", _rel.EVENTS_ANOMALOUS_HOURS_SQL)(
     _rel.events_anomalous_hours
 )

@@ -3115,3 +3115,89 @@ SELECT CAST(s.decile AS BIGINT) AS decile,
 FROM s LEFT JOIN d ON d.dec <= s.decile
 GROUP BY s.decile
 """
+
+
+_SEMDEDUP_T = 0.4
+
+
+def semdedup_pairs(sf_dir: str, threshold: float = _SEMDEDUP_T) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pairs found WITHIN k-means clusters only — the
+    cluster-prune that turns the O(N²) embedding-pair scan into
+    k·(N/k)² and is how corpus-scale semantic dedup actually ships.
+    Output: (cluster, a, b) for same-cluster pairs with cosine ≥ 0.4
+    (the dedup_embedding_pairs threshold convention).
+
+    Plan: the integer-Lloyd's assignment pass (hash-exact, so the SQL
+    oracle reproduces the identical clusters), then ONE coarse shuffle on
+    the cluster id and a per-cluster vectorized normalized matmul — the
+    quadratic work is bounded per cluster, and k scales up at corpus
+    scale to keep clusters bite-sized (the paper's regime)."""
+    from kgw_ray.stages.similarity import kmeans_assignments
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    asg = kmeans_assignments(emb, k=8, iters=3).to_pandas()
+    import ray as _ray
+
+    asg_ref = _ray.put(
+        pd.Series(asg["cluster"].to_numpy(), index=asg["vec_id"].to_numpy())
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        cl = pd.Series(ids).map(_ray.get(asg_ref)).to_numpy()
+        return t.append_column("cluster", pa.array(cl.astype(np.int64)))
+
+    def per_cluster(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "cluster": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        V = np.vstack(g["embedding"].to_numpy()).astype(np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ V.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = S[iu] >= threshold
+        if not hit.any():
+            return empty
+        ai, bi = ids[iu[0][hit]], ids[iu[1][hit]]
+        lo, hi = np.minimum(ai, bi), np.maximum(ai, bi)
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    np.full(len(lo), int(g["cluster"].iloc[0]), dtype=np.int64)
+                ),
+                "a": pa.array(lo.astype(np.int64)),
+                "b": pa.array(hi.astype(np.int64)),
+            }
+        )
+
+    return (
+        emb.map_batches(attach, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pandas")
+    )
+
+
+def _semdedup_sql() -> str:
+    from kgw_ray.stages.similarity import kmeans_sql
+
+    return f"""
+WITH asg AS MATERIALIZED ({kmeans_sql(k=8, iters=3)})
+SELECT CAST(x.cluster AS BIGINT) AS cluster,
+       a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN asg x ON x.vec_id = a.vec_id
+JOIN asg y ON TRUE
+JOIN embeddings b ON b.vec_id = y.vec_id
+WHERE y.cluster = x.cluster AND a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= {_SEMDEDUP_T}
+"""
+
+
+SEMDEDUP_SQL = _semdedup_sql()

@@ -1632,3 +1632,181 @@ SELECT
      JOIN e c ON c.s = a.s AND c.t = b.t WHERE a.s <> b.t)
     AS n_ffl_triples
 """
+
+
+def _edge_support(
+    pairs_df: "pd.DataFrame", shards: rd.Dataset
+) -> rd.Dataset:
+    """Per-EDGE triangle support of an undirected (a<b) pair set: each
+    triangle x<y<z is enumerated exactly once at its smallest vertex
+    (pivot) and contributes +1 to all three of its edges. ``shards`` is
+    the pair Dataset sharded on hash(pivot); the full (vocabulary-sized)
+    pair set broadcasts once for the closure check."""
+    import ray
+
+    eset = set(zip(pairs_df["a"], pairs_df["b"]))
+    ref = ray.put(eset)
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "sup": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        es = ray.get(ref)
+        rows_a, rows_b = [], []
+        for piv, sub in g.groupby("a", sort=False):
+            nb = np.sort(sub["b"].to_numpy())
+            for i in range(len(nb)):
+                for j in range(i + 1, len(nb)):
+                    if (nb[i], nb[j]) in es:
+                        rows_a += [piv, piv, nb[i]]
+                        rows_b += [nb[i], nb[j], nb[j]]
+        if not rows_a:
+            return empty
+        df = (
+            pd.DataFrame({"a": rows_a, "b": rows_b})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .rename("sup")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "a": pa.array(df["a"].to_numpy(), pa.string()),
+                "b": pa.array(df["b"].to_numpy(), pa.string()),
+                "sup": pa.array(df["sup"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        shards.groupby("_shard").map_groups(per_shard, batch_format="pandas"),
+        ["a", "b"],
+        [("sup", "sum", "sup")],
+    )
+
+
+def k_truss(
+    edges: rd.Dataset,
+    *,
+    k: int = 4,
+    rounds: int = 6,
+    src: str = "source_id",
+    dst: str = "target_id",
+) -> rd.Dataset:
+    """k-TRUSS edge peeling (fixed ``rounds``): iteratively drop every
+    edge supported by fewer than k−2 triangles — the edge-level cohesion
+    core (stronger than k-core) community detection uses. Output:
+    (a, b, support) for surviving edges with their final-round support.
+
+    Fixed-round semantics (the bellman_ford convention): after ``rounds``
+    peels the result equals the true truss whenever peeling has
+    converged, and the SQL oracle unrolls the identical rounds so gate
+    equality holds regardless. Per round: triangle enumeration at the
+    smallest-vertex pivot (coarse hash(pivot) shards, closure check
+    against the broadcast vocabulary-sized pair set — the
+    motif_census trade; at open vocabulary swap in triangle_counts'
+    packed-key semi join), per-edge support Sum, one vectorized filter."""
+
+    def _shard(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(a.astype(object)) % 64
+        return t.append_column("_shard", pa.array(h.astype(np.int64)))
+
+    pairs = _distinct_undirected_pairs(edges, src, dst).materialize()
+    cur = pairs
+    sup = None
+    for _ in range(rounds):
+        cur_df = cur.to_pandas()
+        if len(cur_df) == 0:
+            break
+        shards = cur.map_batches(_shard, batch_format="pyarrow")
+        sup = _edge_support(cur_df, shards).materialize()
+        sup_df = sup.to_pandas()
+        if len(sup_df) == 0:
+            cur = cur.limit(0)
+            break
+        keep = sup_df[sup_df["sup"] >= k - 2][["a", "b"]]
+        if len(keep) == len(cur_df):
+            cur = rd.from_arrow(
+                pa.Table.from_pandas(
+                    cur_df.merge(keep, on=["a", "b"]), preserve_index=False
+                )
+            ).materialize()
+            break  # converged: nothing peeled this round
+        cur = rd.from_arrow(
+            pa.Table.from_pandas(keep.reset_index(drop=True), preserve_index=False)
+        ).materialize()
+    # final support over the surviving set
+    cur_df = cur.to_pandas()
+    if len(cur_df) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "support": pa.array([], pa.int64()),
+                }
+            )
+        )
+    shards = cur.map_batches(_shard, batch_format="pyarrow")
+    fin = _edge_support(cur_df, shards).to_pandas()
+    out = cur_df.merge(fin, on=["a", "b"], how="left")
+    out["support"] = out["sup"].fillna(0).astype("int64")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(out["a"].to_numpy(), pa.string()),
+                "b": pa.array(out["b"].to_numpy(), pa.string()),
+                "support": pa.array(out["support"].to_numpy()),
+            }
+        )
+    )
+
+
+def k_truss_sql(edges_sql: str, *, k: int = 4, rounds: int = 6) -> str:
+    """The identical fixed-round peel unrolled into CTEs. Triangles close
+    at the smallest vertex (x<y<z as (x,y)+(x,z)+(y,z)); support = the
+    per-edge triangle count; edges below k−2 drop each round."""
+    parts = [
+        f"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM ({edges_sql}) WHERE s <> t)""",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+tri{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1 JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b),
+sup{r} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM tri{r}
+    UNION ALL SELECT x, z FROM tri{r}
+    UNION ALL SELECT y, z FROM tri{r}) GROUP BY a, b),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+  WHERE s.sup >= {k - 2})"""
+        )
+        prev = f"e{r}"
+    parts.append(
+        f""",
+trif AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1 JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b),
+supf AS (
+  SELECT a, b, COUNT(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM trif
+    UNION ALL SELECT x, z FROM trif
+    UNION ALL SELECT y, z FROM trif) GROUP BY a, b)
+SELECT e.a, e.b, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+FROM {prev} e LEFT JOIN supf s ON s.a = e.a AND s.b = e.b"""
+    )
+    return "\n".join(parts)

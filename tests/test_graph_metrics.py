@@ -424,3 +424,29 @@ def test_scc_bruteforce():
         "F": "F", "G": "G",
         "X": "X", "Y": "X",
     }
+
+
+def test_ktruss_k4_bruteforce():
+    """4-truss on K4 plus a pendant triangle: the pendant's edges carry
+    support 1 and peel away; all six K4 edges (support 2) survive."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgw_ray.stages.graph_metrics import k_truss
+
+    k4 = list(itertools.combinations("ABCD", 2))
+    pend = [("D", "E"), ("D", "F"), ("E", "F")]
+    raw = k4 + pend
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": pa.array([x for x, _ in raw]),
+                "target_id": pa.array([y for _, y in raw]),
+            }
+        )
+    )
+    got = k_truss(ds, k=4, rounds=6).to_pandas()
+    assert sorted(zip(got.a, got.b)) == sorted(k4)
+    assert (got.support == 2).all()
