@@ -1862,3 +1862,32 @@ def q_webkg_entity_linking_lsh(sf_dir: str) -> rd.Dataset:
     from kgw_ray.pipelines.webkg import linked_mentions
 
     return linked_mentions(sf_dir)
+
+
+# --- TPC-H wave 3: the remaining classic query shapes (relational.py) ------
+register("q7_volume_shipping", _rel.Q7_VOLUME_SQL)(_rel.q7_volume_shipping)
+register("q8_market_share", _rel.Q8_MARKET_SHARE_SQL)(_rel.q8_market_share)
+register("q9_profit_by_nation_year", _rel.Q9_PROFIT_SQL)(
+    _rel.q9_profit_by_nation_year
+)
+register("q10_returned_revenue_by_customer", _rel.Q10_RETURNED_SQL)(
+    _rel.q10_returned_revenue_by_customer
+)
+register("q11_important_parts", _rel.Q11_IMPORTANT_SQL)(_rel.q11_important_parts)
+register("q13_order_count_distribution", _rel.Q13_DISTRIBUTION_SQL)(
+    _rel.q13_order_count_distribution
+)
+register("q15_top_suppliers", _rel.Q15_TOP_SUPPLIER_SQL)(_rel.q15_top_suppliers)
+register("q16_supplier_count_by_part_attrs", _rel.Q16_SUPPLIER_CNT_SQL)(
+    _rel.q16_supplier_count_by_part_attrs
+)
+register("q17_small_quantity_revenue", _rel.Q17_SMALL_QTY_SQL)(
+    _rel.q17_small_quantity_revenue
+)
+register("q19_bracketed_revenue", _rel.Q19_BRACKET_SQL)(_rel.q19_bracketed_revenue)
+register("q22_idle_customer_balance", _rel.Q22_IDLE_BALANCE_SQL)(
+    _rel.q22_idle_customer_balance
+)
+register("q2_min_balance_supplier_per_part", _rel.Q2_MIN_SUPPLIER_SQL)(
+    _rel.q2_min_balance_supplier_per_part
+)

@@ -4425,3 +4425,909 @@ SELECT CAST(hour * 3600000000 AS BIGINT) AS hour_us,
        CAST(n AS BIGINT) AS n, CAST(dev AS BIGINT) AS dev
 FROM dv, mad WHERE dev > 5 * mad.m
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H wave 3: the remaining classic query shapes, adapted to the columns
+# this star schema carries (no partsupp table, no o_comment/l_commitdate).
+# Reference analog: kgw's per-source SQL aggregation sinks
+# (kgw/_shared/tasks.py aggregate/statistics flows); each query here keeps
+# money exact-integer (cents / 1e-4 dollars, factors quantized separately)
+# so the hash gate compares integers, never float sums.
+# ---------------------------------------------------------------------------
+
+
+def _rev_e4(price: pd.Series, disc: pd.Series) -> np.ndarray:
+    """Exact 1e-4-dollar revenue integers: price cents x (100 - discount
+    pct), each 2-decimal factor rounded separately (half-even vs half-away
+    ties never arise on exact cents; see q6_revenue_forecast note)."""
+    return np.rint(price.to_numpy() * 100.0).astype(np.int64) * (
+        100 - np.rint(disc.to_numpy() * 100.0).astype(np.int64)
+    )
+
+
+def _orders_join(line: rd.Dataset, orders_side: rd.Dataset, cols=None) -> rd.Dataset:
+    """Size-hybrid lineitem-x-orders attach: the orders side broadcasts as
+    one pandas frame under ``_BROADCAST_SIDE_LIMIT`` rows (dimension-scale
+    at test SF), and switches to the hash-partitioned ``Dataset.join``
+    beyond it (fact-scale on a cluster) — the q12/q18 pattern shared."""
+    orders_side = orders_side.materialize()
+    if orders_side.count() <= _BROADCAST_SIDE_LIMIT:
+        return broadcast_join(
+            line, orders_side.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"]
+        )
+    return large_join(line, orders_side, on=("l_orderkey",), right_on=("o_orderkey",))
+
+
+def q7_volume_shipping(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q7 shape: cross-nation shipping volume — revenue per
+    (supplier nation, customer nation, ship year) for cross-border flows.
+    Supplier/customer nation names resolve from broadcast dimension maps
+    inside the combiner (no dimension string rides the fact exchange); the
+    orders attach is size-hybrid."""
+    import pyarrow.dataset as pads
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    line = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    orders_side = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    nname = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"]).set_index("n_nationkey")["n_name"]
+    c_nat = (
+        read_table_pandas(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .set_index("c_custkey")["c_nationkey"]
+        .map(nname)
+    )
+    s_nat = (
+        read_table_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        .set_index("s_suppkey")["s_nationkey"]
+        .map(nname)
+    )
+    j = _orders_join(line, orders_side)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "supp_nation": df["l_suppkey"].map(s_nat).to_numpy(),
+                "cust_nation": df["o_custkey"].map(c_nat).to_numpy(),
+                "year": df["l_shipdate"].dt.year.to_numpy().astype(np.int64),
+                "revenue_e4": _rev_e4(df["l_extendedprice"], df["l_discount"]),
+            }
+        )
+        g = g[g["supp_nation"] != g["cust_nation"]]
+        g = g.groupby(["supp_nation", "cust_nation", "year"], sort=False).sum().reset_index()
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        j.map_batches(partial, batch_format="pandas"),
+        ["supp_nation", "cust_nation", "year"],
+        [("revenue_e4", "sum", "revenue_e4")],
+    )
+
+
+Q7_VOLUME_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q8 shape: NATION_7's share of STANDARD-part revenue sold to
+    ASIA-region customers, per order year. The share stays exact-integer
+    (focal_e4 / total_e4 emitted separately). Part/customer/supplier
+    predicates all resolve from broadcast dimension maps in the combiner;
+    only the orders attach is a (size-hybrid) join."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    line = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    orders_side = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    part = read_table_pandas(sf_dir, "part", columns=["p_partkey", "p_type"])
+    std_parts = frozenset(part.loc[part["p_type"] == "STANDARD", "p_partkey"].tolist())
+    nat = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = read_table_pandas(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    asia_keys = frozenset(
+        nat.loc[
+            nat["n_regionkey"].isin(
+                region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+            ),
+            "n_nationkey",
+        ].tolist()
+    )
+    cust = read_table_pandas(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    asia_cust = frozenset(
+        cust.loc[cust["c_nationkey"].isin(asia_keys), "c_custkey"].tolist()
+    )
+    supp = read_table_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    focal_supp = frozenset(
+        supp.loc[
+            supp["s_nationkey"].map(nat.set_index("n_nationkey")["n_name"]) == "NATION_7",
+            "s_suppkey",
+        ].tolist()
+    )
+    j = _orders_join(line, orders_side)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        keep = df["l_partkey"].isin(std_parts).to_numpy() & df["o_custkey"].isin(
+            asia_cust
+        ).to_numpy()
+        df = df[keep]
+        e4 = _rev_e4(df["l_extendedprice"], df["l_discount"])
+        focal = df["l_suppkey"].isin(focal_supp).to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+                    "focal_e4": np.where(focal, e4, 0),
+                    "total_e4": e4,
+                }
+            )
+            .groupby("year", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        j.map_batches(partial, batch_format="pandas"),
+        "year",
+        [("focal_e4", "sum", "focal_e4"), ("total_e4", "sum", "total_e4")],
+    )
+
+
+Q8_MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_7'
+                     THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS focal_e4,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS total_e4
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = nc.n_regionkey
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+  AND p_type = 'STANDARD' AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q9_profit_by_nation_year(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q9 shape (no partsupp in this schema: ``p_retailprice``
+    stands in for supply cost): per supplier nation x order year, profit =
+    discounted revenue minus retail cost of the ECONOMY parts shipped.
+    Profit stays 1e-4-dollar exact-integer (cost = retail cents x integer
+    qty x 100); int64 headroom is ~9e18, sums at 100 TB need the same
+    per-nation-year split the oracle groups by."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    line = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    orders_side = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    part = read_table_pandas(sf_dir, "part", columns=["p_partkey", "p_type", "p_retailprice"])
+    eco = part[part["p_type"] == "ECONOMY"]
+    retail_c = pd.Series(
+        np.rint(eco["p_retailprice"].to_numpy() * 100.0).astype(np.int64),
+        index=eco["p_partkey"].to_numpy(),
+    )
+    nname = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"]).set_index("n_nationkey")["n_name"]
+    s_nat = (
+        read_table_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        .set_index("s_suppkey")["s_nationkey"]
+        .map(nname)
+    )
+    j = _orders_join(line, orders_side)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cost_c = df["l_partkey"].map(retail_c)  # NaN for non-ECONOMY -> dropped
+        keep = cost_c.notna().to_numpy()
+        df, cost_c = df[keep], cost_c[keep]
+        rev = _rev_e4(df["l_extendedprice"], df["l_discount"])
+        qty = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        profit = rev - cost_c.to_numpy().astype(np.int64) * qty * 100
+        g = (
+            pd.DataFrame(
+                {
+                    "nation": df["l_suppkey"].map(s_nat).to_numpy(),
+                    "year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+                    "profit_e4": profit,
+                }
+            )
+            .groupby(["nation", "year"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        j.map_batches(partial, batch_format="pandas"),
+        ["nation", "year"],
+        [("profit_e4", "sum", "profit_e4")],
+    )
+
+
+Q9_PROFIT_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_quantity) AS BIGINT) * 100)
+            AS BIGINT) AS profit_e4
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY 1, 2
+"""
+
+
+def q10_returned_revenue_by_customer(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q10 shape: revenue lost to returns per customer for orders
+    placed in 1995Q3. The R-flag predicate pushes into the lineitem scan,
+    the order-date predicate into the orders scan (so the size-hybrid
+    attach only carries the quarter), and c_name/n_name attach AFTER the
+    per-customer aggregation — dimension strings never ride the fact
+    exchange."""
+    import pyarrow.dataset as pads
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    line = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+    lo, hi = pd.Timestamp("1995-07-01"), pd.Timestamp("1995-10-01")
+    orders_side = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    j = _orders_join(line, orders_side)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "c_custkey": df["o_custkey"].to_numpy(),
+                    "revenue_e4": _rev_e4(df["l_extendedprice"], df["l_discount"]),
+                }
+            )
+            .groupby("c_custkey", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    per_cust = grouped_aggregate_hybrid(
+        j.map_batches(partial, batch_format="pandas"),
+        "c_custkey",
+        [("revenue_e4", "sum", "revenue_e4")],
+    )
+
+    cust = read_table_pandas(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    nname = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"]).set_index("n_nationkey")["n_name"]
+    c_name = cust.set_index("c_custkey")["c_name"]
+    c_nat = cust.set_index("c_custkey")["c_nationkey"].map(nname)
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(
+            c_name=df["c_custkey"].map(c_name).to_numpy(),
+            n_name=df["c_custkey"].map(c_nat).to_numpy(),
+        )
+        return arrow_from_pandas(df[["c_custkey", "c_name", "n_name", "revenue_e4"]])
+
+    return per_cust.map_batches(attach, batch_format="pandas")
+
+
+Q10_RETURNED_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1995-10-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q11_important_parts(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q11 shape (lineitem spend stands in for partsupp stock
+    value): parts whose total extended-price spend exceeds 1.5x the mean
+    per-part spend (scale-free, unlike the classic fixed-share cutoff
+    which empties out as the part count grows). Two passes over ONE
+    per-part aggregate: the grand total and part count are the (tiny) sum
+    of the per-part partials, and the HAVING compare is exact-integer
+    (value_c * n_parts * 2 > 3 * grand_c) — no float share."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    line = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        c = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        df = pd.DataFrame({"p_partkey": k, "value_c": c}).groupby("p_partkey", sort=False).sum().reset_index()
+        return arrow_from_pandas(df)
+
+    per_part = grouped_aggregate_hybrid(
+        line.map_batches(partial, batch_format="pyarrow"),
+        "p_partkey",
+        [("value_c", "sum", "value_c")],
+    ).materialize()
+    grand = int(per_part.sum("value_c") or 0)
+    n_parts = int(per_part.count())
+
+    return per_part.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.multiply(t["value_c"], pa.scalar(2 * n_parts, pa.int64())),
+                pa.scalar(3 * grand, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q11_IMPORTANT_SQL = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, value_c
+FROM v, (SELECT CAST(SUM(value_c) AS BIGINT) AS total,
+                CAST(COUNT(*) AS BIGINT) AS np FROM v) g
+WHERE value_c * g.np * 2 > 3 * g.total
+"""
+
+
+def q13_order_count_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape: distribution of customers by how many orders they
+    placed, INCLUDING the zero-order bucket (the classic left-join
+    wrinkle). Per-customer counts come from a combiner + grouped Sum over
+    orders only; the zero bucket is arithmetic (total customers minus
+    customers seen in orders) — the customer table is scanned for its
+    count alone, never joined."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        k, n = np.unique(
+            t.column("o_custkey").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"c_custkey": pa.array(k, pa.int64()), "n": pa.array(n.astype(np.int64))}
+        )
+
+    per_cust = grouped_aggregate_hybrid(
+        orders.map_batches(cnt, batch_format="pyarrow"),
+        "c_custkey",
+        [("n", "sum", "n_orders")],
+    ).materialize()
+
+    def dist(t: pa.Table) -> pa.Table:
+        k, n = np.unique(
+            t.column("n_orders").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"n_orders": pa.array(k, pa.int64()), "m": pa.array(n.astype(np.int64))}
+        )
+
+    buckets = grouped_aggregate_hybrid(
+        per_cust.map_batches(dist, batch_format="pyarrow"),
+        "n_orders",
+        [("m", "sum", "n_customers")],
+    ).to_pandas()  # bounded: one row per distinct order count
+
+    n_total = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = n_total - int(per_cust.count())
+    if zero > 0:
+        buckets = pd.concat(
+            [buckets, pd.DataFrame({"n_orders": [0], "n_customers": [zero]})],
+            ignore_index=True,
+        )
+    return arrow_from_pandas(buckets.astype({"n_orders": np.int64, "n_customers": np.int64}))
+
+
+Q13_DISTRIBUTION_SQL = """
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+def q15_top_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q15 shape: the top supplier(s) by 1996Q1 shipped revenue,
+    ties kept (the view + MAX subquery wrinkle). Per-supplier totals are
+    combiner partials + one grouped Sum (bounded by supplier count); the
+    global max is a scalar over that bounded aggregate; names attach on
+    the (tiny) winner set only."""
+    import pyarrow.dataset as pads
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    line = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "s_suppkey": df["l_suppkey"].to_numpy(),
+                    "total_revenue_e4": _rev_e4(df["l_extendedprice"], df["l_discount"]),
+                }
+            )
+            .groupby("s_suppkey", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    totals = grouped_aggregate_hybrid(
+        line.map_batches(partial, batch_format="pandas"),
+        "s_suppkey",
+        [("total_revenue_e4", "sum", "total_revenue_e4")],
+    ).materialize()
+    mx = totals.max("total_revenue_e4")
+    s_name = read_table_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).set_index("s_suppkey")["s_name"]
+
+    def winners(df: pd.DataFrame) -> pa.Table:
+        df = df[df["total_revenue_e4"] == mx]
+        df = df.assign(s_name=df["s_suppkey"].map(s_name).to_numpy())
+        return arrow_from_pandas(df[["s_suppkey", "s_name", "total_revenue_e4"]])
+
+    return totals.map_batches(winners, batch_format="pandas")
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT rev.s_suppkey, s_name, total_revenue_e4
+FROM rev JOIN supplier ON supplier.s_suppkey = rev.s_suppkey
+WHERE total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM rev)
+"""
+
+
+def q16_supplier_count_by_part_attrs(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q16 shape: how many distinct suppliers ship parts of each
+    (brand, type, size) combination, excluding one brand — the exact
+    grouped COUNT DISTINCT. Plan: per-block unique (partkey, suppkey)
+    pairs + one grouped reduce dedups the fact, part attrs attach from a
+    broadcast frame (inner semantics drop the excluded brand), a second
+    attr-level dedup removes suppliers shipping several same-attr parts,
+    and the final count is a combiner sum — three bounded exchanges, no
+    row-level COUNT DISTINCT shuffle."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    line = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def uniq(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates()
+        return arrow_from_pandas(df.assign(one=np.ones(len(df), np.int64)))
+
+    pairs = grouped_aggregate_hybrid(
+        line.map_batches(uniq, batch_format="pandas"),
+        ["l_partkey", "l_suppkey"],
+        [("one", "sum", "n")],
+    )
+
+    part = read_table_pandas(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    part = part[part["p_brand"] != "Brand#13"].set_index("p_partkey")
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        j = df[["l_partkey", "l_suppkey"]].join(part, on="l_partkey", how="inner")
+        j = j.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+        return arrow_from_pandas(
+            j.assign(
+                p_size=j["p_size"].to_numpy().astype(np.int64),
+                one=np.ones(len(j), np.int64),
+            )[["p_brand", "p_type", "p_size", "l_suppkey", "one"]]
+        )
+
+    attr_supp = grouped_aggregate_hybrid(
+        pairs.map_batches(attach, batch_format="pandas"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        [("one", "sum", "n")],
+    )
+
+    def cnt(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["p_brand", "p_type", "p_size"], sort=False)
+            .size()
+            .rename("supplier_cnt")
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        attr_supp.map_batches(cnt, batch_format="pandas"),
+        ["p_brand", "p_type", "p_size"],
+        [("supplier_cnt", "sum", "supplier_cnt")],
+    )
+
+
+Q16_SUPPLIER_CNT_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+     ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+GROUP BY 1, 2, 3
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q17 shape: revenue from Brand#23 lineitems whose quantity is
+    below 20% of that part's average order quantity (the correlated-
+    average wrinkle). The per-part average never becomes a float: the
+    filter is the exact cross-multiplication 5*qty*cnt < sum_qty. Pass 1
+    builds per-part (sum, count) partials restricted to the brand's part
+    keys (broadcast set — same values the oracle's unfiltered correlated
+    average yields for those parts); pass 2 re-scans, filters against the
+    broadcast per-part sums and reduces to one row."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    part = read_table_pandas(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    brand_keys = frozenset(part.loc[part["p_brand"] == "Brand#23", "p_partkey"].tolist())
+
+    line = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def qstats(df: pd.DataFrame) -> pa.Table:
+        df = df[df["l_partkey"].isin(brand_keys)]
+        q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        g = (
+            pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(), "sq": q, "cq": 1})
+            .groupby("l_partkey", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    stats = grouped_aggregate_hybrid(
+        line.map_batches(qstats, batch_format="pandas"),
+        "l_partkey",
+        [("sq", "sum", "sq"), ("cq", "sum", "cq")],
+    ).to_pandas()  # bounded by the brand's part count
+    sq = stats.set_index("l_partkey")["sq"]
+    cq = stats.set_index("l_partkey")["cq"]
+
+    def small(df: pd.DataFrame) -> pa.Table:
+        df = df[df["l_partkey"].isin(brand_keys)]
+        q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        s = df["l_partkey"].map(sq).to_numpy(dtype=np.int64)
+        c = df["l_partkey"].map(cq).to_numpy(dtype=np.int64)
+        keep = 5 * q * c < s
+        rev = np.rint(df["l_extendedprice"].to_numpy()[keep] * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+                "revenue_c": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    out = grouped_aggregate_hybrid(
+        line.map_batches(small, batch_format="pandas"),
+        "one",
+        [("n_items", "sum", "n_items"), ("revenue_c", "sum", "revenue_c")],
+    ).to_pandas()
+    return arrow_from_pandas(out[["n_items", "revenue_c"]])
+
+
+Q17_SMALL_QTY_SQL = """
+WITH avgq AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS cq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem JOIN part ON p_partkey = l_partkey JOIN avgq ON pk = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND 5 * CAST(ROUND(l_quantity) AS BIGINT) * cq < sq
+"""
+
+
+def q19_bracketed_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size-range,
+    quantity-range) conjunctions — the disjunctive-predicate showcase.
+    Part attrs resolve from two broadcast maps; the whole predicate is one
+    vectorized boolean expression per block, reduced to a single row."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    part = read_table_pandas(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    brand = part.set_index("p_partkey")["p_brand"]
+    size = part.set_index("p_partkey")["p_size"]
+
+    line = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        b = df["l_partkey"].map(brand).to_numpy()
+        s = df["l_partkey"].map(size).to_numpy(dtype=np.int64)
+        q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        keep = (
+            ((b == "Brand#12") & (s >= 1) & (s <= 15) & (q >= 1) & (q <= 11))
+            | ((b == "Brand#23") & (s >= 1) & (s <= 25) & (q >= 10) & (q <= 20))
+            | ((b == "Brand#3") & (s >= 1) & (s <= 35) & (q >= 20) & (q <= 30))
+        )
+        e4 = _rev_e4(df["l_extendedprice"], df["l_discount"])[keep]
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+                "revenue_e4": pa.array([int(e4.sum())], pa.int64()),
+            }
+        )
+
+    out = grouped_aggregate_hybrid(
+        line.map_batches(partial, batch_format="pandas"),
+        "one",
+        [("n_items", "sum", "n_items"), ("revenue_e4", "sum", "revenue_e4")],
+    ).to_pandas()
+    return arrow_from_pandas(out[["n_items", "revenue_e4"]])
+
+
+Q19_BRACKET_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_customer_balance(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q22 shape: lapsed customers — above-average positive balance
+    and NO orders since 2000-01-01 (every customer in this corpus has at
+    least one lifetime order, so the classic "never ordered" form is
+    vacuous; the date-windowed anti join keeps the same plan non-trivial).
+    The global average stays exact (compare bal_c * n_pos > sum_pos_c);
+    the "not ordered since" test is the size-hybrid anti-join against the
+    distinct recent-order custkeys (combiner unique + grouped reduce —
+    never a row-level orders shuffle)."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import anti_join
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        c = c[c > 0]
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "s": pa.array([int(c.sum())], pa.int64()),
+                "n": pa.array([len(c)], pa.int64()),
+            }
+        )
+
+    pos = grouped_aggregate_hybrid(
+        cust.map_batches(pos_partial, batch_format="pyarrow"),
+        "one",
+        [("s", "sum", "s"), ("n", "sum", "n")],
+    ).to_pandas()
+    sum_pos, n_pos = int(pos["s"].iloc[0]), int(pos["n"].iloc[0])
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal = np.rint(t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        keep = bal * n_pos > sum_pos
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").filter(pa.array(keep)),
+                "c_nationkey": t.column("c_nationkey").filter(pa.array(keep)),
+                "bal_c": pa.array(bal[keep], pa.int64()),
+            }
+        )
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+
+    import pyarrow.dataset as pads
+
+    orders = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_custkey"],
+        filter=(pads.field("o_orderdate") >= pd.Timestamp("2000-01-01")),
+    )
+
+    def uniq(t: pa.Table) -> pa.Table:
+        k = np.unique(t.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"o_custkey": pa.array(k, pa.int64()), "one": pa.array(np.ones(len(k), np.int64))}
+        )
+
+    ordered = grouped_aggregate_hybrid(
+        orders.map_batches(uniq, batch_format="pyarrow"),
+        "o_custkey",
+        [("one", "sum", "n")],
+    ).select_columns(["o_custkey"])
+
+    idle = anti_join(rich_ds, ordered, on="c_custkey", key_col="o_custkey")
+    nname = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"]).set_index("n_nationkey")["n_name"]
+
+    def roll(df: pd.DataFrame) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "n_name": df["c_nationkey"].map(nname).to_numpy(),
+                    "n_customers": np.ones(len(df), np.int64),
+                    "total_acctbal_c": df["bal_c"].to_numpy(),
+                }
+            )
+            .groupby("n_name", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        idle.map_batches(roll, batch_format="pandas"),
+        "n_name",
+        [("n_customers", "sum", "n_customers"), ("total_acctbal_c", "sum", "total_acctbal_c")],
+    )
+
+
+Q22_IDLE_BALANCE_SQL = """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_acctbal_c
+FROM customer JOIN nation ON n_nationkey = c_nationkey, pos
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
+GROUP BY n_name
+"""
+
+
+def q2_min_balance_supplier_per_part(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q2 shape (no partsupp: the suppliers who actually shipped a
+    part, from lineitem, stand in for its candidate suppliers): for every
+    part, the shipping supplier with the lowest account balance, suppkey
+    as tie-break. The argmin travels as ONE packed int64 through a native
+    Min ((bal_c + 2e6) * 1e7 + suppkey — bal in [-1e6, 1e6] cents,
+    suppkey < 1e7; both bounds asserted) — the CDC latest-per-user
+    pattern, no per-part window sort."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    supp = read_table_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+    bal_c = pd.Series(
+        np.rint(supp["s_acctbal"].to_numpy() * 100.0).astype(np.int64),
+        index=supp["s_suppkey"].to_numpy(),
+    )
+    assert bal_c.abs().max() < 2_000_000 and int(supp["s_suppkey"].max()) < 10_000_000
+
+    line = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def packed(df: pd.DataFrame) -> pa.Table:
+        key = (df["l_suppkey"].map(bal_c).to_numpy(dtype=np.int64) + 2_000_000) * 10_000_000 + df[
+            "l_suppkey"
+        ].to_numpy()
+        g = (
+            pd.DataFrame({"p_partkey": df["l_partkey"].to_numpy(), "packed": key})
+            .groupby("p_partkey", sort=False)
+            .min()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    mins = grouped_aggregate_hybrid(
+        line.map_batches(packed, batch_format="pandas"),
+        "p_partkey",
+        [("packed", "min", "packed")],
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t.column("packed").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "s_suppkey": pa.array(p % 10_000_000, pa.int64()),
+                "s_acctbal_c": pa.array(p // 10_000_000 - 2_000_000, pa.int64()),
+            }
+        )
+
+    return mins.map_batches(unpack, batch_format="pyarrow")
+
+
+Q2_MIN_SUPPLIER_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal
+  FROM pairs JOIN supplier ON supplier.s_suppkey = pairs.l_suppkey
+)
+SELECT p_partkey, s_suppkey, bal AS s_acctbal_c
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY bal, s_suppkey) rn FROM j)
+WHERE rn = 1
+"""
