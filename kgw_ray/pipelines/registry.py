@@ -1891,3 +1891,43 @@ register("q22_idle_customer_balance", _rel.Q22_IDLE_BALANCE_SQL)(
 register("q2_min_balance_supplier_per_part", _rel.Q2_MIN_SUPPLIER_SQL)(
     _rel.q2_min_balance_supplier_per_part
 )
+
+
+def _kg_ppr_sql() -> str:
+    from kgw_ray.stages.graph import personalized_pagerank_sql
+
+    return personalized_pagerank_sql(
+        _tk.NODES_SQL, _tk.EDGES_SQL, "type = 'nation'"
+    )
+
+
+@register("kg_personalized_pagerank", oracle=_kg_ppr_sql())
+def q_kg_personalized_pagerank(sf_dir: str) -> rd.Dataset:
+    """Personalized PageRank seeded at the nation nodes (random walk with
+    restart — proximity-to-seed scores for KG entity ranking): 3 unrolled
+    integer micro-unit iterations, size-hybrid joins, driver-merged sums
+    (stages/graph.py:personalized_pagerank). Oracle: the identical BIGINT
+    restart iteration unrolled into MATERIALIZED CTEs."""
+    import pyarrow.compute as _pc
+
+    from kgw_ray.stages.graph import personalized_pagerank
+
+    nodes, edges = _tk.tpch_graph(sf_dir)
+    seed_tbl = (
+        nodes.map_batches(
+            lambda b: b.filter(_pc.equal(b.column("type"), "nation")).select(["id"]),
+            batch_format="pyarrow",
+        ).to_pandas()  # bounded: one row per nation
+    )
+    return personalized_pagerank(nodes, edges, seed_tbl["id"].tolist())
+
+
+register("events_hourly_distinct_users", _rel.EVENTS_HOURLY_DISTINCT_SQL)(
+    _rel.events_hourly_distinct_users
+)
+register("dq_orphan_lineitems", _rel.DQ_ORPHAN_SQL)(_rel.dq_orphan_lineitems)
+
+
+register("dedup_cluster_sizes", _td.DEDUP_CLUSTER_SIZES_SQL)(
+    _td.dedup_cluster_sizes
+)

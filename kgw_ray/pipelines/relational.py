@@ -5331,3 +5331,101 @@ SELECT p_partkey, s_suppkey, bal AS s_acctbal_c
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY bal, s_suppkey) rn FROM j)
 WHERE rn = 1
 """
+
+
+def events_hourly_distinct_users(sf_dir: str) -> rd.Dataset:
+    """Exact distinct users per hour — the time-bucketed audience query
+    (hourly-active-users). Same two-level exact COUNT DISTINCT plan as
+    events_users_per_type, keyed on the integer hour bucket: per-batch
+    (hour, user) dedup combiner → ONE pair-keyed exchange → per-hour
+    count. Hours bucket as integer microseconds (epoch_us // 3.6e9 — a
+    float epoch would round the x.55 boundaries)."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    _HOUR_US = 3_600_000_000
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {"hour_us": (us // _HOUR_US) * _HOUR_US, "user_id": t.column("user_id").to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "hour_us": pa.array(g["hour_us"].to_numpy(), pa.int64()),
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "one": pa.array(np.ones(len(g), dtype=np.int64)),
+            }
+        )
+
+    pairs = grouped_aggregate_hybrid(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["hour_us", "user_id"],
+        [("one", "sum", "n")],
+    )
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("hour_us", sort=False).size().rename("n_users").reset_index()
+        return arrow_from_pandas(
+            g.astype({"hour_us": np.int64, "n_users": np.int64})
+        )
+
+    return grouped_aggregate_hybrid(
+        pairs.map_batches(count_partial, batch_format="pandas"),
+        "hour_us",
+        [("n_users", "sum", "n_users")],
+    )
+
+
+EVENTS_HOURLY_DISTINCT_SQL = """
+SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS hour_us,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def dq_orphan_lineitems(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit between the two fact tables — the
+    foreign-key validation every at-scale ingest needs: lineitem orderkeys
+    with no orders row (orphans) and orders with no lineitem (childless).
+    Both sides reduce to their DISTINCT key sets first (per-block unique
+    combiner + one bounded grouped reduce each), then the two set
+    differences run as size-hybrid anti-joins over those key Datasets —
+    the raw fact rows never shuffle. Output is one summary row."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import anti_join
+
+    def distinct_keys(table: str, col: str) -> rd.Dataset:
+        ds = read_table(sf_dir, table, columns=[col])
+
+        def uniq(t: pa.Table) -> pa.Table:
+            k = np.unique(t.column(col).to_numpy(zero_copy_only=False))
+            return pa.table(
+                {col: pa.array(k, pa.int64()), "one": pa.array(np.ones(len(k), np.int64))}
+            )
+
+        return grouped_aggregate_hybrid(
+            ds.map_batches(uniq, batch_format="pyarrow"), col, [("one", "sum", "n")]
+        ).select_columns([col])
+
+    lkeys = distinct_keys("lineitem", "l_orderkey").materialize()
+    okeys = distinct_keys("orders", "o_orderkey").materialize()
+    orphan = anti_join(lkeys, okeys, on="l_orderkey", key_col="o_orderkey")
+    childless = anti_join(okeys, lkeys, on="o_orderkey", key_col="l_orderkey")
+    return pa.table(
+        {
+            "n_orphan_lineitem_keys": pa.array([orphan.count()], pa.int64()),
+            "n_childless_orders": pa.array([childless.count()], pa.int64()),
+        }
+    )
+
+
+DQ_ORPHAN_SQL = """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         (SELECT DISTINCT l_orderkey FROM lineitem) l
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey))
+       AS n_orphan_lineitem_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey))
+       AS n_childless_orders
+"""

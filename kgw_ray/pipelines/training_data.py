@@ -3201,3 +3201,101 @@ WHERE y.cluster = x.cluster AND a.vec_id < b.vec_id
 
 
 SEMDEDUP_SQL = _semdedup_sql()
+
+
+def dedup_cluster_sizes(sf_dir: str) -> rd.Dataset:
+    """Near-dup observability: the duplicate-CLUSTER size histogram
+    (cluster_size >= 2 -> how many clusters) — the report a curation run
+    publishes before deciding drop policy. Exact end to end: the pair
+    front end is the uncapped exact-Jaccard inverted index (no LSH recall
+    conditionality), components come from the distributed min-label
+    propagation (stages/canonicalize.py:connected_components, zero-padded
+    ids so lexicographic min == numeric min), and the two counts are
+    per-block combiners + bounded grouped Sums. Oracle: the same
+    recursive-CTE closure used by the dedup survivors gate, reduced to
+    sizes."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.canonicalize import connected_components
+    from kgw_ray.stages.dedup import exact_jaccard_pairs
+
+    pairs = exact_jaccard_pairs(_docs(sf_dir), threshold=0.5, max_df=None)
+    comps = connected_components(
+        pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": pc.utf8_lpad(pc.cast(t["a"], pa.string()), 20, "0"),
+                    "b": pc.utf8_lpad(pc.cast(t["b"], pa.string()), 20, "0"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def size_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("component", sort=False).size().rename("n").reset_index()
+        return pa.table(
+            {
+                "component": pa.array(g["component"].to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    sizes = grouped_aggregate_hybrid(
+        comps.map_batches(size_partial, batch_format="pandas"),
+        "component",
+        [("n", "sum", "cluster_size")],
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        k, n = np.unique(
+            t.column("cluster_size").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "cluster_size": pa.array(k, pa.int64()),
+                "m": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        sizes.map_batches(hist_partial, batch_format="pyarrow"),
+        "cluster_size",
+        [("m", "sum", "n_clusters")],
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+shd AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i : i + least(len(w), 5) - 1], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(w) - least(len(w), 5) + 1)) AS t(i)
+  WHERE len(w) > 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+r(id, m) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.id, e.y FROM r JOIN edges e ON r.m = e.x
+),
+comp AS (SELECT id, LEAST(id, MIN(m)) AS comp FROM r GROUP BY id),
+cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY comp)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM cs GROUP BY cluster_size
+"""

@@ -563,6 +563,233 @@ def pagerank_sql(
     )
 
 
+def personalized_pagerank(
+    nodes: rd.Dataset,
+    edges: rd.Dataset,
+    seed_ids,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Personalized PageRank (random walk with restart): teleport mass
+    returns ONLY to the ``seed_ids`` set, so scores measure proximity to
+    the seeds rather than global centrality —
+
+        r0(v)  = SCALE * 1[v in S]
+        rt(v)  = (1-d)*SCALE * 1[v in S] + d * sum_{(u,v)} r(u)/outdeg(u)
+
+    carried in the same integer micro-units / floor-division arithmetic as
+    ``pagerank`` (hash-stable across engines; all intermediate values are
+    non-negative, so numpy floor and SQL truncating ``//`` agree).
+
+    Physical plan per iteration: one size-hybrid join of the reusable
+    edge-weight table against the current rank table (iteration 0 instead
+    filters the edge table to seed sources — r0 is zero elsewhere), an
+    int64 ``np.unique`` per-batch combiner, and one grouped Sum that
+    driver-merges when the combined partials are bounded
+    (stages/agg.py:grouped_aggregate_hybrid). The rank table carries only
+    reached nodes; seed base rows are re-appended each step from the seed
+    list (query-time seed sets are small — they broadcast by closure and
+    the append is O(|S|))."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid, sharded_count
+    from kgw_ray.stages.joins import broadcast_join
+
+    SCALE = 1_000_000
+    dm = round(damping * SCALE)
+    bm = SCALE - dm
+    seeds = sorted(set(seed_ids))
+    seed_arr = pa.array(seeds, pa.string())
+    broadcast_limit = 5_000_000
+
+    def _hybrid_left(left_ds, right_mat, *, on, right_key):
+        if right_mat.count() <= broadcast_limit:
+            return broadcast_join(
+                left_ds, right_mat.to_pandas(), on=[on], right_on=[right_key], how="left"
+            )
+        return large_join(
+            left_ds,
+            right_mat,
+            on=(on,),
+            right_on=(right_key,),
+            how="left_outer",
+            num_partitions=num_partitions,
+        )
+
+    deg = sharded_count(
+        edges.select_columns(["source_id"]), ["source_id"], count_name="deg"
+    ).materialize()
+    ew = _hybrid_left(
+        edges.select_columns(["source_id", "target_id"]),
+        deg,
+        on="source_id",
+        right_key="source_id",
+    )
+    ew = ew.map_batches(
+        lambda b: pa.table(
+            {
+                "source_id": b.column("source_id"),
+                "target_id": b.column("target_id"),
+                "d": pc.cast(b.column("deg"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _combine(t_ids, c) -> pa.Table:
+        uq, inv = np.unique(t_ids, return_inverse=True)
+        acc = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(acc, inv, c)
+        return pa.table({"target_id": pa.array(uq, pa.string()), "c": pa.array(acc)})
+
+    def _first_partial(batch: pa.Table) -> pa.Table:
+        # r0 = SCALE on seeds only: contribution dm // d from seed sources
+        keep = pc.is_in(batch.column("source_id"), value_set=seed_arr)
+        b = batch.filter(keep)
+        d = b.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _combine(
+            b.column("target_id").to_numpy(zero_copy_only=False), np.int64(dm) // d
+        )
+
+    def _rank_partial(batch: pa.Table) -> pa.Table:
+        # missing rank (no row in the rank table) means rank 0 — seeds are
+        # always present (base rows re-appended each iteration)
+        if "rank" not in batch.column_names:
+            return pa.table(
+                {"target_id": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        r = (
+            pc.cast(pc.fill_null(batch.column("rank"), 0), pa.float64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=True)
+        )
+        r[np.isnan(r)] = 0  # pandas-merge miss (int64 micro < 2^53: exact)
+        r = r.astype(np.int64)
+        d = batch.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _combine(
+            batch.column("target_id").to_numpy(zero_copy_only=False),
+            (r * np.int64(dm)) // (np.int64(SCALE) * d),
+        )
+
+    ranks: rd.Dataset | None = None
+    for t in range(iters):
+        if t == 0:
+            contrib = ew.map_batches(_first_partial, batch_format="pyarrow")
+        else:
+            joined = _hybrid_left(ew, ranks, on="source_id", right_key="id")
+            contrib = joined.map_batches(_rank_partial, batch_format="pyarrow")
+        sums = grouped_aggregate_hybrid(
+            contrib, "target_id", [("c", "sum", "c")]
+        ).materialize()
+
+        def _add_base(tbl: pa.Table) -> pa.Table:
+            base = pc.if_else(
+                pc.is_in(tbl.column("target_id"), value_set=seed_arr),
+                pa.scalar(bm, pa.int64()),
+                pa.scalar(0, pa.int64()),
+            )
+            return pa.table(
+                {
+                    "id": tbl.column("target_id"),
+                    "rank": pc.add(pc.cast(tbl.column("c"), pa.int64()), base),
+                }
+            )
+
+        ranks = sums.map_batches(_add_base, batch_format="pyarrow")
+        # seeds with no in-contribution still hold their base mass: the
+        # reached-seed pull is bounded by |S|
+        reached = sums.map_batches(
+            lambda tbl: tbl.filter(
+                pc.is_in(tbl.column("target_id"), value_set=seed_arr)
+            ).select(["target_id"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        got = set() if len(reached) == 0 else set(reached["target_id"])
+        missing = [s for s in seeds if s not in got]
+        if missing:
+            ranks = ranks.union(
+                rd.from_arrow(
+                    pa.table(
+                        {
+                            "id": pa.array(missing, pa.string()),
+                            "rank": pa.array([bm] * len(missing), pa.int64()),
+                        }
+                    )
+                )
+            )
+        ranks = ranks.materialize()
+
+    out = _hybrid_left(nodes.select_columns(["id"]), ranks, on="id", right_key="id")
+
+    def _final(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        if "rank" not in batch.column_names:
+            r = _np.zeros(len(batch), dtype=_np.int64)
+        else:
+            r = (
+                pc.cast(pc.fill_null(batch.column("rank"), 0), pa.float64())
+                .to_numpy(zero_copy_only=False)
+                .astype(_np.float64, copy=True)
+            )
+            r[_np.isnan(r)] = 0
+            r = r.astype(_np.int64)
+        return pa.table({"id": batch.column("id"), "ppr_micro": pa.array(r)})
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
+def personalized_pagerank_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    seed_pred: str,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB oracle for ``personalized_pagerank``: the same micro-unit
+    restart iteration unrolled — pure BIGINT, truncating ``//`` on
+    non-negative values == numpy floor, so hash equality is exact.
+    ``seed_pred`` is a boolean SQL predicate over the nodes CTE columns.
+    Multiply-referenced CTEs are pinned AS MATERIALIZED (DuckDB inlines
+    plain CTEs per reference — unrolled iterations explode otherwise)."""
+    SCALE = 1_000_000
+    dm = round(damping * SCALE)
+    bm = SCALE - dm
+    ctes = [
+        f"nodes AS MATERIALIZED (SELECT * FROM ({nodes_sql}))",
+        f"edges AS (SELECT source_id, target_id FROM ({edges_sql}))",
+        f"seeds AS MATERIALIZED (SELECT id FROM nodes WHERE {seed_pred})",
+        "deg AS (SELECT source_id, count(*) AS d FROM edges GROUP BY source_id)",
+        "ew AS MATERIALIZED (SELECT e.source_id, e.target_id, deg.d\n"
+        "     FROM edges e JOIN deg ON e.source_id = deg.source_id)",
+        f"c1 AS (SELECT target_id AS id, CAST(SUM({dm} // d) AS BIGINT) AS c\n"
+        "       FROM ew JOIN seeds s ON ew.source_id = s.id GROUP BY target_id)",
+        f"r1 AS MATERIALIZED (SELECT COALESCE(c.id, s.id) AS id,\n"
+        f"       CAST(COALESCE(c.c, 0) + CASE WHEN s.id IS NOT NULL THEN {bm} ELSE 0 END AS BIGINT) AS rank\n"
+        "       FROM c1 c FULL OUTER JOIN seeds s ON c.id = s.id)",
+    ]
+    for t in range(2, iters + 1):
+        ctes.append(
+            f"c{t} AS (SELECT ew.target_id AS id,\n"
+            f"       CAST(SUM((p.rank * CAST({dm} AS BIGINT)) // (CAST({SCALE} AS BIGINT) * ew.d)) AS BIGINT) AS c\n"
+            f"       FROM ew JOIN r{t - 1} p ON ew.source_id = p.id GROUP BY ew.target_id)"
+        )
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT COALESCE(c.id, s.id) AS id,\n"
+            f"       CAST(COALESCE(c.c, 0) + CASE WHEN s.id IS NOT NULL THEN {bm} ELSE 0 END AS BIGINT) AS rank\n"
+            f"       FROM c{t} c FULL OUTER JOIN seeds s ON c.id = s.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT n.id, CAST(COALESCE(r.rank, 0) AS BIGINT) AS ppr_micro\n"
+        f"FROM nodes n LEFT JOIN r{iters} r ON n.id = r.id"
+    )
+
+
 def degree_distribution(edges: rd.Dataset) -> rd.Dataset:
     """Out-degree histogram: two-level aggregation (per-node degree →
     per-degree node count). Level 1 is a high-cardinality count (source_id

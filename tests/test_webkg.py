@@ -473,3 +473,46 @@ def test_edge_deltas_classification(sf_smoke):
     assert (
         merged.n_obs_before == merged.n_obs.fillna(0).astype("int64")
     ).all()
+
+
+def test_personalized_pagerank_hand_graph():
+    """Hand-computed restart iteration on the 3-cycle A→B→C→A plus an
+    isolated node D, seeds={A} (iters=3, d=0.85): mass leaves A, walks the
+    cycle, and returns on the last step; D never gains mass; the seed base
+    re-appends every iteration even when A receives no contributions."""
+    import ray.data as rd
+
+    from kgw_ray.stages.graph import personalized_pagerank
+
+    nodes = rd.from_arrow(pa.table({"id": ["A", "B", "C", "D"]}))
+    edges = rd.from_arrow(
+        pa.table({"source_id": ["A", "B", "C"], "target_id": ["B", "C", "A"]})
+    )
+    got = {
+        r["id"]: r["ppr_micro"]
+        for r in personalized_pagerank(nodes, edges, ["A"]).take_all()
+    }
+    assert got == {"A": 764_125, "B": 127_500, "C": 108_375, "D": 0}
+
+
+def test_personalized_pagerank_no_edges():
+    """Edge-free graph: every seed holds exactly the base mass, everyone
+    else zero (the empty-edge-weight guard path)."""
+    import ray.data as rd
+
+    from kgw_ray.stages.graph import personalized_pagerank
+
+    nodes = rd.from_arrow(pa.table({"id": ["A", "B"]}))
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": pa.array([], pa.string()),
+                "target_id": pa.array([], pa.string()),
+            }
+        )
+    )
+    got = {
+        r["id"]: r["ppr_micro"]
+        for r in personalized_pagerank(nodes, edges, ["B"]).take_all()
+    }
+    assert got == {"A": 0, "B": 150_000}
