@@ -571,6 +571,7 @@ def personalized_pagerank(
     iters: int = 3,
     damping: float = 0.85,
     num_partitions: int | None = None,
+    force_exchange: bool = False,
 ) -> rd.Dataset:
     """Personalized PageRank (random walk with restart): teleport mass
     returns ONLY to the ``seed_ids`` set, so scores measure proximity to
@@ -674,13 +675,48 @@ def personalized_pagerank(
             (r * np.int64(dm)) // (np.int64(SCALE) * d),
         )
 
+    # driver-merge fast path (the ``pagerank`` lesson, measured there at
+    # 11.5s → ~2s for 3 iterations at sf0.1/32): when the edge-weight table
+    # is small enough that the rank side broadcasts in the join anyway, an
+    # iteration costs ZERO exchanges — one broadcast-join map + one small
+    # pull. The exchange loop below stays the at-scale path (parity-pinned
+    # by tests/test_webkg.py).
+    ew_count = ew.count()
+    use_driver = (not force_exchange) and ew_count <= 20_000_000
+    seed_set = set(seeds)
+
+    def _base_applied_pdf(g: "pd.Series") -> pd.DataFrame:
+        # rank = contribution + base on seeds; unreached seeds re-appended
+        ids = list(g.index)
+        vals = [int(v) + (bm if i in seed_set else 0) for i, v in g.items()]
+        for s in seeds:
+            if s not in g.index:
+                ids.append(s)
+                vals.append(bm)
+        return pd.DataFrame({"id": ids, "rank": np.asarray(vals, np.int64)})
+
     ranks: rd.Dataset | None = None
+    rank_pdf = None
     for t in range(iters):
         if t == 0:
             contrib = ew.map_batches(_first_partial, batch_format="pyarrow")
+        elif use_driver:
+            joined = broadcast_join(ew, rank_pdf, on=["source_id"], right_on=["id"], how="left")
+            contrib = joined.map_batches(_rank_partial, batch_format="pyarrow")
         else:
             joined = _hybrid_left(ew, ranks, on="source_id", right_key="id")
             contrib = joined.map_batches(_rank_partial, batch_format="pyarrow")
+
+        if use_driver:
+            parts = contrib.to_pandas()
+            g = (
+                parts.groupby("target_id", sort=False)["c"].sum()
+                if len(parts)
+                else pd.Series(dtype=np.int64)
+            )
+            rank_pdf = _base_applied_pdf(g)
+            continue
+
         sums = grouped_aggregate_hybrid(
             contrib, "target_id", [("c", "sum", "c")]
         ).materialize()
@@ -721,6 +757,16 @@ def personalized_pagerank(
                 )
             )
         ranks = ranks.materialize()
+
+    if use_driver:
+        ranks = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(rank_pdf["id"].to_numpy(), pa.string()),
+                    "rank": pa.array(rank_pdf["rank"].to_numpy(), pa.int64()),
+                }
+            )
+        ).materialize()
 
     out = _hybrid_left(nodes.select_columns(["id"]), ranks, on="id", right_key="id")
 

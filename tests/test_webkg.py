@@ -516,3 +516,35 @@ def test_personalized_pagerank_no_edges():
         for r in personalized_pagerank(nodes, edges, ["B"]).take_all()
     }
     assert got == {"A": 0, "B": 150_000}
+
+
+def test_personalized_pagerank_exchange_path_parity(sf_smoke):
+    """The at-scale exchange loop (forced) must reproduce the driver-merge
+    fast path exactly — same integer restart iteration."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.pipelines.tpch_kg import tpch_graph
+    from kgw_ray.stages.graph import personalized_pagerank
+
+    nodes, edges = tpch_graph(sf_smoke)
+    seeds = (
+        nodes.map_batches(
+            lambda b: b.filter(pc.equal(b.column("type"), "nation")).select(["id"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["id"]
+        .tolist()
+    )
+    fast = (
+        personalized_pagerank(nodes, edges, seeds)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    slow = (
+        personalized_pagerank(nodes, edges, seeds, force_exchange=True)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow)
