@@ -1945,3 +1945,14 @@ _order = list(QUERIES)
 _i, _j = _order.index("tpch_kg_nodes"), _order.index("kg_personalized_pagerank")
 _order[_i], _order[_j] = _order[_j], _order[_i]
 QUERIES = {k: QUERIES[k] for k in _order}
+
+
+register("users_by_type_signature", _rel.USERS_BY_TYPE_SIGNATURE_SQL)(
+    _rel.users_by_type_signature
+)
+register("events_value_var_parts", _rel.EVENTS_VALUE_VAR_PARTS_SQL)(
+    _rel.events_value_var_parts
+)
+register("docs_lang_source_contingency", _td.DOCS_CONTINGENCY_SQL)(
+    _td.docs_lang_source_contingency
+)

@@ -5429,3 +5429,121 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM
          WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey))
        AS n_childless_orders
 """
+
+
+def users_by_type_signature(sf_dir: str) -> rd.Dataset:
+    """Behavioral cohorts: users grouped by their exact SET of event types
+    within the day-one analysis window (the sorted distinct-type
+    signature) — the set-valued-key aggregation a segmentation pipeline
+    runs; over the full month every user reaches every type and the
+    cohorts collapse, so the window is what makes the key non-trivial.
+    Plan: window predicate pushed into the scan → per-block (user, type)
+    dedup → ONE pair-keyed grouped reduce → signatures built per 64-way
+    user shard (sorted vectorized join inside the shard, never per-user
+    Python-group dispatch) → signature counts via combiner + bounded
+    Sum. The signature string exists only on the deduped pair table
+    (≤ users x type-vocabulary rows), never on the raw event stream."""
+    import pyarrow.dataset as pads
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(
+        sf_dir,
+        "events",
+        columns=["user_id", "event_type"],
+        filter=(pads.field("ts") < pd.Timestamp("2024-01-02")),
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates()
+        return arrow_from_pandas(g.assign(one=np.ones(len(g), np.int64)))
+
+    pairs = grouped_aggregate_hybrid(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["user_id", "event_type"],
+        [("one", "sum", "n")],
+    )
+
+    def shard_sig(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "event_type"])
+        sig = df.groupby("user_id", sort=False)["event_type"].agg(",".join)
+        g = sig.value_counts()
+        return pa.table(
+            {
+                "signature": pa.array(g.index.to_numpy(), pa.string()),
+                "n_users": pa.array(g.to_numpy().astype(np.int64)),
+            }
+        )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("shard", pa.array(u % 64, pa.int64()))
+
+    sigs = (
+        pairs.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_sig, batch_format="pandas")
+    )
+    return grouped_aggregate_hybrid(
+        sigs, "signature", [("n_users", "sum", "n_users")]
+    )
+
+
+USERS_BY_TYPE_SIGNATURE_SQL = """
+SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (
+  SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS signature
+  FROM (SELECT DISTINCT user_id, event_type FROM events
+        WHERE ts < TIMESTAMP '2024-01-02')
+  GROUP BY user_id
+)
+GROUP BY signature
+"""
+
+
+def events_value_var_parts(sf_dir: str) -> rd.Dataset:
+    """Exact second-moment parts per event type: (n, sum_c, sumsq_c) over
+    cent-quantized values — variance/stddev derive on the consumer side
+    while the engine ships only three int64 monoids (the Welford
+    alternative needs non-commutative merges; raw power sums are the
+    mergeable form). Overflow headroom: cents ≤ ~5.6e4 here, squares
+    ~3e9/row, ~9e18/int64 ⇒ ~3e9 rows per type per partial; beyond that
+    split groups or widen to per-block HUGEINT partials."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
+                    "n": np.ones(len(c), np.int64),
+                    "sum_c": c,
+                    "sumsq_c": c * c,
+                }
+            )
+            .groupby("event_type", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "event_type",
+        [("n", "sum", "n"), ("sum_c", "sum", "sum_c"), ("sumsq_c", "sum", "sumsq_c")],
+    )
+
+
+EVENTS_VALUE_VAR_PARTS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sumsq_c
+FROM events GROUP BY event_type
+"""

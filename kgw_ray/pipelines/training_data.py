@@ -3299,3 +3299,74 @@ cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 
 SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM cs GROUP BY cluster_size
 """
+
+
+def docs_lang_source_contingency(sf_dir: str) -> rd.Dataset:
+    """Corpus-mix audit: the language x source contingency table with the
+    independence-model expected count (ppm-quantized integer — the
+    chi-square ingredients without a float in the engine). One combiner
+    pass builds the observed cell counts; row/column/grand totals derive
+    from the (vocabulary-sized) cell table on the driver and the expected
+    count attaches as exact integer arithmetic (row_tot * col_tot * 1e6
+    // N, truncating division — both engines agree on non-negative
+    ints)."""
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = _docs(sf_dir, cols=("lang", "source"))
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lang", "source"], sort=False).size().rename("n").reset_index()
+        return arrow_from_pandas(g)
+
+    cells = grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "source"],
+        [("n", "sum", "n_docs")],
+    ).to_pandas()  # bounded: |langs| x |sources| rows
+    row_tot = cells.groupby("lang")["n_docs"].sum()
+    col_tot = cells.groupby("source")["n_docs"].sum()
+    total = int(cells["n_docs"].sum())
+    if total == 0:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "expected_ppm": pa.array([], pa.int64()),
+            }
+        )
+    # python ints, not numpy: row_tot * col_tot * 1e6 wraps int64 silently
+    # past ~1e6-doc rows x columns at corpus scale; the cell table is
+    # vocabulary-sized so the driver loop is trivial, and the quotient
+    # (<= total * 1e6) fits int64 again
+    rt, ct = row_tot.to_dict(), col_tot.to_dict()
+    exp = np.array(
+        [
+            (int(rt[lg]) * int(sc_n) * 1_000_000) // total
+            for lg, sc_n in zip(
+                cells["lang"], cells["source"].map(ct)
+            )
+        ],
+        dtype=np.int64,
+    )
+    out = cells.assign(
+        n_docs=cells["n_docs"].to_numpy(np.int64), expected_ppm=exp.astype(np.int64)
+    )
+    return arrow_from_pandas(out[["lang", "source", "n_docs", "expected_ppm"]])
+
+
+DOCS_CONTINGENCY_SQL = """
+WITH o AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS rn FROM o GROUP BY lang),
+c AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS cn FROM o GROUP BY source),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM o)
+SELECT o.lang, o.source, o.n_docs,
+       -- HUGEINT product: BIGINT rn*cn*1e6 overflows at corpus scale
+       CAST(CAST(r.rn AS HUGEINT) * c.cn * 1000000 // t.tot AS BIGINT)
+         AS expected_ppm
+FROM o JOIN r ON o.lang = r.lang JOIN c ON o.source = c.source, t
+"""
