@@ -1956,3 +1956,17 @@ register("events_value_var_parts", _rel.EVENTS_VALUE_VAR_PARTS_SQL)(
 register("docs_lang_source_contingency", _td.DOCS_CONTINGENCY_SQL)(
     _td.docs_lang_source_contingency
 )
+
+
+def _q_webkg_link_graph(sf_dir: str) -> rd.Dataset:
+    from kgw_ray.pipelines.webkg import link_graph
+
+    return link_graph(sf_dir)
+
+
+_q_webkg_link_graph.__doc__ = """Crawl link-graph extraction (see
+kgw_ray/pipelines/webkg.py:link_graph)."""
+
+from kgw_ray.pipelines.webkg import LINK_GRAPH_SQL as _LINK_GRAPH_SQL  # noqa: E402
+
+register("webkg_link_graph", _LINK_GRAPH_SQL)(_q_webkg_link_graph)

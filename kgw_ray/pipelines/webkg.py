@@ -906,3 +906,64 @@ def edge_deltas_two_crawls(sf_dir: str) -> rd.Dataset:
         )
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+_LINK_RE = None  # per-process compiled singleton (extract_batch pattern)
+
+
+def _extract_links_batch(batch: pa.Table) -> pa.Table:
+    """pages(html, doc_id) → one row per absolute /doc/ outlink:
+    (src_doc_id, dst_doc_id, dst_host). Nav/footer relative links don't
+    match the absolute pattern; the compiled regex is a process-wide
+    singleton; output columns build as flat numpy/arrow arrays."""
+    import re
+
+    import numpy as np
+
+    global _LINK_RE
+    if _LINK_RE is None:
+        _LINK_RE = re.compile(
+            rb"href=\"https://([a-z0-9_.-]+\.example\.org)/doc/(\d{8})\""
+        )
+    src, dst, host = [], [], []
+    for sid, html in zip(
+        batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
+    ):
+        for m in _LINK_RE.finditer(bytes(html)):
+            src.append(sid)
+            dst.append(int(m.group(2)))
+            host.append(m.group(1).decode("ascii"))
+    return pa.table(
+        {
+            "src_doc_id": pa.array(np.asarray(src, dtype=np.int64)),
+            "dst_doc_id": pa.array(np.asarray(dst, dtype=np.int64)),
+            "dst_host": pa.array(host, pa.string()),
+        }
+    )
+
+
+def link_graph(sf_dir: str) -> rd.Dataset:
+    """Crawl link graph: extract the absolute same-corpus outlinks from
+    every page's HTML — the web-graph construction step (host-level
+    PageRank, crawl frontier expansion, SEO-spam analysis all start
+    here). One streaming pass over the synthesized pages; no shuffle —
+    the edge list is the product. Oracle: the outlink rule is a pure
+    function of doc_id (sources/pages.py:render_html — next and half
+    links on the same source host), so DuckDB re-derives the identical
+    edge set from the documents table."""
+    from kgw_ray.sources.pages import pages_dataset
+
+    return pages_dataset(sf_dir).map_batches(
+        _extract_links_batch, batch_format="pyarrow"
+    )
+
+
+LINK_GRAPH_SQL = """
+SELECT doc_id AS src_doc_id,
+       doc_id + 1 AS dst_doc_id,
+       source || '.example.org' AS dst_host
+FROM documents
+UNION ALL
+SELECT doc_id, doc_id // 2, source || '.example.org'
+FROM documents
+"""

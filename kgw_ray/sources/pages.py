@@ -83,7 +83,14 @@ def render_html(doc_id: int, source: str, text: str) -> bytes:
         _HEAD.format(doc_id=doc_id)
         + _NAV
         + f"<div id=\"main\">{''.join(paras)}</div>"
-        + "<aside>related: <a href=\"/doc/0\">doc 0</a></aside>"
+        # deterministic outlinks (doc_id+1, doc_id//2 within the same
+        # source host): the link-graph extraction operator's ground truth
+        # is a pure function of doc_id, so its oracle re-derives the same
+        # edges from the documents table. The aside is boilerplate to the
+        # text extractor (dropped before <div id="main"> harvesting).
+        + "<aside>related: "
+        + f"<a href=\"{url_for(doc_id + 1, source)}\">next</a> "
+        + f"<a href=\"{url_for(doc_id // 2, source)}\">half</a></aside>"
         + _FOOT.format(source=source)
     )
     return body.encode("utf-8")
