@@ -1970,3 +1970,80 @@ kgw_ray/pipelines/webkg.py:link_graph)."""
 from kgw_ray.pipelines.webkg import LINK_GRAPH_SQL as _LINK_GRAPH_SQL  # noqa: E402
 
 register("webkg_link_graph", _LINK_GRAPH_SQL)(_q_webkg_link_graph)
+
+
+def _q_webkg_host_graph(sf_dir: str) -> rd.Dataset:
+    """Host-level link graph (see kgw_ray/pipelines/webkg.py:host_graph)."""
+    from kgw_ray.pipelines.webkg import host_graph
+
+    return host_graph(sf_dir)
+
+
+from kgw_ray.pipelines.webkg import HOST_GRAPH_SQL as _HOST_GRAPH_SQL  # noqa: E402
+
+register("webkg_host_graph", _HOST_GRAPH_SQL)(_q_webkg_host_graph)
+
+
+def _host_pagerank_sqls() -> tuple[str, str]:
+    nodes_sql = (
+        f"SELECT DISTINCT src_host AS id FROM ({_LINK_GRAPH_SQL}) "
+        f"UNION SELECT DISTINCT dst_host FROM ({_LINK_GRAPH_SQL})"
+    )
+    edges_sql = (
+        f"SELECT src_host AS source_id, dst_host AS target_id "
+        f"FROM ({_LINK_GRAPH_SQL})"
+    )
+    return nodes_sql, edges_sql
+
+
+def _webkg_host_pagerank_sql() -> str:
+    from kgw_ray.stages.graph import pagerank_sql
+
+    nodes_sql, edges_sql = _host_pagerank_sqls()
+    return pagerank_sql(nodes_sql, edges_sql)
+
+
+@register("webkg_host_pagerank", oracle=_webkg_host_pagerank_sql())
+def q_webkg_host_pagerank(sf_dir: str) -> rd.Dataset:
+    """Host authority: fixed-point PageRank over the crawl's host-level
+    link multigraph (each extracted link is one edge, so heavily-linked
+    hosts weigh more — the crawl-prioritization signal). Composition of
+    the two verified operators: link extraction (webkg.link_graph) +
+    integer micro-unit pagerank (stages/graph.py)."""
+    import numpy as np
+
+    from kgw_ray.pipelines.webkg import link_graph
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.graph import pagerank
+
+    links = link_graph(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"source_id": t.column("src_host"), "target_id": t.column("dst_host")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        hosts = _np.unique(
+            _np.concatenate(
+                [
+                    t.column("source_id").to_numpy(zero_copy_only=False),
+                    t.column("target_id").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "id": pa.array(hosts, pa.string()),
+                "one": pa.array(_np.ones(len(hosts), _np.int64)),
+            }
+        )
+
+    nodes = grouped_aggregate_hybrid(
+        links.map_batches(host_partial, batch_format="pyarrow"),
+        "id",
+        [("one", "sum", "n")],
+    ).select_columns(["id"])
+    return pagerank(nodes, links)

@@ -912,10 +912,11 @@ _LINK_RE = None  # per-process compiled singleton (extract_batch pattern)
 
 
 def _extract_links_batch(batch: pa.Table) -> pa.Table:
-    """pages(html, doc_id) → one row per absolute /doc/ outlink:
-    (src_doc_id, dst_doc_id, dst_host). Nav/footer relative links don't
-    match the absolute pattern; the compiled regex is a process-wide
-    singleton; output columns build as flat numpy/arrow arrays."""
+    """pages(url, html, doc_id) → one row per absolute /doc/ outlink:
+    (src_doc_id, src_host, dst_doc_id, dst_host). Nav/footer relative
+    links don't match the absolute pattern; the compiled regexes are
+    process-wide singletons; output columns build as flat numpy/arrow
+    arrays."""
     import re
 
     import numpy as np
@@ -925,17 +926,21 @@ def _extract_links_batch(batch: pa.Table) -> pa.Table:
         _LINK_RE = re.compile(
             rb"href=\"https://([a-z0-9_.-]+\.example\.org)/doc/(\d{8})\""
         )
-    src, dst, host = [], [], []
-    for sid, html in zip(
-        batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
+    urls = batch.column("url").to_pylist()
+    src, shost, dst, host = [], [], [], []
+    for sid, page_url, html in zip(
+        batch.column("doc_id").to_pylist(), urls, batch.column("html").to_pylist()
     ):
+        page_host = page_url.split("://", 1)[1].split("/", 1)[0]
         for m in _LINK_RE.finditer(bytes(html)):
             src.append(sid)
+            shost.append(page_host)
             dst.append(int(m.group(2)))
             host.append(m.group(1).decode("ascii"))
     return pa.table(
         {
             "src_doc_id": pa.array(np.asarray(src, dtype=np.int64)),
+            "src_host": pa.array(shost, pa.string()),
             "dst_doc_id": pa.array(np.asarray(dst, dtype=np.int64)),
             "dst_host": pa.array(host, pa.string()),
         }
@@ -960,10 +965,57 @@ def link_graph(sf_dir: str) -> rd.Dataset:
 
 LINK_GRAPH_SQL = """
 SELECT doc_id AS src_doc_id,
+       source || '.example.org' AS src_host,
        doc_id + 1 AS dst_doc_id,
        source || '.example.org' AS dst_host
 FROM documents
 UNION ALL
-SELECT doc_id, doc_id // 2, source || '.example.org'
+SELECT doc_id, source || '.example.org', doc_id // 2,
+       source || '.example.org'
 FROM documents
+UNION ALL
+SELECT doc_id, source || '.example.org', doc_id * 7 % 1000,
+       'src' || ((doc_id + 3) % 20) || '.example.org'
+FROM documents
+"""
+
+
+def host_graph(sf_dir: str) -> rd.Dataset:
+    """Host-level web graph: (src_host, dst_host, n_links) aggregated from
+    the page outlinks — the input every host-authority / crawl-budget /
+    spam-farm analysis consumes. One extraction pass feeds a per-block
+    combiner (host pairs are near-vocabulary cardinality, ~|hosts|²
+    bounded) + one bounded grouped Sum."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    links = link_graph(sf_dir)
+
+    def partial(df: "pd.DataFrame") -> pa.Table:
+        import numpy as np
+
+        g = (
+            df.groupby(["src_host", "dst_host"], sort=False)
+            .size()
+            .rename("n_links")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "src_host": pa.array(g["src_host"].to_numpy(), pa.string()),
+                "dst_host": pa.array(g["dst_host"].to_numpy(), pa.string()),
+                "n_links": pa.array(g["n_links"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        links.map_batches(partial, batch_format="pandas"),
+        ["src_host", "dst_host"],
+        [("n_links", "sum", "n_links")],
+    )
+
+
+HOST_GRAPH_SQL = f"""
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM ({LINK_GRAPH_SQL})
+GROUP BY src_host, dst_host
 """

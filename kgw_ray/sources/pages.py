@@ -90,7 +90,13 @@ def render_html(doc_id: int, source: str, text: str) -> bytes:
         # text extractor (dropped before <div id="main"> harvesting).
         + "<aside>related: "
         + f"<a href=\"{url_for(doc_id + 1, source)}\">next</a> "
-        + f"<a href=\"{url_for(doc_id // 2, source)}\">half</a></aside>"
+        + f"<a href=\"{url_for(doc_id // 2, source)}\">half</a> "
+        # one CROSS-host link (src{(doc_id+3) % 20}): the driver assigns
+        # source = src{doc_id % 20}, so the +3 shift guarantees off-diagonal
+        # host-graph structure; some targets are uncrawled hosts at small
+        # SF, exactly like the web
+        + f"<a href=\"{url_for(doc_id * 7 % 1000, f'src{(doc_id + 3) % 20}')}\">xref</a>"
+        + "</aside>"
         + _FOOT.format(source=source)
     )
     return body.encode("utf-8")
