@@ -2047,3 +2047,41 @@ def q_webkg_host_pagerank(sf_dir: str) -> rd.Dataset:
         [("one", "sum", "n")],
     ).select_columns(["id"])
     return pagerank(nodes, links)
+
+
+register("q20_promotion_suppliers", _rel.Q20_PROMOTION_SQL)(
+    _rel.q20_promotion_suppliers
+)
+register("q21_waiting_suppliers", _rel.Q21_WAITING_SQL)(_rel.q21_waiting_suppliers)
+
+
+def _q_webkg_anchor_stats(sf_dir: str) -> rd.Dataset:
+    """Anchor-text alias table (see kgw_ray/pipelines/webkg.py:anchor_stats)."""
+    from kgw_ray.pipelines.webkg import anchor_stats
+
+    return anchor_stats(sf_dir)
+
+
+def _q_webkg_frontier(sf_dir: str) -> rd.Dataset:
+    """Crawl-frontier discovery (see kgw_ray/pipelines/webkg.py:frontier_by_host)."""
+    from kgw_ray.pipelines.webkg import frontier_by_host
+
+    return frontier_by_host(sf_dir)
+
+
+def _q_webkg_chain_hops(sf_dir: str) -> rd.Dataset:
+    """Pointer-doubling chain ancestors (see kgw_ray/pipelines/webkg.py:chain_hops)."""
+    from kgw_ray.pipelines.webkg import chain_hops
+
+    return chain_hops(sf_dir)
+
+
+from kgw_ray.pipelines.webkg import (  # noqa: E402
+    ANCHOR_STATS_SQL as _ANCHOR_STATS_SQL,
+    CHAIN_HOPS_SQL as _CHAIN_HOPS_SQL,
+    FRONTIER_BY_HOST_SQL as _FRONTIER_BY_HOST_SQL,
+)
+
+register("webkg_anchor_stats", _ANCHOR_STATS_SQL)(_q_webkg_anchor_stats)
+register("webkg_frontier_by_host", _FRONTIER_BY_HOST_SQL)(_q_webkg_frontier)
+register("webkg_chain_hops", _CHAIN_HOPS_SQL)(_q_webkg_chain_hops)

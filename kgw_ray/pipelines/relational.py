@@ -5547,3 +5547,238 @@ SELECT event_type,
                 * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sumsq_c
 FROM events GROUP BY event_type
 """
+
+
+def q20_promotion_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q20 shape (no partsupp: a pair's all-time shipped quantity
+    stands in for availability, reference kgw has no partsupp either):
+    suppliers in one nation holding "promotion-ready" stock of a part
+    family — (part, supplier) pairs whose 1995 shipments exceed HALF the
+    pair's all-time shipments, for parts named 'small%', counted per
+    supplier. Plan: the part-key filter set is dimension-sized and rides
+    the closure (the q2 bal_c pattern); quantities quantize to int64
+    centi-units so the halving test is exact integer arithmetic; ONE
+    pair-keyed combiner exchange, then the per-supplier count is a
+    second bounded reduce and names attach on the driver-sized result."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    part = read_table_pandas(sf_dir, "part", columns=["p_partkey", "p_name"])
+    fam_keys = np.sort(
+        part.loc[part["p_name"].str.startswith("small"), "p_partkey"].to_numpy(
+            dtype=np.int64
+        )
+    )
+    lo, hi = np.datetime64("1995-01-01"), np.datetime64("1996-01-01")
+
+    line = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        m = np.isin(pk, fam_keys)
+        qty_c = np.rint(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        ship = t.column("l_shipdate").to_numpy(zero_copy_only=False)[m]
+        in95 = (ship >= lo) & (ship < hi)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_partkey": pk[m],
+                    "l_suppkey": t.column("l_suppkey").to_numpy(zero_copy_only=False)[m],
+                    "qty_c": qty_c,
+                    "qty95_c": np.where(in95, qty_c, 0),
+                }
+            )
+            .groupby(["l_partkey", "l_suppkey"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    pairs = grouped_aggregate_hybrid(
+        line.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        [("qty_c", "sum", "qty_c"), ("qty95_c", "sum", "qty95_c")],
+    )
+
+    def qual_partial(df: pd.DataFrame) -> pa.Table:
+        q = df[2 * df["qty95_c"] > df["qty_c"]]
+        g = q.groupby("l_suppkey", sort=False).size().rename("n_qual_parts").reset_index()
+        return arrow_from_pandas(g.astype({"l_suppkey": np.int64, "n_qual_parts": np.int64}))
+
+    per_supp = grouped_aggregate_hybrid(
+        pairs.map_batches(qual_partial, batch_format="pandas"),
+        "l_suppkey",
+        [("n_qual_parts", "sum", "n_qual_parts")],
+    ).to_pandas()
+
+    supp = read_table_pandas(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nat = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    supp = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    supp = supp[supp["n_name"] == "NATION_7"]
+    out = per_supp.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(dtype=np.int64)),
+            "s_name": pa.array(out["s_name"].to_numpy(), pa.string()),
+            "n_qual_parts": pa.array(out["n_qual_parts"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+Q20_PROMOTION_SQL = """
+WITH qual AS (
+  SELECT l_partkey, l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_partkey, l_suppkey
+  HAVING 2 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+                       AND l_shipdate <  TIMESTAMP '1996-01-01'
+                      THEN CAST(ROUND(l_quantity * 100) AS BIGINT) ELSE 0 END)
+        > SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_qual_parts
+FROM qual JOIN supplier ON supplier.s_suppkey = qual.l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_7'
+GROUP BY s_suppkey, s_name
+"""
+
+
+def q21_waiting_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q21 shape (no commit/receipt dates: "late" = shipped more
+    than 90 days after the order date): suppliers who were the SOLE late
+    shipper on a multi-supplier finalized order, counted per supplier
+    (numwait). Plan: the F-orders predicate pushes into the scan; order
+    dates attach via the size-hybrid large join; per-(order, supplier)
+    lateness reduces through a Max combiner; then ONE order-keyed reduce
+    carries three int64 monoids — supplier count, late count, and the
+    late supplier's identity packed into max(late * (suppkey + 1)) — so
+    the sole-late-supplier test and its argmax need no second pass over
+    the pairs. Names attach on the supplier-bounded result."""
+    import pyarrow.dataset as pads
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    orders = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_orderdate"],
+        filter=(pads.field("o_orderstatus") == "F"),
+    )
+    line = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    j = large_join(line, orders, on=["l_orderkey"], right_on=["o_orderkey"])
+    _D90 = np.timedelta64(90, "D")
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": t.column("l_orderkey").to_numpy(zero_copy_only=False),
+                    "l_suppkey": t.column("l_suppkey").to_numpy(zero_copy_only=False),
+                    "late": (ship > od + _D90).astype(np.int64),
+                }
+            )
+            .groupby(["l_orderkey", "l_suppkey"], sort=False)
+            .max()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    flags = grouped_aggregate_hybrid(
+        j.map_batches(flag_partial, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"],
+        [("late", "max", "late")],
+    )
+
+    def order_partial(df: pd.DataFrame) -> pa.Table:
+        # rows here are globally unique (order, supplier) pairs, so the
+        # per-block sums/maxes combine exactly across blocks
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(),
+                    "n_supp": np.ones(len(df), np.int64),
+                    "n_late": df["late"].to_numpy(dtype=np.int64),
+                    "late_packed": df["late"].to_numpy(dtype=np.int64)
+                    * (df["l_suppkey"].to_numpy(dtype=np.int64) + 1),
+                }
+            )
+            .groupby("l_orderkey", sort=False)
+            .agg(
+                n_supp=("n_supp", "sum"),
+                n_late=("n_late", "sum"),
+                late_packed=("late_packed", "max"),
+            )
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    per_order = grouped_aggregate_hybrid(
+        flags.map_batches(order_partial, batch_format="pandas"),
+        "l_orderkey",
+        [
+            ("n_supp", "sum", "n_supp"),
+            ("n_late", "sum", "n_late"),
+            ("late_packed", "max", "late_packed"),
+        ],
+    )
+
+    def wait_partial(df: pd.DataFrame) -> pa.Table:
+        q = df[(df["n_supp"] >= 2) & (df["n_late"] == 1)]
+        g = (
+            pd.Series(q["late_packed"].to_numpy(dtype=np.int64) - 1)
+            .value_counts()
+            .rename_axis("s_suppkey")
+            .rename("numwait")
+            .reset_index()
+        )
+        return arrow_from_pandas(g.astype({"s_suppkey": np.int64, "numwait": np.int64}))
+
+    waits = grouped_aggregate_hybrid(
+        per_order.map_batches(wait_partial, batch_format="pandas"),
+        "s_suppkey",
+        [("numwait", "sum", "numwait")],
+    ).to_pandas()
+
+    supp = read_table_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = waits.merge(supp, on="s_suppkey")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(dtype=np.int64)),
+            "s_name": pa.array(out["s_name"].to_numpy(), pa.string()),
+            "numwait": pa.array(out["numwait"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+Q21_WAITING_SQL = """
+WITH flag AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late,
+         MAX(late * (sk + 1)) AS late_packed
+  FROM flag GROUP BY ok
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (SELECT late_packed - 1 AS sk FROM per_order
+      WHERE n_supp >= 2 AND n_late = 1) q
+JOIN supplier ON supplier.s_suppkey = q.sk
+GROUP BY s_suppkey, s_name
+"""

@@ -1019,3 +1019,243 @@ SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
 FROM ({LINK_GRAPH_SQL})
 GROUP BY src_host, dst_host
 """
+
+
+_ANCHOR_RE = None  # per-process compiled singleton (extract_batch pattern)
+
+
+def _extract_anchors_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, html, doc_id) → one row per outlink WITH its anchor text:
+    (src_doc_id, dst_doc_id, dst_host, anchor). The anchor text is the
+    surface form a linking author chose for the target — the raw material
+    of a KG alias table."""
+    import re
+
+    import numpy as np
+
+    global _ANCHOR_RE
+    if _ANCHOR_RE is None:
+        _ANCHOR_RE = re.compile(
+            rb"href=\"https://([a-z0-9_.-]+\.example\.org)/doc/(\d{8})\">([a-z]+)</a>"
+        )
+    src, dst, host, anchor = [], [], [], []
+    for sid, html in zip(
+        batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
+    ):
+        for m in _ANCHOR_RE.finditer(bytes(html)):
+            src.append(sid)
+            dst.append(int(m.group(2)))
+            host.append(m.group(1).decode("ascii"))
+            anchor.append(m.group(3).decode("ascii"))
+    return pa.table(
+        {
+            "src_doc_id": pa.array(np.asarray(src, dtype=np.int64)),
+            "dst_doc_id": pa.array(np.asarray(dst, dtype=np.int64)),
+            "dst_host": pa.array(host, pa.string()),
+            "anchor": pa.array(anchor, pa.string()),
+        }
+    )
+
+
+def anchor_stats(sf_dir: str) -> rd.Dataset:
+    """Anchor-text aggregation per link target — the surface-form/alias
+    table of KG construction (how the web refers to each entity, weighted
+    by mention count; the fixture corpus has a 3-word anchor vocabulary,
+    a real crawl has millions — the plan is anchor-cardinality-bounded
+    either way). One extraction pass → per-block (target, anchor) count
+    combiner → ONE pair-keyed bounded Sum; raw links never shuffle."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    anchors = pages_dataset(sf_dir).map_batches(
+        _extract_anchors_batch, batch_format="pyarrow"
+    )
+
+    def partial(df: "pd.DataFrame") -> pa.Table:
+        import numpy as np
+
+        g = (
+            df.groupby(["dst_doc_id", "anchor"], sort=False)
+            .size()
+            .rename("n_mentions")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "dst_doc_id": pa.array(g["dst_doc_id"].to_numpy(), pa.int64()),
+                "anchor": pa.array(g["anchor"].to_numpy(), pa.string()),
+                "n_mentions": pa.array(g["n_mentions"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        anchors.map_batches(partial, batch_format="pandas"),
+        ["dst_doc_id", "anchor"],
+        [("n_mentions", "sum", "n_mentions")],
+    )
+
+
+ANCHOR_STATS_SQL = """
+WITH links AS (
+  SELECT doc_id + 1 AS dst, 'next' AS anchor FROM documents
+  UNION ALL SELECT doc_id // 2, 'half' FROM documents
+  UNION ALL SELECT doc_id * 7 % 1000, 'xref' FROM documents
+)
+SELECT dst AS dst_doc_id, anchor, CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM links GROUP BY dst, anchor
+"""
+
+
+def frontier_by_host(sf_dir: str) -> rd.Dataset:
+    """Crawl-frontier discovery: link targets whose exact URL was never
+    crawled, counted per destination host — the seed list (and its
+    per-host politeness budget) for the NEXT crawl round. Plan: per-block
+    target dedup → ONE pair-keyed reduce to the distinct target set →
+    size-hybrid anti-join against the crawled URL set (both sides travel
+    as packed host|id keys, never full URLs) → host-bounded count."""
+    from kgw_ray.sources.readers import read_table
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import anti_join
+
+    anchors = pages_dataset(sf_dir).map_batches(
+        _extract_anchors_batch, batch_format="pyarrow"
+    )
+
+    def target_partial(df: "pd.DataFrame") -> pa.Table:
+        import numpy as np
+
+        g = df[["dst_host", "dst_doc_id"]].drop_duplicates()
+        return pa.table(
+            {
+                "dst_host": pa.array(g["dst_host"].to_numpy(), pa.string()),
+                "dst_doc_id": pa.array(g["dst_doc_id"].to_numpy(), pa.int64()),
+                "one": pa.array(np.ones(len(g), np.int64)),
+            }
+        )
+
+    targets = grouped_aggregate_hybrid(
+        anchors.map_batches(target_partial, batch_format="pandas"),
+        ["dst_host", "dst_doc_id"],
+        [("one", "sum", "n")],
+    )
+
+    def pack_t(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            t.column("dst_host"),
+            pc.cast(t.column("dst_doc_id"), pa.string()),
+            "|",
+        )
+        return pa.table({"dst_host": t.column("dst_host"), "key": key})
+
+    def pack_c(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(
+                t.column("source"), ".example.org", ""
+            ),
+            pc.cast(t.column("doc_id"), pa.string()),
+            "|",
+        )
+        return pa.table({"key": key})
+
+    crawled = read_table(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        pack_c, batch_format="pyarrow"
+    )
+    frontier = anti_join(
+        targets.map_batches(pack_t, batch_format="pyarrow"),
+        crawled,
+        on="key",
+    )
+
+    def host_count(df: "pd.DataFrame") -> pa.Table:
+        import numpy as np
+
+        g = df.groupby("dst_host", sort=False).size().rename("n_frontier").reset_index()
+        return pa.table(
+            {
+                "dst_host": pa.array(g["dst_host"].to_numpy(), pa.string()),
+                "n_frontier": pa.array(g["n_frontier"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        frontier.map_batches(host_count, batch_format="pandas"),
+        "dst_host",
+        [("n_frontier", "sum", "n_frontier")],
+    )
+
+
+FRONTIER_BY_HOST_SQL = """
+WITH links AS (
+  SELECT source || '.example.org' AS h, doc_id + 1 AS d FROM documents
+  UNION ALL SELECT source || '.example.org', doc_id // 2 FROM documents
+  UNION ALL SELECT 'src' || ((doc_id + 3) % 20) || '.example.org',
+                   doc_id * 7 % 1000 FROM documents
+),
+dl AS (SELECT DISTINCT h, d FROM links),
+crawled AS (SELECT source || '.example.org' AS h, doc_id AS d FROM documents)
+SELECT h AS dst_host, CAST(COUNT(*) AS BIGINT) AS n_frontier
+FROM dl
+WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.h = dl.h AND c.d = dl.d)
+GROUP BY h
+"""
+
+
+def chain_hops(sf_dir: str) -> rd.Dataset:
+    """Pointer doubling over the half-link chain: every page's 4-hop and
+    16-hop ancestor in log-many distributed self-joins (2 rounds double
+    1-hop → 2-hop → 4-hop; the general k-round plan reaches 2^k hops) —
+    the canonical-chain / redirect-resolution primitive, where the naive
+    per-hop walk needs 2^k sequential joins. Each round is ONE
+    hash-partitioned large join of the jump table with itself; the chain
+    function here (doc//2 per hop) closes over the contiguous doc-id
+    space, so no dangling-pointer guard path executes on the fixture."""
+    from kgw_ray.stages.joins import large_join
+
+    anchors = pages_dataset(sf_dir).map_batches(
+        _extract_anchors_batch, batch_format="pyarrow"
+    )
+
+    def half_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(t.column("anchor"), "half")
+        f = t.filter(m)
+        return pa.table({"node": f.column("src_doc_id"), "to": f.column("dst_doc_id")})
+
+    jump = anchors.map_batches(half_edges, batch_format="pyarrow")
+
+    def double(j: rd.Dataset) -> rd.Dataset:
+        right = j.map_batches(
+            lambda t: pa.table({"jnode": t.column("node"), "jto": t.column("to")}),
+            batch_format="pyarrow",
+        )
+        out = large_join(j, right, on=["to"], right_on=["jnode"])
+        return out.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "to": t.column("jto")}),
+            batch_format="pyarrow",
+        )
+
+    jump2 = double(jump).materialize()  # node → 2-hop ancestor
+    right4 = jump2.map_batches(
+        lambda t: pa.table({"jnode": t.column("node"), "jto": t.column("to")}),
+        batch_format="pyarrow",
+    )
+    out = large_join(jump2, right4, on=["to"], right_on=["jnode"])
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("node"),
+                "anc2": t.column("to"),
+                "anc4": t.column("jto"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+CHAIN_HOPS_SQL = """
+SELECT doc_id, doc_id // 4 AS anc2, doc_id // 16 AS anc4 FROM documents
+"""

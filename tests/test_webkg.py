@@ -548,3 +548,27 @@ def test_personalized_pagerank_exchange_path_parity(sf_smoke):
         .reset_index(drop=True)
     )
     assert fast.equals(slow)
+
+
+def test_anchor_extraction_matches_render_rule():
+    """The anchor extractor recovers exactly the three deterministic
+    outlinks (target id, host, anchor text) the renderer emits."""
+    from kgw_ray.pipelines.webkg import _extract_anchors_batch
+
+    doc_id, source = 137, "src17"
+    batch = pa.table(
+        {
+            "doc_id": pa.array([doc_id], pa.int64()),
+            "url": [url_for(doc_id, source)],
+            "html": pa.array([render_html(doc_id, source, "body text")], pa.binary()),
+        }
+    )
+    out = _extract_anchors_batch(batch).to_pylist()
+    by_anchor = {r["anchor"]: r for r in out}
+    assert set(by_anchor) == {"next", "half", "xref"}
+    assert by_anchor["next"]["dst_doc_id"] == doc_id + 1
+    assert by_anchor["next"]["dst_host"] == f"{source}.example.org"
+    assert by_anchor["half"]["dst_doc_id"] == doc_id // 2
+    assert by_anchor["xref"]["dst_doc_id"] == doc_id * 7 % 1000
+    assert by_anchor["xref"]["dst_host"] == f"src{(doc_id + 3) % 20}.example.org"
+    assert all(r["src_doc_id"] == doc_id for r in out)
