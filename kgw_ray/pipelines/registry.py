@@ -2085,3 +2085,17 @@ from kgw_ray.pipelines.webkg import (  # noqa: E402
 register("webkg_anchor_stats", _ANCHOR_STATS_SQL)(_q_webkg_anchor_stats)
 register("webkg_frontier_by_host", _FRONTIER_BY_HOST_SQL)(_q_webkg_frontier)
 register("webkg_chain_hops", _CHAIN_HOPS_SQL)(_q_webkg_chain_hops)
+
+register("profile_documents", _td.PROFILE_DOCUMENTS_SQL)(_td.profile_documents)
+
+
+def _q_webkg_link_spam(sf_dir: str) -> rd.Dataset:
+    """Link-farm concentration scores (see kgw_ray/pipelines/webkg.py:link_spam_scores)."""
+    from kgw_ray.pipelines.webkg import link_spam_scores
+
+    return link_spam_scores(sf_dir)
+
+
+from kgw_ray.pipelines.webkg import LINK_SPAM_SQL as _LINK_SPAM_SQL  # noqa: E402
+
+register("webkg_link_spam_scores", _LINK_SPAM_SQL)(_q_webkg_link_spam)

@@ -3370,3 +3370,114 @@ SELECT o.lang, o.source, o.n_docs,
          AS expected_ppm
 FROM o JOIN r ON o.lang = r.lang JOIN c ON o.source = c.source, t
 """
+
+
+_NULL_SENTINEL = "\x00__null__"
+
+
+def profile_documents(sf_dir: str) -> rd.Dataset:
+    """Table profiler (SUMMARIZE / reference statistics-sink analog,
+    kgw/_shared/tasks.py stats outputs): per column of ``documents`` —
+    row count, null count, and EXACT distinct count, in ONE pass + ONE
+    pair-keyed exchange. Per block, every column folds to (col, key,
+    cnt) value-count partials — long text values hash to md5 first so
+    the shuffle never carries document bodies (the dedup_exact rule;
+    md5-distinct == value-distinct absent collisions), nulls fold into
+    a sentinel key so null counts ride the same reduce. The global
+    (col, key) reduce is vocabulary-bounded for every column except the
+    primary key, whose distinct-count shuffle is inherently key-sized."""
+    import hashlib
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = read_table(sf_dir, "documents", columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_col, out_key, out_cnt = [], [], []
+        for c in cols:
+            arr = t.column(c)
+            n_null = arr.null_count
+            vals = arr.drop_null()
+            if c == "text":
+                keys = np.asarray(
+                    [
+                        hashlib.md5(v.encode("utf-8")).hexdigest()
+                        for v in vals.to_pylist()
+                    ]
+                )
+            else:
+                keys = vals.cast(pa.string()).to_numpy(zero_copy_only=False)
+            uk, cnts = np.unique(keys, return_counts=True)
+            out_col.extend([c] * len(uk))
+            out_key.extend(uk.tolist())
+            out_cnt.extend(cnts.tolist())
+            if n_null:
+                out_col.append(c)
+                out_key.append(_NULL_SENTINEL)
+                out_cnt.append(n_null)
+        return pa.table(
+            {
+                "col_name": pa.array(out_col, pa.string()),
+                "key": pa.array(out_key, pa.string()),
+                "cnt": pa.array(np.asarray(out_cnt, dtype=np.int64)),
+            }
+        )
+
+    keyed = grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["col_name", "key"],
+        [("cnt", "sum", "cnt")],
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        is_null = df["key"].to_numpy() == _NULL_SENTINEL
+        g = pd.DataFrame(
+            {
+                "col_name": df["col_name"].to_numpy(),
+                "n": df["cnt"].to_numpy(dtype=np.int64),
+                "n_null": np.where(is_null, df["cnt"].to_numpy(dtype=np.int64), 0),
+                "n_distinct": (~is_null).astype(np.int64),
+            }
+        ).groupby("col_name", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "col_name": pa.array(g["col_name"].to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+                "n_null": pa.array(g["n_null"].to_numpy(dtype=np.int64)),
+                "n_distinct": pa.array(g["n_distinct"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        keyed.map_batches(fold, batch_format="pandas"),
+        "col_name",
+        [
+            ("n", "sum", "n"),
+            ("n_null", "sum", "n_null"),
+            ("n_distinct", "sum", "n_distinct"),
+        ],
+    )
+
+
+PROFILE_DOCUMENTS_SQL = """
+SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+UNION ALL
+SELECT 'text', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'source', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM documents
+"""

@@ -1259,3 +1259,63 @@ def chain_hops(sf_dir: str) -> rd.Dataset:
 CHAIN_HOPS_SQL = """
 SELECT doc_id, doc_id // 4 AS anc2, doc_id // 16 AS anc4 FROM documents
 """
+
+
+def link_spam_scores(sf_dir: str) -> rd.Dataset:
+    """Link-farm signal per source host: total outlinks and the share of
+    them aimed at the single most-linked target host, in exact permille
+    (floor; a host funneling most links at one target is the classic
+    farm shape). Composes the verified host_graph aggregate — the farm
+    score itself is host-vocabulary-bounded arithmetic: per-block
+    (sum, max) partials over (src, dst, n) triples + ONE host-keyed
+    reduce; integer permille keeps the oracle float-free."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    hg = host_graph(sf_dir)
+
+    def partial(df: "pd.DataFrame") -> pa.Table:
+        import numpy as np
+
+        g = (
+            df.groupby("src_host", sort=False)
+            .agg(total_links=("n_links", "sum"), top_links=("n_links", "max"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "src_host": pa.array(g["src_host"].to_numpy(), pa.string()),
+                "total_links": pa.array(g["total_links"].to_numpy(dtype=np.int64)),
+                "top_links": pa.array(g["top_links"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    folded = grouped_aggregate_hybrid(
+        hg.map_batches(partial, batch_format="pandas"),
+        "src_host",
+        [("total_links", "sum", "total_links"), ("top_links", "max", "top_links")],
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tot = t.column("total_links").to_numpy(zero_copy_only=False)
+        top = t.column("top_links").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src_host": t.column("src_host"),
+                "total_links": t.column("total_links"),
+                "top_share_pm": pa.array((top * 1000) // np.maximum(tot, 1), pa.int64()),
+            }
+        )
+
+    return folded.map_batches(score, batch_format="pyarrow")
+
+
+LINK_SPAM_SQL = f"""
+SELECT src_host,
+       CAST(SUM(n_links) AS BIGINT) AS total_links,
+       CAST(MAX(n_links) * 1000 // GREATEST(SUM(n_links), 1) AS BIGINT)
+         AS top_share_pm
+FROM ({HOST_GRAPH_SQL})
+GROUP BY src_host
+"""
