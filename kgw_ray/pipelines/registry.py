@@ -2099,3 +2099,54 @@ def _q_webkg_link_spam(sf_dir: str) -> rd.Dataset:
 from kgw_ray.pipelines.webkg import LINK_SPAM_SQL as _LINK_SPAM_SQL  # noqa: E402
 
 register("webkg_link_spam_scores", _LINK_SPAM_SQL)(_q_webkg_link_spam)
+
+
+_WEBKG_RICH_CLUB_SQL = f"""
+WITH links AS MATERIALIZED ({_LINK_GRAPH_SQL}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_doc_id, dst_doc_id) AS a,
+                  greatest(src_doc_id, dst_doc_id) AS b
+  FROM links WHERE src_doc_id <> dst_doc_id
+),
+sym AS (SELECT a AS c FROM e0 UNION ALL SELECT b AS c FROM e0),
+deg AS MATERIALIZED (SELECT c AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM sym GROUP BY c),
+em AS MATERIALIZED (
+  SELECT least(dx.deg, dy.deg) AS mindeg
+  FROM e0 JOIN deg dx ON e0.a = dx.id JOIN deg dy ON e0.b = dy.id
+),
+ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 11))
+SELECT ks.k AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE deg > ks.k) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM em WHERE mindeg > ks.k) AS n_edges,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM deg WHERE deg > ks.k) >= 2
+                 THEN 2000 * (SELECT COUNT(*) FROM em WHERE mindeg > ks.k)
+                      // ((SELECT COUNT(*) FROM deg WHERE deg > ks.k)
+                          * ((SELECT COUNT(*) FROM deg WHERE deg > ks.k) - 1))
+                 ELSE 0 END AS BIGINT) AS rich_club_pm
+FROM ks
+"""
+
+
+@register("webkg_rich_club", oracle=_WEBKG_RICH_CLUB_SQL)
+def q_webkg_rich_club(sf_dir: str) -> pa.Table:
+    """Rich-club coefficient profile of the crawl's undirected doc link
+    graph over degree thresholds 1..10 — do heavily-linked pages
+    preferentially interlink (the SEO-farm macro signal). Two
+    degree-vocabulary-bounded histograms; all thresholds fold on the
+    driver (stages/graph_metrics.py:rich_club). Node ids travel as
+    strings in the engine; the unordered pair set (and so every degree
+    and count) is representation-independent."""
+    from kgw_ray.pipelines.webkg import link_graph
+    from kgw_ray.stages.graph_metrics import rich_club
+
+    edges = link_graph(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "source_id": t.column("src_doc_id").cast(pa.string()),
+                "target_id": t.column("dst_doc_id").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rich_club(edges)

@@ -5615,6 +5615,8 @@ def q20_promotion_suppliers(sf_dir: str) -> rd.Dataset:
         "l_suppkey",
         [("n_qual_parts", "sum", "n_qual_parts")],
     ).to_pandas()
+    if "l_suppkey" not in per_supp.columns:  # empty pull drops its schema
+        per_supp = pd.DataFrame({"l_suppkey": [], "n_qual_parts": []})
 
     supp = read_table_pandas(
         sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
@@ -5750,6 +5752,8 @@ def q21_waiting_suppliers(sf_dir: str) -> rd.Dataset:
         "s_suppkey",
         [("numwait", "sum", "numwait")],
     ).to_pandas()
+    if "s_suppkey" not in waits.columns:  # empty pull drops its schema
+        waits = pd.DataFrame({"s_suppkey": [], "numwait": []})
 
     supp = read_table_pandas(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     out = waits.merge(supp, on="s_suppkey")

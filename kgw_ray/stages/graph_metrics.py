@@ -300,6 +300,77 @@ def jaccard_link_prediction(
     return withdeg.map_batches(_score, batch_format="pyarrow")
 
 
+def rich_club(
+    edges: rd.Dataset,
+    *,
+    src: str = "source_id",
+    dst: str = "target_id",
+    max_k: int = 10,
+    broadcast_limit: int = _BROADCAST_LIMIT,
+) -> pa.Table:
+    """Rich-club profile: for each degree threshold k in 1..max_k, the
+    node count N_k (deg > k), the undirected edge count E_k among those
+    nodes, and the exact-integer rich-club coefficient
+    ``2000·E_k // (N_k·(N_k−1))`` permille — the hub-interconnection
+    diagnostic (do high-degree entities preferentially link each other).
+
+    Plan: the size-hybrid degree attach tags every distinct pair with
+    min(deg_a, deg_b); both the min-degree histogram and the degree
+    histogram are degree-vocabulary-sized reductions, so all k
+    thresholds fold from TWO bounded tables on the driver — no per-k
+    graph pass."""
+    pairs = _distinct_undirected_pairs(edges, src, dst).materialize()
+    degrees = _degree_table(pairs).materialize()
+    withdeg = _attach_degrees(pairs, degrees, broadcast_limit=broadcast_limit)
+
+    def _mind_partial(batch: pa.Table) -> pa.Table:
+        m = np.minimum(
+            batch.column("deg_a").to_numpy(zero_copy_only=False),
+            batch.column("deg_b").to_numpy(zero_copy_only=False),
+        )
+        uq, cnt = np.unique(m, return_counts=True)
+        return pa.table(
+            {"mindeg": pa.array(uq.astype(np.int64)), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        uq, cnt = np.unique(
+            batch.column("deg").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"deg": pa.array(uq.astype(np.int64)), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    mind_hist = grouped_aggregate_hybrid(
+        withdeg.map_batches(_mind_partial, batch_format="pyarrow"),
+        "mindeg",
+        [("n", "sum", "n")],
+    ).to_pandas()
+    deg_hist = grouped_aggregate_hybrid(
+        degrees.map_batches(_deg_partial, batch_format="pyarrow"),
+        "deg",
+        [("n", "sum", "n")],
+    ).to_pandas()
+
+    ks = np.arange(1, max_k + 1, dtype=np.int64)
+    md = mind_hist["mindeg"].to_numpy(dtype=np.int64) if len(mind_hist) else np.array([], np.int64)
+    mn = mind_hist["n"].to_numpy(dtype=np.int64) if len(mind_hist) else np.array([], np.int64)
+    dd = deg_hist["deg"].to_numpy(dtype=np.int64) if len(deg_hist) else np.array([], np.int64)
+    dn = deg_hist["n"].to_numpy(dtype=np.int64) if len(deg_hist) else np.array([], np.int64)
+    n_nodes = np.array([dn[dd > k].sum() for k in ks], np.int64)
+    n_edges = np.array([mn[md > k].sum() for k in ks], np.int64)
+    denom = n_nodes * (n_nodes - 1)
+    pm = np.where(n_nodes >= 2, (2000 * n_edges) // np.maximum(denom, 1), 0)
+    return pa.table(
+        {
+            "k": pa.array(ks),
+            "n_nodes": pa.array(n_nodes),
+            "n_edges": pa.array(n_edges),
+            "rich_club_pm": pa.array(pm.astype(np.int64)),
+        }
+    )
+
+
 def kcore(
     edges: rd.Dataset,
     *,

@@ -450,3 +450,33 @@ def test_ktruss_k4_bruteforce():
     got = k_truss(ds, k=4, rounds=6).to_pandas()
     assert sorted(zip(got.a, got.b)) == sorted(k4)
     assert (got.support == 2).all()
+
+
+def test_rich_club_clique_plus_pendant(ray_session):
+    # triangle a-b-c (deg 2,2,3 with pendant d on a): deg a=3, b=2, c=2, d=1
+    # k=1: N={a,b,c}, E={ab,ac,bc} → 2000*3//(3*2) = 1000
+    # k=2: N={a} → fewer than 2 nodes → 0
+    from kgw_ray.stages.graph_metrics import rich_club
+
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")])
+    rows = {r["k"]: r for r in rich_club(ds, max_k=3).to_pylist()}
+    assert rows[1] == {"k": 1, "n_nodes": 3, "n_edges": 3, "rich_club_pm": 1000}
+    # k=2: only a (deg 3) qualifies — a single node has no club edges
+    assert rows[2] == {"k": 2, "n_nodes": 1, "n_edges": 0, "rich_club_pm": 0}
+    assert rows[3] == {"k": 3, "n_nodes": 0, "n_edges": 0, "rich_club_pm": 0}
+
+
+def test_rich_club_hub_interlink(ray_session):
+    # two hubs x,y each with 3 pendants, linked to each other:
+    # deg x=y=4, pendants=1. k=1..3: N={x,y}, E={xy} → 2000*1//2 = 1000
+    from kgw_ray.stages.graph_metrics import rich_club
+
+    ds = _edges(
+        [("x", "y")]
+        + [("x", f"p{i}") for i in range(3)]
+        + [("y", f"q{i}") for i in range(3)]
+    )
+    rows = {r["k"]: r for r in rich_club(ds, max_k=4).to_pylist()}
+    for k in (1, 2, 3):
+        assert rows[k] == {"k": k, "n_nodes": 2, "n_edges": 1, "rich_club_pm": 1000}
+    assert rows[4]["n_nodes"] == 0 and rows[4]["rich_club_pm"] == 0
