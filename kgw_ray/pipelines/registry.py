@@ -2150,3 +2150,19 @@ def q_webkg_rich_club(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
     )
     return rich_club(edges)
+
+
+def _q_webkg_frontier_polite(sf_dir: str) -> rd.Dataset:
+    """Robots-filtered crawl frontier (see
+    kgw_ray/pipelines/webkg.py:frontier_polite_by_host and
+    kgw_ray/sources/robots.py)."""
+    from kgw_ray.pipelines.webkg import frontier_polite_by_host
+
+    return frontier_polite_by_host(sf_dir)
+
+
+from kgw_ray.pipelines.webkg import FRONTIER_POLITE_SQL as _FRONTIER_POLITE_SQL  # noqa: E402
+
+register("webkg_frontier_polite", _FRONTIER_POLITE_SQL)(_q_webkg_frontier_polite)
+
+register("events_type_lift", _rel.EVENTS_TYPE_LIFT_SQL)(_rel.events_type_lift)

@@ -5786,3 +5786,131 @@ FROM (SELECT late_packed - 1 AS sk FROM per_order
 JOIN supplier ON supplier.s_suppkey = q.sk
 GROUP BY s_suppkey, s_name
 """
+
+
+def events_type_lift(sf_dir: str) -> pa.Table:
+    """Association lift between event types over distinct users — the
+    market-basket normalization (lift = P(a,b) / (P(a)·P(b)), reported as
+    exact ppm): which behaviors co-occur in the same users beyond what
+    their popularity predicts. Plan: ONE (user, type) dedup reduce (the
+    users_by_type_signature exchange), pair expansion inside 64-way user
+    shards (type vocabulary is small, so pairs-per-user is bounded),
+    bounded (a, b) sums — then the lift arithmetic folds the
+    type-vocab²-sized count table on the driver in arbitrary-precision
+    Python int (n_ab·n_users·10⁶ overflows int64 at web scale; the
+    counts it folds are tiny, the corpus never lands here)."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates()
+        return arrow_from_pandas(g.assign(one=np.ones(len(g), np.int64)))
+
+    du = grouped_aggregate_hybrid(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["user_id", "event_type"],
+        [("one", "sum", "n")],
+    ).materialize()
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "shard": pa.array(u % 64, pa.int64()),
+            }
+        )
+
+    def shard_pairs(df: pd.DataFrame) -> pa.Table:
+        j = df.merge(df, on="user_id", suffixes=("_a", "_b"))
+        j = j[j["event_type_a"] < j["event_type_b"]]
+        g = (
+            j.groupby(["event_type_a", "event_type_b"], sort=False)
+            .size()
+            .rename("n_ab")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "type_a": pa.array(g["event_type_a"].to_numpy(), pa.string()),
+                "type_b": pa.array(g["event_type_b"].to_numpy(), pa.string()),
+                "n_ab": pa.array(g["n_ab"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    ab = grouped_aggregate_hybrid(
+        du.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas"),
+        ["type_a", "type_b"],
+        [("n_ab", "sum", "n_ab")],
+    ).to_pandas()
+
+    def _uniq_users(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"user_id": pa.array(u, pa.int64()), "one": pa.array(np.ones(len(u), np.int64))}
+        )
+
+    n_users = int(
+        grouped_aggregate_hybrid(
+            du.map_batches(_uniq_users, batch_format="pyarrow"),
+            "user_id",
+            [("one", "sum", "n")],
+        ).count()
+    )
+
+    def _type_counts(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("event_type", sort=False).size().rename("n").reset_index()
+        return arrow_from_pandas(g.astype({"n": np.int64}))
+
+    per = (
+        grouped_aggregate_hybrid(
+            du.map_batches(_type_counts, batch_format="pandas"),
+            "event_type",
+            [("n", "sum", "n")],
+        )
+        .to_pandas()
+        .set_index("event_type")["n"]
+    )
+
+    if len(ab) == 0 or "type_a" not in ab.columns:
+        return pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n_ab": pa.array([], pa.int64()),
+                "lift_ppm": pa.array([], pa.int64()),
+            }
+        )
+    lifts = [
+        int(n_ab) * n_users * 1_000_000 // (int(per[a]) * int(per[b]))
+        for a, b, n_ab in zip(ab["type_a"], ab["type_b"], ab["n_ab"])
+    ]
+    return pa.table(
+        {
+            "type_a": pa.array(ab["type_a"].to_numpy(), pa.string()),
+            "type_b": pa.array(ab["type_b"].to_numpy(), pa.string()),
+            "n_ab": pa.array(ab["n_ab"].to_numpy(dtype=np.int64)),
+            "lift_ppm": pa.array(np.asarray(lifts, dtype=np.int64)),
+        }
+    )
+
+
+EVENTS_TYPE_LIFT_SQL = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS nu FROM events),
+per AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n FROM du GROUP BY 1),
+ab AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              CAST(COUNT(*) AS HUGEINT) AS n_ab
+       FROM du a JOIN du b ON a.user_id = b.user_id
+                          AND a.event_type < b.event_type
+       GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_ab * nu * 1000000 // (p1.n * p2.n) AS BIGINT) AS lift_ppm
+FROM ab, tot
+JOIN per p1 ON p1.event_type = type_a
+JOIN per p2 ON p2.event_type = type_b
+"""

@@ -1105,13 +1105,11 @@ FROM links GROUP BY dst, anchor
 """
 
 
-def frontier_by_host(sf_dir: str) -> rd.Dataset:
-    """Crawl-frontier discovery: link targets whose exact URL was never
-    crawled, counted per destination host — the seed list (and its
-    per-host politeness budget) for the NEXT crawl round. Plan: per-block
+def frontier_targets(sf_dir: str) -> rd.Dataset:
+    """Distinct uncrawled link targets (dst_host, dst_doc_id): per-block
     target dedup → ONE pair-keyed reduce to the distinct target set →
     size-hybrid anti-join against the crawled URL set (both sides travel
-    as packed host|id keys, never full URLs) → host-bounded count."""
+    as packed host|id keys, never full URLs)."""
     from kgw_ray.sources.readers import read_table
     from kgw_ray.stages.agg import grouped_aggregate_hybrid
     from kgw_ray.stages.joins import anti_join
@@ -1146,7 +1144,13 @@ def frontier_by_host(sf_dir: str) -> rd.Dataset:
             pc.cast(t.column("dst_doc_id"), pa.string()),
             "|",
         )
-        return pa.table({"dst_host": t.column("dst_host"), "key": key})
+        return pa.table(
+            {
+                "dst_host": t.column("dst_host"),
+                "dst_doc_id": t.column("dst_doc_id"),
+                "key": key,
+            }
+        )
 
     def pack_c(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1163,11 +1167,15 @@ def frontier_by_host(sf_dir: str) -> rd.Dataset:
     crawled = read_table(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
         pack_c, batch_format="pyarrow"
     )
-    frontier = anti_join(
+    return anti_join(
         targets.map_batches(pack_t, batch_format="pyarrow"),
         crawled,
         on="key",
     )
+
+
+def _count_by_host(frontier: rd.Dataset) -> rd.Dataset:
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
 
     def host_count(df: "pd.DataFrame") -> pa.Table:
         import numpy as np
@@ -1187,6 +1195,42 @@ def frontier_by_host(sf_dir: str) -> rd.Dataset:
     )
 
 
+def frontier_by_host(sf_dir: str) -> rd.Dataset:
+    """Crawl-frontier discovery: link targets whose exact URL was never
+    crawled, counted per destination host — the seed list (and its
+    per-host politeness budget) for the NEXT crawl round."""
+    return _count_by_host(frontier_targets(sf_dir))
+
+
+def frontier_polite_by_host(sf_dir: str) -> rd.Dataset:
+    """Politeness-filtered frontier: the uncrawled targets a compliant
+    crawler may actually fetch, per host — each destination host's
+    robots.txt rules (sources/robots.py, RFC 9309-lite longest-match
+    Allow/Disallow) drop excluded paths BEFORE scheduling. Rules are
+    parsed once per host on the driver (host-vocabulary-sized), shipped
+    once via ``ray.put``, and applied as a per-batch mask; the synthetic
+    rule is a pure function of the host name so the oracle re-derives
+    its effect arithmetically."""
+    import ray
+
+    from kgw_ray.sources.robots import allowed_mask, rules_for_hosts
+
+    hosts = [f"src{n}.example.org" for n in range(20)]
+    rules_ref = ray.put(rules_for_hosts(hosts))
+
+    def polite(t: pa.Table) -> pa.Table:
+        rules = ray.get(rules_ref)
+        hs = t.column("dst_host").to_pylist()
+        ids = t.column("dst_doc_id").to_pylist()
+        paths = [f"/doc/{i:08d}" for i in ids]
+        mask = pa.array(allowed_mask(rules, hs, paths), pa.bool_())
+        return t.filter(mask)
+
+    return _count_by_host(
+        frontier_targets(sf_dir).map_batches(polite, batch_format="pyarrow")
+    )
+
+
 FRONTIER_BY_HOST_SQL = """
 WITH links AS (
   SELECT source || '.example.org' AS h, doc_id + 1 AS d FROM documents
@@ -1199,6 +1243,28 @@ crawled AS (SELECT source || '.example.org' AS h, doc_id AS d FROM documents)
 SELECT h AS dst_host, CAST(COUNT(*) AS BIGINT) AS n_frontier
 FROM dl
 WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.h = dl.h AND c.d = dl.d)
+GROUP BY h
+"""
+
+
+# robots rule effect, re-derived arithmetically (sources/robots.py:
+# srcN disallows the 8-digit prefix /doc/0000K with K = N % 5, with an
+# Allow exception /doc/0000K9 — so a target is excluded iff its id sits
+# in the K-thousand band and not in that band's 9-hundreds)
+FRONTIER_POLITE_SQL = """
+WITH links AS (
+  SELECT source || '.example.org' AS h, doc_id + 1 AS d FROM documents
+  UNION ALL SELECT source || '.example.org', doc_id // 2 FROM documents
+  UNION ALL SELECT 'src' || ((doc_id + 3) % 20) || '.example.org',
+                   doc_id * 7 % 1000 FROM documents
+),
+dl AS (SELECT DISTINCT h, d FROM links),
+crawled AS (SELECT source || '.example.org' AS h, doc_id AS d FROM documents)
+SELECT h AS dst_host, CAST(COUNT(*) AS BIGINT) AS n_frontier
+FROM dl
+WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.h = dl.h AND c.d = dl.d)
+  AND NOT (d // 1000 = CAST(regexp_extract(h, 'src(\\d+)', 1) AS BIGINT) % 5
+           AND (d // 100) % 10 <> 9)
 GROUP BY h
 """
 

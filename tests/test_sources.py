@@ -338,3 +338,49 @@ def test_adapters_drop_null_members(tmp_path):
     )
     edges = fs.tsv_edges(rows, source_col="s", target_col="o", type_col="p").to_pandas()
     assert len(edges) == 1 and edges.iloc[0]["source_id"] == "a"
+
+
+class TestRobots:
+    def test_parse_groups_and_precedence(self):
+        from kgw_ray.sources.robots import parse_robots_txt
+
+        txt = (
+            "# comment\n"
+            "User-agent: *\n"
+            "Disallow: /private\n"
+            "Allow: /private/ok\n"
+            "\n"
+            "User-agent: special-bot\n"
+            "Disallow: /\n"
+        )
+        r = parse_robots_txt(txt)
+        assert not r.is_allowed("/private/x")
+        assert r.is_allowed("/private/ok/page")  # longest match wins
+        assert r.is_allowed("/public")
+        rb = parse_robots_txt(txt, user_agent="special-bot")
+        assert not rb.is_allowed("/anything")
+
+    def test_empty_disallow_allows_everything(self):
+        from kgw_ray.sources.robots import parse_robots_txt
+
+        r = parse_robots_txt("User-agent: *\nDisallow:\n")
+        assert r.is_allowed("/anything")
+
+    def test_equal_length_tie_prefers_allow(self):
+        from kgw_ray.sources.robots import RobotsRules
+
+        r = RobotsRules(disallow=["/doc/a"], allow=["/doc/b"])
+        assert not r.is_allowed("/doc/a1")
+        assert r.is_allowed("/doc/b1")
+        tie = RobotsRules(disallow=["/x"], allow=["/x"])
+        assert tie.is_allowed("/x/page")
+
+    def test_synth_rule_band(self):
+        from kgw_ray.sources.robots import parse_robots_txt, synth_robots_txt
+
+        r = parse_robots_txt(synth_robots_txt("src7.example.org"))  # K = 2
+        assert not r.is_allowed("/doc/00002000")
+        assert not r.is_allowed("/doc/00002899")
+        assert r.is_allowed("/doc/00002900")  # the Allow exception
+        assert r.is_allowed("/doc/00001999")
+        assert r.is_allowed("/doc/00012345")  # outside the 4-zero pad band
