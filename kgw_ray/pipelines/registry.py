@@ -2010,8 +2010,6 @@ def q_webkg_host_pagerank(sf_dir: str) -> rd.Dataset:
     hosts weigh more — the crawl-prioritization signal). Composition of
     the two verified operators: link extraction (webkg.link_graph) +
     integer micro-unit pagerank (stages/graph.py)."""
-    import numpy as np
-
     from kgw_ray.pipelines.webkg import link_graph
     from kgw_ray.stages.agg import grouped_aggregate_hybrid
     from kgw_ray.stages.graph import pagerank

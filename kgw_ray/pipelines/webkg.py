@@ -908,43 +908,12 @@ def edge_deltas_two_crawls(sf_dir: str) -> rd.Dataset:
     return joined.map_batches(classify, batch_format="pyarrow")
 
 
-_LINK_RE = None  # per-process compiled singleton (extract_batch pattern)
-
-
 def _extract_links_batch(batch: pa.Table) -> pa.Table:
     """pages(url, html, doc_id) → one row per absolute /doc/ outlink:
-    (src_doc_id, src_host, dst_doc_id, dst_host). Nav/footer relative
-    links don't match the absolute pattern; the compiled regexes are
-    process-wide singletons; output columns build as flat numpy/arrow
-    arrays."""
-    import re
-
-    import numpy as np
-
-    global _LINK_RE
-    if _LINK_RE is None:
-        _LINK_RE = re.compile(
-            rb"href=\"https://([a-z0-9_.-]+\.example\.org)/doc/(\d{8})\""
-        )
-    urls = batch.column("url").to_pylist()
-    src, shost, dst, host = [], [], [], []
-    for sid, page_url, html in zip(
-        batch.column("doc_id").to_pylist(), urls, batch.column("html").to_pylist()
-    ):
-        page_host = page_url.split("://", 1)[1].split("/", 1)[0]
-        for m in _LINK_RE.finditer(bytes(html)):
-            src.append(sid)
-            shost.append(page_host)
-            dst.append(int(m.group(2)))
-            host.append(m.group(1).decode("ascii"))
-    return pa.table(
-        {
-            "src_doc_id": pa.array(np.asarray(src, dtype=np.int64)),
-            "src_host": pa.array(shost, pa.string()),
-            "dst_doc_id": pa.array(np.asarray(dst, dtype=np.int64)),
-            "dst_host": pa.array(host, pa.string()),
-        }
-    )
+    (src_doc_id, src_host, dst_doc_id, dst_host). A projection of the
+    ONE outlink extractor (``_extract_anchors_batch``) so the rendered
+    href format is parsed in exactly one place."""
+    return _extract_anchors_batch(batch).drop_columns(["anchor"])
 
 
 def link_graph(sf_dir: str) -> rd.Dataset:
@@ -1025,10 +994,13 @@ _ANCHOR_RE = None  # per-process compiled singleton (extract_batch pattern)
 
 
 def _extract_anchors_batch(batch: pa.Table) -> pa.Table:
-    """pages(url, html, doc_id) → one row per outlink WITH its anchor text:
-    (src_doc_id, dst_doc_id, dst_host, anchor). The anchor text is the
-    surface form a linking author chose for the target — the raw material
-    of a KG alias table."""
+    """pages(url, html, doc_id) → one row per absolute /doc/ outlink WITH
+    its anchor text: (src_doc_id, src_host, dst_doc_id, dst_host,
+    anchor). THE single place the rendered href markup is parsed — every
+    link-consuming pipeline (link/host graphs, frontier, chain hops,
+    alias table) derives from this output, so a markup change can't
+    desynchronize extractors. Nav/footer relative links don't match the
+    absolute pattern; the compiled regex is a process-wide singleton."""
     import re
 
     import numpy as np
@@ -1038,18 +1010,23 @@ def _extract_anchors_batch(batch: pa.Table) -> pa.Table:
         _ANCHOR_RE = re.compile(
             rb"href=\"https://([a-z0-9_.-]+\.example\.org)/doc/(\d{8})\">([a-z]+)</a>"
         )
-    src, dst, host, anchor = [], [], [], []
-    for sid, html in zip(
-        batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
+    src, shost, dst, host, anchor = [], [], [], [], []
+    for sid, page_url, html in zip(
+        batch.column("doc_id").to_pylist(),
+        batch.column("url").to_pylist(),
+        batch.column("html").to_pylist(),
     ):
+        page_host = page_url.split("://", 1)[1].split("/", 1)[0]
         for m in _ANCHOR_RE.finditer(bytes(html)):
             src.append(sid)
+            shost.append(page_host)
             dst.append(int(m.group(2)))
             host.append(m.group(1).decode("ascii"))
             anchor.append(m.group(3).decode("ascii"))
     return pa.table(
         {
             "src_doc_id": pa.array(np.asarray(src, dtype=np.int64)),
+            "src_host": pa.array(shost, pa.string()),
             "dst_doc_id": pa.array(np.asarray(dst, dtype=np.int64)),
             "dst_host": pa.array(host, pa.string()),
             "anchor": pa.array(anchor, pa.string()),
@@ -1215,7 +1192,30 @@ def frontier_polite_by_host(sf_dir: str) -> rd.Dataset:
 
     from kgw_ray.sources.robots import allowed_mask, rules_for_hosts
 
-    hosts = [f"src{n}.example.org" for n in range(20)]
+    # derive the host universe from the data (one per-block unique pass
+    # over the single pruned source column + a vocabulary-sized reduce) —
+    # hardcoding src0..src19 would silently rule-lessly allow any new
+    # host the corpus generator introduces while the oracle still
+    # applied its band to it
+    from kgw_ray.sources.readers import read_table
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    def _uniq_src(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = np.unique(t.column("source").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"source": pa.array(u, pa.string()), "one": pa.array(np.ones(len(u), np.int64))}
+        )
+
+    srcs = grouped_aggregate_hybrid(
+        read_table(sf_dir, "documents", columns=["source"]).map_batches(
+            _uniq_src, batch_format="pyarrow"
+        ),
+        "source",
+        [("one", "sum", "n")],
+    ).to_pandas()
+    hosts = [f"{s}.example.org" for s in srcs["source"]] if "source" in srcs.columns else []
     rules_ref = ray.put(rules_for_hosts(hosts))
 
     def polite(t: pa.Table) -> pa.Table:
@@ -1270,9 +1270,10 @@ GROUP BY h
 
 
 def chain_hops(sf_dir: str) -> rd.Dataset:
-    """Pointer doubling over the half-link chain: every page's 4-hop and
-    16-hop ancestor in log-many distributed self-joins (2 rounds double
-    1-hop → 2-hop → 4-hop; the general k-round plan reaches 2^k hops) —
+    """Pointer doubling over the half-link chain: every page's 2-hop
+    (anc2 = doc//4) and 4-hop (anc4 = doc//16) ancestor in log-many
+    distributed self-joins (2 rounds double 1-hop → 2-hop → 4-hop; the
+    general k-round plan reaches 2^k hops) —
     the canonical-chain / redirect-resolution primitive, where the naive
     per-hop walk needs 2^k sequential joins. Each round is ONE
     hash-partitioned large join of the jump table with itself; the chain
