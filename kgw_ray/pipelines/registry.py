@@ -2164,3 +2164,16 @@ from kgw_ray.pipelines.webkg import FRONTIER_POLITE_SQL as _FRONTIER_POLITE_SQL 
 register("webkg_frontier_polite", _FRONTIER_POLITE_SQL)(_q_webkg_frontier_polite)
 
 register("events_type_lift", _rel.EVENTS_TYPE_LIFT_SQL)(_rel.events_type_lift)
+
+
+def _q_webkg_chain_depth(sf_dir: str) -> rd.Dataset:
+    """Distance-accumulating pointer doubling: depth-to-root for every
+    page (see kgw_ray/pipelines/webkg.py:chain_depth)."""
+    from kgw_ray.pipelines.webkg import chain_depth
+
+    return chain_depth(sf_dir)
+
+
+from kgw_ray.pipelines.webkg import CHAIN_DEPTH_SQL as _CHAIN_DEPTH_SQL  # noqa: E402
+
+register("webkg_chain_depth", _CHAIN_DEPTH_SQL)(_q_webkg_chain_depth)

@@ -1386,3 +1386,104 @@ SELECT src_host,
 FROM ({HOST_GRAPH_SQL})
 GROUP BY src_host
 """
+
+
+def chain_depth(sf_dir: str, *, driver_limit: int = 2_000_000) -> rd.Dataset:
+    """Distance to the chain root for EVERY page, via distance-accumulating
+    pointer doubling: the jump table carries (node, ancestor, hops); each
+    round composes it with itself so reach doubles — ceil(log₂ depth)
+    rounds instead of depth sequential steps (canonicalization-chain /
+    redirect-depth resolution at graph diameter ∝ corpus size). The root's
+    self-edge enters with weight 0 (node == target at extraction), so
+    saturated hops stop accumulating exactly — no post-hoc clamp. Round
+    count derives from the observed max id on the driver (one pruned Max
+    aggregate), so the plan stays correct at any corpus scale. Size-hybrid
+    (the repo rule): at or under ``driver_limit`` nodes the doubling runs
+    as vectorized searchsorted rounds on the driver (each distributed
+    round would pay a full hash-join exchange for a node-sized table);
+    beyond it, each round is ONE hash-partitioned self-join
+    (tests/test_webkg.py pins path parity). Oracle: depth along d → d//2
+    is the closed-form bit length of doc_id."""
+    import numpy as np
+
+    from kgw_ray.sources.readers import read_table
+    from kgw_ray.stages.joins import large_join
+
+    anchors = pages_dataset(sf_dir).map_batches(
+        _extract_anchors_batch, batch_format="pyarrow"
+    )
+
+    def half_w(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.equal(t.column("anchor"), "half"))
+        n = f.column("src_doc_id").to_numpy(zero_copy_only=False)
+        a = f.column("dst_doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "anc": pa.array(a, pa.int64()),
+                "hops": pa.array((n != a).astype(_np.int64)),
+            }
+        )
+
+    jump = anchors.map_batches(half_w, batch_format="pyarrow").materialize()
+
+    # rounds: 2^R ≥ max chain depth = bit_length(max_id)
+    max_id = int(
+        read_table(sf_dir, "documents", columns=["doc_id"])
+        .max("doc_id")
+    )
+    depth_bound = max(1, max_id.bit_length())
+    rounds = max(1, (depth_bound - 1).bit_length())
+
+    if jump.count() <= driver_limit:
+        df = jump.to_pandas()
+        node = df["node"].to_numpy(dtype=np.int64)
+        anc = df["anc"].to_numpy(dtype=np.int64)
+        hops = df["hops"].to_numpy(dtype=np.int64)
+        order = np.argsort(node)
+        node_s, anc_s, hops_s = node[order], anc[order], hops[order]
+        for _ in range(rounds):
+            idx = np.searchsorted(node_s, anc_s)
+            hops_s = hops_s + hops_s[idx]
+            anc_s = anc_s[idx]
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(node_s), "depth": pa.array(hops_s)})
+        )
+
+    for _ in range(rounds):
+        right = jump.map_batches(
+            lambda t: pa.table(
+                {
+                    "jnode": t.column("node"),
+                    "janc": t.column("anc"),
+                    "jhops": t.column("hops"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        jump = large_join(jump, right, on=["anc"], right_on=["jnode"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "anc": t.column("janc"),
+                    "hops": pa.compute.add(t.column("hops"), t.column("jhops")),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return jump.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"), "depth": t.column("hops")}),
+        batch_format="pyarrow",
+    )
+
+
+CHAIN_DEPTH_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id = 0 THEN 0
+                 ELSE LENGTH(bin(doc_id)) END AS BIGINT) AS depth
+FROM documents
+"""

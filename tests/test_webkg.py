@@ -572,3 +572,23 @@ def test_anchor_extraction_matches_render_rule():
     assert by_anchor["xref"]["dst_doc_id"] == doc_id * 7 % 1000
     assert by_anchor["xref"]["dst_host"] == f"src{(doc_id + 3) % 20}.example.org"
     assert all(r["src_doc_id"] == doc_id for r in out)
+
+
+def test_chain_depth_path_parity(sf_smoke):
+    """The driver-merge fast path and the distributed self-join path of
+    chain_depth produce identical (doc_id, depth) tables, and both match
+    the closed form depth(d) = bit_length(d)."""
+    from kgw_ray.pipelines.webkg import chain_depth
+
+    fast = {
+        r["doc_id"]: r["depth"]
+        for r in chain_depth(sf_smoke).take_all()
+    }
+    dist = {
+        r["doc_id"]: r["depth"]
+        for r in chain_depth(sf_smoke, driver_limit=0).take_all()
+    }
+    assert fast == dist
+    assert all(
+        d == (doc.bit_length() if doc > 0 else 0) for doc, d in fast.items()
+    )
