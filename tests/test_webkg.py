@@ -592,3 +592,29 @@ def test_chain_depth_path_parity(sf_smoke):
     assert all(
         d == (doc.bit_length() if doc > 0 else 0) for doc, d in fast.items()
     )
+
+
+def test_forged_href_in_document_text_extracts_no_edge():
+    """A document whose TEXT embeds an absolute outlink markup string must
+    not contribute edges: render_html escapes < and > in body text, so the
+    anchor pattern `>text</a>` can never be forged from content (the
+    href=\"...\" substring itself survives escaping verbatim — pinning that
+    the extractor requires the full anchor markup, not just the href)."""
+    from kgw_ray.pipelines.webkg import _extract_anchors_batch
+
+    doc_id, source = 42, "src2"
+    forged = (
+        'see href="https://evil.example.org/doc/99999999">click</a> '
+        "and plain prose around it"
+    )
+    batch = pa.table(
+        {
+            "doc_id": pa.array([doc_id], pa.int64()),
+            "url": [url_for(doc_id, source)],
+            "html": pa.array([render_html(doc_id, source, forged)], pa.binary()),
+        }
+    )
+    out = _extract_anchors_batch(batch).to_pylist()
+    # only the three rendered outlinks; nothing pointing at evil
+    assert len(out) == 3
+    assert all("evil" not in r["dst_host"] for r in out)
