@@ -2177,3 +2177,7 @@ def _q_webkg_chain_depth(sf_dir: str) -> rd.Dataset:
 from kgw_ray.pipelines.webkg import CHAIN_DEPTH_SQL as _CHAIN_DEPTH_SQL  # noqa: E402
 
 register("webkg_chain_depth", _CHAIN_DEPTH_SQL)(_q_webkg_chain_depth)
+
+register("embeddings_label_centroid_parts", _td.EMBEDDINGS_LABEL_CENTROID_SQL)(
+    _td.embeddings_label_centroid_parts
+)

@@ -3481,3 +3481,51 @@ SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM documents
 """
+
+
+def embeddings_label_centroid_parts(sf_dir: str) -> rd.Dataset:
+    """Per-label centroid PARTS over the embedding table — (label, dim,
+    n, sum_q): the mergeable form of class centroids (supervised
+    prototype / class-balance audit; consumers derive means, the engine
+    ships only int64 monoids — the events_value_var_parts rule). Values
+    quantize half-up to micro-units (floor(x·1e6 + 0.5), the kmeans
+    convention both engines share); per block, np.add.at folds a batch
+    to |labels|×dim partial rows, so the ONE exchange is
+    label-vocabulary × dimension bounded regardless of corpus size."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.similarity import _quantize_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        M = _quantize_matrix(t, "embedding")
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uq, inv = np.unique(labels, return_inverse=True)
+        dim = M.shape[1]
+        sums = np.zeros((len(uq), dim), np.int64)
+        np.add.at(sums, inv, M)
+        cnt = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uq, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uq))),
+                "n": pa.array(np.repeat(cnt, dim)),
+                "sum_q": pa.array(sums.ravel()),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("n", "sum", "n"), ("sum_q", "sum", "sum_q")],
+    )
+
+
+EMBEDDINGS_LABEL_CENTROID_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_q
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, i
+"""
