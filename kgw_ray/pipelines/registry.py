@@ -2181,3 +2181,36 @@ register("webkg_chain_depth", _CHAIN_DEPTH_SQL)(_q_webkg_chain_depth)
 register("embeddings_label_centroid_parts", _td.EMBEDDINGS_LABEL_CENTROID_SQL)(
     _td.embeddings_label_centroid_parts
 )
+
+
+def _webkg_mis_sql() -> str:
+    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+    from kgw_ray.stages.graph_metrics import luby_mis_sql
+
+    edges_sql = (
+        "SELECT CAST(src_doc_id AS VARCHAR) AS s, "
+        "CAST(dst_doc_id AS VARCHAR) AS t "
+        f"FROM ({_LINK_GRAPH_SQL})"
+    )
+    return luby_mis_sql(edges_sql, rounds=4, md5_le_expr=f"({_MD5_LE_UINT64})")
+
+
+@register("webkg_mis", oracle=_webkg_mis_sql())
+def q_webkg_mis(sf_dir: str) -> rd.Dataset:
+    """Deterministic Luby maximal independent set over the undirected doc
+    link graph — parallel symmetry breaking with portable md5 priorities,
+    4 fixed rounds (stages/graph_metrics.py:luby_mis); every node reports
+    mis / dominated / undecided with its decision round."""
+    from kgw_ray.pipelines.webkg import link_graph
+    from kgw_ray.stages.graph_metrics import luby_mis
+
+    edges = link_graph(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "source_id": t.column("src_doc_id").cast(pa.string()),
+                "target_id": t.column("dst_doc_id").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return luby_mis(edges, rounds=4)

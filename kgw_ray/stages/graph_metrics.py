@@ -1624,6 +1624,236 @@ w{r} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+def luby_mis(
+    edges: rd.Dataset,
+    *,
+    rounds: int = 4,
+    src: str = "source_id",
+    dst: str = "target_id",
+) -> rd.Dataset:
+    """DETERMINISTIC Luby maximal-independent-set — the classic parallel
+    symmetry-breaking primitive (seed selection for clustering, landmark
+    placement, conflict-free scheduling). Each round every undecided node
+    draws the portable priority ``md5_le(v|round)`` (the random-walks
+    hash trick: bit-for-bit reproducible in any engine, where a PRNG
+    would be block-layout-dependent) and joins the MIS iff its packed
+    (priority, id) key is strictly smaller than every undecided
+    neighbor's; winners' neighbors become ``dominated``. Fixed-round
+    (Luby terminates in O(log n) rounds w.h.p.; leftovers report
+    ``undecided`` with round −1 and both engines agree on them).
+
+    Physical plan per round: undecided-subgraph edges via two size-hybrid
+    semi-joins, ONE packed-key grouped Min per node (the argmin-hash
+    pattern), winners by vectorized key compare with the no-undecided-
+    neighbor case falling out of a left attach, removals via size-hybrid
+    anti-joins — every exchanged table is node-vocabulary-sized.
+
+    Output: (id, status ∈ {mis, dominated, undecided}, round_decided)."""
+    import hashlib
+
+    from kgw_ray.stages.joins import anti_join, semi_join_dataset
+
+    pairs = _distinct_undirected_pairs(edges, src, dst).materialize()
+    undecided = nodes_from_edges(pairs, src="a", dst="b").materialize()
+    decided_parts: list[rd.Dataset] = []
+
+    def _key_of(ids: np.ndarray, r: int) -> np.ndarray:
+        return np.asarray(
+            [
+                "{:020d}".format(
+                    int.from_bytes(
+                        hashlib.md5(f"{v}|{r}".encode()).digest()[:8], "little"
+                    )
+                )
+                + v
+                for v in ids
+            ]
+        )
+
+    for r in range(1, rounds + 1):
+        if undecided.count() == 0:
+            break
+        live = semi_join_dataset(
+            semi_join_dataset(pairs, undecided, on="a", key_col="id"),
+            undecided,
+            on="b",
+            key_col="id",
+        )
+
+        def _sym_keys(t: pa.Table, *, _r=r) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "c": pa.array(np.concatenate([a, b]), pa.string()),
+                    "nkey": pa.array(
+                        np.concatenate([_key_of(b, _r), _key_of(a, _r)]),
+                        pa.string(),
+                    ),
+                }
+            )
+
+        min_nbr = grouped_aggregate_hybrid(
+            live.map_batches(_sym_keys, batch_format="pyarrow"),
+            "c",
+            [("nkey", "min", "nkey")],
+        ).to_pandas()
+        nbr_map = (
+            min_nbr.set_index("c")["nkey"]
+            if len(min_nbr) and "c" in min_nbr.columns
+            else pd.Series(dtype=object)
+        )
+        nbr_ref = ray.put(nbr_map)
+
+        def _winners(t: pa.Table, *, _r=r) -> pa.Table:
+            m = ray.get(nbr_ref)
+            ids = t.column("id").to_numpy(zero_copy_only=False)
+            own = _key_of(ids, _r)
+            nk = (
+                m.reindex(ids).to_numpy()
+                if len(m)
+                else np.full(len(ids), None, dtype=object)
+            )
+            # no undecided neighbor (NaN) ⇒ isolated in the live subgraph ⇒ wins
+            win = np.array(
+                [n is None or (isinstance(n, float)) or o < n for o, n in zip(own, nk)]
+            )
+            return pa.table({"id": pa.array(ids[win], pa.string())})
+
+        winners = undecided.map_batches(_winners, batch_format="pyarrow").materialize()
+
+        def _tag(status: str, *, _r=r):
+            def tag(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "id": t.column("id"),
+                        "status": pa.array([status] * t.num_rows, pa.string()),
+                        "round_decided": pa.array(
+                            np.full(t.num_rows, _r, dtype=np.int64)
+                        ),
+                    }
+                )
+
+            return tag
+
+        decided_parts.append(
+            winners.map_batches(_tag("mis"), batch_format="pyarrow").materialize()
+        )
+        # dominated = undecided neighbors of winners (minus the winners)
+        touched_a = semi_join_dataset(live, winners, on="a", key_col="id")
+        touched_b = semi_join_dataset(live, winners, on="b", key_col="id")
+
+        def _other(col_keep: str):
+            def pick(t: pa.Table) -> pa.Table:
+                return pa.table({"id": t.column(col_keep)})
+
+            return pick
+
+        nbrs = (
+            touched_a.map_batches(_other("b"), batch_format="pyarrow")
+            .union(touched_b.map_batches(_other("a"), batch_format="pyarrow"))
+        )
+
+        def _uniq_ids(t: pa.Table) -> pa.Table:
+            ids = np.unique(t.column("id").to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "id": pa.array(ids, pa.string()),
+                    "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+                }
+            )
+
+        dominated = anti_join(
+            grouped_aggregate_hybrid(
+                nbrs.map_batches(_uniq_ids, batch_format="pyarrow"),
+                "id",
+                [("one", "sum", "n")],
+            ).select_columns(["id"]),
+            winners,
+            on="id",
+            key_col="id",
+        ).materialize()
+        decided_parts.append(
+            dominated.map_batches(_tag("dominated"), batch_format="pyarrow").materialize()
+        )
+        undecided = anti_join(
+            anti_join(undecided, winners, on="id", key_col="id"),
+            dominated,
+            on="id",
+            key_col="id",
+        ).materialize()
+
+    def _tag_und(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t.column("id"),
+                "status": pa.array(["undecided"] * t.num_rows, pa.string()),
+                "round_decided": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            }
+        )
+
+    out = undecided.map_batches(_tag_und, batch_format="pyarrow")
+    for p in decided_parts:
+        out = out.union(p)
+    return out
+
+
+def luby_mis_sql(edges_sql: str, *, rounds: int = 4, md5_le_expr: str = "") -> str:
+    """The identical fixed-round deterministic Luby iteration unrolled
+    into MATERIALIZED CTEs (the random_walks_sql technique); priorities
+    are the same portable md5-LE-uint64 over ``v || '|' || round``,
+    packed with the id as lpad(hu,20)||id so ties are impossible."""
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM ({edges_sql}) WHERE s <> t),""",
+        "n AS (SELECT a AS id FROM e UNION SELECT b FROM e),",
+        "u0 AS MATERIALIZED (SELECT id FROM n)",
+    ]
+    sels = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+k{r} AS MATERIALIZED (
+  SELECT id, lpad(CAST(hu AS VARCHAR), 20, '0') || id AS key FROM (
+    SELECT id, {md5_le_expr} AS hu FROM (
+      SELECT id, md5(id || '|{r}') AS hx FROM u{p}))),
+live{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e
+  JOIN u{p} ua ON ua.id = e.a JOIN u{p} ub ON ub.id = e.b),
+mn{r} AS MATERIALIZED (
+  SELECT c, MIN(nkey) AS mn FROM (
+    SELECT l.a AS c, kb.key AS nkey FROM live{r} l JOIN k{r} kb ON kb.id = l.b
+    UNION ALL
+    SELECT l.b AS c, ka.key AS nkey FROM live{r} l JOIN k{r} ka ON ka.id = l.a
+  ) GROUP BY c),
+w{r} AS MATERIALIZED (
+  SELECT k.id FROM k{r} k LEFT JOIN mn{r} m ON m.c = k.id
+  WHERE m.mn IS NULL OR k.key < m.mn),
+d{r} AS MATERIALIZED (
+  SELECT DISTINCT nb AS id FROM (
+    SELECT l.b AS nb FROM live{r} l JOIN w{r} w ON w.id = l.a
+    UNION ALL
+    SELECT l.a AS nb FROM live{r} l JOIN w{r} w ON w.id = l.b
+  ) WHERE nb NOT IN (SELECT id FROM w{r})),
+u{r} AS MATERIALIZED (
+  SELECT id FROM u{p}
+  WHERE id NOT IN (SELECT id FROM w{r}) AND id NOT IN (SELECT id FROM d{r}))"""
+        )
+        sels.append(
+            f"SELECT id, 'mis' AS status, CAST({r} AS BIGINT) AS round_decided FROM w{r}"
+        )
+        sels.append(
+            f"SELECT id, 'dominated', CAST({r} AS BIGINT) FROM d{r}"
+        )
+    sels.append(
+        f"SELECT id, 'undecided', CAST(-1 AS BIGINT) FROM u{rounds}"
+    )
+    parts.append("\n" + "\nUNION ALL\n".join(sels))
+    return "\n".join(parts)
+
+
 def motif_census(
     edges: rd.Dataset, *, src: str = "source_id", dst: str = "target_id"
 ) -> pa.Table:

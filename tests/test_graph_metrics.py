@@ -480,3 +480,32 @@ def test_rich_club_hub_interlink(ray_session):
     for k in (1, 2, 3):
         assert rows[k] == {"k": k, "n_nodes": 2, "n_edges": 1, "rich_club_pm": 1000}
     assert rows[4]["n_nodes"] == 0 and rows[4]["rich_club_pm"] == 0
+
+
+def test_luby_mis_independent_and_dominating(ray_session):
+    """On a known graph the deterministic MIS output must be (a) an
+    independent set — no edge joins two 'mis' nodes — and (b) dominating:
+    every 'dominated' node has at least one 'mis' neighbor, and with
+    enough rounds nothing stays undecided."""
+    from kgw_ray.stages.graph_metrics import luby_mis
+
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+        ("c", "e"), ("e", "f"),                            # tail
+        ("g", "h"),                                        # separate edge
+    ]
+    rows = luby_mis(_edges(edge_list), rounds=6).take_all()
+    status = {r["id"]: r["status"] for r in rows}
+    assert set(status) == {"a", "b", "c", "d", "e", "f", "g", "h"}
+    assert "undecided" not in status.values()
+    mis = {v for v, s in status.items() if s == "mis"}
+    adj = {}
+    for x, y in edge_list:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    # independence
+    assert all(not (adj[v] & mis) for v in mis)
+    # domination
+    for v, s in status.items():
+        if s == "dominated":
+            assert adj[v] & mis
