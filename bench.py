@@ -326,6 +326,13 @@ def main() -> None:
         "to the JSON (the ×4096 streaming-smoke evidence)",
     )
     ap.add_argument("--_flagship_only", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--stats",
+        default=None,
+        metavar="QUERY",
+        help="run ONE registry query and print its per-stage ds.stats() "
+        "breakdown to stderr (one summary JSON line on stdout)",
+    )
     args = ap.parse_args()
 
     if args._flagship_only:
@@ -377,6 +384,42 @@ def main() -> None:
                 }
             )
         )
+        return
+
+    if args.stats:
+        # per-stage execution breakdown for ONE registry query — the
+        # "read ds.stats() and iterate" feedback loop as a first-class
+        # mode (stderr so the stdout contract stays one-JSON-line-free)
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                num_cpus=args.cpus,
+                include_dashboard=False,
+                logging_level="ERROR",
+            )
+        import __ray_entry__ as entry_mod
+
+        fn = entry_mod.queries()[args.stats]
+        res = fn(args.sf_dir)
+        import ray.data as rd_mod
+
+        if isinstance(res, rd_mod.Dataset):
+            res = res.materialize()
+            print(res.stats(), file=sys.stderr)
+            print(json.dumps({"query": args.stats, "rows": res.count()}))
+        else:
+            print(
+                json.dumps(
+                    {
+                        "query": args.stats,
+                        "rows": len(res) if hasattr(res, "__len__") else res.num_rows,
+                        "note": "driver-side result (no Dataset stats)",
+                    }
+                )
+            )
+        ray.shutdown()
         return
 
     names = args.queries.split(",") if args.queries else HEADLINE
