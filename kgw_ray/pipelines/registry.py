@@ -2214,3 +2214,7 @@ def q_webkg_mis(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
     )
     return luby_mis(edges, rounds=4)
+
+register("events_user_sketch_by_type", _rel.EVENTS_GROUPED_KMV_SQL)(
+    _rel.events_user_sketch_by_type
+)

@@ -5914,3 +5914,107 @@ FROM ab, tot
 JOIN per p1 ON p1.event_type = type_a
 JOIN per p2 ON p2.event_type = type_b
 """
+
+
+def events_user_sketch_by_type(sf_dir: str, k: int = 64) -> pa.Table:
+    """PER-GROUP distinct-user cardinality via mergeable KMV sketches —
+    the zero-pair-shuffle path to per-key COUNT DISTINCT at corpus scale
+    (the exact twin `events_users_per_type` pays a (type, user)-keyed
+    exchange; the sketch exchanges ≤ |types|·k·blocks fixed-size hash
+    rows instead). Per block, each type folds to its k smallest portable
+    md5-LE-uint64 user hashes; the global per-type k-min merges through
+    ONE bounded (type, hash) reduce and the estimator
+    ``(n−1)·2⁶⁴ // kth_min`` folds on the driver — pure integer
+    functions of the value set, bit-for-bit reproducible in SQL.
+    Standard error ~1/√k (~12% at the default k=64 — chosen so the
+    estimator branch, not just the exact-small branch, is live at the
+    sf0.01 gate scale of ~150 users/type; production would run k≥1024)."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.dedup import _portable_token_hashes
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        gs, hs = [], []
+        for g, sub in df.groupby("event_type", sort=False):
+            vals = sorted({str(x) for x in sub["user_id"] if x is not None})
+            h = np.unique(_portable_token_hashes(vals))[:k]
+            gs.extend([g] * len(h))
+            hs.append(h)
+        hv = np.concatenate(hs) if hs else np.array([], np.uint64)
+        return pa.table(
+            {
+                "event_type": pa.array(gs, pa.string()),
+                "h": pa.array(hv, pa.uint64()),
+                "one": pa.array(np.ones(len(gs), np.int64)),
+            }
+        )
+
+    pairs = grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "h"],
+        [("one", "sum", "n")],
+    ).to_pandas()
+
+    if len(pairs) == 0 or "event_type" not in pairs.columns:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "k": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "kth_min": pa.array([], pa.string()),
+                "est_distinct": pa.array([], pa.int64()),
+            }
+        )
+
+    out_t, out_n, out_kth, out_est = [], [], [], []
+    for g, sub in pairs.groupby("event_type", sort=False):
+        h = np.sort(sub["h"].to_numpy().astype(np.uint64))[:k]
+        n = int(len(h))
+        kth = int(h[-1])
+        est = n if n < k else ((n - 1) * (1 << 64)) // kth
+        out_t.append(g)
+        out_n.append(n)
+        out_kth.append(str(kth))
+        out_est.append(int(est))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "k": pa.array(np.full(len(out_t), k, dtype=np.int64)),
+            "n": pa.array(np.asarray(out_n, np.int64)),
+            "kth_min": pa.array(out_kth, pa.string()),
+            "est_distinct": pa.array(np.asarray(out_est, np.int64)),
+        }
+    )
+
+
+def _grouped_kmv_sql(k: int = 64) -> str:
+    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+
+    return f"""
+WITH hsrc AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL
+),
+u AS (SELECT event_type, ({_MD5_LE_UINT64}) AS hv FROM hsrc),
+kmin AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM u
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, MAX(hv) AS kth
+  FROM kmin WHERE rk <= {k} GROUP BY event_type
+)
+SELECT event_type, CAST({k} AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(kth AS VARCHAR) AS kth_min,
+       CASE WHEN n < {k} THEN CAST(n AS BIGINT)
+            ELSE CAST((CAST(n - 1 AS UHUGEINT)
+                       * CAST(18446744073709551616 AS UHUGEINT))
+                      // CAST(kth AS UHUGEINT) AS BIGINT)
+       END AS est_distinct
+FROM agg
+"""
+
+
+EVENTS_GROUPED_KMV_SQL = _grouped_kmv_sql()
