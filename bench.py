@@ -308,7 +308,7 @@ def main() -> None:
         type=int,
         default=int(os.environ.get("BENCH_REPEAT", "128")),
         help="corpus replication factor for the scaling workload (×128 ≈ "
-        "640k docs at sf0.1 — a timed region big enough that ±30% "
+        "640k docs at sf0.1 — a timed region big enough that ±30%% "
         "single-shot machine noise cannot hide a real regression; pass "
         "256 for the extra-long region)",
     )

@@ -1007,8 +1007,11 @@ def _extract_anchors_batch(batch: pa.Table) -> pa.Table:
 
     global _ANCHOR_RE
     if _ANCHOR_RE is None:
+        # \d{8,}: url_for zero-pads to AT LEAST 8 digits ({doc_id:08d}) —
+        # replica/recrawl ids offset by _REPEAT_STRIDE=1e8 render 9 digits,
+        # and an exact {8} would silently extract nothing from those pages
         _ANCHOR_RE = re.compile(
-            rb"href=\"https://([a-z0-9_.-]+\.example\.org)/doc/(\d{8})\">([a-z]+)</a>"
+            rb"href=\"https://([a-z0-9_.-]+\.example\.org)/doc/(\d{8,})\">([a-z]+)</a>"
         )
     src, shost, dst, host, anchor = [], [], [], [], []
     for sid, page_url, html in zip(
@@ -1192,30 +1195,31 @@ def frontier_polite_by_host(sf_dir: str) -> rd.Dataset:
 
     from kgw_ray.sources.robots import allowed_mask, rules_for_hosts
 
-    # derive the host universe from the data (one per-block unique pass
-    # over the single pruned source column + a vocabulary-sized reduce) —
-    # hardcoding src0..src19 would silently rule-lessly allow any new
-    # host the corpus generator introduces while the oracle still
-    # applied its band to it
-    from kgw_ray.sources.readers import read_table
+    # derive the host universe from the FRONTIER itself (distinct dst_host —
+    # the only hosts the politeness mask ever consults), one per-block
+    # unique pass + a host-vocabulary-sized reduce. Deriving it from
+    # documents.source would leave a linked-but-never-crawled host
+    # rule-less (allowed) while the oracle applies its band to every
+    # srcN-pattern host — divergent for corpora where some source residue
+    # is absent.
     from kgw_ray.stages.agg import grouped_aggregate_hybrid
 
-    def _uniq_src(t: pa.Table) -> pa.Table:
+    targets = frontier_targets(sf_dir).materialize()
+
+    def _uniq_host(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        u = np.unique(t.column("source").to_numpy(zero_copy_only=False))
+        u = np.unique(t.column("dst_host").to_numpy(zero_copy_only=False))
         return pa.table(
-            {"source": pa.array(u, pa.string()), "one": pa.array(np.ones(len(u), np.int64))}
+            {"h": pa.array(u, pa.string()), "one": pa.array(np.ones(len(u), np.int64))}
         )
 
-    srcs = grouped_aggregate_hybrid(
-        read_table(sf_dir, "documents", columns=["source"]).map_batches(
-            _uniq_src, batch_format="pyarrow"
-        ),
-        "source",
+    hdf = grouped_aggregate_hybrid(
+        targets.map_batches(_uniq_host, batch_format="pyarrow"),
+        "h",
         [("one", "sum", "n")],
     ).to_pandas()
-    hosts = [f"{s}.example.org" for s in srcs["source"]] if "source" in srcs.columns else []
+    hosts = list(hdf["h"]) if "h" in hdf.columns else []
     rules_ref = ray.put(rules_for_hosts(hosts))
 
     def polite(t: pa.Table) -> pa.Table:
@@ -1226,9 +1230,7 @@ def frontier_polite_by_host(sf_dir: str) -> rd.Dataset:
         mask = pa.array(allowed_mask(rules, hs, paths), pa.bool_())
         return t.filter(mask)
 
-    return _count_by_host(
-        frontier_targets(sf_dir).map_batches(polite, batch_format="pyarrow")
-    )
+    return _count_by_host(targets.map_batches(polite, batch_format="pyarrow"))
 
 
 FRONTIER_BY_HOST_SQL = """

@@ -99,8 +99,17 @@ def parse_robots_txt(text: str, *, user_agent: str = "*") -> RobotsRules:
 
 def rules_for_hosts(hosts) -> dict[str, RobotsRules]:
     """host → parsed default-UA rules, from each host's synthetic
-    robots.txt (per-host parse happens ONCE; callers broadcast the dict)."""
-    return {h: parse_robots_txt(synth_robots_txt(h)) for h in hosts}
+    robots.txt (per-host parse happens ONCE; callers broadcast the dict).
+    Hosts outside the synthetic ``srcN.*`` namespace get no entry — the
+    real-crawl analog of a host serving no robots.txt (allowed_mask
+    treats missing hosts as allowed)."""
+    out: dict[str, RobotsRules] = {}
+    for h in hosts:
+        try:
+            out[h] = parse_robots_txt(synth_robots_txt(h))
+        except ValueError:
+            continue
+    return out
 
 
 def allowed_mask(rules_by_host: dict[str, RobotsRules], hosts, paths):

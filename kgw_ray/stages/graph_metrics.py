@@ -1803,6 +1803,12 @@ def luby_mis_sql(edges_sql: str, *, rounds: int = 4, md5_le_expr: str = "") -> s
     into MATERIALIZED CTEs (the random_walks_sql technique); priorities
     are the same portable md5-LE-uint64 over ``v || '|' || round``,
     packed with the id as lpad(hu,20)||id so ties are impossible."""
+    if not md5_le_expr:
+        raise ValueError(
+            "luby_mis_sql: md5_le_expr is required (an empty default would "
+            "silently generate invalid SQL — pass the registry's md5-LE "
+            "uint64 expression over column hx)"
+        )
     parts = [
         f"""WITH e AS MATERIALIZED (
   SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b

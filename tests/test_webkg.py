@@ -574,6 +574,29 @@ def test_anchor_extraction_matches_render_rule():
     assert all(r["src_doc_id"] == doc_id for r in out)
 
 
+def test_anchor_extraction_survives_replica_ids():
+    """Replica/recrawl doc ids (offset by _REPEAT_STRIDE=1e8) render urls
+    with 9+ digits ({doc_id:08d} pads to AT LEAST 8); the extractor must
+    still see their outlinks — an exact \\d{8} silently dropped them."""
+    from kgw_ray.pipelines.webkg import _extract_anchors_batch
+    from kgw_ray.sources.pages import _REPEAT_STRIDE
+
+    doc_id, source = _REPEAT_STRIDE + 137, "src17"
+    batch = pa.table(
+        {
+            "doc_id": pa.array([doc_id], pa.int64()),
+            "url": [url_for(doc_id, source)],
+            "html": pa.array([render_html(doc_id, source, "body text")], pa.binary()),
+        }
+    )
+    out = _extract_anchors_batch(batch).to_pylist()
+    by_anchor = {r["anchor"]: r for r in out}
+    assert set(by_anchor) == {"next", "half", "xref"}
+    assert by_anchor["next"]["dst_doc_id"] == doc_id + 1  # 9-digit target
+    assert by_anchor["half"]["dst_doc_id"] == doc_id // 2
+    assert by_anchor["xref"]["dst_doc_id"] == doc_id * 7 % 1000
+
+
 def test_chain_depth_path_parity(sf_smoke):
     """The driver-merge fast path and the distributed self-join path of
     chain_depth produce identical (doc_id, depth) tables, and both match
