@@ -346,40 +346,59 @@ def main() -> None:
         return
 
     if args.scaling:
+        # INTERLEAVED levels (r4 judge task #2): all-A-then-all-B lets slow
+        # ambient box drift between the phases land directly in the ratio;
+        # alternating fresh-process pairs A/B/A/B/... makes each pair see
+        # the same ambient load, and the MEDIAN of per-adjacent-pair ratios
+        # is robust to any single contaminated pair. Dispersion = the full
+        # per-pair efficiency list (plus min/max band).
         small_cpus, big_cpus = max(2, args.cpus // 4), args.cpus
-        small = _scaling_child(args.sf_dir, small_cpus, args.repeat, args.reps)
-        big = _scaling_child(args.sf_dir, big_cpus, args.repeat, args.reps)
-        t_small = small["queries"]["webkg_edges"]
-        t_big = big["queries"]["webkg_edges"]
         factor = big_cpus / small_cpus
-        eff = (t_small / t_big) / factor if t_big > 0 else None
-        # dispersion: the efficiency range spanned by the observed per-level
-        # extremes — a real regression must move the MEDIAN outside this band
-        eff_lo = (min(small["times"]) / max(big["times"])) / factor
-        eff_hi = (max(small["times"]) / min(big["times"])) / factor
+        small_times, big_times, pair_effs = [], [], []
+        n_docs = None
+        dps_small, dps_big = [], []
+        for _ in range(args.reps):
+            small = _scaling_child(args.sf_dir, small_cpus, args.repeat, 1)
+            big = _scaling_child(args.sf_dir, big_cpus, args.repeat, 1)
+            ts, tb = small["times"][0], big["times"][0]
+            small_times.append(ts)
+            big_times.append(tb)
+            pair_effs.append((ts / tb) / factor)
+            dps_small.append(small["docs_per_sec"])
+            dps_big.append(big["docs_per_sec"])
+            n_docs = big["n_docs"]
+        srt = sorted(pair_effs)
+        eff = srt[len(srt) // 2]
+        med_small = sorted(small_times)[len(small_times) // 2]
+        med_big = sorted(big_times)[len(big_times) // 2]
         print(
             json.dumps(
                 {
                     "metric": "webkg flagship scaling efficiency "
                     f"({small_cpus}→{big_cpus} CPUs, cluster-size proxy; "
-                    f"corpus×{args.repeat}, median of {args.reps})",
-                    "value": round(eff, 3) if eff is not None else None,
+                    f"corpus×{args.repeat}, median of {args.reps} "
+                    "INTERLEAVED A/B pair ratios)",
+                    "value": round(eff, 3),
                     "unit": "efficiency",
-                    "efficiency_range": [round(eff_lo, 3), round(eff_hi, 3)],
+                    "pair_efficiencies": [round(e, 3) for e in pair_effs],
+                    "efficiency_range": [
+                        round(min(pair_effs), 3),
+                        round(max(pair_effs), 3),
+                    ],
                     "sf": args.sf_dir,
                     "num_cpus": big_cpus,
-                    "n_docs": big["n_docs"],
+                    "n_docs": n_docs,
                     "queries": {
-                        f"webkg_edges@{small_cpus}cpus": t_small,
-                        f"webkg_edges@{big_cpus}cpus": t_big,
+                        f"webkg_edges@{small_cpus}cpus": round(med_small, 3),
+                        f"webkg_edges@{big_cpus}cpus": round(med_big, 3),
                     },
                     "times": {
-                        f"{small_cpus}cpus": small["times"],
-                        f"{big_cpus}cpus": big["times"],
+                        f"{small_cpus}cpus": small_times,
+                        f"{big_cpus}cpus": big_times,
                     },
                     "docs_per_sec": {
-                        f"{small_cpus}cpus": small["docs_per_sec"],
-                        f"{big_cpus}cpus": big["docs_per_sec"],
+                        f"{small_cpus}cpus": sorted(dps_small)[len(dps_small) // 2],
+                        f"{big_cpus}cpus": sorted(dps_big)[len(dps_big) // 2],
                     },
                 }
             )

@@ -1,0 +1,98 @@
+"""Portable 64-bit hashing shared by Ray operators AND DuckDB oracles.
+
+The engine's symmetry-breaking primitives (Luby MIS priorities, random-walk
+next-hop argmins, weighted-sampling draws) need pseudo-randomness that is a
+pure function of the DATA — bit-for-bit reproducible in any engine at any
+block layout — where a PRNG would be layout-dependent. Two building blocks:
+
+- ``mix64`` — the splitmix64 finalizer (Steele/Lea/Flood, public domain),
+  vectorized over uint64 numpy arrays. ``mix64_sql(col)`` emits the SAME
+  arithmetic as a DuckDB expression (UHUGEINT intermediates give the exact
+  mod-2^64 multiply; UBIGINT xor/shift are native), so both engines agree
+  on every bit. Integer keys hash without touching Python per row.
+- ``md5_le_u64`` — little-endian uint64 of md5's first 8 bytes, for STRING
+  keys. Per-row hashlib (no vectorized md5 exists), so callers must apply
+  it once per vocabulary entry (a node-scale base table), never inside a
+  per-round / per-edge inner loop — derive per-round values from the base
+  via ``mix64(base ^ round)``. SQL twin: ``training_data._MD5_LE_UINT64``
+  over ``md5(col)``.
+
+Replaces the ~8 per-row-md5 data-plane loops the round-4 review flagged
+(VERDICT r4 "What's wrong" #4 / task #3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_C1 = 0x9E3779B97F4A7C15
+_C2 = 0xBF58476D1CE4E5B9
+_C3 = 0x94D049BB133111EB
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 in → uint64 out).
+
+    Identical arithmetic to ``stages.dedup._mix64`` (the MinHash seed mix)
+    — kept as one canonical copy here; dedup re-exports it."""
+    z = (np.asarray(x, dtype=np.uint64) + np.uint64(_C1)) & _MASK64
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(_C2)) & _MASK64
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(_C3)) & _MASK64
+    return z ^ (z >> np.uint64(31))
+
+
+_M64 = "CAST('18446744073709551616' AS UHUGEINT)"  # 2^64
+
+
+def mix64_sql(col: str) -> str:
+    """DuckDB expression computing ``mix64`` of UBIGINT expression ``col``,
+    bit-identical to the numpy version (pinned in tests against golden
+    vectors): 64×64→128 multiplies ride UHUGEINT and wrap via % 2^64;
+    xor and logical >> are native on UBIGINT."""
+    z0 = f"CAST((CAST({col} AS UHUGEINT) + {_C1}) % {_M64} AS UBIGINT)"
+    z1 = (
+        f"CAST((CAST(xor({z0}, ({z0}) >> 30) AS UHUGEINT) * {_C2}) "
+        f"% {_M64} AS UBIGINT)"
+    )
+    z2 = (
+        f"CAST((CAST(xor({z1}, ({z1}) >> 27) AS UHUGEINT) * {_C3}) "
+        f"% {_M64} AS UBIGINT)"
+    )
+    return f"xor({z2}, ({z2}) >> 31)"
+
+
+def md5_le_u64(values) -> np.ndarray:
+    """Little-endian uint64 of md5(str(v))'s first 8 bytes, one per input —
+    the portable STRING→uint64 base hash (SQL twin:
+    ``training_data._MD5_LE_UINT64`` over ``md5(col)``). Per-row hashlib:
+    apply once per vocabulary entry, never in a per-round inner loop."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(v).encode("utf-8")).digest()[:8], "little")
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def u64_to_key20(h: np.ndarray) -> np.ndarray:
+    """Zero-padded 20-digit decimal strings of uint64s (vectorized): the
+    packed-key prefix whose lexicographic order equals numeric order —
+    SQL twin ``lpad(CAST(h AS VARCHAR), 20, '0')``."""
+    if len(h) == 0:
+        return np.zeros(0, dtype="U20")
+    return np.char.zfill(np.asarray(h, dtype=np.uint64).astype("U20"), 20)
+
+
+# Golden vectors pinning numpy↔SQL agreement (tests/test_porthash.py
+# recomputes both sides): mix64 of 0, 1, 2^63, 2^64-1.
+MIX64_GOLDEN = {
+    0: 16294208416658607535,
+    1: 10451216379200822465,
+    2**63: 5196802822362493915,
+    2**64 - 1: 16490336266968443936,
+}

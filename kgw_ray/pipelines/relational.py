@@ -22,6 +22,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from kgw_ray.functions.arrow_utils import arrow_from_pandas
+from kgw_ray.functions.porthash import mix64 as _mix64
 from kgw_ray.sources.readers import read_table, read_table_pandas
 from kgw_ray.stages.agg import grouped_aggregate
 from kgw_ray.stages.joins import broadcast_join, large_join
@@ -3493,16 +3494,19 @@ _CMS_WIDTH = 1024
 
 
 def _cms_buckets(uids) -> "np.ndarray":
-    """(n, depth) bucket matrix: md5(f'{uid}|{j}') first-8-bytes-LE mod
-    width — the repo's portable-hash convention (training_data.py:
-    _MD5_LE_UINT64), so the oracle reproduces every bucket exactly."""
-    import hashlib
-
-    out = np.empty((len(uids), _CMS_DEPTH), dtype=np.int64)
-    for i, u in enumerate(uids):
-        for j in range(_CMS_DEPTH):
-            h = hashlib.md5(f"{u}|{j}".encode()).digest()
-            out[i, j] = int.from_bytes(h[:8], "little") % _CMS_WIDTH
+    """(n, depth) bucket matrix: splitmix64(splitmix64(uid) ^ j) mod
+    width — user_id is an INTEGER key, so every depth row is fully
+    vectorized portable splitmix64 (functions/porthash; mix64_sql lets
+    the oracle reproduce every bucket exactly — the r4 review's
+    per-row-md5 tax removed). NOTE: runs on workers — the porthash
+    import must stay module-level (inner kgw_ray imports bypass
+    pickle-by-value and fail from a foreign driver cwd)."""
+    base = _mix64(np.asarray(uids, dtype=np.int64).view(np.uint64))
+    out = np.empty((len(base), _CMS_DEPTH), dtype=np.int64)
+    for j in range(_CMS_DEPTH):
+        out[:, j] = (_mix64(base ^ np.uint64(j)) % np.uint64(_CMS_WIDTH)).astype(
+            np.int64
+        )
     return out
 
 
@@ -3590,23 +3594,20 @@ def events_cms_estimates(sf_dir: str) -> rd.Dataset:
 
 
 def _cms_sql() -> str:
-    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+    from kgw_ray.functions.porthash import mix64_sql
 
     js = ", ".join(str(j) for j in range(_CMS_DEPTH))
+    base = mix64_sql("CAST(user_id AS UBIGINT)")
+    hu = mix64_sql(f"xor(({base}), CAST(j AS UBIGINT))")
     return f"""
 WITH counts AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events GROUP BY user_id
 ),
-hx AS (
-  SELECT user_id, j,
-         md5(CAST(user_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)) AS hx
-  FROM counts, UNNEST([{js}]) AS t(j)
-),
 hb AS (
   SELECT user_id, j,
-         CAST(({_MD5_LE_UINT64}) % {_CMS_WIDTH} AS BIGINT) AS bucket
-  FROM hx
+         CAST(({hu}) % {_CMS_WIDTH} AS BIGINT) AS bucket
+  FROM counts, UNNEST([{js}]) AS t(j)
 ),
 sk AS (
   SELECT hb.j, hb.bucket, SUM(c.n_events) AS cnt

@@ -2430,16 +2430,18 @@ _WSAMPLE_K = 100
 
 def docs_sample_weighted(sf_dir: str, k: int = _WSAMPLE_K) -> pa.Table:
     """DETERMINISTIC weighted sampling (integer Efraimidis-Spirakis
-    analog): priority = (md5_le(doc_id) >> 1) // n_chars — a fixed
+    analog): priority = (splitmix64(doc_id) >> 1) // n_chars — a fixed
     pseudo-random draw divided by the weight, so longer documents win
     proportionally more often while the sample stays a pure function of
     doc_id (bit-reproducible at any cluster size / block layout, which a
-    PRNG-based sampler is not). The k smallest priorities are selected
-    via block-local k-smallest + tiny driver merge (relational.py:
+    PRNG-based sampler is not). doc_id is an INTEGER key, so the draw is
+    the fully vectorized portable splitmix64 (functions/porthash — the
+    r4 review's per-row-md5 tax removed; mix64_sql keeps the oracle
+    bit-identical). The k smallest priorities are selected via
+    block-local k-smallest + tiny driver merge (relational.py:
     distributed_topk) — no global sort, no shuffle.
     Output: (doc_id, n_chars, priority)."""
-    import hashlib
-
+    from kgw_ray.functions.porthash import mix64
     from kgw_ray.pipelines.relational import distributed_topk
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
@@ -2447,17 +2449,7 @@ def docs_sample_weighted(sf_dir: str, k: int = _WSAMPLE_K) -> pa.Table:
     def prio(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(str(int(i)).encode()).digest()[:8], "little"
-                )
-                >> 1
-                for i in ids
-            ),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        h = (mix64(ids.astype(np.uint64)) >> np.uint64(1)).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -2474,18 +2466,21 @@ def docs_sample_weighted(sf_dir: str, k: int = _WSAMPLE_K) -> pa.Table:
     )
 
 
-SAMPLE_WEIGHTED_SQL = f"""
-WITH p AS (
-  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
-  FROM documents
-)
+def _sample_weighted_sql() -> str:
+    from kgw_ray.functions.porthash import mix64_sql
+
+    hu = mix64_sql("CAST(doc_id AS UBIGINT)")
+    return f"""
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-       CAST((({_MD5_LE_UINT64}) // 2) // greatest(n_chars, 1) AS BIGINT)
+       CAST(CAST(({hu}) >> 1 AS BIGINT) // greatest(n_chars, 1) AS BIGINT)
          AS priority
-FROM p
+FROM documents
 ORDER BY priority, doc_id
 LIMIT {_WSAMPLE_K}
 """
+
+
+SAMPLE_WEIGHTED_SQL = _sample_weighted_sql()
 
 
 def embeddings_scatter_quantized(sf_dir: str, *, scale: int = 1000) -> pa.Table:

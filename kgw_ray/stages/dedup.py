@@ -71,13 +71,10 @@ def exact_dedup_keep(ds: rd.Dataset, *, text_col: str = "text", id_col: str = "d
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer, vectorized."""
-    z = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
-    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
-    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
-    return z ^ (z >> np.uint64(31))
+# splitmix64 finalizer, vectorized — ONE canonical copy lives in
+# functions/porthash (with its DuckDB twin mix64_sql); re-exported here
+# under the historical name every minhash/bloom call site uses.
+from kgw_ray.functions.porthash import mix64 as _mix64  # noqa: E402
 
 
 def _hash_tokens(toks) -> np.ndarray:

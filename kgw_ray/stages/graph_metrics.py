@@ -466,7 +466,16 @@ def multi_bfs_closeness(
 
     adj = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
     node_ids = _degree_table(pairs).select_columns(["id"])
-    srcs = sorted(r["id"] for r in node_ids.take_all())[:n_sources]
+
+    # landmark pick via per-block min-k partials (the distributed_topk
+    # pattern): each block ships its n_sources smallest ids, the driver
+    # folds ≤ n_sources × n_blocks rows — never the full node vocabulary
+    def _min_k(t: pa.Table, *, _k=n_sources) -> pa.Table:
+        ids = np.unique(t.column("id").to_numpy(zero_copy_only=False))[:_k]
+        return pa.table({"id": pa.array(ids, pa.string())})
+
+    partials = node_ids.map_batches(_min_k, batch_format="pyarrow").to_pandas()
+    srcs = sorted(partials["id"])[:n_sources] if "id" in partials.columns else []
     empty = pa.table(
         {
             "id": pa.array([], pa.string()),
@@ -624,16 +633,24 @@ def _distinct_ordered_pairs(
 
 
 def _hybrid_attach(
-    big: rd.Dataset, small: rd.Dataset, *, on: str, right_on: str, how: str = "inner"
+    big: rd.Dataset,
+    small: rd.Dataset,
+    *,
+    on: str,
+    right_on: str,
+    how: str = "inner",
+    broadcast_limit: int | None = None,
 ) -> rd.Dataset:
     """Size-hybrid lookup join: the (materialized, vocabulary-sized) right
-    side broadcasts via ``ray.put`` under ``_BROADCAST_LIMIT`` rows and
-    falls back to the hash-partitioned Dataset.join beyond (the repo-wide
-    size rule, stages/joins.py)."""
+    side broadcasts via ``ray.put`` under ``_BROADCAST_LIMIT`` rows (or the
+    per-call ``broadcast_limit`` override — 0 is the forced-shuffle parity
+    hook) and falls back to the hash-partitioned Dataset.join beyond (the
+    repo-wide size rule, stages/joins.py)."""
     from kgw_ray.stages.joins import broadcast_join, large_join
 
+    limit = _BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
     small = small.materialize()
-    if small.count() <= _BROADCAST_LIMIT:
+    if small.count() <= limit:
         return broadcast_join(
             big, small.to_pandas(), on=[on], right_on=[right_on], how=how
         )
@@ -1208,57 +1225,170 @@ s{r} AS MATERIALIZED (
     return "\n".join(parts)
 
 
-def betweenness_from_counts(apsp: rd.Dataset) -> rd.Dataset:
+def betweenness_from_counts(
+    apsp: rd.Dataset,
+    *,
+    driver_limit: int = 2_000_000,
+    force_exchange: bool = False,
+) -> rd.Dataset:
     """EXACT betweenness centrality in integer micro-units from the σ
     table: bc_micro(v) = Σ_{s≠v≠t, s≠t} (σ_sv · σ_vt · 10^6) // σ_st over
     triples with d_sv + d_vt = d_st — per-term integer floor keeps both
     engines bit-identical (the fractional Brandes sum is float-unstable).
 
-    The fold itself runs on the driver over the (vocabulary²-bounded)
-    σ table — the kmeans/centroid rule: distribute the corpus-sized BFS,
-    fold the tiny sufficient statistic. At open-vocabulary scale feed a
-    seed-sampled σ table and divide by the seed fraction."""
-    ap = apsp.to_pandas()
-    nodes = pd.unique(ap["src"])
-    sv = ap.rename(columns={"src": "s", "id": "v", "dist": "d_sv", "n_paths": "c_sv"})
-    vt = ap.rename(columns={"src": "v", "id": "t", "dist": "d_vt", "n_paths": "c_vt"})
-    st = ap.rename(columns={"src": "s", "id": "t", "dist": "d_st", "n_paths": "c_st"})
-    m = sv.merge(vt, on="v").merge(st, on=["s", "t"])
-    m = m[
-        (m.d_sv + m.d_vt == m.d_st)
-        & (m.s != m.v)
-        & (m.v != m.t)
-        & (m.s != m.t)
-    ]
-    if len(m) and int(m.c_sv.max()) * int(m.c_vt.max()) > 2**42:
-        # σ products ride int64 alongside the 10^6 scale; fail loudly
-        # instead of wrapping (HUGEINT on the oracle side would diverge)
-        raise ValueError(
-            "betweenness_from_counts: path counts too large for the "
-            "int64 micro-unit fold"
+    Size-hybrid fold (the chain_depth convention): σ tables under
+    ``driver_limit`` rows fold in driver pandas (a vocabulary²-bounded
+    statistic at KG scale — the kmeans/centroid rule); beyond the limit
+    (or with ``force_exchange``, the parity-test hook) the fold is
+    distributed — the σ table shuffles by intermediate node ``v`` (one
+    hash join), closing pairs attach by (s, t) (second hash join), and
+    each partition folds its triples locally with the per-term integer
+    floor (order-independent), so nothing σ-scale ever lands on the
+    driver. At open-vocabulary scale feed a seed-sampled σ table and
+    divide by the seed fraction."""
+    apsp = apsp.materialize()
+    if not force_exchange and apsp.count() <= driver_limit:
+        ap = apsp.to_pandas()
+        nodes = pd.unique(ap["src"])
+        sv = ap.rename(
+            columns={"src": "s", "id": "v", "dist": "d_sv", "n_paths": "c_sv"}
         )
-    term = (
-        m.c_sv.to_numpy(dtype=np.int64)
-        * m.c_vt.to_numpy(dtype=np.int64)
-        * 1_000_000
-    ) // m.c_st.to_numpy(dtype=np.int64)
-    bc = (
-        pd.DataFrame({"id": m.v.to_numpy(), "bc": term})
-        .groupby("id", sort=False)["bc"]
-        .sum()
+        vt = ap.rename(
+            columns={"src": "v", "id": "t", "dist": "d_vt", "n_paths": "c_vt"}
+        )
+        st = ap.rename(
+            columns={"src": "s", "id": "t", "dist": "d_st", "n_paths": "c_st"}
+        )
+        m = sv.merge(vt, on="v").merge(st, on=["s", "t"])
+        m = m[
+            (m.d_sv + m.d_vt == m.d_st)
+            & (m.s != m.v)
+            & (m.v != m.t)
+            & (m.s != m.t)
+        ]
+        if len(m) and int(m.c_sv.max()) * int(m.c_vt.max()) > 2**42:
+            # σ products ride int64 alongside the 10^6 scale; fail loudly
+            # instead of wrapping (HUGEINT on the oracle side would diverge)
+            raise ValueError(
+                "betweenness_from_counts: path counts too large for the "
+                "int64 micro-unit fold"
+            )
+        term = (
+            m.c_sv.to_numpy(dtype=np.int64)
+            * m.c_vt.to_numpy(dtype=np.int64)
+            * 1_000_000
+        ) // m.c_st.to_numpy(dtype=np.int64)
+        bc = (
+            pd.DataFrame({"id": m.v.to_numpy(), "bc": term})
+            .groupby("id", sort=False)["bc"]
+            .sum()
+        )
+        out = pd.DataFrame({"id": nodes})
+        out["betweenness_micro"] = (
+            out["id"].map(bc).fillna(0).astype("int64")
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(out["id"].to_numpy(), pa.string()),
+                    "betweenness_micro": pa.array(
+                        out["betweenness_micro"].to_numpy()
+                    ),
+                }
+            )
+        )
+
+    # distributed fold: σ ⋈ σ on the intermediate node, σ on (s, t)
+    from kgw_ray.stages.joins import large_join
+
+    sv = apsp.rename_columns(
+        {"src": "s", "id": "v", "dist": "d_sv", "n_paths": "c_sv"}
     )
-    out = pd.DataFrame({"id": nodes})
-    out["betweenness_micro"] = (
-        out["id"].map(bc).fillna(0).astype("int64")
+    vt = apsp.rename_columns(
+        {"src": "v", "id": "t", "dist": "d_vt", "n_paths": "c_vt"}
     )
-    return rd.from_arrow(
-        pa.table(
+    st = apsp.rename_columns(
+        {"src": "s", "id": "t", "dist": "d_st", "n_paths": "c_st"}
+    )
+    m1 = large_join(sv, vt, on=["v"])
+    m2 = large_join(m1, st, on=["s", "t"])
+
+    def _term_partial(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        tt = t.column("t").to_numpy(zero_copy_only=False)
+        d_sv = t.column("d_sv").to_numpy(zero_copy_only=False)
+        d_vt = t.column("d_vt").to_numpy(zero_copy_only=False)
+        d_st = t.column("d_st").to_numpy(zero_copy_only=False)
+        keep = (d_sv + d_vt == d_st) & (s != v) & (v != tt) & (s != tt)
+        c_sv = t.column("c_sv").to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        c_vt = t.column("c_vt").to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        c_st = t.column("c_st").to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        prod = c_sv * c_vt
+        if len(prod) and int(prod.max()) > 2**42:
+            raise ValueError(
+                "betweenness_from_counts: path counts too large for the "
+                "int64 micro-unit fold"
+            )
+        term = prod * 1_000_000 // c_st
+        g = (
+            pd.DataFrame({"id": v[keep], "bc": term})
+            .groupby("id", sort=False)["bc"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
             {
-                "id": pa.array(out["id"].to_numpy(), pa.string()),
-                "betweenness_micro": pa.array(out["betweenness_micro"].to_numpy()),
+                "id": pa.array(g["id"].to_numpy(), pa.string()),
+                "bc": pa.array(g["bc"].to_numpy().astype(np.int64)),
             }
         )
+
+    bc = grouped_aggregate_hybrid(
+        m2.map_batches(_term_partial, batch_format="pyarrow"),
+        "id",
+        [("bc", "sum", "bc")],
     )
+
+    def _node_partial(t: pa.Table) -> pa.Table:
+        ids = np.unique(t.column("src").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.string()),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    nodes_ds = grouped_aggregate_hybrid(
+        apsp.map_batches(_node_partial, batch_format="pyarrow"),
+        "id",
+        [("one", "sum", "n")],
+    ).select_columns(["id"])
+    # assemble WITHOUT a left join: bc restricted to seed nodes ∪ zero rows
+    # for seeds carrying no mass — int64 survives exactly (a pandas left
+    # merge would round-trip bc through float64 NaN, corrupting > 2^53)
+    from kgw_ray.stages.joins import anti_join, semi_join_dataset
+
+    bc = bc.materialize()
+    with_mass = semi_join_dataset(bc, nodes_ds, on="id", key_col="id").map_batches(
+        lambda t: pa.table(
+            {
+                "id": t.column("id"),
+                "betweenness_micro": pc.cast(t.column("bc"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    zeros = anti_join(nodes_ds, bc, on="id", key_col="id").map_batches(
+        lambda t: pa.table(
+            {
+                "id": t.column("id"),
+                "betweenness_micro": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return with_mass.union(zeros)
 
 
 def nodes_from_edges(
@@ -1509,29 +1639,57 @@ def random_walks(
     would be block-layout-dependent.
 
     Physical plan per hop: ONE size-hybrid attach of the walk frontier
-    onto the (distinct, materialized) edge set, a per-batch md5 of the
-    candidates, then the packed-key grouped Min (lpad(hash,20)||t — the
-    lexicographic Min IS the (hash, t) argmin, the repo's packed-order
-    trick) selects each walk's next node. Walks die at sinks (no row
-    emitted past a dead end). Output: (start, step, node), step 0 = the
-    start itself."""
-    import hashlib
+    onto the (distinct, materialized) edge set, then the packed-key
+    grouped Min (lpad(hash,20)||t — the lexicographic Min IS the
+    (hash, t) argmin, the repo's packed-order trick) selects each walk's
+    next node. The hop hash is VECTORIZED portable splitmix64
+    (functions/porthash): mix64(mix64(base_start ^ r) ^ base_t) over
+    md5-LE bases hashed ONCE per node / pair endpoint — no per-row md5
+    in the hop loop (the r4 review's constant-factor tax). Walks die at
+    sinks (no row emitted past a dead end). Output: (start, step, node),
+    step 0 = the start itself."""
+    from kgw_ray.functions.porthash import md5_le_u64, mix64, u64_to_key20
 
-    pairs = _distinct_ordered_pairs(edges, src, dst).materialize()
+    def _base_pairs(t: pa.Table) -> pa.Table:
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        # int64 VIEW of the uint64 base: grouped Min never runs on it and
+        # signed storage keeps every exchange kernel happy
+        return pa.table(
+            {
+                "s": t.column("s"),
+                "t": t.column("t"),
+                "ht": pa.array(md5_le_u64(ts).view(np.int64)),
+            }
+        )
+
+    pairs = (
+        _distinct_ordered_pairs(edges, src, dst)
+        .map_batches(_base_pairs, batch_format="pyarrow")
+        .materialize()
+    )
     nodes = nodes_from_edges(pairs, src="s", dst="t")
 
     def _seed(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "start": t.column("id"),
+                "hstart": pa.array(md5_le_u64(ids).view(np.int64)),
                 "step": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
                 "node": t.column("id"),
             }
         )
 
-    walk_rows = [nodes.map_batches(_seed, batch_format="pyarrow").materialize()]
-    frontier = walk_rows[0].map_batches(
-        lambda t: pa.table({"start": t.column("start"), "cur": t.column("node")}),
+    seeds = nodes.map_batches(_seed, batch_format="pyarrow").materialize()
+    walk_rows = [seeds.select_columns(["start", "step", "node"])]
+    frontier = seeds.map_batches(
+        lambda t: pa.table(
+            {
+                "start": t.column("start"),
+                "hstart": t.column("hstart"),
+                "cur": t.column("node"),
+            }
+        ),
         batch_format="pyarrow",
     )
     for r in range(1, length + 1):
@@ -1539,22 +1697,36 @@ def random_walks(
 
         def _pick_partial(batch: pa.Table, *, _r=r) -> pa.Table:
             starts = batch.column("start").to_numpy(zero_copy_only=False)
+            hstart = (
+                batch.column("hstart")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
             ts = batch.column("t").to_numpy(zero_copy_only=False)
-            keys = [
-                "{:020d}".format(
-                    int.from_bytes(
-                        hashlib.md5(f"{s}|{_r}|{t}".encode()).digest()[:8],
-                        "little",
-                    )
-                )
-                + t
-                for s, t in zip(starts, ts)
-            ]
-            df = pd.DataFrame({"start": starts, "key": keys})
-            g = df.groupby("start", sort=False)["key"].min().reset_index()
+            ht = (
+                batch.column("ht")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            hu = mix64(mix64(hstart ^ np.uint64(_r)) ^ ht)
+            if len(ts):
+                keys = np.char.add(u64_to_key20(hu), ts.astype("U"))
+            else:
+                keys = np.zeros(0, dtype=object)
+            df = pd.DataFrame(
+                {"start": starts, "hstart": hstart.view(np.int64), "key": keys}
+            )
+            g = (
+                df.groupby("start", sort=False)
+                .agg(key=("key", "min"), hstart=("hstart", "first"))
+                .reset_index()
+            )
             return pa.table(
                 {
                     "start": pa.array(g["start"].to_numpy(), pa.string()),
+                    "hstart": pa.array(g["hstart"].to_numpy().astype(np.int64)),
                     "key": pa.array(g["key"].to_numpy(), pa.string()),
                 }
             )
@@ -1562,7 +1734,7 @@ def random_walks(
         picked = grouped_aggregate_hybrid(
             cands.map_batches(_pick_partial, batch_format="pyarrow"),
             "start",
-            [("key", "min", "key")],
+            [("key", "min", "key"), ("hstart", "min", "hstart")],
         )
 
         def _unpack(t: pa.Table, *, _r=r) -> pa.Table:
@@ -1571,6 +1743,7 @@ def random_walks(
             return pa.table(
                 {
                     "start": t.column("start"),
+                    "hstart": t.column("hstart"),
                     "step": pa.array(np.full(t.num_rows, _r, dtype=np.int64)),
                     "node": node,
                 }
@@ -1579,10 +1752,14 @@ def random_walks(
         stepped = picked.map_batches(_unpack, batch_format="pyarrow").materialize()
         if stepped.count() == 0:
             break
-        walk_rows.append(stepped)
+        walk_rows.append(stepped.select_columns(["start", "step", "node"]))
         frontier = stepped.map_batches(
             lambda t: pa.table(
-                {"start": t.column("start"), "cur": t.column("node")}
+                {
+                    "start": t.column("start"),
+                    "hstart": t.column("hstart"),
+                    "cur": t.column("node"),
+                }
             ),
             batch_format="pyarrow",
         )
@@ -1593,27 +1770,43 @@ def random_walks(
 
 
 def random_walks_sql(edges_sql: str, *, length: int = 4, md5_le_expr: str = "") -> str:
-    """The identical argmin-hash walk unrolled into CTEs. ``md5_le_expr``
-    is the portable md5-LE-uint64 SQL fragment over a column ``hx``
-    (training_data._MD5_LE_UINT64)."""
+    """The identical argmin-hash walk unrolled into CTEs: per-node base =
+    md5-LE-uint64 hashed ONCE (``md5_le_expr`` is the portable fragment
+    over column ``hx``, training_data._MD5_LE_UINT64), per-hop hash =
+    splitmix64(splitmix64(base_start ^ r) ^ base_t) via
+    functions/porthash.mix64_sql — the same UHUGEINT arithmetic numpy
+    computes, bit-for-bit."""
+    if not md5_le_expr:
+        raise ValueError(
+            "random_walks_sql: md5_le_expr is required (an empty default "
+            "would silently generate invalid SQL — pass the registry's "
+            "md5-LE uint64 expression over column hx)"
+        )
+    from kgw_ray.functions.porthash import mix64_sql
+
     parts = [
-        f"WITH e AS MATERIALIZED (SELECT DISTINCT s, t FROM ({edges_sql})),",
-        "n AS (SELECT s AS v FROM e UNION SELECT t AS v FROM e),",
-        "w0 AS (SELECT v AS start, v AS node FROM n)",
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT s, t FROM ({edges_sql})),",
+        "n AS (SELECT s AS v FROM e0 UNION SELECT t AS v FROM e0),",
+        "bs AS MATERIALIZED (SELECT v, "
+        f"({md5_le_expr}) AS base FROM (SELECT v, md5(v) AS hx FROM n)),",
+        "e AS MATERIALIZED (SELECT e0.s, e0.t, bt.base AS bt "
+        "FROM e0 JOIN bs bt ON bt.v = e0.t),",
+        "w0 AS (SELECT v AS start, v AS node, base AS bstart FROM bs)",
     ]
     sel = ["SELECT start, CAST(0 AS BIGINT) AS step, node FROM w0"]
     for r in range(1, length + 1):
         p = r - 1
+        inner = mix64_sql(f"xor(bstart, CAST({r} AS UBIGINT))")
+        hu = mix64_sql(f"xor(({inner}), bt)")
         parts.append(
             f""",
 c{r} AS (
-  SELECT w.start, e.t,
-         md5(w.start || '|{r}|' || e.t) AS hx
+  SELECT w.start, w.bstart, e.t, e.bt
   FROM w{p} w JOIN e ON e.s = w.node),
-h{r} AS (SELECT start, t, {md5_le_expr} AS hu FROM c{r}),
+h{r} AS (SELECT start, bstart, t, {hu} AS hu FROM c{r}),
 w{r} AS MATERIALIZED (
-  SELECT start, t AS node FROM (
-    SELECT start, t,
+  SELECT start, bstart, t AS node FROM (
+    SELECT start, bstart, t,
            ROW_NUMBER() OVER (PARTITION BY start ORDER BY hu, t) AS rk
     FROM h{r}) WHERE rk = 1)"""
         )
@@ -1630,6 +1823,7 @@ def luby_mis(
     rounds: int = 4,
     src: str = "source_id",
     dst: str = "target_id",
+    broadcast_limit: int | None = None,
 ) -> rd.Dataset:
     """DETERMINISTIC Luby maximal-independent-set — the classic parallel
     symmetry-breaking primitive (seed selection for clustering, landmark
@@ -1645,51 +1839,88 @@ def luby_mis(
     Physical plan per round: undecided-subgraph edges via two size-hybrid
     semi-joins, ONE packed-key grouped Min per node (the argmin-hash
     pattern), winners by vectorized key compare with the no-undecided-
-    neighbor case falling out of a left attach, removals via size-hybrid
-    anti-joins — every exchanged table is node-vocabulary-sized.
+    neighbor case falling out of a size-hybrid LEFT attach of the
+    (Dataset-valued) min-neighbor table, removals via size-hybrid
+    anti-joins — every exchanged table is node-vocabulary-sized and
+    nothing node-scale is pulled to the driver.
 
-    Output: (id, status ∈ {mis, dominated, undecided}, round_decided)."""
-    import hashlib
-
+    Priorities are PORTABLE and vectorized (functions/porthash): base =
+    md5-LE-uint64(id) computed ONCE per pair endpoint / node (the only
+    per-row hash, paid once — not per round per edge), per-round priority
+    = splitmix64(base ^ round), bit-identical to the oracle's UHUGEINT
+    arithmetic; the packed key lpad(priority,20)||id makes ties
+    impossible. Zero-row blocks (the semi/anti-join filter paths emit
+    them) pass through: every kernel is typed-dtype vectorized."""
+    from kgw_ray.functions.porthash import md5_le_u64, mix64, u64_to_key20
     from kgw_ray.stages.joins import anti_join, semi_join_dataset
 
-    pairs = _distinct_undirected_pairs(edges, src, dst).materialize()
-    undecided = nodes_from_edges(pairs, src="a", dst="b").materialize()
+    # one knob forces EVERY size-hybrid join in the round loop onto the
+    # shuffle path (the forced-distributed parity-test hook; 0 = shuffle)
+    _bl = 5_000_000 if broadcast_limit is None else broadcast_limit
+
+    def _base_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "ha": pa.array(md5_le_u64(a), pa.uint64()),
+                "hb": pa.array(md5_le_u64(b), pa.uint64()),
+            }
+        )
+
+    pairs = (
+        _distinct_undirected_pairs(edges, src, dst)
+        .map_batches(_base_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _base_nodes(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"id": t.column("id"), "h": pa.array(md5_le_u64(ids), pa.uint64())}
+        )
+
+    undecided = (
+        nodes_from_edges(pairs, src="a", dst="b")
+        .map_batches(_base_nodes, batch_format="pyarrow")
+        .materialize()
+    )
     decided_parts: list[rd.Dataset] = []
 
-    def _key_of(ids: np.ndarray, r: int) -> np.ndarray:
-        return np.asarray(
-            [
-                "{:020d}".format(
-                    int.from_bytes(
-                        hashlib.md5(f"{v}|{r}".encode()).digest()[:8], "little"
-                    )
-                )
-                + v
-                for v in ids
-            ]
-        )
+    def _packed_keys(h: np.ndarray, ids: np.ndarray, r: int) -> np.ndarray:
+        """Packed (priority, id) keys: zfill20(mix64(h ^ r)) || id —
+        typed-dtype vectorized, zero-row-safe (np.char on empty U arrays)."""
+        pri = u64_to_key20(mix64(h.astype(np.uint64) ^ np.uint64(r)))
+        if len(ids) == 0:
+            return np.zeros(0, dtype=object)
+        return np.char.add(pri, ids.astype("U"))
 
     for r in range(1, rounds + 1):
         if undecided.count() == 0:
             break
         live = semi_join_dataset(
-            semi_join_dataset(pairs, undecided, on="a", key_col="id"),
+            semi_join_dataset(
+                pairs, undecided, on="a", key_col="id", broadcast_limit=_bl
+            ),
             undecided,
             on="b",
             key_col="id",
+            broadcast_limit=_bl,
         )
 
         def _sym_keys(t: pa.Table, *, _r=r) -> pa.Table:
             a = t.column("a").to_numpy(zero_copy_only=False)
             b = t.column("b").to_numpy(zero_copy_only=False)
+            ha = t.column("ha").to_numpy(zero_copy_only=False)
+            hb = t.column("hb").to_numpy(zero_copy_only=False)
+            key_a = _packed_keys(ha, a, _r)
+            key_b = _packed_keys(hb, b, _r)
             return pa.table(
                 {
                     "c": pa.array(np.concatenate([a, b]), pa.string()),
-                    "nkey": pa.array(
-                        np.concatenate([_key_of(b, _r), _key_of(a, _r)]),
-                        pa.string(),
-                    ),
+                    "nkey": pa.array(np.concatenate([key_b, key_a]), pa.string()),
                 }
             )
 
@@ -1697,30 +1928,46 @@ def luby_mis(
             live.map_batches(_sym_keys, batch_format="pyarrow"),
             "c",
             [("nkey", "min", "nkey")],
-        ).to_pandas()
-        nbr_map = (
-            min_nbr.set_index("c")["nkey"]
-            if len(min_nbr) and "c" in min_nbr.columns
-            else pd.Series(dtype=object)
-        )
-        nbr_ref = ray.put(nbr_map)
+        ).materialize()
 
-        def _winners(t: pa.Table, *, _r=r) -> pa.Table:
-            m = ray.get(nbr_ref)
+        def _own_key(t: pa.Table, *, _r=r) -> pa.Table:
             ids = t.column("id").to_numpy(zero_copy_only=False)
-            own = _key_of(ids, _r)
-            nk = (
-                m.reindex(ids).to_numpy()
-                if len(m)
-                else np.full(len(ids), None, dtype=object)
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "id": t.column("id"),
+                    "own": pa.array(_packed_keys(h, ids, _r), pa.string()),
+                }
             )
-            # no undecided neighbor (NaN) ⇒ isolated in the live subgraph ⇒ wins
-            win = np.array(
-                [n is None or (isinstance(n, float)) or o < n for o, n in zip(own, nk)]
-            )
-            return pa.table({"id": pa.array(ids[win], pa.string())})
 
-        winners = undecided.map_batches(_winners, batch_format="pyarrow").materialize()
+        # size-hybrid LEFT attach of the min-neighbor Dataset; a node with
+        # no undecided neighbor (null nkey) is isolated in the live
+        # subgraph and wins unconditionally
+        if min_nbr.count() == 0:
+            # no live edges at all: every undecided node is isolated → wins
+            winners = undecided.select_columns(["id"]).materialize()
+        else:
+            attached = _hybrid_attach(
+                undecided.map_batches(_own_key, batch_format="pyarrow"),
+                min_nbr,
+                on="id",
+                right_on="c",
+                how="left",
+                broadcast_limit=broadcast_limit,
+            )
+
+            def _winners(t: pa.Table) -> pa.Table:
+                nk = (
+                    t.column("nkey")
+                    if "nkey" in t.column_names
+                    else pa.nulls(t.num_rows, pa.string())
+                )
+                win = pc.fill_null(pc.less(t.column("own"), nk), True)
+                return pa.table({"id": t.filter(win).column("id")})
+
+            winners = attached.map_batches(
+                _winners, batch_format="pyarrow"
+            ).materialize()
 
         def _tag(status: str, *, _r=r):
             def tag(t: pa.Table) -> pa.Table:
@@ -1740,8 +1987,12 @@ def luby_mis(
             winners.map_batches(_tag("mis"), batch_format="pyarrow").materialize()
         )
         # dominated = undecided neighbors of winners (minus the winners)
-        touched_a = semi_join_dataset(live, winners, on="a", key_col="id")
-        touched_b = semi_join_dataset(live, winners, on="b", key_col="id")
+        touched_a = semi_join_dataset(
+            live, winners, on="a", key_col="id", broadcast_limit=_bl
+        )
+        touched_b = semi_join_dataset(
+            live, winners, on="b", key_col="id", broadcast_limit=_bl
+        )
 
         def _other(col_keep: str):
             def pick(t: pa.Table) -> pa.Table:
@@ -1772,15 +2023,19 @@ def luby_mis(
             winners,
             on="id",
             key_col="id",
+            broadcast_limit=_bl,
         ).materialize()
         decided_parts.append(
             dominated.map_batches(_tag("dominated"), batch_format="pyarrow").materialize()
         )
         undecided = anti_join(
-            anti_join(undecided, winners, on="id", key_col="id"),
+            anti_join(
+                undecided, winners, on="id", key_col="id", broadcast_limit=_bl
+            ),
             dominated,
             on="id",
             key_col="id",
+            broadcast_limit=_bl,
         ).materialize()
 
     def _tag_und(t: pa.Table) -> pa.Table:
@@ -1801,30 +2056,36 @@ def luby_mis(
 def luby_mis_sql(edges_sql: str, *, rounds: int = 4, md5_le_expr: str = "") -> str:
     """The identical fixed-round deterministic Luby iteration unrolled
     into MATERIALIZED CTEs (the random_walks_sql technique); priorities
-    are the same portable md5-LE-uint64 over ``v || '|' || round``,
-    packed with the id as lpad(hu,20)||id so ties are impossible."""
+    are the portable splitmix64 over base ^ round with base =
+    md5-LE-uint64(id) hashed ONCE (functions/porthash.mix64_sql — the
+    same UHUGEINT arithmetic numpy computes, bit-for-bit), packed with
+    the id as lpad(hu,20)||id so ties are impossible."""
     if not md5_le_expr:
         raise ValueError(
             "luby_mis_sql: md5_le_expr is required (an empty default would "
             "silently generate invalid SQL — pass the registry's md5-LE "
             "uint64 expression over column hx)"
         )
+    from kgw_ray.functions.porthash import mix64_sql
+
     parts = [
         f"""WITH e AS MATERIALIZED (
   SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
   FROM ({edges_sql}) WHERE s <> t),""",
         "n AS (SELECT a AS id FROM e UNION SELECT b FROM e),",
+        "bs AS MATERIALIZED (SELECT id, "
+        f"({md5_le_expr}) AS base FROM (SELECT id, md5(id) AS hx FROM n)),",
         "u0 AS MATERIALIZED (SELECT id FROM n)",
     ]
     sels = []
     for r in range(1, rounds + 1):
         p = r - 1
+        hu = mix64_sql(f"xor(b.base, CAST({r} AS UBIGINT))")
         parts.append(
             f""",
 k{r} AS MATERIALIZED (
-  SELECT id, lpad(CAST(hu AS VARCHAR), 20, '0') || id AS key FROM (
-    SELECT id, {md5_le_expr} AS hu FROM (
-      SELECT id, md5(id || '|{r}') AS hx FROM u{p}))),
+  SELECT u.id, lpad(CAST({hu} AS VARCHAR), 20, '0') || u.id AS key
+  FROM u{p} u JOIN bs b ON b.id = u.id),
 live{r} AS MATERIALIZED (
   SELECT e.a, e.b FROM e
   JOIN u{p} ua ON ua.id = e.a JOIN u{p} ub ON ub.id = e.b),
@@ -1861,7 +2122,11 @@ u{r} AS MATERIALIZED (
 
 
 def motif_census(
-    edges: rd.Dataset, *, src: str = "source_id", dst: str = "target_id"
+    edges: rd.Dataset,
+    *,
+    src: str = "source_id",
+    dst: str = "target_id",
+    broadcast_limit: int = _BROADCAST_LIMIT,
 ) -> pa.Table:
     """Directed TRIAD MOTIF census over the simple digraph: one row
     (n_wedges, n_cycle_triples, n_ffl_triples) — the cycle-vs-feed-forward
@@ -1871,20 +2136,21 @@ def motif_census(
     matching the oracle's ordered-triple joins).
 
     Plan: the wedge stream (a→b→c, distinct endpoints) is ONE
-    size-hybrid self-join of the distinct-pair set; each block then
-    classifies its wedges against the broadcast pair set (a hash set of
-    the vocabulary-sized simple edges — the triangle_counts trade) and
-    emits a single partial row."""
-    import ray
+    size-hybrid self-join of the distinct-pair set; cycle/ffl closure is
+    the packed-key size-hybrid SEMI JOIN of the wedge's candidate closing
+    edge against the (vocabulary-sized) simple-edge key set —
+    triangle_counts' plan (stages/graph.py), vectorized ``pc.is_in``
+    under ``broadcast_limit`` keys, a hash join beyond. Nothing
+    edge-scale reaches the driver; only the three scalar counts do."""
+    from kgw_ray.stages.graph import _TRI_SEP
+    from kgw_ray.stages.joins import semi_join_dataset
 
-    pairs = _distinct_ordered_pairs(edges, src, dst).materialize()
-    pairs_df = pairs.to_pandas()
-    pairs_df = pairs_df[pairs_df["s"] != pairs_df["t"]]
-    edge_set = set(zip(pairs_df["s"], pairs_df["t"]))
-    ref = ray.put(edge_set)
-    nonloop = rd.from_arrow(
-        pa.Table.from_pandas(pairs_df.reset_index(drop=True), preserve_index=False)
-    )
+    pairs = _distinct_ordered_pairs(edges, src, dst)
+
+    def _nonloop(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.equal(t.column("s"), t.column("t"))))
+
+    nonloop = pairs.map_batches(_nonloop, batch_format="pyarrow").materialize()
     wedges = _hybrid_attach(
         nonloop,
         nonloop.rename_columns({"s": "b", "t": "c"}),
@@ -1892,33 +2158,41 @@ def motif_census(
         right_on="b",
     )
 
-    def classify(t: pa.Table) -> pa.Table:
-        es = ray.get(ref)
-        a = t.column("s").to_numpy(zero_copy_only=False)
-        b = t.column("t").to_numpy(zero_copy_only=False)
-        c = t.column("c").to_numpy(zero_copy_only=False)
-        keep = a != c  # distinct triad endpoints
-        a, b, c = a[keep], b[keep], c[keep]
-        cyc = sum((cc, aa) in es for aa, cc in zip(a, c))
-        ffl = sum((aa, cc) in es for aa, cc in zip(a, c))
+    def _wedge_keys(t: pa.Table) -> pa.Table:
+        # distinct triad endpoints; pack both candidate closing edges:
+        # (c,a) ∈ E closes a 3-cycle, (a,c) ∈ E a feed-forward loop
+        keep = pc.invert(pc.equal(t.column("s"), t.column("c")))
+        f = t.filter(keep)
         return pa.table(
             {
-                "n_wedges": pa.array([len(a)], pa.int64()),
-                "n_cycle_triples": pa.array([cyc], pa.int64()),
-                "n_ffl_triples": pa.array([ffl], pa.int64()),
+                "ca": pc.binary_join_element_wise(
+                    f.column("c"), f.column("s"), _TRI_SEP
+                ),
+                "ac": pc.binary_join_element_wise(
+                    f.column("s"), f.column("c"), _TRI_SEP
+                ),
             }
         )
 
-    parts = wedges.map_batches(classify, batch_format="pyarrow").to_pandas()
+    wk = wedges.map_batches(_wedge_keys, batch_format="pyarrow").materialize()
+    ekeys = nonloop.map_batches(
+        lambda t: pa.table(
+            {"k": pc.binary_join_element_wise(t.column("s"), t.column("t"), _TRI_SEP)}
+        ),
+        batch_format="pyarrow",
+    )
+    n_wedges = wk.count()
+    n_cyc = semi_join_dataset(
+        wk, ekeys, on="ca", key_col="k", broadcast_limit=broadcast_limit
+    ).count()
+    n_ffl = semi_join_dataset(
+        wk, ekeys, on="ac", key_col="k", broadcast_limit=broadcast_limit
+    ).count()
     return pa.table(
         {
-            "n_wedges": pa.array([int(parts["n_wedges"].sum())], pa.int64()),
-            "n_cycle_triples": pa.array(
-                [int(parts["n_cycle_triples"].sum())], pa.int64()
-            ),
-            "n_ffl_triples": pa.array(
-                [int(parts["n_ffl_triples"].sum())], pa.int64()
-            ),
+            "n_wedges": pa.array([n_wedges], pa.int64()),
+            "n_cycle_triples": pa.array([n_cyc], pa.int64()),
+            "n_ffl_triples": pa.array([n_ffl], pa.int64()),
         }
     )
 
@@ -1941,42 +2215,105 @@ SELECT
 """
 
 
+def _truss_wedges(g: pd.DataFrame) -> pa.Table:
+    """Per-shard wedge candidates of an undirected (a<b) pair set: one
+    lexsort + per-segment ``triu_indices`` (triangle_counts' enumeration,
+    stages/graph.py) — every potential triangle x<y<z emitted exactly once
+    at its smallest vertex (pivot) as (p, x, y) with x<y. No per-pivot
+    Python beyond the segment loop."""
+    empty = pa.table(
+        {
+            "p": pa.array([], pa.string()),
+            "x": pa.array([], pa.string()),
+            "y": pa.array([], pa.string()),
+        }
+    )
+    if len(g) == 0:
+        return empty
+    a = g["a"].to_numpy()
+    b = g["b"].to_numpy()
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    seg = np.nonzero(np.concatenate(([True], a[1:] != a[:-1])))[0]
+    ends = np.append(seg[1:], len(a))
+    ps, xs, ys = [], [], []
+    for s, e in zip(seg, ends):
+        d = e - s
+        if d < 2:
+            continue
+        i, j2 = np.triu_indices(d, 1)
+        ps.append(np.repeat(a[s], len(i)))
+        xs.append(b[s:e][i])
+        ys.append(b[s:e][j2])
+    if not ps:
+        return empty
+    return pa.table(
+        {
+            "p": pa.array(np.concatenate(ps), pa.string()),
+            "x": pa.array(np.concatenate(xs), pa.string()),
+            "y": pa.array(np.concatenate(ys), pa.string()),
+        }
+    )
+
+
 def _edge_support(
-    pairs_df: "pd.DataFrame", shards: rd.Dataset
+    cur: rd.Dataset,
+    *,
+    num_shards: int = 64,
+    broadcast_limit: int = _BROADCAST_LIMIT,
 ) -> rd.Dataset:
-    """Per-EDGE triangle support of an undirected (a<b) pair set: each
-    triangle x<y<z is enumerated exactly once at its smallest vertex
-    (pivot) and contributes +1 to all three of its edges. ``shards`` is
-    the pair Dataset sharded on hash(pivot); the full (vocabulary-sized)
-    pair set broadcasts once for the closure check."""
-    import ray
+    """Per-EDGE triangle support of an undirected (a<b) pair Dataset,
+    Datasets end-to-end: wedge candidates enumerate per hash(pivot) shard
+    (lexsort + per-segment triu), close via the packed-key SIZE-HYBRID
+    semi join against the current edge-key set (triangle_counts' plan —
+    ``pc.is_in`` broadcast under ``broadcast_limit``, hash join beyond),
+    and each closed triangle (p,x,y) contributes +1 to its three edges
+    through a per-batch combiner feeding ONE pair-keyed Sum. Nothing
+    edge-scale touches the driver."""
+    from kgw_ray.stages.graph import _TRI_SEP
+    from kgw_ray.stages.joins import semi_join_dataset
 
-    eset = set(zip(pairs_df["a"], pairs_df["b"]))
-    ref = ray.put(eset)
+    def _shard(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(a.astype(object)) % num_shards
+        return t.append_column("_shard", pa.array(h.astype(np.int64)))
 
-    def per_shard(g: pd.DataFrame) -> pa.Table:
-        empty = pa.table(
-            {
-                "a": pa.array([], pa.string()),
-                "b": pa.array([], pa.string()),
-                "sup": pa.array([], pa.int64()),
-            }
+    wedges = (
+        cur.map_batches(_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(_truss_wedges, batch_format="pandas")
+    )
+
+    def _wedge_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ek", pc.binary_join_element_wise(t.column("x"), t.column("y"), _TRI_SEP)
         )
-        if len(g) == 0:
-            return empty
-        es = ray.get(ref)
-        rows_a, rows_b = [], []
-        for piv, sub in g.groupby("a", sort=False):
-            nb = np.sort(sub["b"].to_numpy())
-            for i in range(len(nb)):
-                for j in range(i + 1, len(nb)):
-                    if (nb[i], nb[j]) in es:
-                        rows_a += [piv, piv, nb[i]]
-                        rows_b += [nb[i], nb[j], nb[j]]
-        if not rows_a:
-            return empty
+
+    ekeys = cur.map_batches(
+        lambda t: pa.table(
+            {"k": pc.binary_join_element_wise(t.column("a"), t.column("b"), _TRI_SEP)}
+        ),
+        batch_format="pyarrow",
+    )
+    closed = semi_join_dataset(
+        wedges.map_batches(_wedge_key, batch_format="pyarrow"),
+        ekeys,
+        on="ek",
+        key_col="k",
+        broadcast_limit=broadcast_limit,
+    )
+
+    def _edges3(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
         df = (
-            pd.DataFrame({"a": rows_a, "b": rows_b})
+            pd.DataFrame(
+                {
+                    "a": np.concatenate([p, p, x]),
+                    "b": np.concatenate([x, y, y]),
+                }
+            )
             .groupby(["a", "b"], sort=False)
             .size()
             .rename("sup")
@@ -1991,7 +2328,7 @@ def _edge_support(
         )
 
     return grouped_aggregate_hybrid(
-        shards.groupby("_shard").map_groups(per_shard, batch_format="pandas"),
+        closed.map_batches(_edges3, batch_format="pyarrow"),
         ["a", "b"],
         [("sup", "sum", "sup")],
     )
@@ -2004,6 +2341,7 @@ def k_truss(
     rounds: int = 6,
     src: str = "source_id",
     dst: str = "target_id",
+    broadcast_limit: int = _BROADCAST_LIMIT,
 ) -> rd.Dataset:
     """k-TRUSS edge peeling (fixed ``rounds``): iteratively drop every
     edge supported by fewer than k−2 triangles — the edge-level cohesion
@@ -2013,66 +2351,77 @@ def k_truss(
     Fixed-round semantics (the bellman_ford convention): after ``rounds``
     peels the result equals the true truss whenever peeling has
     converged, and the SQL oracle unrolls the identical rounds so gate
-    equality holds regardless. Per round: triangle enumeration at the
-    smallest-vertex pivot (coarse hash(pivot) shards, closure check
-    against the broadcast vocabulary-sized pair set — the
-    motif_census trade; at open vocabulary swap in triangle_counts'
-    packed-key semi join), per-edge support Sum, one vectorized filter."""
+    equality holds regardless. Per round: triangle candidates enumerate
+    at the smallest-vertex pivot (coarse hash(pivot) shards), close via
+    the packed-key size-hybrid semi join (triangle_counts' plan), per-edge
+    support Sum, one vectorized filter — the edge set stays a Dataset
+    through every round; only scalar counts (convergence check) reach
+    the driver."""
+    from kgw_ray.stages.graph import _TRI_SEP
 
-    def _shard(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(a.astype(object)) % 64
-        return t.append_column("_shard", pa.array(h.astype(np.int64)))
-
-    pairs = _distinct_undirected_pairs(edges, src, dst).materialize()
-    cur = pairs
-    sup = None
-    for _ in range(rounds):
-        cur_df = cur.to_pandas()
-        if len(cur_df) == 0:
-            break
-        shards = cur.map_batches(_shard, batch_format="pyarrow")
-        sup = _edge_support(cur_df, shards).materialize()
-        sup_df = sup.to_pandas()
-        if len(sup_df) == 0:
-            cur = cur.limit(0)
-            break
-        keep = sup_df[sup_df["sup"] >= k - 2][["a", "b"]]
-        if len(keep) == len(cur_df):
-            cur = rd.from_arrow(
-                pa.Table.from_pandas(
-                    cur_df.merge(keep, on=["a", "b"]), preserve_index=False
-                )
-            ).materialize()
-            break  # converged: nothing peeled this round
-        cur = rd.from_arrow(
-            pa.Table.from_pandas(keep.reset_index(drop=True), preserve_index=False)
-        ).materialize()
-    # final support over the surviving set
-    cur_df = cur.to_pandas()
-    if len(cur_df) == 0:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "a": pa.array([], pa.string()),
-                    "b": pa.array([], pa.string()),
-                    "support": pa.array([], pa.int64()),
-                }
-            )
-        )
-    shards = cur.map_batches(_shard, batch_format="pyarrow")
-    fin = _edge_support(cur_df, shards).to_pandas()
-    out = cur_df.merge(fin, on=["a", "b"], how="left")
-    out["support"] = out["sup"].fillna(0).astype("int64")
-    return rd.from_arrow(
-        pa.table(
-            {
-                "a": pa.array(out["a"].to_numpy(), pa.string()),
-                "b": pa.array(out["b"].to_numpy(), pa.string()),
-                "support": pa.array(out["support"].to_numpy()),
-            }
-        )
+    _empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "support": pa.array([], pa.int64()),
+        }
     )
+    cur = _distinct_undirected_pairs(edges, src, dst).materialize()
+    for _ in range(rounds):
+        n_cur = cur.count()
+        if n_cur == 0:
+            return rd.from_arrow(_empty)
+        sup = _edge_support(cur, broadcast_limit=broadcast_limit).materialize()
+        keep = sup.map_batches(
+            lambda t, _k=k: t.filter(
+                pc.greater_equal(t.column("sup"), _k - 2)
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_keep = keep.count()
+        if n_keep == 0:
+            return rd.from_arrow(_empty)
+        if n_keep == n_cur:
+            break  # converged: keep ⊆ cur and same size ⇒ nothing peeled
+        cur = keep
+    # final support over the surviving set (left attach: an edge whose
+    # triangles all peeled reports 0, matching the oracle's COALESCE)
+    fin = _edge_support(cur, broadcast_limit=broadcast_limit).materialize()
+    if fin.count() == 0:
+        # no triangles survive: every edge reports 0 (an empty right side
+        # would drop its schema on the broadcast to_pandas)
+        return cur.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t.column("a"),
+                    "b": t.column("b"),
+                    "support": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def _pack(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ek", pc.binary_join_element_wise(t.column("a"), t.column("b"), _TRI_SEP)
+        )
+
+    fink = fin.map_batches(_pack, batch_format="pyarrow").drop_columns(["a", "b"])
+    out = _hybrid_attach(
+        cur.map_batches(_pack, batch_format="pyarrow"),
+        fink,
+        on="ek",
+        right_on="ek",
+        how="left",
+    )
+
+    def _fill(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.fill_null(t.column("sup"), 0), pa.int64())
+        return pa.table(
+            {"a": t.column("a"), "b": t.column("b"), "support": s}
+        )
+
+    return out.map_batches(_fill, batch_format="pyarrow")
 
 
 def k_truss_sql(edges_sql: str, *, k: int = 4, rounds: int = 6) -> str:
