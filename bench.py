@@ -171,6 +171,130 @@ def _prepare_scaled_corpus(sf_dir: str, repeat: int) -> str:
     return out_dir
 
 
+def _prepare_skew_corpus(sf_dir: str) -> str:
+    """Documents corpus with DELIBERATE hot keys (judge task #7): 80% of
+    docs share a long boilerplate prefix (so its shingles dominate their
+    MinHash signatures — one scorching LSH bucket family per band) and
+    50% of docs collapse onto one host. Cached like the scaled corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out_dir = (
+        f"/tmp/kgw_bench/{os.path.basename(os.path.normpath(sf_dir))}_skew"
+    )
+    out = os.path.join(out_dir, "documents.parquet")
+    done = os.path.join(out, "_DONE")
+    st = os.stat(src)
+    cache_key = f"{st.st_size}:{int(st.st_mtime)}:skew-v1"
+    if not (os.path.exists(done) and open(done).read() == cache_key):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(src)
+        boiler = (
+            "this page is part of our site network and is provided for "
+            "informational purposes only all rights reserved please see the "
+            "terms of service and the privacy policy for details about how "
+            "we collect use and share information about you when you visit "
+            "our websites use our services or otherwise interact with us "
+        ) * 5  # ~1.5k chars: dominates a ~1k-char doc's shingle set
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_pylist()
+        texts = [
+            (boiler + tx) if (i % 5) != 0 else tx  # 80% boilerplated
+            for i, tx in zip(ids, texts)
+        ]
+        t = t.set_column(
+            t.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+        )
+        if "source" in t.column_names:
+            srcs = [
+                "src0" if (i % 2) == 0 else s  # 50% on one hot host
+                for i, s in zip(ids, t.column("source").to_pylist())
+            ]
+            t = t.set_column(
+                t.schema.get_field_index("source"),
+                "source",
+                pa.array(srcs, pa.string()),
+            )
+        # many files so the read parallelizes (same rationale as the
+        # scaled corpus)
+        n = t.num_rows
+        parts = 8
+        sz = n // parts
+        for q in range(parts):
+            sl = t.slice(q * sz, sz if q < parts - 1 else None)
+            pq.write_table(sl, os.path.join(out, f"part-{q}.parquet"))
+        open(done, "w").write(cache_key)
+    return out_dir
+
+
+def run_skew(sf_dir: str, num_cpus: int) -> dict:
+    """Skew-guard stress (judge task #7): the dedup family on the
+    deliberately skewed corpus, LSH fan-out guard ON (max_bucket=64
+    chain fallback) vs OFF (unbounded triu expansion). Reports wall
+    times and candidate-pair counts for both, plus the full dedup
+    pipeline under the guard."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from kgw_ray._shipping import ensure_importable_in_workers
+
+    ensure_importable_in_workers()
+    import ray.data as rd
+
+    from kgw_ray.stages.dedup import (
+        _band_rows_from_flat,
+        _unpack_shingle_blobs,
+        lsh_candidate_pairs,
+        minhash_dedup_keep,
+        shingle_blob_batch,
+    )
+
+    skew_dir = _prepare_skew_corpus(sf_dir)
+    docs = rd.read_parquet(
+        os.path.join(skew_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def hub_fn(batch):
+        return shingle_blob_batch(batch, shingle_k=5, keep=["doc_id"])
+
+    hub = docs.map_batches(hub_fn, batch_format="pyarrow").materialize()
+
+    def band_fn(batch):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        flat, offs = _unpack_shingle_blobs(batch.column("shingles").to_pylist())
+        return _band_rows_from_flat(ids, flat, offs, 64, 16)
+
+    band_rows = hub.select_columns(["doc_id", "shingles"]).map_batches(
+        band_fn, batch_format="pyarrow"
+    ).materialize()
+
+    out: dict = {"n_docs": docs.count()}
+    for label, mb in (("guard_on", 64), ("guard_off", 1 << 40)):
+        t0 = time.monotonic()
+        n_pairs = lsh_candidate_pairs(band_rows, max_bucket=mb).count()
+        out[f"lsh_pairs_{label}"] = n_pairs
+        out[f"lsh_seconds_{label}"] = round(time.monotonic() - t0, 3)
+    for label, mb in (("guard_on", 64), ("guard_off", 1 << 40)):
+        t0 = time.monotonic()
+        survivors = _consume(minhash_dedup_keep(docs, max_bucket=mb))
+        out[f"dedup_full_{label}_seconds"] = round(time.monotonic() - t0, 3)
+        out[f"dedup_survivors_{label}"] = survivors
+    return out
+
+
 def run_flagship(
     sf_dir: str, num_cpus: int, repeat: int, reps: int = 3, mem_stats: bool = False
 ) -> dict:
@@ -327,6 +451,13 @@ def main() -> None:
     )
     ap.add_argument("--_flagship_only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="dedup-family stress on a deliberately skewed corpus (80%% "
+        "boilerplate / 50%% one host): LSH skew guard on vs off, one "
+        "JSON line",
+    )
+    ap.add_argument(
         "--stats",
         default=None,
         metavar="QUERY",
@@ -340,6 +471,31 @@ def main() -> None:
             args.sf_dir, args.cpus, args.repeat, args.reps, mem_stats=args.mem_stats
         )
         print(json.dumps(res))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if args.skew:
+        res = run_skew(args.sf_dir, args.cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "dedup skew-guard stress (boilerplate-hot LSH "
+                    "buckets; guard = max_bucket chain fallback)",
+                    "value": res["dedup_full_guard_on_seconds"],
+                    "guard_off_over_on": round(
+                        res["dedup_full_guard_off_seconds"]
+                        / max(res["dedup_full_guard_on_seconds"], 1e-9),
+                        2,
+                    ),
+                    "unit": "sec",
+                    "sf": args.sf_dir,
+                    "num_cpus": args.cpus,
+                    **res,
+                }
+            )
+        )
         import ray
 
         ray.shutdown()

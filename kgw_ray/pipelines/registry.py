@@ -2218,3 +2218,73 @@ def q_webkg_mis(sf_dir: str) -> rd.Dataset:
 register("events_user_sketch_by_type", _rel.EVENTS_GROUPED_KMV_SQL)(
     _rel.events_user_sketch_by_type
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 gate rotation. The driver's external correctness sweep records the
+# FIRST 50 entries in registration order; the in-repo replica
+# (tests/test_oracle_parity.py) value-checks EVERY oracle-bearing entry each
+# run. Per the round-4 review, the window rotates each round so machinery
+# that has never had an external CORRECTNESS row gets one: six r4-wave
+# operators move in, six entries whose external row landed in r4 (and whose
+# machinery stays replica-checked) move to the tail.
+# ---------------------------------------------------------------------------
+_R5_ROTATE_IN = [
+    "text_dup_spans",        # substring-level span dedup (Lee et al.)
+    "events_cms_estimates",  # count-min sketch + point queries
+    "kg_betweenness",        # distributed sigma-fold betweenness (post-fix)
+    "embeddings_pq_codes",   # product-quantization codebooks/codes
+    "profile_documents",     # exact SUMMARIZE-style table profiler
+    "webkg_frontier_polite", # robots.txt politeness-filtered frontier
+]
+_R5_ROTATE_OUT = [
+    "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
+    "events_asof_last_signup",   # as-of attach; range_join sibling gated
+    "events_rank_in_user",       # per-user window; latest_per_user gated
+    "kg_schema",                 # edges-nodes-nodes join; kg_statistics gated
+    "kg_neighborhood",           # hub-served point lookup; externally green r2-r4
+    "media_decode_features",     # actor-pool media stage; resize_digest gated
+]
+
+
+def _rotate_gate_window() -> None:
+    names = list(QUERIES)
+    window, tail = names[:50], names[50:]
+    window = [n for n in window if n not in _R5_ROTATE_OUT]
+    for n in _R5_ROTATE_IN:
+        tail.remove(n)
+    new_order = window + _R5_ROTATE_IN + _R5_ROTATE_OUT + tail
+    assert sorted(new_order) == sorted(names)
+    for mapping in (QUERIES, ORACLES):
+        snap = dict(mapping)
+        mapping.clear()
+        mapping.update({n: snap[n] for n in new_order if n in snap})
+
+
+_rotate_gate_window()
+
+
+def _quality_model_oracle() -> str:
+    from kgw_ray.stages.scoring import quality_model_sql
+
+    return quality_model_sql()
+
+
+@register("docs_quality_model", oracle=_quality_model_oracle())
+def q_docs_quality_model(sf_dir: str) -> rd.Dataset:
+    """Warm-model actor-pool inference: a bundled-weights logistic quality
+    model (kgw_ray/models/quality_lr.json) loads ONCE per actor in
+    ``__init__`` and scores every document with one vectorized int64
+    matvec per batch (stages/scoring.py:QualityModelScorer) — the
+    north-star "warm NLP model" slot made real; integer micro-unit
+    logits keep the SQL oracle bit-exact."""
+    from kgw_ray.sources.readers import read_table
+    from kgw_ray.stages.scoring import QualityModelScorer
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        QualityModelScorer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
