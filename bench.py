@@ -295,11 +295,64 @@ def run_skew(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def _prepare_rendered_pages(sf_dir: str, repeat: int) -> str:
+    """Render the replicated corpus's HTML pages ONCE into a cached
+    Parquet pages table (url, warc_ts, html:binary, text, lang, doc_id —
+    EXACTLY the BASELINE.json input_hint shape). The flagship then READS
+    stored pages, so the timed region is the engine (parquet scan →
+    extract → triples → link → combine), not the page generator: through
+    round 4 the synthetic render ran inside the timed region and was
+    measured at ~77% of flagship wall (see BASELINE.md r5), drowning the
+    engine's own scaling behavior."""
+    import ray
+
+    out = f"/tmp/kgw_bench/{os.path.basename(os.path.normpath(sf_dir))}_pages_x{repeat}"
+    done = out + ".done"
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    cache_key = f"{st.st_size}:{int(st.st_mtime)}:pages-v4"
+    if not (os.path.exists(done) and open(done).read() == cache_key):
+        import shutil
+
+        from kgw_ray.sources.pages import pages_dataset
+
+        shutil.rmtree(out, ignore_errors=True)
+        if not ray.is_initialized():  # pragma: no cover - callers init first
+            ray.init(address="local", include_dashboard=False)
+        # MANY shard files regardless of the rendering session's CPU count
+        # (the real Common-Crawl shape): a low-CPU child rendering into 4
+        # fat files would cap read parallelism — and therefore the whole
+        # fused chain — for every later level (measured: 32 CPUs SLOWER
+        # than 8 on a 4-file corpus)
+        n_shards = max(256, min(1024, repeat))
+        # default (snappy) compression: an interleaved A/B against a zstd
+        # corpus read SLOWER at every level on this box (32-CPU level
+        # 2.7× slower) — the lighter codec wins here; revisit on real
+        # storage-bound clusters
+        pages_dataset(
+            sf_dir, repeat=repeat, override_num_blocks=n_shards
+        ).write_parquet(out)
+        open(done, "w").write(cache_key)
+    return out
+
+
+def _warm_page_cache(pages_dir: str) -> None:
+    """Read every corpus byte once so the FIRST timed pair doesn't compare
+    a cold-cache level against a warm one (the corpus fits in RAM here;
+    at real scale every level streams from storage equally)."""
+    for f in os.listdir(pages_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(pages_dir, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+
 def run_flagship(
     sf_dir: str, num_cpus: int, repeat: int, reps: int = 3, mem_stats: bool = False
 ) -> dict:
-    """The scaling workload: the flagship webkg_edges pipeline over the
-    corpus replicated ``repeat``× (distinct doc_id spaces) — enough work to
+    """The scaling workload: the flagship webkg_edges pipeline over STORED
+    rendered pages (input_hint-shaped Parquet, rendered once and cached)
+    replicated ``repeat``× (distinct doc_id spaces) — enough work to
     saturate the larger parallelism level; both levels run the IDENTICAL
     input."""
     import ray
@@ -317,20 +370,28 @@ def run_flagship(
     from kgw_ray._shipping import ensure_importable_in_workers
 
     ensure_importable_in_workers()
-    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    import ray.data as rd
+
+    from kgw_ray.pipelines.webkg import (
+        edges_from_triples,
+        triples_dataset,
+        triples_from_pages,
+    )
 
     import pyarrow.parquet as pq
 
-    sf_dir = _prepare_scaled_corpus(sf_dir, repeat)
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(doc_path):
-        n_docs = sum(
-            pq.read_metadata(os.path.join(doc_path, f)).num_rows
-            for f in os.listdir(doc_path)
-            if f.endswith(".parquet")
-        )
-    else:
-        n_docs = pq.read_metadata(doc_path).num_rows
+    pages_dir = _prepare_rendered_pages(sf_dir, repeat)
+    n_docs = sum(
+        pq.read_metadata(os.path.join(pages_dir, f)).num_rows
+        for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )
+
+    def flagship() -> int:
+        # prune the scan to the two columns the chain consumes
+        pages = rd.read_parquet(pages_dir, columns=["doc_id", "html"])
+        return _consume(edges_from_triples(triples_from_pages(pages)))
+
     # warmup: spin up the worker pool + ship code once, then take the
     # MEDIAN of ``reps`` timed runs — steady-state throughput (the
     # north_rule's regime; a 10^12-doc job is never cold-start-bound) with
@@ -341,7 +402,7 @@ def run_flagship(
     n_rows = 0
     for _ in range(reps):
         t0 = time.monotonic()
-        n_rows = _consume(edges_from_triples(triples_dataset(sf_dir)))
+        n_rows = flagship()
         times.append(time.monotonic() - t0)
     srt = sorted(times)
     sec = round(srt[len(srt) // 2], 3)
@@ -510,6 +571,14 @@ def main() -> None:
         # per-pair efficiency list (plus min/max band).
         small_cpus, big_cpus = max(2, args.cpus // 4), args.cpus
         factor = big_cpus / small_cpus
+        # render (cached) + warm the page cache BEFORE the first pair so
+        # no level pays the one-time cold read inside its timed region;
+        # release the parent's render session so children measure alone
+        _warm_page_cache(_prepare_rendered_pages(args.sf_dir, args.repeat))
+        import ray as _ray
+
+        if _ray.is_initialized():
+            _ray.shutdown()
         small_times, big_times, pair_effs = [], [], []
         n_docs = None
         dps_small, dps_big = [], []

@@ -63,6 +63,21 @@ def extracted_pages(
     return pages.map_batches(extract_batch, batch_format="pyarrow")
 
 
+def triples_from_pages(pages: rd.Dataset) -> rd.Dataset:
+    """pages(doc_id, html, ...) → linked triple mentions — the SAME fused
+    extract → triples → link chain as ``triples_dataset``, but over an
+    EXISTING pages Dataset (e.g. a stored Parquet pages table of the
+    input_hint shape (url, warc_ts, html, text, lang); prune the read to
+    (doc_id, html) — the chain needs nothing else). The bench flagship
+    reads rendered pages from Parquet through this path so the timed
+    region measures the ENGINE, not the page generator."""
+    from kgw_ray.stages.extract import extract_batch
+
+    ds = pages.map_batches(extract_batch, batch_format="pyarrow")
+    ds = ds.map_batches(extract_triples_batch, batch_format="pyarrow")
+    return ds.map_batches(link_triples_batch, batch_format="pyarrow")
+
+
 def triples_dataset(
     sf_dir: str, *, concurrency: int | None = None, repeat: int = 1
 ) -> rd.Dataset:

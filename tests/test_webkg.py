@@ -641,3 +641,32 @@ def test_forged_href_in_document_text_extracts_no_edge():
     # only the three rendered outlinks; nothing pointing at evil
     assert len(out) == 3
     assert all("evil" not in r["dst_host"] for r in out)
+
+
+def test_extract_batch_fastpath_equals_rowpath():
+    """__call__'s vectorized Arrow path must be byte-identical to the
+    per-row extract_one on a batch mixing every regime: clean pages,
+    entity-bearing pages (&<>), foreign markup inside the div, pages
+    with no main div, and empty text."""
+    import pyarrow as pa
+
+    from kgw_ray.sources.pages import render_html
+
+    hx = HtmlExtract()
+    pages = [
+        render_html(1, "s", "plain words only here " * 20),
+        render_html(2, "s", "ampersand & less < greater > mix " * 9),
+        render_html(3, "s", ""),
+        b'<html><div id="main"><p>a</p><span>x</span><p>b</p></div></html>',
+        b"<html><body>no main div <p>para</p></body></html>",
+        render_html(4, "s", "trailing & entity at cut boundary" * 7),
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(pages)), pa.int64()),
+            "html": pa.array(pages, pa.binary()),
+        }
+    )
+    out = hx(batch).column("extracted_text").to_pylist()
+    expected = [hx.extract_one(h) for h in pages]
+    assert out == expected
