@@ -2236,6 +2236,7 @@ _R5_ROTATE_IN = [
     "embeddings_pq_codes",   # product-quantization codebooks/codes
     "profile_documents",     # exact SUMMARIZE-style table profiler
     "webkg_frontier_polite", # robots.txt politeness-filtered frontier
+    "docs_quality_model",    # bundled-weights warm-model actor pool
 ]
 _R5_ROTATE_OUT = [
     "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
@@ -2244,6 +2245,7 @@ _R5_ROTATE_OUT = [
     "kg_schema",                 # edges-nodes-nodes join; kg_statistics gated
     "kg_neighborhood",           # hub-served point lookup; externally green r2-r4
     "media_decode_features",     # actor-pool media stage; resize_digest gated
+    "text_fingerprint",          # rolling-hash fingerprint; externally green r1-r4
 ]
 
 
@@ -2261,7 +2263,6 @@ def _rotate_gate_window() -> None:
         mapping.update({n: snap[n] for n in new_order if n in snap})
 
 
-_rotate_gate_window()
 
 
 def _quality_model_oracle() -> str:
@@ -2288,3 +2289,8 @@ def q_docs_quality_model(sf_dir: str) -> rd.Dataset:
         batch_size=256,
         concurrency=(1, 4),
     )
+
+
+# run the rotation LAST so every registration above (including the
+# post-rotation-block additions) participates in the ordering
+_rotate_gate_window()
