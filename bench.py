@@ -128,49 +128,6 @@ def run_bench(sf_dir: str, num_cpus: int, queries: list[str]) -> dict:
     }
 
 
-def _prepare_scaled_corpus(sf_dir: str, repeat: int) -> str:
-    """Materialize the corpus replicated ``repeat``× (distinct doc_id space
-    per replica) to a cached parquet dir — BOTH scaling levels then run the
-    IDENTICAL materialized input with naturally sized blocks (a lazily
-    replicated input bundles into too few tasks and hides parallelism)."""
-    if repeat <= 1:
-        return sf_dir
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from kgw_ray.sources.pages import _REPEAT_STRIDE  # one stride, both paths
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    out_dir = f"/tmp/kgw_bench/{os.path.basename(os.path.normpath(sf_dir))}_x{repeat}"
-    out = os.path.join(out_dir, "documents.parquet")
-    done = os.path.join(out, "_DONE")
-    # cache key includes the SOURCE's size+mtime so a regenerated testdata
-    # drop invalidates the scaled copy instead of benchmarking stale data
-    st = os.stat(src)
-    cache_key = f"{st.st_size}:{int(st.st_mtime)}:{_REPEAT_STRIDE}"
-    if not (os.path.exists(done) and open(done).read() == cache_key):
-        # one shard file per (replica, quarter): a single parquet file reads
-        # as ONE Ray task that streams its split-blocks serially — the read
-        # becomes the pipeline's serial floor; many files = parallel read
-        # (the real Common-Crawl shape: thousands of shard files)
-        import shutil
-
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
-        t = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
-        quarters = 4
-        qsize = t.num_rows // quarters
-        for r in range(repeat):
-            rep = t.set_column(
-                0, "doc_id", pa.compute.add(t.column("doc_id"), r * _REPEAT_STRIDE)
-            )
-            for q in range(quarters):
-                sl = rep.slice(q * qsize, qsize if q < quarters - 1 else None)
-                pq.write_table(sl, os.path.join(out, f"part-{r:03d}-{q}.parquet"))
-        open(done, "w").write(cache_key)
-    return out_dir
-
-
 def _prepare_skew_corpus(sf_dir: str) -> str:
     """Documents corpus with DELIBERATE hot keys (judge task #7): 80% of
     docs share a long boilerplate prefix (so its shingles dominate their
@@ -311,7 +268,22 @@ def _prepare_rendered_pages(sf_dir: str, repeat: int) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     cache_key = f"{st.st_size}:{int(st.st_mtime)}:pages-v4"
-    if not (os.path.exists(done) and open(done).read() == cache_key):
+
+    def _cache_valid() -> bool:
+        # the marker records key + shard count; a /tmp cleaner removing
+        # shard files (but not the sibling marker) must invalidate the
+        # cache instead of silently benchmarking a partial corpus
+        if not os.path.exists(done):
+            return False
+        rec = open(done).read().split("|")
+        if len(rec) != 2 or rec[0] != cache_key:
+            return False
+        n_files = len(
+            [f for f in os.listdir(out) if f.endswith(".parquet")]
+        ) if os.path.isdir(out) else 0
+        return n_files == int(rec[1])
+
+    if not _cache_valid():
         import shutil
 
         from kgw_ray.sources.pages import pages_dataset
@@ -332,7 +304,8 @@ def _prepare_rendered_pages(sf_dir: str, repeat: int) -> str:
         pages_dataset(
             sf_dir, repeat=repeat, override_num_blocks=n_shards
         ).write_parquet(out)
-        open(done, "w").write(cache_key)
+        n_files = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        open(done, "w").write(f"{cache_key}|{n_files}")
     return out
 
 

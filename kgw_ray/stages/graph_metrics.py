@@ -1324,13 +1324,15 @@ def betweenness_from_counts(
         c_sv = t.column("c_sv").to_numpy(zero_copy_only=False)[keep].astype(np.int64)
         c_vt = t.column("c_vt").to_numpy(zero_copy_only=False)[keep].astype(np.int64)
         c_st = t.column("c_st").to_numpy(zero_copy_only=False)[keep].astype(np.int64)
-        prod = c_sv * c_vt
-        if len(prod) and int(prod.max()) > 2**42:
+        # overflow guard BEFORE the multiply (Python ints, like the driver
+        # path): checking prod.max() after an int64 multiply would let a
+        # wrapped product slip past the bound silently
+        if len(c_sv) and int(c_sv.max()) * int(c_vt.max()) > 2**42:
             raise ValueError(
                 "betweenness_from_counts: path counts too large for the "
                 "int64 micro-unit fold"
             )
-        term = prod * 1_000_000 // c_st
+        term = c_sv * c_vt * 1_000_000 // c_st
         g = (
             pd.DataFrame({"id": v[keep], "bc": term})
             .groupby("id", sort=False)["bc"]
@@ -2156,6 +2158,7 @@ def motif_census(
         nonloop.rename_columns({"s": "b", "t": "c"}),
         on="t",
         right_on="b",
+        broadcast_limit=broadcast_limit,
     )
 
     def _wedge_keys(t: pa.Table) -> pa.Table:
@@ -2413,6 +2416,7 @@ def k_truss(
         on="ek",
         right_on="ek",
         how="left",
+        broadcast_limit=broadcast_limit,
     )
 
     def _fill(t: pa.Table) -> pa.Table:

@@ -51,7 +51,11 @@ _FEATURES: dict[str, tuple[str, str]] = {
 def _feature_counts(texts: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
     """Vectorized integer feature extraction (Arrow kernels, no Python
     per row). Vowel counting runs on lowercased text so 'A' counts as
-    both upper and vowel — mirrored exactly in the oracle SQL."""
+    both upper and vowel — mirrored exactly in the oracle SQL. NULL text
+    scores as empty (all-zero features) on BOTH engines — the oracle
+    COALESCEs; without it Arrow's null counts would ride to_numpy as NaN
+    and astype(int64) would produce garbage integers."""
+    texts = pc.fill_null(texts, "")
     lowered = pc.utf8_lower(texts)
     out: dict[str, np.ndarray] = {}
     for name, (kind, pat) in _FEATURES.items():
@@ -109,7 +113,8 @@ def quality_model_sql(weights_path: str = _WEIGHTS_PATH) -> str:
     w = {f: int(spec["weights_micro"][f]) for f in spec["feature_order"]}
     terms = " + ".join(f"{w[f]} * {f}" for f in spec["feature_order"])
     return f"""
-WITH f AS (
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+f AS (
   SELECT doc_id,
     CAST(length(text) AS BIGINT) AS n_chars,
     CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
@@ -118,7 +123,7 @@ WITH f AS (
     CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
     CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
     CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
-  FROM documents
+  FROM d
 )
 SELECT doc_id,
        CAST({spec["bias_micro"]} + {terms} AS BIGINT) AS logit_micro,

@@ -62,6 +62,26 @@ def test_scores_match_oracle(sf_smoke):
     assert set(out["label"]) == {"keep", "drop"}
 
 
+def test_null_text_scores_as_empty():
+    """NULL text must score like '' (logit = bias, never NaN-garbage) —
+    mirrored by the oracle's COALESCE."""
+    import json
+
+    from kgw_ray.stages.scoring import _WEIGHTS_PATH
+
+    sc = QualityModelScorer()
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([None, ""], pa.string()),
+        }
+    )
+    out = sc(batch).to_pandas()
+    bias = json.load(open(_WEIGHTS_PATH))["bias_micro"]
+    assert list(out["logit_micro"]) == [bias, bias]
+    assert list(out["label"]) == ["keep" if bias >= 0 else "drop"] * 2
+
+
 def test_empty_batch_passes_through():
     sc = QualityModelScorer()
     empty = pa.table(

@@ -34,6 +34,14 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=128)
     ap.add_argument("--cpus-per-node", type=int, default=16)
     ap.add_argument("--port", type=int, default=6379)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument(
+        "--warmup-sf-dir",
+        default="/root/testdata/sf0.001",
+    )
     args = ap.parse_args()
 
     env = dict(os.environ)
@@ -83,7 +91,7 @@ def main() -> None:
             triples_from_pages,
         )
 
-        pages_dir = _prepare_rendered_pages("/root/testdata/sf0.1", args.repeat)
+        pages_dir = _prepare_rendered_pages(args.sf_dir, args.repeat)
         import pyarrow.parquet as pq
 
         n_docs = sum(
@@ -92,7 +100,7 @@ def main() -> None:
             if f.endswith(".parquet")
         )
         # warmup (worker pool spin-up + code ship on BOTH raylets)
-        _consume(edges_from_triples(triples_dataset("/root/testdata/sf0.001")))
+        _consume(edges_from_triples(triples_dataset(args.warmup_sf_dir)))
         times = []
         n_rows = 0
         for _ in range(3):
