@@ -2290,6 +2290,31 @@ def q_docs_quality_model(sf_dir: str) -> rd.Dataset:
         concurrency=(1, 4),
     )
 
+_STORED_EDGES_SQL = f"""
+WITH tr AS ({TRIPLES_SQL})
+SELECT 'E:' || subj AS source_id, 'E:' || obj AS target_id, pred AS type,
+       '{{"n_obs":' || COUNT(*) || ',"first_doc":' || MIN(doc_id) || '}}' AS properties
+FROM tr GROUP BY subj, pred, obj
+"""
+
+
+@register("webkg_edges_stored_pages", oracle=_STORED_EDGES_SQL)
+def q_kg_edges_stored_pages(sf_dir: str) -> rd.Dataset:
+    """The flagship's STORED-PAGES read path, hash-gated: pages rendered
+    once to a cached input_hint-shaped Parquet table, then
+    read(doc_id, html) -> extract -> triples -> link -> dedup merge
+    (webkg.triples_from_pages) -- must produce the identical edge table
+    as the inline-synthesis path (same oracle as webkg_edges)."""
+    import ray.data as _rd
+
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_from_pages
+    from kgw_ray.sources.pages import render_pages_parquet
+
+    pages_dir = render_pages_parquet(sf_dir)
+    pages = _rd.read_parquet(pages_dir, columns=["doc_id", "html"])
+    return edges_from_triples(triples_from_pages(pages))
+
+
 
 # run the rotation LAST so every registration above (including the
 # post-rotation-block additions) participates in the ordering

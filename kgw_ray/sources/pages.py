@@ -16,6 +16,7 @@ no randomness, no wall clock.
 from __future__ import annotations
 
 import html as _html
+import os
 from datetime import datetime, timedelta
 
 import pyarrow as pa
@@ -304,3 +305,42 @@ def recrawl_pages_dataset(
         return batch.append_column("html", pa.array(htmls, pa.binary()))
 
     return pages.map_batches(add_html, batch_format="pyarrow")
+
+
+def render_pages_parquet(sf_dir: str, *, repeat: int = 1) -> str:
+    """Render this corpus's pages ONCE into a cached Parquet pages table
+    of the input_hint shape (url, warc_ts, html:binary, text, lang +
+    doc_id) under /tmp and return the directory — the library-side twin of
+    bench._prepare_rendered_pages for registry queries that exercise the
+    stored-pages read path. Cache keyed on the source file's size+mtime;
+    the marker records the shard count so a partially-cleaned /tmp
+    invalidates instead of silently serving fewer docs."""
+    import ray
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/kgw_ray_cache/{base}_pages_x{repeat}"
+    done = out + ".done"
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{st.st_size}:{int(st.st_mtime)}:lib-pages-v1"
+
+    def _valid() -> bool:
+        if not (os.path.exists(done) and os.path.isdir(out)):
+            return False
+        rec = open(done).read().split("|")
+        n = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        return len(rec) == 2 and rec[0] == key and n == int(rec[1])
+
+    if not _valid():
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        if not ray.is_initialized():  # pragma: no cover - callers init first
+            ray.init(address="local", include_dashboard=False)
+        n_blocks = 16 if repeat == 1 else max(64, min(1024, repeat))
+        pages_dataset(
+            sf_dir, repeat=repeat, override_num_blocks=n_blocks
+        ).write_parquet(out)
+        n = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        open(done, "w").write(f"{key}|{n}")
+    return out
