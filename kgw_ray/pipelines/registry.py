@@ -2315,6 +2315,11 @@ def q_kg_edges_stored_pages(sf_dir: str) -> rd.Dataset:
     return edges_from_triples(triples_from_pages(pages))
 
 
+register("docs_train_val_split", _td.TRAIN_VAL_SPLIT_SQL)(
+    _td.docs_train_val_split
+)
+
+
 
 # run the rotation LAST so every registration above (including the
 # post-rotation-block additions) participates in the ordering

@@ -3524,3 +3524,80 @@ SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
 FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
 GROUP BY label, i
 """
+
+
+_VAL_PCT = 10  # deterministic 10% validation split
+
+
+def docs_train_val_split(sf_dir: str) -> rd.Dataset:
+    """DETERMINISTIC train/val split with per-host stratification audit:
+    every doc lands in 'val' iff splitmix64(doc_id) % 100 < 10 — a pure
+    function of the KEY (functions/porthash), so the split is identical
+    at any cluster size / block layout / rerun, where a PRNG split (or
+    ds.train_test_split) is layout-dependent and irreproducible. Output:
+    (source, split, n_docs, n_chars) — the per-host×split counts a data
+    curator audits for stratification skew before training. One combiner
+    pass + a host-vocabulary-bounded Sum; no shuffle of the corpus."""
+    from kgw_ray.functions.porthash import mix64
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        split = np.where(
+            mix64(ids.astype(np.int64).view(np.uint64)) % np.uint64(100)
+            < np.uint64(_VAL_PCT),
+            "val",
+            "train",
+        )
+        df = (
+            pd.DataFrame(
+                {
+                    "source": t.column("source").to_numpy(zero_copy_only=False),
+                    "split": split,
+                    "n_docs": 1,
+                    "n_chars": t.column("n_chars")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["source", "split"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(df["source"], pa.string()),
+                "split": pa.array(df["split"], pa.string()),
+                "n_docs": pa.array(df["n_docs"].to_numpy().astype(np.int64)),
+                "n_chars": pa.array(df["n_chars"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "split"],
+        [("n_docs", "sum", "n_docs"), ("n_chars", "sum", "n_chars")],
+    )
+
+
+def _train_val_split_sql() -> str:
+    from kgw_ray.functions.porthash import mix64_sql
+
+    hu = mix64_sql("CAST(doc_id AS UBIGINT)")
+    return f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN ({hu}) % 100 < {_VAL_PCT} THEN 'val' ELSE 'train' END
+           AS split,
+         n_chars
+  FROM documents
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM s GROUP BY source, split
+"""
+
+
+TRAIN_VAL_SPLIT_SQL = _train_val_split_sql()
