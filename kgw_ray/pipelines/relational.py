@@ -389,6 +389,100 @@ FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 """
 
+_HOUR_US = 3_600_000_000
+
+
+def events_hourly_gapfill(sf_dir: str) -> rd.Dataset:
+    """Dense hourly timeline with zero-filled gaps: every hour between the
+    corpus min and max — including hours with NO events — gets a row
+    (hour, n, sum_value). The time-spine generation + left join + fill
+    is the standard streaming-dashboard/feature-store densification that
+    a plain groupby cannot produce (absent groups have no rows to group).
+
+    Physical plan: one (Min, Max) aggregate bounds the spine; the spine is
+    a DISTRIBUTED ``rd.range(n_hours)`` (a century of hours is ~876k rows
+    — generated, never shipped from the driver); the hourly aggregate is
+    the usual per-batch partial + vocabulary-sized grouped Sum, and it
+    broadcasts back onto the spine via one ``ray.put`` (hours are
+    vocabulary-sized by construction). No shuffle of event rows.
+    """
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"]).materialize()
+    if ds.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "n": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        )
+    bounds = ds.aggregate(Min("ts", alias_name="lo"), Max("ts", alias_name="hi"))
+    lo_us = pc.cast(pa.scalar(bounds["lo"]), pa.timestamp("us")).cast(pa.int64()).as_py()
+    hi_us = pc.cast(pa.scalar(bounds["hi"]), pa.timestamp("us")).cast(pa.int64()).as_py()
+    lo_h, hi_h = lo_us // _HOUR_US, hi_us // _HOUR_US
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        he = df["ts"].astype("int64").to_numpy() // _HOUR_US
+        g = (
+            pd.DataFrame({"he": he, "value": df["value"].to_numpy()})
+            .groupby("he", sort=False)["value"]
+            .agg(n="size", sum_value="sum")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype("int64")
+        return arrow_from_pandas(g)
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["he"],
+        Sum("n", alias_name="n"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    spine = rd.range(hi_h - lo_h + 1).map_batches(
+        lambda t: pa.table(
+            {"he": pc.add(pc.cast(t.column("id"), pa.int64()), lo_h)}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(spine, counts.to_pandas(), on=["he"], how="left")
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        he = df["he"].to_numpy().astype(np.int64)
+        n = df["n"].fillna(0).to_numpy().astype(np.int64)
+        sv = df["sum_value"].fillna(0.0).to_numpy().round(_R)
+        return pa.table(
+            {
+                "hour": pa.array(he * _HOUR_US, pa.timestamp("us")),
+                "n": pa.array(n),
+                "sum_value": pa.array(sv, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
+EVENTS_GAPFILL_SQL = """
+WITH b AS (
+  SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) // 3600000000 AS lo,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) // 3600000000 AS hi
+  FROM events
+),
+spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS he FROM b),
+c AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS he,
+         CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT make_timestamp(s.he * 3600000000) AS hour,
+       COALESCE(c.n, 0) AS n,
+       COALESCE(c.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN c ON c.he = s.he
+"""
+
 
 _WINDOW_SHARDS = 64
 
@@ -1527,6 +1621,61 @@ FROM u
 
 
 DOCS_CHECKSUM_SQL = _docs_checksum_sql()
+
+_COMPACT_TARGET = 64  # rows/file at gate scale; production passes ~1e6
+
+
+def docs_compact_small_files(sf_dir: str) -> pa.Table:
+    """Small-file compaction with VERIFIED content preservation: rewrite
+    the documents table into ceil(n/target) Parquet files
+    (sinks/compact.py:compact_parquet), read the compacted output back,
+    and fingerprint it with the order-insensitive md5-sum table checksum.
+    The returned (n_rows, n_files, checksum) row is hash-gated against an
+    oracle computed over the ORIGINAL table — so the gate proves the
+    rewrite dropped, duplicated and corrupted nothing, and produced the
+    contracted file count."""
+    import tempfile
+
+    import ray.data as rd
+
+    from kgw_ray.sinks.compact import compact_parquet
+    from kgw_ray.stages.agg import table_checksum
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = read_table(sf_dir, "documents", columns=cols)
+    out_dir = tempfile.mkdtemp(prefix="kgw_ray_compact_")
+    stats = compact_parquet(ds, out_dir, target_rows_per_file=_COMPACT_TARGET)
+    r = table_checksum(rd.read_parquet(out_dir, columns=cols), cols)
+    return pa.table(
+        {
+            "n_rows": pa.array([r["n_rows"]], pa.int64()),
+            "n_files": pa.array([stats["n_files"]], pa.int64()),
+            "checksum": pa.array([r["checksum"]], pa.string()),
+        }
+    )
+
+
+def _docs_compact_sql() -> str:
+    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+
+    row = (
+        "COALESCE(CAST(doc_id AS VARCHAR), '') || '|' || COALESCE(text, '')"
+        " || '|' || COALESCE(lang, '') || '|' || COALESCE(source, '')"
+        " || '|' || COALESCE(CAST(n_chars AS VARCHAR), '')"
+    )
+    return f"""
+WITH h AS (SELECT md5({row}) AS hx FROM documents),
+u AS (SELECT ({_MD5_LE_UINT64}) AS hv FROM h)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST((COUNT(*) + {_COMPACT_TARGET} - 1) // {_COMPACT_TARGET}
+            AS BIGINT) AS n_files,
+       CAST(SUM(CAST(hv AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)
+            AS VARCHAR) AS checksum
+FROM u
+"""
+
+
+DOCS_COMPACT_SQL = _docs_compact_sql()
 
 
 def orders_period_diff(sf_dir: str) -> rd.Dataset:

@@ -646,14 +646,21 @@ def _hybrid_attach(
     per-call ``broadcast_limit`` override — 0 is the forced-shuffle parity
     hook) and falls back to the hash-partitioned Dataset.join beyond (the
     repo-wide size rule, stages/joins.py)."""
-    from kgw_ray.stages.joins import broadcast_join, large_join
+    from kgw_ray.stages.joins import _empty_arrow_like, broadcast_join, large_join
 
     limit = _BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
     small = small.materialize()
-    if small.count() <= limit:
-        return broadcast_join(
-            big, small.to_pandas(), on=[on], right_on=[right_on], how=how
-        )
+    n_small = small.count()
+    if n_small <= limit:
+        if n_small == 0:
+            # a zero-row to_pandas drops its columns (the repo-wide
+            # empty-pull hazard) and the probe merge would KeyError —
+            # rebuild the typed empty frame from the Arrow schema
+            et = _empty_arrow_like(small)
+            side = et.to_pandas() if et is not None else small.to_pandas()
+        else:
+            side = small.to_pandas()
+        return broadcast_join(big, side, on=[on], right_on=[right_on], how=how)
     return large_join(
         big,
         small,
@@ -898,8 +905,10 @@ def label_propagation(
     )
 
 
-def label_propagation_sql(nodes_sql: str, edges_sql: str, *, iters: int = 3) -> str:
-    """The identical min-tie-break synchronous LPA unrolled into CTEs."""
+def _lpa_cte_parts(nodes_sql: str, edges_sql: str, iters: int) -> list[str]:
+    """The shared unrolled-LPA CTE chain (``e0``/``sym``/``l0``…``l{iters}``)
+    that both ``label_propagation_sql`` and ``modularity_sql`` build on —
+    one definition so the two oracles can never drift."""
     parts = [
         f"WITH nodes AS ({nodes_sql}), alledges AS ({edges_sql}),",
         "e0 AS (SELECT DISTINCT least(source_id, target_id) AS a,"
@@ -921,7 +930,212 @@ w{c} AS (SELECT a, lbl FROM (
 l{c} AS (SELECT n.id, COALESCE(w.lbl, n.id) AS lbl
         FROM l{p} n LEFT JOIN w{c} w ON w.a = n.id)"""
         )
+    return parts
+
+
+def label_propagation_sql(nodes_sql: str, edges_sql: str, *, iters: int = 3) -> str:
+    """The identical min-tie-break synchronous LPA unrolled into CTEs."""
+    parts = _lpa_cte_parts(nodes_sql, edges_sql, iters)
     parts.append(f"\nSELECT id, lbl AS community FROM l{iters}")
+    return "\n".join(parts)
+
+
+def modularity(
+    nodes: rd.Dataset,
+    edges: rd.Dataset,
+    *,
+    iters: int = 3,
+    broadcast_limit: int | None = None,
+) -> rd.Dataset:
+    """Newman modularity of the label-propagation partition, exact-integer.
+
+    Partition = ``label_propagation(iters)`` communities; graph = the
+    distinct undirected simple edge set ``e0`` (a<b, self-loops dropped).
+    With m = |e0|, per community c the row carries
+
+        n_nodes, intra_edges (= e_c), degree_sum (= d_c) and
+        q_num = 4·m·e_c − d_c²                       (int64)
+
+    so Q = Σ_c q_num / (4m²) is reconstructible exactly — the integer
+    numerator keeps the DuckDB oracle bit-identical (the repo's
+    exact-integer-money rule applied to a graph statistic). int64 is exact
+    while 4·m·e_c < 2⁶³, i.e. up to ~1.5×10⁹ edges; beyond that consumers
+    should recombine the emitted e_c/d_c terms in big-int space.
+
+    Physical plan: everything after label_propagation is community- or
+    node-vocabulary-bounded — two size-hybrid label attaches onto the pair
+    stream (an edge is intra iff both endpoint labels agree), per-batch
+    count partials, three grouped exchanges, and one broadcast-sized final
+    assembly. ``broadcast_limit=0`` forces the shuffle-join parity path.
+    """
+    labels = label_propagation(nodes, edges, iters=iters).materialize()
+    e0 = _distinct_undirected_pairs(edges, "source_id", "target_id").materialize()
+    m = e0.count()
+
+    lbl_b = labels.map_batches(
+        lambda t: pa.table(
+            {"id_b": t.column("id"), "community_b": t.column("community")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    # materialize between chained attaches: on the forced-shuffle path a
+    # join output feeding another join carries empty blocks, and
+    # large_join's _compact_if_sparse guard only fires on materialized
+    # inputs (stages/joins.py chained-join hazard)
+    tagged = _hybrid_attach(
+        _hybrid_attach(
+            e0, labels, on="a", right_on="id", broadcast_limit=broadcast_limit
+        ).materialize(),
+        lbl_b,
+        on="b",
+        right_on="id_b",
+        broadcast_limit=broadcast_limit,
+    )
+
+    def _intra_partial(t: pa.Table) -> pa.Table:
+        ca = t.column("community").to_numpy(zero_copy_only=False)
+        cb = t.column("community_b").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"community": ca[ca == cb]})
+        g = df.groupby("community", sort=False).size().rename("intra").reset_index()
+        return pa.table(
+            {
+                "community": pa.array(g["community"].to_numpy(), pa.string()),
+                "intra": pa.array(g["intra"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    intra = grouped_aggregate_hybrid(
+        tagged.map_batches(_intra_partial, batch_format="pyarrow"),
+        "community",
+        [("intra", "sum", "intra_edges")],
+    )
+    # NOTE: intra can legitimately be EMPTY (every edge crosses
+    # communities — seen on small banded host graphs); _hybrid_attach's
+    # typed-empty broadcast guard keeps the left join schema-correct.
+
+    # distinct-neighbor degree per node from the undirected pair melt
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(u, pa.string()),
+                "degree": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    deg = grouped_aggregate_hybrid(
+        e0.map_batches(_deg_partial, batch_format="pyarrow"),
+        "id",
+        [("degree", "sum", "degree")],
+    )
+    deg_tagged = _hybrid_attach(
+        deg, labels, on="id", right_on="id", broadcast_limit=broadcast_limit
+    )
+    degsum = _grouped_sum_of(
+        deg_tagged, "community", "degree", "community", "degree_sum"
+    )
+
+    def _ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "community": t.column("community"),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    comm = grouped_aggregate_hybrid(
+        labels.map_batches(_ones, batch_format="pyarrow"),
+        "community",
+        [("one", "sum", "n_nodes")],
+    )
+
+    j = _hybrid_attach(
+        _hybrid_attach(
+            comm, intra, on="community", right_on="community", how="left",
+            broadcast_limit=broadcast_limit,
+        ).materialize(),
+        degsum.map_batches(
+            lambda t: pa.table(
+                {
+                    "community_d": t.column("community"),
+                    "degree_sum": t.column("degree_sum"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize(),
+        on="community",
+        right_on="community_d",
+        how="left",
+        broadcast_limit=broadcast_limit,
+    )
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        names = t.column_names
+        n = len(t)
+        e_c = (
+            pc_int64(t.column("intra_edges"))
+            if "intra_edges" in names
+            else np.zeros(n, dtype=np.int64)
+        )
+        d_c = (
+            pc_int64(t.column("degree_sum"))
+            if "degree_sum" in names
+            else np.zeros(n, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "community": pa.array(
+                    t.column("community").to_numpy(zero_copy_only=False),
+                    pa.string(),
+                ),
+                "n_nodes": pa.array(pc_int64(t.column("n_nodes"))),
+                "intra_edges": pa.array(e_c),
+                "degree_sum": pa.array(d_c),
+                "q_num": pa.array(4 * m * e_c - d_c * d_c),
+            }
+        )
+
+    return j.map_batches(_finalize, batch_format="pyarrow")
+
+
+def modularity_sql(nodes_sql: str, edges_sql: str, *, iters: int = 3) -> str:
+    """The identical partition + exact-integer modularity terms in SQL."""
+    parts = _lpa_cte_parts(nodes_sql, edges_sql, iters)
+    parts.append(
+        f""",
+labels AS (SELECT id, lbl AS community FROM l{iters}),
+mm AS (SELECT COUNT(*) AS m FROM e0),
+deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY a),
+intra AS (SELECT la.community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+          FROM e0
+          JOIN labels la ON la.id = e0.a
+          JOIN labels lb ON lb.id = e0.b
+          WHERE la.community = lb.community
+          GROUP BY la.community),
+degsum AS (SELECT l.community,
+                  CAST(COALESCE(SUM(d.degree), 0) AS BIGINT) AS degree_sum
+           FROM labels l LEFT JOIN deg d ON d.id = l.id
+           GROUP BY l.community),
+comm AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM labels GROUP BY community)
+SELECT c.community, c.n_nodes,
+       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       CAST(COALESCE(ds.degree_sum, 0) AS BIGINT) AS degree_sum,
+       CAST(4 * mm.m * COALESCE(i.intra_edges, 0)
+            - COALESCE(ds.degree_sum, 0) * COALESCE(ds.degree_sum, 0)
+            AS BIGINT) AS q_num
+FROM comm c
+CROSS JOIN mm
+LEFT JOIN intra i ON i.community = c.community
+LEFT JOIN degsum ds ON ds.community = c.community"""
+    )
     return "\n".join(parts)
 
 
