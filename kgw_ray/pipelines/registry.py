@@ -2305,6 +2305,11 @@ _R5_ROTATE_IN = [
     "profile_documents",     # exact SUMMARIZE-style table profiler
     "webkg_frontier_polite", # robots.txt politeness-filtered frontier
     "docs_quality_model",    # bundled-weights warm-model actor pool
+    # late-round-5 additions — brand-new machinery, externally gated in
+    # the one remaining window
+    "kg_modularity",           # exact-integer LPA partition quality
+    "events_hourly_gapfill",   # distributed time-spine + zero-fill join
+    "docs_compact_small_files",  # compaction with read-back checksum gate
 ]
 _R5_ROTATE_OUT = [
     "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
@@ -2314,6 +2319,9 @@ _R5_ROTATE_OUT = [
     "kg_neighborhood",           # hub-served point lookup; externally green r2-r4
     "media_decode_features",     # actor-pool media stage; resize_digest gated
     "text_fingerprint",          # rolling-hash fingerprint; externally green r1-r4
+    "top_users_by_value",        # distributed_topk rides many gated queries
+    "dedup_simhash_pairs",       # minhash_lsh + jaccard_pairs stay gated
+    "media_metadata",            # media family covered by resize_digest
 ]
 
 
@@ -2358,6 +2366,85 @@ def q_docs_quality_model(sf_dir: str) -> rd.Dataset:
         concurrency=(1, 4),
     )
 
+
+def _quality_buckets_sql() -> str:
+    from kgw_ray.stages.scoring import quality_model_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, logit_micro,
+         NTILE(3) OVER (ORDER BY logit_micro, doc_id) AS bucket
+  FROM ({quality_model_sql()}) s
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(logit_micro) AS BIGINT) AS min_logit,
+       CAST(MAX(logit_micro) AS BIGINT) AS max_logit
+FROM t GROUP BY bucket
+"""
+
+
+@register("docs_quality_buckets", oracle=_quality_buckets_sql())
+def q_docs_quality_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style quality bucketing: rank every document by the warm
+    model's integer logit (tie-break doc_id) and cut the ranking into 3
+    equal NTILE buckets (head/middle/tail) — the curation recipe that
+    routes head-bucket data to more training epochs. Physical plan:
+    actor-pool scoring → exact distributed ROW_NUMBER (range-bucket
+    histogram plan, stages/agg.py:global_row_number — no global sort) →
+    vectorized NTILE arithmetic → per-bucket Min/Max/Count. Output is the
+    3-row bucket profile; oracle = NTILE(3) over the identical integer
+    logits."""
+    import numpy as np
+    import pyarrow as _pa
+
+    from kgw_ray.sources.readers import read_table
+    from kgw_ray.stages.agg import global_row_number, grouped_aggregate_hybrid
+    from kgw_ray.stages.scoring import QualityModelScorer
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scores = docs.map_batches(
+        QualityModelScorer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    ).select_columns(["doc_id", "logit_micro"])
+    ranked = global_row_number(
+        scores, ["logit_micro", "doc_id"], rank_name="rn"
+    ).materialize()
+    n = ranked.count()
+    k = 3
+    base, rem = n // k, n % k
+    cut = rem * (base + 1)
+    base_safe = max(base, 1)
+
+    def _bucketize(t: _pa.Table) -> _pa.Table:
+        rn = t.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.where(
+            rn <= cut,
+            (rn - 1) // (base + 1) + 1,
+            rem + (rn - cut - 1) // base_safe + 1,
+        ).astype(np.int64)
+        lg = t.column("logit_micro")
+        return _pa.table(
+            {
+                "bucket": _pa.array(bucket),
+                "n_docs": _pa.array(np.ones(len(t), dtype=np.int64)),
+                "min_logit": lg,
+                "max_logit": lg,
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        ranked.map_batches(_bucketize, batch_format="pyarrow"),
+        "bucket",
+        [
+            ("n_docs", "sum", "n_docs"),
+            ("min_logit", "min", "min_logit"),
+            ("max_logit", "max", "max_logit"),
+        ],
+    )
+
 _STORED_EDGES_SQL = f"""
 WITH tr AS ({TRIPLES_SQL})
 SELECT 'E:' || subj AS source_id, 'E:' || obj AS target_id, pred AS type,
@@ -2394,6 +2481,10 @@ register("events_hourly_gapfill", _rel.EVENTS_GAPFILL_SQL)(
 register("docs_compact_small_files", _rel.DOCS_COMPACT_SQL)(
     _rel.docs_compact_small_files
 )
+
+# ANN evaluation harness — approximate by design, rows-only (same gating
+# class as ann_ivf_topk_probe; recall_permille is deterministic)
+register("ann_recall_at_k")(_td.ann_recall_at_k)
 
 
 # run the rotation LAST so every registration above (including the

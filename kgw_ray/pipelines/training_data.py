@@ -645,6 +645,42 @@ def ann_ivf_topk_probe(sf_dir: str) -> pa.Table:
     return idx.topk(Q, qids, k=_TOPK, nprobe=max(4, -(-idx.n_cells // 3)))
 
 
+def ann_recall_at_k(sf_dir: str) -> pa.Table:
+    """Recall@k of the approximate IVF probe path against exact brute
+    force — the ANN quality-evaluation harness as a first-class query
+    (previously only a test assertion). Both top-k tables come from the
+    distributed engine (brute_force_topk's broadcast-matmul partials and
+    the IVF cell-pruned plan); the recall join itself is a
+    (queries × k)-row driver fold — evaluation output, not data plane.
+    Integer recall_permille keeps the result hash-stable; no SQL oracle
+    because the probe side is approximate BY DESIGN (same gating class as
+    ann_ivf_topk_probe itself)."""
+    from kgw_ray.stages.similarity import IVFIndex, brute_force_topk
+
+    Q, qids = _query_matrix(sf_dir)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = brute_force_topk(emb, Q, qids, k=_TOPK).to_pandas()
+    idx = IVFIndex.build(emb)
+    approx = idx.topk(
+        Q, qids, k=_TOPK, nprobe=max(4, -(-idx.n_cells // 3))
+    ).to_pandas()
+
+    rows = []
+    for qid in sorted(exact["query_id"].unique()):
+        truth = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        got = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        hits = len(truth & got)
+        rows.append((int(qid), _TOPK, hits, 1000 * hits // _TOPK))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "k": pa.array([r[1] for r in rows], pa.int64()),
+            "n_hits": pa.array([r[2] for r in rows], pa.int64()),
+            "recall_permille": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
