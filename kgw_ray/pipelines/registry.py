@@ -2482,9 +2482,11 @@ register("docs_compact_small_files", _rel.DOCS_COMPACT_SQL)(
     _rel.docs_compact_small_files
 )
 
-# ANN evaluation harness — approximate by design, rows-only (same gating
-# class as ann_ivf_topk_probe; recall_permille is deterministic)
+# ANN / dedup evaluation harnesses — approximate by design, rows-only
+# (same gating class as ann_ivf_topk_probe; the permille readouts are
+# deterministic)
 register("ann_recall_at_k")(_td.ann_recall_at_k)
+register("dedup_ivf_recall")(_td.dedup_ivf_recall)
 
 
 # run the rotation LAST so every registration above (including the

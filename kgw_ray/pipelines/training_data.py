@@ -681,6 +681,51 @@ def ann_recall_at_k(sf_dir: str) -> pa.Table:
     )
 
 
+def dedup_ivf_recall(sf_dir: str) -> pa.Table:
+    """Pair recall of the IVF-bucketed near-dup path against the exact
+    all-pairs set — quantifies exactly what the cell blocking trades away
+    (cross-cell near-dups), as a queryable number instead of a docstring
+    caveat. The pair sets never land on the driver: both sides pack
+    (a, b) into one int64 key per pair and the intersection is the
+    size-hybrid distributed semi join; only three scalar counts return.
+    Rows-only (the IVF side is approximate by design)."""
+    from kgw_ray.stages.dedup import embedding_near_dup_pairs
+    from kgw_ray.stages.joins import semi_join_dataset
+    from kgw_ray.stages.similarity import ivf_near_dup_pairs
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _pack(t: pa.Table) -> pa.Table:
+        # vec_ids are < 2^31 at any plausible corpus (pair keys, not doc
+        # counts, are the scale axis here); pack to one comparable int64
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": pa.array(a * (1 << 32) + b, pa.int64())})
+
+    exact = (
+        embedding_near_dup_pairs(emb, threshold=0.4)
+        .select_columns(["a", "b"])
+        .map_batches(_pack, batch_format="pyarrow")
+        .materialize()
+    )
+    ivf = (
+        ivf_near_dup_pairs(emb, threshold=0.4)
+        .map_batches(_pack, batch_format="pyarrow")
+        .materialize()
+    )
+    n_exact, n_ivf = exact.count(), ivf.count()
+    n_hits = semi_join_dataset(exact, ivf, on="k").count()
+    recall = 1000 * n_hits // n_exact if n_exact else 1000
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([n_exact], pa.int64()),
+            "n_ivf_pairs": pa.array([n_ivf], pa.int64()),
+            "n_hits": pa.array([n_hits], pa.int64()),
+            "recall_permille": pa.array([recall], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
