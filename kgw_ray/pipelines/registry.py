@@ -2052,6 +2052,46 @@ def q_webkg_host_modularity(sf_dir: str) -> rd.Dataset:
     return modularity(nodes_from_edges(edges), edges, iters=3)
 
 
+def _host_conductance_sql() -> str:
+    from kgw_ray.stages.graph_metrics import conductance_sql
+
+    edges_sql = (
+        f"SELECT src_host AS source_id, dst_host AS target_id"
+        f" FROM ({_HOST_GRAPH_SQL})"
+    )
+    nodes_sql = (
+        f"SELECT DISTINCT id FROM ("
+        f"SELECT src_host AS id FROM ({_HOST_GRAPH_SQL})"
+        f" UNION ALL SELECT dst_host FROM ({_HOST_GRAPH_SQL}))"
+    )
+    return conductance_sql(nodes_sql, edges_sql, iters=3)
+
+
+@register("webkg_host_conductance", oracle=_host_conductance_sql())
+def q_webkg_host_conductance(sf_dir: str) -> rd.Dataset:
+    """Integer conductance (boundary leakiness) per LPA community over the
+    host link graph — the complement diagnostic to webkg_host_modularity,
+    ONE shared partition pass + arithmetic over the community-sized table
+    (stages/graph_metrics.py:conductance)."""
+    from kgw_ray.pipelines.webkg import host_graph
+    from kgw_ray.stages.graph_metrics import conductance, nodes_from_edges
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source_id": t.column("src_host"),
+                "target_id": t.column("dst_host"),
+            }
+        )
+
+    edges = (
+        host_graph(sf_dir)
+        .map_batches(_rename, batch_format="pyarrow")
+        .materialize()
+    )
+    return conductance(nodes_from_edges(edges), edges, iters=3)
+
+
 def _host_pagerank_sqls() -> tuple[str, str]:
     nodes_sql = (
         f"SELECT DISTINCT src_host AS id FROM ({_LINK_GRAPH_SQL}) "
@@ -2487,6 +2527,21 @@ register("docs_compact_small_files", _rel.DOCS_COMPACT_SQL)(
 # deterministic)
 register("ann_recall_at_k")(_td.ann_recall_at_k)
 register("dedup_ivf_recall")(_td.dedup_ivf_recall)
+
+register("docs_partitioned_export", _td.PARTITIONED_EXPORT_SQL)(
+    _td.docs_partitioned_export
+)
+
+
+def _sentence_stats_sql() -> str:
+    from kgw_ray.stages.textstats import SENTENCE_STATS_SQL
+
+    return SENTENCE_STATS_SQL
+
+
+register("text_sentence_stats", _sentence_stats_sql())(
+    _td.text_sentence_stats
+)
 
 
 # run the rotation LAST so every registration above (including the

@@ -54,6 +54,14 @@ def text_token_stats(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(token_stats_batch, batch_format="pyarrow")
 
 
+def text_sentence_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document sentence segmentation stats (terminator-run counting,
+    one vectorized RE2 scan — stages/textstats.py:sentence_stats_batch)."""
+    from kgw_ray.stages.textstats import sentence_stats_batch
+
+    return _docs(sf_dir).map_batches(sentence_stats_batch, batch_format="pyarrow")
+
+
 def text_quality(sf_dir: str) -> rd.Dataset:
     from kgw_ray.stages.textstats import quality_stats_batch
 
@@ -3682,3 +3690,56 @@ FROM s GROUP BY source, split
 
 
 TRAIN_VAL_SPLIT_SQL = _train_val_split_sql()
+
+
+def docs_partitioned_export(sf_dir: str) -> rd.Dataset:
+    """Hive-partitioned export with a gated read-back: write the documents
+    table as ``lang=<value>/`` Parquet partitions (the resumable-output
+    layout — a re-run skips finished partition directories), then read the
+    partitioned lake BACK (Ray re-derives the partition column from the
+    directory names) and count rows per partition in-engine. The returned
+    (lang, n_docs) table is hash-gated against GROUP BY over the ORIGINAL
+    table, so the gate proves the partitioned write routed and preserved
+    every row."""
+    import tempfile
+
+    import ray.data as rd
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="kgw_ray_part_export_")
+    docs.write_parquet(out_dir, partition_cols=["lang"])
+
+    back = rd.read_parquet(out_dir)
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        g = (
+            _pd.DataFrame(
+                {"lang": t.column("lang").to_numpy(zero_copy_only=False)}
+            )
+            .groupby("lang", sort=False)
+            .size()
+            .rename("n_docs")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].astype(str).to_numpy(), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        back.map_batches(_count_partial, batch_format="pyarrow"),
+        "lang",
+        [("n_docs", "sum", "n_docs")],
+    )
+
+
+PARTITIONED_EXPORT_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""

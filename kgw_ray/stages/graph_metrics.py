@@ -1104,11 +1104,10 @@ def modularity(
     return j.map_batches(_finalize, batch_format="pyarrow")
 
 
-def modularity_sql(nodes_sql: str, edges_sql: str, *, iters: int = 3) -> str:
-    """The identical partition + exact-integer modularity terms in SQL."""
-    parts = _lpa_cte_parts(nodes_sql, edges_sql, iters)
-    parts.append(
-        f""",
+def _partition_terms_ctes(iters: int) -> str:
+    """The shared per-community term CTEs (labels/mm/deg/intra/degsum/comm)
+    both modularity_sql and conductance_sql append after the LPA chain."""
+    return f""",
 labels AS (SELECT id, lbl AS community FROM l{iters}),
 mm AS (SELECT COUNT(*) AS m FROM e0),
 deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS degree
@@ -1124,7 +1123,15 @@ degsum AS (SELECT l.community,
            FROM labels l LEFT JOIN deg d ON d.id = l.id
            GROUP BY l.community),
 comm AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
-         FROM labels GROUP BY community)
+         FROM labels GROUP BY community)"""
+
+
+def modularity_sql(nodes_sql: str, edges_sql: str, *, iters: int = 3) -> str:
+    """The identical partition + exact-integer modularity terms in SQL."""
+    parts = _lpa_cte_parts(nodes_sql, edges_sql, iters)
+    parts.append(
+        _partition_terms_ctes(iters)
+        + """
 SELECT c.community, c.n_nodes,
        CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
        CAST(COALESCE(ds.degree_sum, 0) AS BIGINT) AS degree_sum,
@@ -1135,6 +1142,80 @@ FROM comm c
 CROSS JOIN mm
 LEFT JOIN intra i ON i.community = c.community
 LEFT JOIN degsum ds ON ds.community = c.community"""
+    )
+    return "\n".join(parts)
+
+
+def conductance(
+    nodes: rd.Dataset,
+    edges: rd.Dataset,
+    *,
+    iters: int = 3,
+    broadcast_limit: int | None = None,
+) -> rd.Dataset:
+    """Exact-integer conductance per LPA community: cut(c) = d_c − 2·e_c
+    boundary edges, vol(c) = d_c, and
+
+        conductance_permille = 1000·cut // min(vol, 2m − vol)
+
+    (0 when the denominator is 0 — an isolated or whole-graph community
+    has no boundary to leak through). The complement of modularity's
+    "how much stays inside": how leaky each community's boundary is —
+    the partition diagnostic used to pick crawl shard boundaries.
+
+    Physical plan: ONE modularity pass (all exchanges vocabulary-bounded,
+    see :func:`modularity`) and a per-batch arithmetic map over its
+    community-sized output; 2m folds from that same tiny table."""
+    mod = modularity(
+        nodes, edges, iters=iters, broadcast_limit=broadcast_limit
+    ).materialize()
+    two_m = 0
+    for b in mod.iter_batches(batch_format="pyarrow"):
+        two_m += int(pc_int64(b.column("degree_sum")).sum())
+
+    def _cond(t: pa.Table) -> pa.Table:
+        d_c = pc_int64(t.column("degree_sum"))
+        e_c = pc_int64(t.column("intra_edges"))
+        cut = d_c - 2 * e_c
+        denom = np.minimum(d_c, two_m - d_c)
+        cond = np.where(denom > 0, 1000 * cut // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "community": t.column("community"),
+                "n_nodes": t.column("n_nodes"),
+                "cut_edges": pa.array(cut.astype(np.int64)),
+                "degree_sum": pa.array(d_c),
+                "conductance_permille": pa.array(cond.astype(np.int64)),
+            }
+        )
+
+    return mod.map_batches(_cond, batch_format="pyarrow")
+
+
+def conductance_sql(nodes_sql: str, edges_sql: str, *, iters: int = 3) -> str:
+    """The identical partition + integer conductance in SQL."""
+    parts = _lpa_cte_parts(nodes_sql, edges_sql, iters)
+    parts.append(
+        _partition_terms_ctes(iters)
+        + """,
+t AS (
+  SELECT c.community, c.n_nodes,
+         COALESCE(ds.degree_sum, 0)
+           - 2 * COALESCE(i.intra_edges, 0) AS cut_edges,
+         COALESCE(ds.degree_sum, 0) AS degree_sum,
+         (SELECT COALESCE(SUM(degree), 0) FROM deg) AS two_m
+  FROM comm c
+  LEFT JOIN intra i ON i.community = c.community
+  LEFT JOIN degsum ds ON ds.community = c.community
+)
+SELECT community, n_nodes,
+       CAST(cut_edges AS BIGINT) AS cut_edges,
+       CAST(degree_sum AS BIGINT) AS degree_sum,
+       CAST(CASE WHEN least(degree_sum, two_m - degree_sum) > 0
+                 THEN 1000 * cut_edges
+                      // least(degree_sum, two_m - degree_sum)
+                 ELSE 0 END AS BIGINT) AS conductance_permille
+FROM t"""
     )
     return "\n".join(parts)
 

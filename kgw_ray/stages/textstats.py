@@ -60,6 +60,42 @@ FROM documents
 """
 
 
+def sentence_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, n_sentences, n_chars, chars_per_sentence).
+
+    Sentences are runs of terminator punctuation ``[.!?]+`` — the cheap
+    language-agnostic segmentation a quality filter uses before deeper
+    parsing. Fully vectorized: one RE2 scan (``pc.count_substring_regex``
+    — the SAME regex engine DuckDB links, so counts agree by construction)
+    plus integer division; chars_per_sentence = n_chars // max(n, 1).
+    """
+    text = pc.fill_null(batch.column("text"), "")
+    ns = pc.cast(pc.count_substring_regex(text, pattern=r"[.!?]+"), pa.int64())
+    nc = pc.cast(pc.utf8_length(text), pa.int64())
+    denom = pc.max_element_wise(ns, pa.scalar(1, pa.int64()))
+    cps = pc.cast(pc.divide(nc, denom), pa.int64())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_sentences": ns,
+            "n_chars": nc,
+            "chars_per_sentence": cps,
+        }
+    )
+
+
+SENTENCE_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')) AS BIGINT)
+         AS n_sentences,
+       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+       CAST(length(COALESCE(text, ''))
+            // greatest(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')), 1)
+            AS BIGINT) AS chars_per_sentence
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------

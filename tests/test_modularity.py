@@ -88,6 +88,27 @@ def test_zero_intra_edge_partition():
     assert int(df["degree_sum"].sum()) == 2 * len(star)
 
 
+def test_conductance_two_cliques():
+    """Bridge edge between two K4 cliques: cut = 1, vol = 13 per clique →
+    conductance = 1000·1 // 13 = 76‰; a whole-graph community (denominator
+    0) reads 0."""
+    from kgw_ray.stages.graph_metrics import conductance
+
+    edges = _edges(_TWO_CLIQUES)
+    df = (
+        conductance(nodes_from_edges(edges), edges, iters=3)
+        .to_pandas()
+        .sort_values("community")
+        .reset_index(drop=True)
+    )
+    assert list(df["cut_edges"]) == [1, 1]
+    assert list(df["conductance_permille"]) == [76, 76]
+
+    tri = _edges([("x", "y"), ("y", "z"), ("x", "z")])
+    one = conductance(nodes_from_edges(tri), tri, iters=3).to_pandas()
+    assert list(one["conductance_permille"]) == [0]
+
+
 def test_single_community_q_zero():
     """A triangle collapses to one community: e_c = m and d_c = 2m, so
     q_num = 4m·m − (2m)² = 0 exactly."""
