@@ -392,7 +392,7 @@ GROUP BY event_type, date_trunc('hour', ts)
 _HOUR_US = 3_600_000_000
 
 
-def events_hourly_gapfill(sf_dir: str) -> rd.Dataset:
+def events_hourly_gapfill(sf_dir: str) -> "rd.Dataset | pa.Table":
     """Dense hourly timeline with zero-filled gaps: every hour between the
     corpus min and max — including hours with NO events — gets a row
     (hour, n, sum_value). The time-spine generation + left join + fill
@@ -410,14 +410,14 @@ def events_hourly_gapfill(sf_dir: str) -> rd.Dataset:
 
     ds = read_table(sf_dir, "events", columns=["ts", "value"]).materialize()
     if ds.count() == 0:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "hour": pa.array([], pa.timestamp("us")),
-                    "n": pa.array([], pa.int64()),
-                    "sum_value": pa.array([], pa.float64()),
-                }
-            )
+        # return the typed Arrow table itself: a zero-row Dataset's
+        # to_pandas drops its columns (the repo-wide empty-pull hazard)
+        return pa.table(
+            {
+                "hour": pa.array([], pa.timestamp("us")),
+                "n": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+            }
         )
     bounds = ds.aggregate(Min("ts", alias_name="lo"), Max("ts", alias_name="hi"))
     lo_us = pc.cast(pa.scalar(bounds["lo"]), pa.timestamp("us")).cast(pa.int64()).as_py()

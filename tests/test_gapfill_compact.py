@@ -64,6 +64,27 @@ def test_gapfill_matches_oracle_on_gappy_corpus(gappy_dir):
     )
 
 
+def test_gapfill_empty_events(tmp_path):
+    """An empty events table returns the typed empty result (no min/max
+    to bound a spine) instead of crashing on None bounds."""
+    from kgw_ray.pipelines.relational import events_hourly_gapfill
+
+    t = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+            "properties": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    df = to_pandas(events_hourly_gapfill(str(tmp_path)))
+    assert len(df) == 0
+    assert sorted(df.columns) == ["hour", "n", "sum_value"]
+
+
 def test_compact_file_count_and_content(tmp_path, sf_smoke):
     import ray.data as rd
 
