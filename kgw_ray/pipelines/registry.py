@@ -1270,6 +1270,75 @@ def q_kg_eccentricity(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _kg_diameter_sql() -> str:
+    from kgw_ray.stages.graph_metrics import sssp_counts_sql
+
+    return f"""
+WITH ap AS MATERIALIZED ({sssp_counts_sql(_KG_DIRECTED_SQL, rounds=8)}),
+ecc AS (SELECT src, MAX(dist) AS e FROM ap GROUP BY src)
+SELECT CAST(MAX(e) AS BIGINT) AS diameter,
+       CAST(MIN(e) AS BIGINT) AS radius,
+       CAST(SUM(CASE WHEN e = (SELECT MAX(e) FROM ecc) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_peripheral,
+       CAST(SUM(CASE WHEN e = (SELECT MIN(e) FROM ecc) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_central
+FROM ecc
+"""
+
+
+@register("kg_diameter", oracle=_kg_diameter_sql())
+def q_kg_diameter(sf_dir: str) -> pa.Table:
+    """Graph diameter / radius profile (forward-hop, bounded BFS): max and
+    min per-node eccentricity plus the peripheral / central node counts —
+    the one-row health summary a KG build publishes next to kg_statistics.
+
+    Physical plan: the gated sssp_counts σ table → vocabulary-bounded ecc
+    fold (grouped Max, same shape as kg_eccentricity) → Dataset-level
+    max/min + two filtered counts. Nothing corpus-sized touches the
+    driver; the ecc table is node-vocabulary-bounded by construction.
+    Empty graphs return a zero-row table (the oracle's NULL row is only
+    reachable on an empty corpus, which no gate runs)."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.graph_metrics import sssp_counts
+
+    ap = sssp_counts(edges_from_triples(triples_dataset(sf_dir)), rounds=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": t.column("src"), "e": pc.cast(t.column("dist"), pa.int64())}
+        )
+
+    ecc = grouped_aggregate_hybrid(
+        ap.map_batches(partial, batch_format="pyarrow"),
+        "id",
+        [("e", "max", "e")],
+    ).materialize()
+    if ecc.count() == 0:
+        return pa.table(
+            {
+                "diameter": pa.array([], pa.int64()),
+                "radius": pa.array([], pa.int64()),
+                "n_peripheral": pa.array([], pa.int64()),
+                "n_central": pa.array([], pa.int64()),
+            }
+        )
+    dia = ecc.max("e")
+    rad = ecc.min("e")
+    n_peri = ecc.filter(expr=f"e == {dia}").count()
+    n_cent = ecc.filter(expr=f"e == {rad}").count()
+    return pa.table(
+        {
+            "diameter": pa.array([dia], pa.int64()),
+            "radius": pa.array([rad], pa.int64()),
+            "n_peripheral": pa.array([n_peri], pa.int64()),
+            "n_central": pa.array([n_cent], pa.int64()),
+        }
+    )
+
+
 @register("kg_betweenness", oracle=_kg_betweenness_sql())
 def q_kg_betweenness(sf_dir: str) -> rd.Dataset:
     """EXACT directed betweenness centrality in integer micro-units —
@@ -2350,6 +2419,13 @@ _R5_ROTATE_IN = [
     "kg_modularity",           # exact-integer LPA partition quality
     "events_hourly_gapfill",   # distributed time-spine + zero-fill join
     "docs_compact_small_files",  # compaction with read-back checksum gate
+    # closing-wave additions — new machinery, externally gated this round
+    "text_winnowing",          # full winnowing selection (MOSS scheme)
+    "text_bigram_lift",        # exact-HUGEINT collocation lift over the head
+    "text_commonness",         # unigram-LM commonness broadcast scoring
+    "docs_inverted_index",     # posting stats (df/tf/first_doc) combiner
+    "customers_rfm",           # triple distributed-NTILE segmentation
+    "kg_diameter",             # diameter/radius profile over the sigma table
 ]
 _R5_ROTATE_OUT = [
     "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
@@ -2362,6 +2438,14 @@ _R5_ROTATE_OUT = [
     "top_users_by_value",        # distributed_topk rides many gated queries
     "dedup_simhash_pairs",       # minhash_lsh + jaccard_pairs stay gated
     "media_metadata",            # media family covered by resize_digest
+    # closing-wave displacements — externally green in a prior round,
+    # machinery stays replica-checked every run
+    "events_sessionize",         # per-user window; latest_per_user + funnel stay
+    "events_props_extract",      # JSON scalar extraction; green r1-r4
+    "webkg_edges_provenance",    # webkg_edges + edges_incremental stay gated
+    "webkg_canonicalize",        # URL family; latest_pages stays gated
+    "text_token_stats",          # commonness/inverted_index supersede the shape
+    "dedup_jaccard_pairs",       # minhash_lsh + dedup_exact stay gated
 ]
 
 
@@ -2531,6 +2615,14 @@ register("dedup_ivf_recall")(_td.dedup_ivf_recall)
 register("docs_partitioned_export", _td.PARTITIONED_EXPORT_SQL)(
     _td.docs_partitioned_export
 )
+
+register("text_bigram_lift", _td.BIGRAM_LIFT_SQL)(_td.text_bigram_lift)
+register("text_commonness", _td.COMMONNESS_SQL)(_td.text_commonness)
+register("docs_inverted_index", _td.INVERTED_INDEX_SQL)(
+    _td.docs_inverted_index
+)
+register("customers_rfm", _rel.CUSTOMERS_RFM_SQL)(_rel.customers_rfm)
+register("text_winnowing", _td.WINNOWING_SQL)(_td.text_winnowing)
 
 
 def _sentence_stats_sql() -> str:

@@ -6168,3 +6168,136 @@ FROM agg
 
 
 EVENTS_GROUPED_KMV_SQL = _grouped_kmv_sql()
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+def customers_rfm(sf_dir: str) -> rd.Dataset:
+    """RFM segmentation over orders: per customer, Recency (max order
+    timestamp, epoch µs), Frequency (order count) and Monetary (exact
+    integer cents — per-order ROUND(price*100) BEFORE the sum, so the
+    int64 fold is order-independent), each cut into NTILE(4) quartiles
+    under the deterministic (metric, custkey) total order.
+
+    Physical plan: per-batch pandas-groupby combiner → one grouped
+    exchange over the CUSTOMER key → three exact distributed ROW_NUMBER
+    passes (range-bucket histogram plan, stages/agg.py:global_row_number —
+    no global sort) → vectorized NTILE arithmetic folded back with two
+    size-hybrid joins on custkey. Nothing larger than the customer
+    vocabulary crosses a single node."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from kgw_ray.sources.readers import read_table
+    from kgw_ray.stages.agg import global_row_number, grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import large_join
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.round(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "custkey": t.column("o_custkey").to_numpy(zero_copy_only=False),
+                "r": ts,
+                "f": np.ones(len(ts), dtype=np.int64),
+                "m": cents,
+            }
+        )
+        g = df.groupby("custkey", sort=False).agg(
+            recency_us=("r", "max"), frequency=("f", "sum"), monetary_cents=("m", "sum")
+        )
+        return pa.table(
+            {
+                "custkey": pa.array(g.index.to_numpy().astype(np.int64)),
+                "recency_us": pa.array(g["recency_us"].to_numpy()),
+                "frequency": pa.array(g["frequency"].to_numpy()),
+                "monetary_cents": pa.array(g["monetary_cents"].to_numpy()),
+            }
+        )
+
+    per_cust = grouped_aggregate_hybrid(
+        orders.map_batches(partials, batch_format="pyarrow"),
+        "custkey",
+        [
+            ("recency_us", "max", "recency_us"),
+            ("frequency", "sum", "frequency"),
+            ("monetary_cents", "sum", "monetary_cents"),
+        ],
+    ).materialize()
+    n = per_cust.count()
+    if n == 0:
+        return per_cust
+
+    def _ntile(rn: np.ndarray, n_rows: int, k: int = 4) -> np.ndarray:
+        base, rem = n_rows // k, n_rows % k
+        cut = rem * (base + 1)
+        base_safe = max(base, 1)
+        return np.where(
+            rn <= cut,
+            (rn - 1) // (base + 1) + 1,
+            rem + (rn - cut - 1) // base_safe + 1,
+        ).astype(np.int64)
+
+    def _bucketed(metric: str, out: str) -> rd.Dataset:
+        ranked = global_row_number(
+            per_cust.select_columns(["custkey", metric]),
+            [metric, "custkey"],
+            rank_name="rn",
+        )
+
+        def fin(t: pa.Table) -> pa.Table:
+            rn = t.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"custkey": t.column("custkey"), out: pa.array(_ntile(rn, n))}
+            )
+
+        return ranked.map_batches(fin, batch_format="pyarrow")
+
+    out = large_join(per_cust, _bucketed("recency_us", "r_bucket"), on=["custkey"])
+    out = large_join(out, _bucketed("frequency", "f_bucket"), on=["custkey"])
+    out = large_join(out, _bucketed("monetary_cents", "m_bucket"), on=["custkey"])
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        cols = [
+            "custkey",
+            "recency_us",
+            "frequency",
+            "monetary_cents",
+            "r_bucket",
+            "f_bucket",
+            "m_bucket",
+        ]
+        return t.select(cols)
+
+    return out.map_batches(order_cols, batch_format="pyarrow")
+
+
+CUSTOMERS_RFM_SQL = """
+WITH a AS (
+  SELECT o_custkey AS custkey,
+         CAST(epoch_us(MAX(o_orderdate)) AS BIGINT) AS recency_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, recency_us, frequency, monetary_cents,
+       CAST(NTILE(4) OVER (ORDER BY recency_us, custkey) AS BIGINT) AS r_bucket,
+       CAST(NTILE(4) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f_bucket,
+       CAST(NTILE(4) OVER (ORDER BY monetary_cents, custkey) AS BIGINT) AS m_bucket
+FROM a
+"""

@@ -315,14 +315,15 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {_DOMAIN_CAP}
 FINGERPRINT_MD5_SQL = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
 
 
-def _fingerprint_sql() -> str:
-    """Oracle for the winnowing rolling fingerprint (textstats.
-    rolling_fingerprint): token hashes are md5-first-8-bytes-LE, each
-    window of w' = min(n, 8) tokens hashes to the polynomial
-    Σ h[i+j]·B^(w'-1-j) mod 2^64 (B = 1000003), and the fingerprint is the
-    min over windows. Every B^k is a precomputed literal; the mod-2^64 ring
+def _winh_ctes() -> str:
+    """Shared CTE block computing every rolling polynomial window hash
+    (doc_id, st, wh) — token hashes are md5-first-8-bytes-LE, each window
+    of w' = min(n, 8) tokens hashes to Σ h[i+j]·B^(w'-1-j) mod 2^64
+    (B = 1000003). Every B^k is a precomputed literal; the mod-2^64 ring
     runs in UHUGEINT/HUGEINT (DuckDB integer ops raise on overflow, so the
-    128-bit intermediates are reduced explicitly)."""
+    128-bit intermediates are reduced explicitly). Byte-identical to
+    textstats.window_hashes; used by the fingerprint AND winnowing
+    oracles."""
     B, M = 1000003, 1 << 64
     bp = [pow(B, k, M) for k in range(8)]
     powcase = (
@@ -352,7 +353,14 @@ winh AS (
   JOIN nn ON nn.doc_id = w.doc_id
   JOIN th t ON t.doc_id = w.doc_id AND t.i BETWEEN w.st AND w.st + least(nn.n, 8) - 1
   GROUP BY w.doc_id, w.st
-)
+)"""
+
+
+def _fingerprint_sql() -> str:
+    """Oracle for the winnowing rolling fingerprint (textstats.
+    rolling_fingerprint): min over the shared window-hash CTEs."""
+    return f"""
+{_winh_ctes()}
 SELECT d.doc_id, md5(d.text) AS content_md5,
        CAST(COALESCE(m.fp, 0) AS VARCHAR) AS fingerprint
 FROM documents d LEFT JOIN (SELECT doc_id, MIN(wh) AS fp FROM winh GROUP BY doc_id) m
@@ -361,6 +369,63 @@ FROM documents d LEFT JOIN (SELECT doc_id, MIN(wh) AS fp FROM winh GROUP BY doc_
 
 
 FINGERPRINT_SQL = _fingerprint_sql()
+
+
+def text_winnowing(sf_dir: str) -> rd.Dataset:
+    """Full winnowing fingerprint selection (Schleimer et al. 2003, the
+    MOSS scheme): from every window of W=4 consecutive k-gram hashes keep
+    the minimum (ties → leftmost), emitting per document the selected-set
+    profile (n_grams / n_wins / n_selected / min_fp / mod-2^64 digest).
+    Zero shuffle — one vectorized map_batches pass
+    (stages/textstats.py:winnow_batch); the digest gates the ENTIRE
+    selected set against the SQL oracle's (hash, pos)-lexicographic
+    window-min, so the selection logic itself is hash-verified."""
+    from kgw_ray.stages.textstats import winnow_batch
+
+    return _docs(sf_dir).map_batches(winnow_batch, batch_format="pyarrow")
+
+
+def _winnowing_sql() -> str:
+    from kgw_ray.stages.textstats import _WINNOW_W
+
+    w = _WINNOW_W
+    return f"""
+{_winh_ctes()},
+sel AS (
+  SELECT doc_id, st,
+         MIN(CAST(wh AS HUGEINT) * 4294967296 + st)
+           OVER (PARTITION BY doc_id ORDER BY st
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS key,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) AS rn
+  FROM winh
+),
+picked AS (
+  SELECT DISTINCT doc_id,
+         CAST(key % 4294967296 AS BIGINT) AS p,
+         CAST(key // 4294967296 AS UBIGINT) AS swh
+  FROM sel WHERE rn <= GREATEST(n_h - {w} + 1, 1)
+),
+prof AS (
+  SELECT doc_id, COUNT(*) AS n_selected, MIN(swh) AS min_fp,
+         CAST(SUM(CAST(swh AS HUGEINT))
+              % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS digest
+  FROM picked GROUP BY doc_id
+)
+SELECT nn.doc_id,
+       CAST(CASE WHEN nn.n > 0 THEN nn.n - least(nn.n, 8) + 1 ELSE 0 END
+            AS BIGINT) AS n_grams,
+       CAST(CASE WHEN nn.n > 0
+                 THEN GREATEST(nn.n - least(nn.n, 8) + 1 - {w} + 1, 1)
+                 ELSE 0 END AS BIGINT) AS n_wins,
+       CAST(COALESCE(prof.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(prof.min_fp, 0) AS VARCHAR) AS min_fp,
+       CAST(COALESCE(prof.digest, 0) AS VARCHAR) AS digest
+FROM nn LEFT JOIN prof ON nn.doc_id = prof.doc_id
+"""
+
+
+WINNOWING_SQL = _winnowing_sql()
 
 
 def text_content_md5(sf_dir: str) -> rd.Dataset:
@@ -1380,6 +1445,314 @@ g AS (
 ),
 c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram)
 SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT {_NGRAM_TOPK_K}
+"""
+
+
+def docs_inverted_index(sf_dir: str) -> rd.Dataset:
+    """Inverted-index posting statistics: per token, document frequency
+    (df), total term frequency (tf) and the first posting (min doc_id) —
+    the skeleton every sharded index build / BM25 scorer starts from.
+
+    Exactness across blocks: each document is one row, so a block's
+    distinct (doc, token) pairs are globally distinct — the per-batch
+    pandas hash-groupby partial (df, tf, min_doc) is an exact combiner and
+    the ONE shuffle moves per-(batch, token) partials, i.e. the
+    vocabulary, never the token stream. Output is vocabulary-bounded."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.corpus import flat_tokens
+
+    def partials(batch: pa.Table) -> pa.Table:
+        idx, toks = flat_tokens(batch)
+        doc_ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        d = doc_ids[idx]
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "first_doc": pa.array([], pa.int64()),
+                }
+            )
+        g = pd.DataFrame({"tok": toks, "doc": d}).groupby("tok", sort=False)["doc"]
+        agg = g.agg(["nunique", "size", "min"])
+        return pa.table(
+            {
+                "tok": pa.array(agg.index.to_numpy(), pa.string()),
+                "df": pa.array(agg["nunique"].to_numpy().astype(np.int64)),
+                "tf": pa.array(agg["size"].to_numpy().astype(np.int64)),
+                "first_doc": pa.array(agg["min"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        _docs(sf_dir).map_batches(partials, batch_format="pyarrow"),
+        "tok",
+        [
+            ("df", "sum", "df"),
+            ("tf", "sum", "tf"),
+            ("first_doc", "min", "first_doc"),
+        ],
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM t)
+SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM u GROUP BY tok
+"""
+
+
+def text_commonness(sf_dir: str) -> rd.Dataset:
+    """Unigram-LM commonness scoring: each document's sum (and per-token
+    mean, ‰) of GLOBAL corpus token frequencies — the exact-integer stand-in
+    for average unigram log-likelihood that data-curation pipelines use to
+    separate fluent text from gibberish (high mean = stopword-like prose,
+    low mean = rare-token noise). Complements text_rare_token_stats (which
+    thresholds) by carrying the full magnitude.
+
+    Physical plan: pass 1 builds the global frequency table with the
+    per-batch np.unique combiner (the shuffle moves the VOCABULARY); the
+    vocabulary ships ONCE via ray.put as two parallel Arrow arrays and
+    pass 2 scores each doc with one vectorized index_in + take + segment
+    sum. Broadcast assumption: vocabulary fits one object (~10^8 tokens);
+    beyond that the scale path is the size-hybrid token join
+    (stages/joins.py), identical shape to text_rare_token_stats."""
+    import ray
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.textstats import _segment_sums
+
+    docs = _docs(sf_dir)
+
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        flat = pc.list_flatten(split_tokens(text))
+        flat = pc.filter(flat, pc.greater(pc.utf8_length(flat), 0))
+        arr = flat.to_numpy(zero_copy_only=False)
+        uq, cnt = np.unique(arr, return_counts=True)
+        return pa.table(
+            {"tok": pa.array(uq, pa.string()), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    freq = grouped_aggregate_hybrid(
+        docs.map_batches(tok_partials, batch_format="pyarrow"),
+        "tok",
+        [("c", "sum", "c")],
+    )
+    vocab_toks: list[pa.Array] = []
+    vocab_counts: list[np.ndarray] = []
+    for part in freq.iter_batches(batch_format="pyarrow"):
+        vocab_toks.append(part.column("tok").combine_chunks())
+        vocab_counts.append(
+            part.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    tok_arr = (
+        pa.concat_arrays([a.cast(pa.string()) for a in vocab_toks])
+        if vocab_toks
+        else pa.array([], pa.string())
+    )
+    cnt_arr = (
+        np.concatenate(vocab_counts) if vocab_counts else np.zeros(0, np.int64)
+    )
+    vocab_ref = ray.put((tok_arr, cnt_arr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks, counts = ray.get(vocab_ref)
+        text = pc.fill_null(batch.column("text"), "")
+        splits = split_tokens(text)
+        sizes = pc.cast(pc.list_value_length(splits), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(splits)
+        nonempty = (
+            pc.greater(pc.utf8_length(flat), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # empty-string tokens miss the vocabulary (index_in null → -1)
+        idx = (
+            pc.fill_null(pc.index_in(flat, value_set=toks), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        hit = idx >= 0
+        safe = np.where(hit, idx, 0)
+        per_tok = counts[safe] * nonempty * hit.astype(np.int64)
+        sum_freq = _segment_sums(per_tok, sizes)
+        n_tokens = _segment_sums(nonempty, sizes)
+        mean = np.where(n_tokens > 0, sum_freq * 1000 // np.maximum(n_tokens, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                "sum_freq": pa.array(sum_freq.astype(np.int64)),
+                "mean_freq_x1000": pa.array(mean.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+COMMONNESS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+f AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+s AS (
+  SELECT u.doc_id, CAST(SUM(f.c) AS BIGINT) AS sum_freq
+  FROM u JOIN f ON u.tok = f.tok GROUP BY u.doc_id
+)
+SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       COALESCE(s.sum_freq, 0) AS sum_freq,
+       CASE WHEN len(toks) > 0
+            THEN COALESCE(s.sum_freq, 0) * 1000 // len(toks)
+            ELSE 0 END AS mean_freq_x1000
+FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+"""
+
+
+_BIGRAM_LIFT_CAND = 200
+_BIGRAM_LIFT_K = 20
+
+
+def text_bigram_lift(
+    sf_dir: str, cand: int = _BIGRAM_LIFT_CAND, k: int = _BIGRAM_LIFT_K
+) -> pa.Table:
+    """Collocation mining: top-k bigrams by EXACT integer association lift
+    (PMI's ratio, un-logged) over the HEAD of the bigram distribution —
+    the phrase-extraction workload (word2vec phrases, stopword-collocation
+    filters) a curation pipeline runs before tokenizer training.
+
+    lift_ppm = c_xy * N^2 * 1e6 // (M * c_x * c_y) with N = total tokens,
+    M = total bigrams — exact arbitrary-precision integers (Python int on
+    the engine side, HUGEINT in the DuckDB oracle), so no log/float drift.
+    Ranking lift over the top-``cand``-by-count head is deliberate: PMI on
+    rare bigrams is noise, and it bounds the exact-arithmetic fold to a
+    constant-size table.
+
+    Physical plan: one bigram-vocabulary combiner shuffle (shared with
+    ngram_topk) + one unigram-vocabulary combiner shuffle; candidates via
+    distributed_topk (no global sort); the ≤ 2*cand unigram counts are
+    fetched with a vectorized is_in filter, never the whole vocabulary.
+    """
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.corpus import bigram_count_partial
+    from kgw_ray.pipelines.relational import distributed_topk
+
+    docs = _docs(sf_dir)
+
+    bcounts = grouped_aggregate_hybrid(
+        docs.map_batches(bigram_count_partial, batch_format="pyarrow"),
+        "gram",
+        [("n", "sum", "n")],
+    ).materialize()
+
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        flat = pc.list_flatten(split_tokens(text))
+        flat = pc.filter(flat, pc.greater(pc.utf8_length(flat), 0))
+        arr = flat.to_numpy(zero_copy_only=False)
+        uq, cnt = np.unique(arr, return_counts=True)
+        return pa.table(
+            {"tok": pa.array(uq, pa.string()), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    ucounts = grouped_aggregate_hybrid(
+        docs.map_batches(tok_partials, batch_format="pyarrow"),
+        "tok",
+        [("c", "sum", "c")],
+    ).materialize()
+
+    n_tokens = int(ucounts.sum("c") or 0)
+    m_bigrams = int(bcounts.sum("n") or 0)
+    head = distributed_topk(bcounts, ["n", "gram"], [True, False], cand)
+    if head.num_rows == 0 or m_bigrams == 0:
+        return pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "lift_ppm": pa.array([], pa.int64()),
+            }
+        )
+
+    grams = head.column("gram").to_pylist()
+    ns = head.column("n").to_pylist()
+    toks = sorted({t for g in grams for t in g.split(" ")})
+    tok_set = pa.array(toks, pa.string())
+    lookup = ucounts.map_batches(
+        lambda t: t.filter(pc.is_in(t["tok"], value_set=tok_set)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    freq = dict(zip(lookup["tok"].astype(str), lookup["c"].astype(int)))
+
+    rows = []
+    for g, cxy in zip(grams, ns):
+        x, y = g.split(" ")
+        lift = (
+            int(cxy) * n_tokens * n_tokens * 1_000_000
+            // (m_bigrams * freq[x] * freq[y])
+        )
+        rows.append((g, int(cxy), lift))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "gram": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "lift_ppm": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+BIGRAM_LIFT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT w[i] AS x, w[i + 1] AS y
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+bc AS (SELECT x, y, COUNT(*) AS n FROM g GROUP BY x, y),
+u AS (SELECT unnest(w) AS tok FROM toks),
+uc AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+tot AS (
+  SELECT (SELECT CAST(SUM(c) AS HUGEINT) FROM uc) AS nn,
+         (SELECT CAST(SUM(n) AS HUGEINT) FROM bc) AS mm
+),
+cand AS (
+  SELECT x, y, n FROM bc
+  ORDER BY n DESC, x || ' ' || y LIMIT {_BIGRAM_LIFT_CAND}
+),
+l AS (
+  SELECT cand.x || ' ' || cand.y AS gram, CAST(cand.n AS BIGINT) AS n,
+         CAST((CAST(cand.n AS HUGEINT) * tot.nn * tot.nn * 1000000)
+              // (tot.mm * CAST(cx.c AS HUGEINT) * CAST(cy.c AS HUGEINT))
+              AS BIGINT) AS lift_ppm
+  FROM cand, tot
+  JOIN uc cx ON cand.x = cx.tok
+  JOIN uc cy ON cand.y = cy.tok
+)
+SELECT gram, n, lift_ppm FROM l ORDER BY lift_ppm DESC, gram LIMIT {_BIGRAM_LIFT_K}
 """
 
 

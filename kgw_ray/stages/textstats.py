@@ -469,25 +469,87 @@ def rolling_fingerprint(toks: list[str], w: int = 8) -> int:
     """
     if not toks:
         return 0
-    h = _token_hashes(toks)
-    with np.errstate(over="ignore"):  # uint64 wraparound is the hash ring
-        if len(h) < w:
-            acc = np.uint64(0)
-            for x in h:
-                acc = (acc * _B + x) & _MASK
-            return int(acc)
-        # rolling window hash via cumulative polynomial trick, vectorized
-        n = len(h)
-        pw = np.empty(n + 1, dtype=np.uint64)
-        pw[0] = np.uint64(1)
-        for i in range(n):
-            pw[i + 1] = (pw[i] * _B) & _MASK
-        pre = np.empty(n + 1, dtype=np.uint64)
-        pre[0] = np.uint64(0)
-        for i in range(n):
-            pre[i + 1] = (pre[i] * _B + h[i]) & _MASK
-        win = (pre[w:] - pre[:-w] * pw[w]) & _MASK
-        return int(win.min())
+    return int(window_hashes(_token_hashes(toks), w).min())
+
+
+def window_hashes(h: np.ndarray, w: int = 8) -> np.ndarray:
+    """All rolling polynomial window hashes of ``h`` (w' = min(n, w) token
+    hashes per window, base B, mod-2^64 ring) — the full array whose min is
+    rolling_fingerprint. Vectorized as w' shifted multiply-adds (no per-
+    position recurrence): win[s] = Σ_j h[s+j]·B^(w'-1-j) mod 2^64."""
+    n = len(h)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    wp = min(n, w)
+    m = n - wp + 1
+    win = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(wp):
+            coef = np.uint64(pow(1000003, wp - 1 - j, 1 << 64))
+            win += h[j : j + m] * coef
+    return win
+
+
+_WINNOW_W = 4  # selection-window size (windows of W consecutive k-gram hashes)
+
+
+def winnow_select(win: np.ndarray, sel_w: int = _WINNOW_W) -> np.ndarray:
+    """Winnowing selection (Schleimer et al. 2003): from every window of
+    ``sel_w`` consecutive k-gram hashes pick the minimum — ties pinned to
+    the LEFTMOST position (the SQL oracle's (hash, pos) lexicographic min;
+    the paper's rightmost rule differs only in which duplicate survives).
+    Returns the selected hashes, one per distinct selected position.
+    Vectorized: one sliding-window min + one equality argmax."""
+    n_h = len(win)
+    if n_h == 0:
+        return win
+    if n_h < sel_w:
+        sw = win[None, :]
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(win, sel_w)
+    m = sw.min(axis=1)
+    first = (sw == m[:, None]).argmax(axis=1)
+    pos = np.unique(np.arange(len(sw), dtype=np.int64) + first)
+    return win[pos]
+
+
+def winnow_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → winnowing fingerprint profile per document:
+    n_grams (window-hash count), n_wins (selection windows), n_selected
+    (distinct selected positions), min_fp (min selected hash) and digest
+    (mod-2^64 sum of selected hashes) — the MOSS-style shift-tolerant
+    signature a plagiarism/near-dup stage stores per document. uint64
+    readouts ride as decimal strings (pandas/duckdb canon)."""
+    texts = batch.column("text").to_pylist()
+    n_grams = np.zeros(len(texts), dtype=np.int64)
+    n_wins = np.zeros(len(texts), dtype=np.int64)
+    n_sel = np.zeros(len(texts), dtype=np.int64)
+    min_fp: list[str] = []
+    digest: list[str] = []
+    for i, t in enumerate(texts):
+        h = _token_hashes(py_tokens(t))
+        win = window_hashes(h)
+        n_grams[i] = len(win)
+        if len(win) == 0:
+            min_fp.append("0")
+            digest.append("0")
+            continue
+        n_wins[i] = max(len(win) - _WINNOW_W + 1, 1)
+        sel = winnow_select(win)
+        n_sel[i] = len(sel)
+        min_fp.append(str(int(sel.min())))
+        with np.errstate(over="ignore"):
+            digest.append(str(int(np.add.reduce(sel))))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_grams": pa.array(n_grams),
+            "n_wins": pa.array(n_wins),
+            "n_selected": pa.array(n_sel),
+            "min_fp": pa.array(min_fp, pa.string()),
+            "digest": pa.array(digest, pa.string()),
+        }
+    )
 
 
 def content_md5_list(texts) -> list[str]:
