@@ -1339,6 +1339,104 @@ def q_kg_diameter(sf_dir: str) -> pa.Table:
     )
 
 
+def _kg_harmonic_sql() -> str:
+    from kgw_ray.stages.graph_metrics import sssp_counts_sql
+
+    return f"""
+WITH ap AS MATERIALIZED ({sssp_counts_sql(_KG_DIRECTED_SQL, rounds=8)})
+SELECT src AS id,
+       CAST(SUM(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)
+            AS BIGINT) AS harmonic_micro
+FROM ap GROUP BY src
+"""
+
+
+@register("kg_harmonic", oracle=_kg_harmonic_sql())
+def q_kg_harmonic(sf_dir: str) -> rd.Dataset:
+    """Harmonic centrality in integer micro-units: h(s) = Σ_{t reachable,
+    t≠s} 10^6 // d(s,t) — the disconnected-robust closeness variant
+    (Boldi & Vigna) web-graph rankings use. Per-term integer floor is
+    order-independent, so the fold is one grouped Sum over the gated
+    sssp_counts σ table (sibling of kg_eccentricity) and both engines
+    are bit-identical."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.graph_metrics import sssp_counts
+
+    ap = sssp_counts(edges_from_triples(triples_dataset(sf_dir)), rounds=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        dist = t.column("dist").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.where(dist > 0, 1_000_000 // np.maximum(dist, 1), 0)
+        return pa.table(
+            {"id": t.column("src"), "harmonic_micro": pa.array(h.astype(np.int64))}
+        )
+
+    return grouped_aggregate_hybrid(
+        ap.map_batches(partial, batch_format="pyarrow"),
+        "id",
+        [("harmonic_micro", "sum", "harmonic_micro")],
+    )
+
+
+def _kg_bowtie_sql() -> str:
+    from kgw_ray.stages.graph_metrics import bowtie_sql
+
+    return bowtie_sql(_KG_DIRECTED_SQL)
+
+
+@register("kg_bowtie", oracle=_kg_bowtie_sql())
+def q_kg_bowtie(sf_dir: str) -> rd.Dataset:
+    """Bow-tie macro-structure census of the directed web-KG (Broder et
+    al. 2000): largest-SCC CORE, IN (reaches core), OUT (core reaches),
+    OTHER — the standard crawl-health readout. Gated SCC coloring + two
+    multi-source BSP reach loops + one priority-min census
+    (stages/graph_metrics.py:bowtie_profile); the oracle re-derives all
+    of it via independent recursive-CTE reachability."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph_metrics import bowtie_profile
+
+    return bowtie_profile(edges_from_triples(triples_dataset(sf_dir)))
+
+
+def _webkg_bowtie_sql() -> str:
+    from kgw_ray.pipelines.webkg import LINK_GRAPH_SQL
+    from kgw_ray.stages.graph_metrics import bowtie_sql
+
+    return bowtie_sql(
+        f"SELECT CAST(src_doc_id AS VARCHAR) AS s, "
+        f"CAST(dst_doc_id AS VARCHAR) AS t FROM ({LINK_GRAPH_SQL})"
+    )
+
+
+@register("webkg_bowtie", oracle=_webkg_bowtie_sql())
+def q_webkg_bowtie(sf_dir: str) -> rd.Dataset:
+    """Bow-tie census of the page-level crawl link graph — unlike the
+    entity KG (one giant SCC, see kg_bowtie) the per-page outlink chains
+    give the decomposition real IN/OUT mass, which is exactly the
+    crawl-coverage readout Broder et al. defined it for. Same
+    bowtie_profile machinery; ids ride as strings on both engines so the
+    min-label/tie-break orders are identical."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.pipelines.webkg import link_graph
+    from kgw_ray.stages.graph_metrics import bowtie_profile
+
+    edges = link_graph(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "source_id": pc.cast(t["src_doc_id"], pa.string()),
+                "target_id": pc.cast(t["dst_doc_id"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bowtie_profile(edges)
+
+
 @register("kg_betweenness", oracle=_kg_betweenness_sql())
 def q_kg_betweenness(sf_dir: str) -> rd.Dataset:
     """EXACT directed betweenness centrality in integer micro-units —
@@ -2426,6 +2524,11 @@ _R5_ROTATE_IN = [
     "docs_inverted_index",     # posting stats (df/tf/first_doc) combiner
     "customers_rfm",           # triple distributed-NTILE segmentation
     "kg_diameter",             # diameter/radius profile over the sigma table
+    "webkg_bowtie",            # bow-tie census of the page link graph
+    "kg_harmonic",             # harmonic centrality (integer micro-units)
+    "orders_cohort_ltv",       # cohort LTV triangle (exact cents)
+    "sample_per_domain_hashed",  # portable-hash per-group sampling
+    "kg_bowtie",               # SCC + reach census of the entity KG
 ]
 _R5_ROTATE_OUT = [
     "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
@@ -2446,6 +2549,11 @@ _R5_ROTATE_OUT = [
     "webkg_canonicalize",        # URL family; latest_pages stays gated
     "text_token_stats",          # commonness/inverted_index supersede the shape
     "dedup_jaccard_pairs",       # minhash_lsh + dedup_exact stay gated
+    "events_hourly_window",      # hourly family; gapfill sibling now gated
+    "docs_pack_greedy",          # packing family; token_budget stays gated
+    "kg_personalized_pagerank",  # kg_pagerank stays gated
+    "events_users_no_purchase",  # anti join rides funnel + bloom join
+    "curate_documents",          # curate_documents_full supersedes it
 ]
 
 
@@ -2623,6 +2731,12 @@ register("docs_inverted_index", _td.INVERTED_INDEX_SQL)(
 )
 register("customers_rfm", _rel.CUSTOMERS_RFM_SQL)(_rel.customers_rfm)
 register("text_winnowing", _td.WINNOWING_SQL)(_td.text_winnowing)
+register("orders_cohort_ltv", _rel.ORDERS_COHORT_LTV_SQL)(
+    _rel.orders_cohort_ltv
+)
+register("sample_per_domain_hashed", _td.SAMPLE_HASHED_SQL)(
+    _td.sample_per_domain_hashed
+)
 
 
 def _sentence_stats_sql() -> str:

@@ -6301,3 +6301,136 @@ SELECT custkey, recency_us, frequency, monetary_cents,
        CAST(NTILE(4) OVER (ORDER BY monetary_cents, custkey) AS BIGINT) AS m_bucket
 FROM a
 """
+
+
+def orders_cohort_ltv(sf_dir: str) -> rd.Dataset:
+    """Cohort lifetime-value rollup: customers are cohorted by their FIRST
+    order month; revenue (exact integer cents, per-order rounding before
+    any sum) and active-customer counts fold by (cohort_month,
+    month_offset) — the retention/LTV triangle every subscription or
+    marketplace analytics stack maintains.
+
+    Physical plan: per-batch (custkey, month) pandas combiner → ONE
+    grouped exchange to exact (custkey, month) partials → grouped Min
+    derives each customer's cohort → one hash join back (customer-
+    vocabulary-bounded) → the (cohort, offset) census. After the
+    (custkey, month) grouping each (custkey, offset) pair is unique, so
+    n_active is a plain COUNT — no distinct-count machinery needed."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import large_join
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        midx = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        cents = np.round(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "custkey": t.column("o_custkey").to_numpy(zero_copy_only=False),
+                "midx": midx,
+                "cents": cents,
+            }
+        )
+        g = df.groupby(["custkey", "midx"], sort=False)["cents"].sum().reset_index()
+        return pa.table(
+            {
+                "custkey": pa.array(g["custkey"].to_numpy().astype(np.int64)),
+                "midx": pa.array(g["midx"].to_numpy().astype(np.int64)),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    cm = grouped_aggregate_hybrid(
+        orders.map_batches(partials, batch_format="pyarrow"),
+        ["custkey", "midx"],
+        [("cents", "sum", "cents")],
+    ).materialize()
+
+    def cohort_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"custkey": t.column("custkey"), "cohort": t.column("midx")})
+
+    fc = grouped_aggregate_hybrid(
+        cm.map_batches(cohort_partial, batch_format="pyarrow"),
+        "custkey",
+        [("cohort", "min", "cohort")],
+    )
+
+    j = large_join(cm, fc, on=["custkey"])
+
+    def census_partial(t: pa.Table) -> pa.Table:
+        midx = t.column("midx").to_numpy(zero_copy_only=False).astype(np.int64)
+        cohort = t.column("cohort").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "cohort": cohort,
+                "month_offset": midx - cohort,
+                "revenue_cents": cents,
+                "n_active": np.ones(len(midx), dtype=np.int64),
+            }
+        )
+        g = (
+            df.groupby(["cohort", "month_offset"], sort=False)[
+                ["revenue_cents", "n_active"]
+            ]
+            .sum()
+            .reset_index()
+        )
+        return arrow_from_pandas(g)
+
+    agg = grouped_aggregate_hybrid(
+        j.map_batches(census_partial, batch_format="pyarrow"),
+        ["cohort", "month_offset"],
+        [
+            ("revenue_cents", "sum", "revenue_cents"),
+            ("n_active", "sum", "n_active"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cohort = t.column("cohort").to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = np.datetime_as_string(
+            cohort.astype("datetime64[M]"), unit="M"
+        )
+        return pa.table(
+            {
+                "cohort_month": pa.array(labels, pa.string()),
+                "month_offset": t.column("month_offset"),
+                "revenue_cents": t.column("revenue_cents"),
+                "n_active": t.column("n_active"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORDERS_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey AS c,
+         (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS midx,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cm AS (SELECT c, midx, SUM(cents) AS cents FROM o GROUP BY c, midx),
+fc AS (SELECT c, MIN(midx) AS cohort FROM cm GROUP BY c),
+j AS (
+  SELECT cm.c, fc.cohort, cm.midx - fc.cohort AS month_offset, cm.cents
+  FROM cm JOIN fc ON cm.c = fc.c
+)
+SELECT strftime(make_date(CAST(1970 + cohort // 12 AS INT),
+                          CAST(cohort % 12 + 1 AS INT), 1), '%Y-%m')
+           AS cohort_month,
+       CAST(month_offset AS BIGINT) AS month_offset,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM j GROUP BY cohort, month_offset
+"""

@@ -312,6 +312,66 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {_DOMAIN_CAP}
 """
 
 
+_HASHED_DOMAIN_CAP = 10
+
+
+def sample_per_domain_hashed(sf_dir: str, k: int = _HASHED_DOMAIN_CAP) -> rd.Dataset:
+    """Uniform-ish deterministic per-domain sample: keep each source's k
+    docs with the SMALLEST splitmix64(doc_id) — unlike sample_per_domain
+    (first-k by doc_id, biased toward old docs), the hash order is a
+    reproducible shuffle, so the sample is representative across the
+    crawl timeline while staying engine/layout/run independent (the KMV
+    trick applied to sampling).
+
+    Same distributed shape as sample_per_domain: per-block local top-k
+    partials (the exchange moves ≤ k rows per (block, source)) → per-
+    source merge. Hash via the shared portable kernel
+    (functions/porthash.mix64 == mix64_sql in the oracle)."""
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+    from kgw_ray.functions.porthash import mix64
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def local_topk(df: pd.DataFrame) -> pa.Table:
+        h = mix64(df["doc_id"].to_numpy().astype(np.uint64))
+        df = df.assign(hkey=h.astype(np.uint64))
+        out = (
+            df.sort_values(["source", "hkey"])
+            .groupby("source", sort=False)
+            .head(k)
+        )
+        return arrow_from_pandas(out.reset_index(drop=True))
+
+    partials = docs.map_batches(local_topk, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        out = g.nsmallest(k, "hkey").sort_values("doc_id")
+        return arrow_from_pandas(
+            out[["doc_id", "source"]].reset_index(drop=True)
+        )
+
+    # materialize-partials rule (stages/agg.py): never feed a lazy pandas
+    # map chain straight into a sort-based groupby
+    return partials.materialize().groupby("source").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+def _sample_hashed_sql() -> str:
+    from kgw_ray.functions.porthash import mix64_sql
+
+    return f"""
+SELECT doc_id, source FROM documents
+QUALIFY row_number()
+        OVER (PARTITION BY source
+              ORDER BY {mix64_sql('CAST(doc_id AS UBIGINT)')})
+        <= {_HASHED_DOMAIN_CAP}
+"""
+
+
+SAMPLE_HASHED_SQL = _sample_hashed_sql()
+
+
 FINGERPRINT_MD5_SQL = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
 
 

@@ -1920,6 +1920,177 @@ GROUP BY a.src
 """
 
 
+def _reach_from(
+    pairs: rd.Dataset,
+    seeds: rd.Dataset,
+    *,
+    forward: bool = True,
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """Distinct nodes reachable from the ``seeds`` id set along directed
+    (s→t if forward else t→s) edges — the multi-source BSP frontier loop
+    (one size-hybrid attach + one distinct combiner + one anti join per
+    hop; frontiers shrink monotonically, early exit on empty). Returns
+    the visited set INCLUDING the seeds. Everything exchanged is
+    frontier-adjacency-bounded; nothing graph-sized lands on the
+    driver."""
+    from kgw_ray.stages.joins import anti_join
+
+    key_from, key_to = ("s", "t") if forward else ("t", "s")
+
+    def _next_partial(t: pa.Table, col: str = key_to) -> pa.Table:
+        u = np.unique(t.column(col).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "id": pa.array(u, pa.string()),
+                "one": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
+        )
+
+    frontier = seeds.materialize()
+    visited = frontier
+    for _ in range(max_rounds):
+        reached = _hybrid_attach(pairs, frontier, on=key_from, right_on="id")
+        nxt = grouped_aggregate_hybrid(
+            reached.map_batches(_next_partial, batch_format="pyarrow"),
+            "id",
+            [("one", "sum", "n")],
+        ).select_columns(["id"])
+        fresh = anti_join(nxt, visited, on="id").materialize()
+        if fresh.count() == 0:
+            break
+        frontier = fresh
+        visited = visited.union(fresh).materialize()
+    return visited
+
+
+def bowtie_profile(
+    edges: rd.Dataset,
+    *,
+    src: str = "source_id",
+    dst: str = "target_id",
+) -> rd.Dataset:
+    """Bow-tie decomposition of a directed graph (Broder et al. 2000, the
+    canonical web-graph macro-structure): the largest SCC is the CORE,
+    IN = nodes that reach the core, OUT = nodes the core reaches,
+    OTHER = tendrils/tubes/disconnected. Returns per-class node counts.
+
+    Physical plan: the gated SCC coloring → vocabulary-sized component
+    census → ONE distributed_topk row picks the core label (size desc,
+    label asc) → two multi-source BSP reach loops (_reach_from, forward
+    and backward) seeded by the core → membership priorities union into
+    one grouped Min (no joins: core=0 < in=1 < out=2 < other=3, and SCC
+    maximality makes {in ∩ out} \\ core impossible, so the priority order
+    is semantics-free) → a 4-row class census. The oracle re-derives
+    every stage independently (recursive-CTE reachability)."""
+    pairs = _distinct_ordered_pairs(edges, src, dst).materialize()
+    nodes = nodes_from_edges(pairs, src="s", dst="t").materialize()
+    comp = strongly_connected_components(edges, src=src, dst=dst).materialize()
+
+    def _one(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "scc": t.column("scc"),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    sizes = grouped_aggregate_hybrid(
+        comp.map_batches(_one, batch_format="pyarrow"),
+        "scc",
+        [("one", "sum", "n")],
+    )
+    from kgw_ray.pipelines.relational import distributed_topk
+
+    top = distributed_topk(sizes, ["n", "scc"], [True, False], 1)
+
+    def _pri(ds: rd.Dataset, p: int) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t, _p=p: pa.table(
+                {
+                    "id": t.column("id"),
+                    "p": pa.array(np.full(t.num_rows, _p, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    if top.num_rows == 0:
+        allpri = _pri(nodes, 3)
+    else:
+        core_label = top.column("scc")[0].as_py()
+        core = (
+            comp.filter(expr=f'scc == "{core_label}"')
+            .select_columns(["id"])
+            .materialize()
+        )
+        bwd = _reach_from(pairs, core, forward=False)
+        fwd = _reach_from(pairs, core, forward=True)
+        allpri = (
+            _pri(core, 0).union(_pri(bwd, 1)).union(_pri(fwd, 2)).union(_pri(nodes, 3))
+        )
+
+    membership = grouped_aggregate_hybrid(allpri, "id", [("p", "min", "p")])
+    _CLASSES = np.array(["core", "in", "out", "other"])
+
+    def _census(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = _CLASSES[p]
+        uq, cnt = np.unique(cls, return_counts=True)
+        return pa.table(
+            {
+                "class": pa.array(uq, pa.string()),
+                "n_nodes": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        membership.map_batches(_census, batch_format="pyarrow"),
+        "class",
+        [("n_nodes", "sum", "n_nodes")],
+    )
+
+
+def bowtie_sql(edges_sql: str) -> str:
+    """INDEPENDENT oracle: ONE recursive reachability closure r(src, id)
+    powers everything — SCC labels via mutual reachability (scc_sql's
+    identity), core = (size desc, label asc) top-1, IN = sources reaching
+    the core, OUT = targets the core reaches, then the same priority-min
+    classification as the engine. (A nested WITH RECURSIVE subquery
+    inside an outer recursive WITH crashes DuckDB's planner, hence the
+    single flattened closure.)"""
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT s, t FROM ({edges_sql})),
+n AS (SELECT s AS v FROM e UNION SELECT t AS v FROM e),
+r(src, id) AS (
+  SELECT v, v FROM n
+  UNION
+  SELECT r.src, e.t FROM r JOIN e ON e.s = r.id
+),
+comps AS (
+  SELECT a.src AS id, MIN(a.id) AS scc
+  FROM r a JOIN r b ON b.src = a.id AND b.id = a.src
+  GROUP BY a.src
+),
+csize AS (SELECT scc, COUNT(*) AS n FROM comps GROUP BY scc),
+core_label AS (SELECT scc FROM csize ORDER BY n DESC, scc LIMIT 1),
+core AS (SELECT id FROM comps WHERE scc = (SELECT scc FROM core_label)),
+fwd AS (SELECT DISTINCT r.id FROM r JOIN core c ON r.src = c.id),
+bwd AS (SELECT DISTINCT r.src AS id FROM r JOIN core c ON r.id = c.id),
+pri AS (
+  SELECT id, 0 AS p FROM core
+  UNION ALL SELECT id, 1 AS p FROM bwd
+  UNION ALL SELECT id, 2 AS p FROM fwd
+  UNION ALL SELECT v AS id, 3 AS p FROM n
+),
+m AS (SELECT id, MIN(p) AS p FROM pri GROUP BY id)
+SELECT CASE m.p WHEN 0 THEN 'core' WHEN 1 THEN 'in' WHEN 2 THEN 'out'
+       ELSE 'other' END AS class,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM m GROUP BY 1
+"""
+
+
 def random_walks(
     edges: rd.Dataset,
     *,
