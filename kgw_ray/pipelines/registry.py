@@ -2529,6 +2529,10 @@ _R5_ROTATE_IN = [
     "orders_cohort_ltv",       # cohort LTV triangle (exact cents)
     "sample_per_domain_hashed",  # portable-hash per-group sampling
     "kg_bowtie",               # SCC + reach census of the entity KG
+    "text_keyword_extraction",  # per-doc integer tf-idf top-n tagging
+    "lineitem_price_quantiles",  # grouped refinement quantiles, largest table
+    "events_session_stats",    # session-length census over sessionize
+    "embeddings_knn_label_vote",  # kNN majority-vote classification
 ]
 _R5_ROTATE_OUT = [
     "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
@@ -2554,6 +2558,10 @@ _R5_ROTATE_OUT = [
     "kg_personalized_pagerank",  # kg_pagerank stays gated
     "events_users_no_purchase",  # anti join rides funnel + bloom join
     "curate_documents",          # curate_documents_full supersedes it
+    "text_lang_id",              # heuristic lang-ID; green r2-r4
+    "dedup_embedding_pairs",     # embedding dedup; replica + IVF recall stay
+    "kmeans_embeddings",         # green r4; centroid machinery rides SemDeDup
+    "decontaminate_documents",   # green r3-r4; n-gram machinery rides dup_spans
 ]
 
 
@@ -2736,6 +2744,18 @@ register("orders_cohort_ltv", _rel.ORDERS_COHORT_LTV_SQL)(
 )
 register("sample_per_domain_hashed", _td.SAMPLE_HASHED_SQL)(
     _td.sample_per_domain_hashed
+)
+register("text_keyword_extraction", _td.KEYWORD_EXTRACTION_SQL)(
+    _td.text_keyword_extraction
+)
+register("lineitem_price_quantiles", _rel.LINEITEM_PRICE_QUANTILES_SQL)(
+    _rel.lineitem_price_quantiles
+)
+register("events_session_stats", _rel.EVENTS_SESSION_STATS_SQL)(
+    _rel.events_session_stats
+)
+register("embeddings_knn_label_vote", _td.KNN_LABEL_VOTE_SQL)(
+    _td.embeddings_knn_label_vote
 )
 
 

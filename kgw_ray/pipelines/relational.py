@@ -6434,3 +6434,140 @@ SELECT strftime(make_date(CAST(1970 + cohort // 12 AS INT),
        CAST(COUNT(*) AS BIGINT) AS n_active
 FROM j GROUP BY cohort, month_offset
 """
+
+
+def lineitem_price_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-returnflag p50/p90/p99 of l_extendedprice — the grouped
+    histogram-refinement rank selection (stages/agg.py:
+    grouped_exact_quantiles) exercised on the LARGEST table with a
+    continuous ~n-distinct column, i.e. exactly the regime the
+    distinct-value-vocabulary median plan cannot handle. 2-decimal TPC-H
+    prices are float64-exact, so the selected elements hash-match the
+    SQL rank selection bit-for-bit."""
+    from kgw_ray.stages.agg import grouped_exact_quantiles
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_exact_quantiles(
+        ds, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99]
+    )
+    return pa.table(
+        {
+            "l_returnflag": out.column("l_returnflag"),
+            "p50": out.column("q0.5"),
+            "p90": out.column("q0.9"),
+            "p99": out.column("q0.99"),
+        }
+    )
+
+
+LINEITEM_PRICE_QUANTILES_SQL = """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN v END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN v END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99
+FROM r GROUP BY l_returnflag
+"""
+
+
+def events_session_stats(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session-length distribution across the whole event log: sessionize
+    (same 30-minute-gap rule and sharded-coarse plan as
+    events_sessionize), then census sessions by their event count —
+    (events_per_session, n_sessions, n_users) — the engagement histogram
+    product analytics publishes next to the per-user table.
+
+    The per-shard kernel emits one row per SESSION LENGTH per user
+    (vectorized segment arithmetic over the lexsorted shard: session ids
+    via cumsum of gap starts, lengths via one bincount, then a per-user
+    (len → count) unique fold), so the second exchange is bounded by the
+    length histogram vocabulary, never the session count."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes).to_timedelta64()
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "events_per_session": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        ts = g["ts"].to_numpy()
+        new_seg = np.ones(len(u), dtype=np.int64)
+        same_user = np.zeros(len(u), dtype=bool)
+        same_user[1:] = u[1:] == u[:-1]
+        gap_start = np.zeros(len(u), dtype=bool)
+        gap_start[1:] = (ts[1:] - ts[:-1]) > gap
+        new_seg[1:] = (~same_user[1:] | gap_start[1:]).astype(np.int64)
+        sess_id = np.cumsum(new_seg) - 1
+        sess_len = np.bincount(sess_id)
+        sess_user = u[new_seg.astype(bool)]
+        # one row per distinct (user, session_length): count sessions,
+        # mark the user once per length for the distinct-user fold
+        df = pd.DataFrame({"u": sess_user, "len": sess_len})
+        per = (
+            df.groupby(["u", "len"], sort=False)
+            .size()
+            .reset_index(name="n_sessions")
+        )
+        return pa.table(
+            {
+                "events_per_session": pa.array(
+                    per["len"].to_numpy().astype(np.int64)
+                ),
+                "n_sessions": pa.array(
+                    per["n_sessions"].to_numpy().astype(np.int64)
+                ),
+                "n_users": pa.array(np.ones(len(per), dtype=np.int64)),
+            }
+        )
+
+    per_user_len = (
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+    return grouped_aggregate_hybrid(
+        per_user_len,
+        "events_per_session",
+        [("n_sessions", "sum", "n_sessions"), ("n_users", "sum", "n_users")],
+    )
+
+
+EVENTS_SESSION_STATS_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM d
+),
+sl AS (SELECT user_id, sess_id, COUNT(*) AS len FROM s GROUP BY user_id, sess_id),
+ul AS (
+  SELECT user_id, len, COUNT(*) AS n_sessions
+  FROM sl GROUP BY user_id, len
+)
+SELECT CAST(len AS BIGINT) AS events_per_session,
+       CAST(SUM(n_sessions) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ul GROUP BY len
+"""

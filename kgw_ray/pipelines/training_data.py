@@ -1687,6 +1687,144 @@ FROM t LEFT JOIN s ON t.doc_id = s.doc_id
 """
 
 
+_KEYWORD_TOPN = 3
+
+
+def text_keyword_extraction(sf_dir: str, topn: int = _KEYWORD_TOPN) -> rd.Dataset:
+    """Per-document keyword extraction: top-n tokens by exact-integer
+    tf·idf surrogate score_ppm = tf(doc,tok) * 10^6 // df(tok) — the
+    rare-but-frequent-here signal (no float log: integer floor keeps both
+    engines bit-identical), ties broken token-ascending. This is the
+    per-doc tagging pass a corpus search/routing layer runs after
+    indexing (complements tfidf_top_terms, which ranks corpus-wide).
+
+    Physical plan: pass 1 reuses the inverted-index df combiner (the one
+    vocabulary exchange); df broadcasts ONCE via ray.put; pass 2 is a
+    zero-shuffle per-batch pandas kernel — (doc, token) tf groupby, one
+    vectorized df lookup (index_in), one (doc, -score, token) lexsort +
+    groupby head(n). Broadcast assumption identical to
+    text_rare_token_stats (vocabulary fits one object)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.corpus import flat_tokens
+
+    docs = _docs(sf_dir)
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        idx, toks = flat_tokens(batch)
+        if len(toks) == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        pairs = pd.DataFrame({"tok": toks, "d": idx}).drop_duplicates()
+        g = pairs.groupby("tok", sort=False).size()
+        return pa.table(
+            {
+                "tok": pa.array(g.index.to_numpy(), pa.string()),
+                "df": pa.array(g.to_numpy().astype(np.int64)),
+            }
+        )
+
+    dfreq = grouped_aggregate_hybrid(
+        docs.map_batches(df_partials, batch_format="pyarrow"),
+        "tok",
+        [("df", "sum", "df")],
+    )
+    tok_parts: list[pa.Array] = []
+    df_parts: list[np.ndarray] = []
+    for part in dfreq.iter_batches(batch_format="pyarrow"):
+        tok_parts.append(part.column("tok").combine_chunks().cast(pa.string()))
+        df_parts.append(
+            part.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    tok_arr = (
+        pa.concat_arrays(tok_parts) if tok_parts else pa.array([], pa.string())
+    )
+    df_arr = np.concatenate(df_parts) if df_parts else np.zeros(0, np.int64)
+    vocab_ref = ray.put((tok_arr, df_arr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks_v, dfs = ray.get(vocab_ref)
+        idx, toks = flat_tokens(batch)
+        doc_ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "score_ppm": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        tf = (
+            pd.DataFrame({"d": idx, "tok": toks})
+            .groupby(["d", "tok"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        pos = (
+            pc.fill_null(
+                pc.index_in(
+                    pa.array(tf["tok"].to_numpy(), pa.string()), value_set=toks_v
+                ),
+                -1,
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # every token is in the corpus vocabulary by construction
+        tf["score_ppm"] = (
+            tf["tf"].to_numpy().astype(np.int64) * 1_000_000 // dfs[pos]
+        )
+        top = (
+            tf.sort_values(
+                ["d", "score_ppm", "tok"], ascending=[True, False, True]
+            )
+            .groupby("d", sort=False)
+            .head(topn)
+        )
+        top["rank"] = top.groupby("d", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[top["d"].to_numpy()]),
+                "token": pa.array(top["tok"].to_numpy(), pa.string()),
+                "score_ppm": pa.array(top["score_ppm"].to_numpy().astype(np.int64)),
+                "rank": pa.array(top["rank"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+KEYWORD_EXTRACTION_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM u GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM u GROUP BY tok),
+s AS (
+  SELECT tf.doc_id, tf.tok AS token,
+         tf.tf * 1000000 // df.df AS score_ppm
+  FROM tf JOIN df ON tf.tok = df.tok
+)
+SELECT doc_id, token, CAST(score_ppm AS BIGINT) AS score_ppm,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_ppm DESC, token) AS rn
+  FROM s
+)
+WHERE rn <= {_KEYWORD_TOPN}
+"""
+
+
 _BIGRAM_LIFT_CAND = 200
 _BIGRAM_LIFT_K = 20
 
@@ -3199,6 +3337,69 @@ SELECT query_id, vec_id,
                                ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
 FROM s
 QUALIFY rank <= {_KNN_K}
+"""
+
+
+def embeddings_knn_label_vote(sf_dir: str, k: int = _KNN_K) -> pa.Table:
+    """k-NN label classification by majority vote: every vector's
+    predicted label = the modal label of its k cosine neighbors (ties →
+    lexicographically smallest label) — the standard embedding-space
+    label-propagation / probe-classifier evaluation. Output:
+    (vec_id, label, predicted, n_votes).
+
+    Plan: rides the gated knn-graph (broadcast-corpus matmul baseline —
+    the documented exactness oracle for the IVF scale path); the vote is
+    a fold over the k·N-row neighbor table joined to the label column,
+    driver-sized at baseline scale. At corpus scale the identical fold
+    is a (query_id, label) grouped Sum + per-query arg-max combiner —
+    the events_latest_per_user shape."""
+    from kgw_ray.sources.readers import read_table_pandas
+
+    knn = embeddings_knn_graph(sf_dir, k).to_pandas()
+    lab = read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "label"])
+    m = knn.merge(lab, on="vec_id")
+    votes = (
+        m.groupby(["query_id", "label"], sort=False)
+        .size()
+        .reset_index(name="n_votes")
+    )
+    votes = votes.sort_values(
+        ["query_id", "n_votes", "label"], ascending=[True, False, True]
+    )
+    top = votes.groupby("query_id", sort=False).head(1)
+    top = top.rename(columns={"label": "predicted"})
+    out = top.merge(
+        lab.rename(columns={"vec_id": "query_id", "label": "label"}),
+        on="query_id",
+    ).sort_values("query_id")
+    return pa.table(
+        {
+            "vec_id": pa.array(out["query_id"].to_numpy(), pa.int64()),
+            "label": pa.array(out["label"].to_numpy().astype(np.int64)),
+            "predicted": pa.array(out["predicted"].to_numpy().astype(np.int64)),
+            "n_votes": pa.array(out["n_votes"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+KNN_LABEL_VOTE_SQL = f"""
+WITH knn AS ({KNN_GRAPH_SQL}),
+nv AS (
+  SELECT k.query_id, e.label, COUNT(*) AS n_votes
+  FROM knn k JOIN embeddings e ON e.vec_id = k.vec_id
+  GROUP BY k.query_id, e.label
+),
+top AS (
+  SELECT query_id, label AS predicted, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS rn
+  FROM nv
+)
+SELECT t.query_id AS vec_id, CAST(q.label AS BIGINT) AS label,
+       CAST(t.predicted AS BIGINT) AS predicted,
+       CAST(t.n_votes AS BIGINT) AS n_votes
+FROM top t JOIN embeddings q ON q.vec_id = t.query_id
+WHERE t.rn = 1
 """
 
 
