@@ -2322,6 +2322,48 @@ def q_webkg_host_pagerank(sf_dir: str) -> rd.Dataset:
     return pagerank(nodes, links)
 
 
+_TRUSTED_HOSTS = tuple(f"src{i}.example.org" for i in range(5))
+
+
+def _webkg_trustrank_sql() -> str:
+    from kgw_ray.stages.graph import personalized_pagerank_sql
+
+    nodes_sql, edges_sql = _host_pagerank_sqls()
+    pred = "id IN (" + ", ".join(f"'{h}'" for h in _TRUSTED_HOSTS) + ")"
+    return personalized_pagerank_sql(nodes_sql, edges_sql, pred)
+
+
+@register("webkg_trustrank", oracle=_webkg_trustrank_sql())
+def q_webkg_trustrank(sf_dir: str) -> rd.Dataset:
+    """TrustRank (Gyöngyi et al. 2004): personalized PageRank over the
+    host-level link multigraph with teleport mass restricted to a
+    curated trusted-seed host list — the link-spam demotion signal that
+    complements webkg_link_spam_scores' local heuristics. Same integer
+    micro-unit restart iteration as kg_personalized_pagerank; the engine
+    intersects the seed list with the observed host vocabulary so both
+    sides seed identically."""
+    import pyarrow.compute as _pc
+
+    from kgw_ray.pipelines.webkg import link_graph
+    from kgw_ray.stages.graph import personalized_pagerank
+    from kgw_ray.stages.graph_metrics import nodes_from_edges
+
+    links = link_graph(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"source_id": t.column("src_host"), "target_id": t.column("dst_host")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    nodes = nodes_from_edges(links).materialize()
+    seed_set = pa.array(list(_TRUSTED_HOSTS), pa.string())
+    present = nodes.map_batches(
+        lambda t: t.filter(_pc.is_in(t["id"], value_set=seed_set)),
+        batch_format="pyarrow",
+    ).to_pandas()  # bounded: <= |trusted list| rows
+    seeds = present["id"].tolist() if "id" in present.columns else []
+    return personalized_pagerank(nodes, links, seeds)
+
+
 register("q20_promotion_suppliers", _rel.Q20_PROMOTION_SQL)(
     _rel.q20_promotion_suppliers
 )
@@ -2533,6 +2575,9 @@ _R5_ROTATE_IN = [
     "lineitem_price_quantiles",  # grouped refinement quantiles, largest table
     "events_session_stats",    # session-length census over sessionize
     "embeddings_knn_label_vote",  # kNN majority-vote classification
+    "webkg_trustrank",         # seed-personalized host-graph TrustRank
+    "dedup_containment_pairs",  # Broder max-containment quote detection
+    "events_hourly_modal_type",  # three-reduce grouped MODE per hour
 ]
 _R5_ROTATE_OUT = [
     "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
@@ -2562,6 +2607,9 @@ _R5_ROTATE_OUT = [
     "dedup_embedding_pairs",     # embedding dedup; replica + IVF recall stay
     "kmeans_embeddings",         # green r4; centroid machinery rides SemDeDup
     "decontaminate_documents",   # green r3-r4; n-gram machinery rides dup_spans
+    "webkg_latest_pages",        # arg-max snapshot; green r4, CDC family stays
+    "events_value_exact_quantiles",  # green r4; lineitem quantiles supersede
+    "kg_triple_dedup",           # green r3-r4; webkg_edges carries the dedup
 ]
 
 
@@ -2756,6 +2804,12 @@ register("events_session_stats", _rel.EVENTS_SESSION_STATS_SQL)(
 )
 register("embeddings_knn_label_vote", _td.KNN_LABEL_VOTE_SQL)(
     _td.embeddings_knn_label_vote
+)
+register("dedup_containment_pairs", _td.CONTAINMENT_PAIRS_SQL)(
+    _td.dedup_containment_pairs
+)
+register("events_hourly_modal_type", _rel.EVENTS_HOURLY_MODAL_SQL)(
+    _rel.events_hourly_modal_type
 )
 
 

@@ -6571,3 +6571,96 @@ SELECT CAST(len AS BIGINT) AS events_per_session,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM ul GROUP BY len
 """
+
+
+def events_hourly_modal_type(sf_dir: str) -> rd.Dataset:
+    """Per-hour modal event type (ties → lexicographically smallest) with
+    its count — the hourly traffic-mix readout; the TIME-bucketed sibling
+    of events_user_modal_type, reusing its exact three-reduce plan
+    (grouped Max picks the modal count, an equality semi-filter keeps the
+    tied types, a grouped Min breaks the tie) over the (hour, type)
+    vocabulary — every exchange is native-mergeable, no window sort."""
+    import numpy as np
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.graph_metrics import _hybrid_attach
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        hour = ts // 3_600_000_000
+        g = (
+            pd.DataFrame(
+                {
+                    "hour": hour,
+                    "event_type": t.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby(["hour", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "hour": pa.array(g["hour"].to_numpy().astype(np.int64)),
+                "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    counts = grouped_aggregate_hybrid(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["hour", "event_type"],
+        [("n", "sum", "n")],
+    )
+    mx = grouped_aggregate_hybrid(counts, "hour", [("n", "max", "mx")])
+    j = _hybrid_attach(counts, mx, on="hour", right_on="hour")
+
+    modal = j.map_batches(
+        lambda t: t.filter(pc.equal(t["n"], t["mx"])), batch_format="pyarrow"
+    )
+    winner = grouped_aggregate_hybrid(
+        modal.map_batches(
+            lambda t: pa.table(
+                {
+                    "hour": t.column("hour"),
+                    "modal_type": t.column("event_type"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "hour",
+        [("modal_type", "min", "modal_type")],
+    )
+    out = _hybrid_attach(winner, mx, on="hour", right_on="hour")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "hour": t.column("hour"),
+                "modal_type": t.column("modal_type"),
+                "n": pc.cast(t.column("mx"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_HOURLY_MODAL_SQL = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour, event_type
+  FROM events WHERE ts IS NOT NULL
+),
+c AS (SELECT hour, event_type, COUNT(*) AS n FROM h GROUP BY hour, event_type),
+m AS (SELECT hour, MAX(n) AS mx FROM c GROUP BY hour)
+SELECT c.hour, MIN(c.event_type) AS modal_type, CAST(m.mx AS BIGINT) AS n
+FROM c JOIN m ON c.hour = m.hour AND c.n = m.mx
+GROUP BY c.hour, m.mx
+"""

@@ -605,6 +605,46 @@ def dedup_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     return exact_jaccard_pairs(_docs(sf_dir), threshold=0.5, max_df=None)
 
 
+CONTAINMENT_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+shd AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i : i + least(len(w), 5) - 1], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(w) - least(len(w), 5) + 1)) AS t(i)
+  WHERE len(w) > 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a, i.b,
+       ROUND(CAST(i.i AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+"""
+
+
+def dedup_containment_pairs(sf_dir: str) -> rd.Dataset:
+    """EXACT shingle max-containment pairs (C = |A∩B| / min(|A|,|B|) ≥
+    0.8, Broder's containment): the asymmetric quote/subset-detection
+    signal — a short doc wholly embedded in a long one scores C≈1 where
+    Jaccard stays small, so this catches the duplication Jaccard
+    under-reports. Identical distributed shingle inverted index as
+    dedup_jaccard_pairs (one sharded-coarse shuffle, Count intersection,
+    size attach); only the final filter formula differs. ``max_df=None``
+    under the gate, same EXACT-label rule."""
+    from kgw_ray.stages.dedup import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(
+        _docs(sf_dir), threshold=0.8, max_df=None, metric="containment"
+    )
+
+
 def dedup_minhash_lsh(sf_dir: str) -> rd.Dataset:
     """Near-dup survivors via MinHash-LSH → Jaccard ≥ 0.5 → components.
 

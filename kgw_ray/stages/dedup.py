@@ -712,6 +712,7 @@ def exact_jaccard_pairs(
     n_shards: int = 64,
     max_df: Optional[int] = 4096,
     size_broadcast_limit: int = 5_000_000,
+    metric: str = "jaccard",
 ) -> rd.Dataset:
     """EXACT n-gram Jaccard pairs (a < b, J ≥ threshold) via a distributed
     shingle inverted index — no LSH approximation, no all-pairs scan:
@@ -737,6 +738,13 @@ def exact_jaccard_pairs(
     an opt-in for scale callers, never a silent default under the gate.
 
     Output: (a, b, jaccard) with jaccard rounded to 6 dp.
+
+    ``metric="containment"`` swaps the final filter formula to max
+    containment i / min(na, nb) (Broder's C — the asymmetric
+    quote/subset-detection signal that Jaccard under-scores when one doc
+    embeds another much larger one); everything upstream (shingle index,
+    sharded pair enumeration, intersection Count) is byte-identical, and
+    the output column is named ``containment``.
     """
     import ray
     from ray.data.aggregate import Count
@@ -812,6 +820,13 @@ def exact_jaccard_pairs(
             }
         )
 
+    out_col = "containment" if metric == "containment" else "jaccard"
+
+    def _score(i, na, nb):
+        if metric == "containment":
+            return i / np.minimum(na, nb)
+        return i / (na + nb - i)
+
     cand = sh.groupby("shard").map_groups(pairs_of_shard, batch_format="pandas")
     inter = cand.groupby(["a", "b"]).aggregate(Count(alias_name="i")).materialize()
     if inter.count() == 0:
@@ -820,7 +835,7 @@ def exact_jaccard_pairs(
                 {
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
+                    out_col: pa.array([], pa.float64()),
                 }
             )
         )
@@ -837,13 +852,13 @@ def exact_jaccard_pairs(
             i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
             na = np.fromiter((m[x] for x in a), dtype=np.float64, count=len(a))
             nb = np.fromiter((m[x] for x in b), dtype=np.float64, count=len(b))
-            jac = i / (na + nb - i)
+            jac = _score(i, na, nb)
             keep = jac >= threshold
             return pa.table(
                 {
                     "a": pa.array(a[keep], pa.int64()),
                     "b": pa.array(b[keep], pa.int64()),
-                    "jaccard": pa.array(np.round(jac[keep], 6)),
+                    out_col: pa.array(np.round(jac[keep], 6)),
                 }
             )
 
@@ -859,13 +874,13 @@ def exact_jaccard_pairs(
         i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
         na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
         nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = i / (na + nb - i)
+        jac = _score(i, na, nb)
         keep = jac >= threshold
         return pa.table(
             {
                 "a": batch.column("a").filter(pa.array(keep)),
                 "b": batch.column("b").filter(pa.array(keep)),
-                "jaccard": pa.array(np.round(jac[keep], 6)),
+                out_col: pa.array(np.round(jac[keep], 6)),
             }
         )
 
