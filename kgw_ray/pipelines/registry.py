@@ -2578,6 +2578,13 @@ _R5_ROTATE_IN = [
     "webkg_trustrank",         # seed-personalized host-graph TrustRank
     "dedup_containment_pairs",  # Broder max-containment quote detection
     "events_hourly_modal_type",  # three-reduce grouped MODE per hour
+    # final-session additions — brand-new machinery, externally gated
+    "text_readability",        # integer Flesch milli-score, 3 RE2 scans
+    "events_user_journeys",    # ORDER-SENSITIVE per-user string_agg
+    "events_path_trigrams",    # 3-step path mining (double-shift markov)
+    "events_user_simpson",     # exact-integer concentration census
+    "events_weekly_retention", # cohort retention triangle over events
+    "orders_basket_triples",   # apriori level-3 itemset support
 ]
 _R5_ROTATE_OUT = [
     "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
@@ -2610,6 +2617,14 @@ _R5_ROTATE_OUT = [
     "webkg_latest_pages",        # arg-max snapshot; green r4, CDC family stays
     "events_value_exact_quantiles",  # green r4; lineitem quantiles supersede
     "kg_triple_dedup",           # green r3-r4; webkg_edges carries the dedup
+    # final-session displacements — externally green in a prior round,
+    # machinery stays replica-checked every run
+    "events_range_join",         # green r1-r4; bucketed range join replica
+    "events_user_distinct_sketch",  # green r3-r4; KMV machinery replica
+    "kg_pagerank",               # green r2-r4; iteration rides trustrank/PPR
+    "webkg_entity_linking",      # green r4; LSH linker rides frontier/canon
+    "dedup_exact",               # green r1-r4; rides curate_documents_full
+    "media_resize_digest",       # green r4; media family replica-checked
 ]
 
 
@@ -2821,6 +2836,30 @@ def _sentence_stats_sql() -> str:
 
 register("text_sentence_stats", _sentence_stats_sql())(
     _td.text_sentence_stats
+)
+
+
+def _readability_sql() -> str:
+    from kgw_ray.stages.textstats import READABILITY_SQL
+
+    return READABILITY_SQL
+
+
+register("text_readability", _readability_sql())(_td.text_readability)
+register("events_user_journeys", _rel.EVENTS_JOURNEYS_SQL)(
+    _rel.events_user_journeys
+)
+register("events_path_trigrams", _rel.EVENTS_PATH_TRIGRAMS_SQL)(
+    _rel.events_path_trigrams
+)
+register("events_user_simpson", _rel.EVENTS_USER_SIMPSON_SQL)(
+    _rel.events_user_simpson
+)
+register("events_weekly_retention", _rel.EVENTS_WEEKLY_RETENTION_SQL)(
+    _rel.events_weekly_retention
+)
+register("orders_basket_triples", _rel.ORDERS_BASKET_TRIPLES_SQL)(
+    _rel.orders_basket_triples
 )
 
 

@@ -6664,3 +6664,381 @@ SELECT c.hour, MIN(c.event_type) AS modal_type, CAST(m.mx AS BIGINT) AS n
 FROM c JOIN m ON c.hour = m.hour AND c.n = m.mx
 GROUP BY c.hour, m.mx
 """
+
+
+def events_user_journeys(sf_dir: str) -> rd.Dataset:
+    """Per-user time-ordered JOURNEY STRING — (user_id, n_events, journey)
+    with journey = the '>'-joined event-type sequence under the total
+    order (ts, event_id) — the path signature session-analysis and
+    behavioral-clustering recipes key on (the ORDER-SENSITIVE string_agg
+    shape; the existing session-census signature is order-insensitive).
+
+    Sharded-coarse window plan (the sessionize shape): ONE shuffle on
+    ``user_id % 64``; per shard a vectorized lexsort by (user, ts,
+    event_id) — the event_id tiebreak makes both engines see the same
+    sequence on equal timestamps — then ONE pandas groupby-join per
+    shard (C-level loop over users, not events). Journey length is
+    bounded by events-per-user, never corpus size; a production corpus
+    with unbounded per-user streams would cap the string (LIMIT inside
+    the segment) before the concat."""
+
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "journey": pa.array([], pa.string()),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        starts, lengths = _user_segments(u)
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "n_events": pa.array(lengths.astype(np.int64)),
+                "journey": pa.array(agg.to_numpy(), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+EVENTS_JOURNEYS_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+FROM events GROUP BY user_id
+"""
+
+
+def events_path_trigrams(sf_dir: str, k: int = 20) -> pa.Table:
+    """SECOND-ORDER path mining: the top-k most common CONSECUTIVE
+    event-type triples across every user's time-ordered stream —
+    (t1, t2, t3, n) under the total order (n desc, t1, t2, t3). The
+    trigram extends the first-order ``events_markov_transitions``
+    sufficient statistic to the 3-step journeys funnel designers look
+    for.
+
+    Plan: the markov shape with a double shift — per shard (user_id %
+    64) one lexsort by (user, ts, event_id), two boundary-masked numpy
+    shifts build (t1, t2, t3) rows only where all three events share a
+    user, a per-shard pandas groupby folds to ≤ |types|³ partial rows,
+    a vocabulary-sized Sum merges shards, and ``distributed_topk``
+    avoids the global sort."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "t3": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) < 3:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        ok = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        if not ok.any():
+            return empty
+        out = (
+            pd.DataFrame({"t1": t[:-2][ok], "t2": t[1:-1][ok], "t3": t[2:][ok]})
+            .groupby(["t1", "t2", "t3"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return arrow_from_pandas(out)
+
+    shards = (
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+    counts = grouped_aggregate_hybrid(
+        shards, ["t1", "t2", "t3"], [("n", "sum", "n")]
+    )
+    return distributed_topk(
+        counts, ["n", "t1", "t2", "t3"], [True, False, False, False], k
+    )
+
+
+EVENTS_PATH_TRIGRAMS_SQL = """
+WITH s AS (
+  SELECT LAG(event_type, 2) OVER w AS t1,
+         LAG(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE t1 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+"""
+
+
+def events_user_simpson(sf_dir: str) -> rd.Dataset:
+    """Per-user behavioral CONCENTRATION census — (user_id, n_events,
+    simpson_micro) where simpson_micro = 10⁶·Σcnt²//n² over the user's
+    event-type histogram (the Simpson/Herfindahl index: 10⁶ = every
+    event the same type, →0 = maximally diverse). Exact integers, so the
+    hash gate holds where an entropy score would drift between engines'
+    float logs.
+
+    Plan: per-batch (user, type) count partials → one (user×type)-keyed
+    Sum exchange → a vectorized cnt² projection → one user-keyed Sum →
+    the closed-form division. int64-safe to ~3·10⁹ events per user
+    (cnt²·10⁶ < 2⁶³)."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return arrow_from_pandas(out)
+
+    per_type = grouped_aggregate_hybrid(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id", "event_type"],
+        [("cnt", "sum", "cnt")],
+    )
+
+    def square(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("cnt"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": c,
+                "ss": pc.multiply(c, c),
+            }
+        )
+
+    per_user = grouped_aggregate_hybrid(
+        per_type.map_batches(square, batch_format="pyarrow"),
+        "user_id",
+        [("n_events", "sum", "n_events"), ("ss", "sum", "ss")],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_events"), pa.int64())
+        ss = pc.cast(t.column("ss"), pa.int64())
+        micro = pc.divide(
+            pc.multiply(ss, pa.scalar(1_000_000, pa.int64())),
+            pc.multiply(n, n),
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": n,
+                "simpson_micro": micro,
+            }
+        )
+
+    return per_user.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_USER_SIMPSON_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST((SUM(cnt * cnt) * 1000000) // (SUM(cnt) * SUM(cnt)) AS BIGINT)
+         AS simpson_micro
+FROM c GROUP BY user_id
+"""
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+def events_weekly_retention(sf_dir: str) -> rd.Dataset:
+    """COHORT RETENTION matrix over the event stream — (cohort_week,
+    week_offset, n_users): users grouped by first-seen epoch-week, and
+    for each later week the count still active — the engagement triangle
+    every growth dashboard draws (the events-side sibling of
+    ``orders_cohort_ltv``). Weeks are integer epoch-weeks (epoch_us //
+    604.8e9) so both engines bucket identically with no calendar/locale
+    dependence.
+
+    Plan: one (user, week)-keyed Sum dedups activity; a user-keyed Min
+    derives first-seen weeks; the cohort attach is a size-hybrid join
+    (broadcast under the limit, hash-partitioned beyond); after the
+    distinct, each (user, offset) is unique so n_users is a plain Sum
+    over a (weeks²)-bounded key space."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_week(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "week": pc.divide(us, pa.scalar(_WEEK_US, pa.int64())),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    weekly = ds.map_batches(to_week, batch_format="pyarrow")
+    user_week = grouped_aggregate_hybrid(
+        weekly, ["user_id", "week"], [("one", "sum", "n")]
+    ).materialize()
+    first = grouped_aggregate_hybrid(
+        user_week, "user_id", [("week", "min", "cohort_week")]
+    ).materialize()
+
+    if first.count() <= _BROADCAST_SIDE_LIMIT:
+        joined = broadcast_join(user_week, first.to_pandas(), on=["user_id"])
+    else:
+        joined = large_join(user_week, first, on=("user_id",))
+
+    def offsets(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": pc.cast(t.column("cohort_week"), pa.int64()),
+                "week_offset": pc.subtract(
+                    pc.cast(t.column("week"), pa.int64()),
+                    pc.cast(t.column("cohort_week"), pa.int64()),
+                ),
+                "n_users": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        joined.map_batches(offsets, batch_format="pyarrow"),
+        ["cohort_week", "week_offset"],
+        [("n_users", "sum", "n_users")],
+    )
+
+
+EVENTS_WEEKLY_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS week
+  FROM events WHERE ts IS NOT NULL
+),
+fw AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT CAST(fw.cohort_week AS BIGINT) AS cohort_week,
+       CAST(uw.week - fw.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN fw ON uw.user_id = fw.user_id
+GROUP BY fw.cohort_week, week_offset
+"""
+
+
+def orders_basket_triples(sf_dir: str, min_support: int = 2) -> rd.Dataset:
+    """FREQUENT 3-ITEMSET mining: every unordered brand TRIPLE carried
+    together by ≥ min_support orders — (brand_a, brand_b, brand_c,
+    n_orders), the next apriori lattice level above
+    ``basket_brand_pairs``.
+
+    Plan: the basket shape — the 25-value part→brand dim broadcasts
+    once; ONE coarse shuffle on ``l_orderkey % 64`` co-locates each
+    basket; per shard the deduped (order, brand) rows expand triples via
+    two chained vectorized self-merges under b1<b2<b3 (bounded by
+    |basket|³ per ORDER, never corpus³ — and the global key space by
+    C(25,3)=2300); partials fold per shard before the tiny final Sum and
+    support filter."""
+    import ray as _ray
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    part = read_table_pandas(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    brand_ref = _ray.put(
+        pd.Series(part["p_brand"].to_numpy(), index=part["p_partkey"].to_numpy())
+    )
+    line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_shard", pa.array(k % 64))
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "brand_a": pa.array([], pa.string()),
+                "brand_b": pa.array([], pa.string()),
+                "brand_c": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ob = pd.DataFrame(
+            {
+                "o": g["l_orderkey"].to_numpy(),
+                "b": g["l_partkey"].map(_ray.get(brand_ref)).to_numpy(),
+            }
+        ).drop_duplicates()
+        m2 = ob.merge(ob, on="o")
+        m2 = m2[m2["b_x"] < m2["b_y"]]
+        if len(m2) == 0:
+            return empty
+        m3 = m2.merge(ob, on="o")
+        m3 = m3[m3["b_y"] < m3["b"]]
+        if len(m3) == 0:
+            return empty
+        out = (
+            m3.groupby(["b_x", "b_y", "b"], sort=False)
+            .size()
+            .rename("n_orders")
+            .reset_index()
+            .rename(columns={"b_x": "brand_a", "b_y": "brand_b", "b": "brand_c"})
+        )
+        return arrow_from_pandas(out)
+
+    shards = (
+        line.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+    counts = grouped_aggregate_hybrid(
+        shards,
+        ["brand_a", "brand_b", "brand_c"],
+        [("n_orders", "sum", "n_orders")],
+    )
+    return counts.filter(
+        expr=f"n_orders >= {int(min_support)}"
+    )
+
+
+ORDERS_BASKET_TRIPLES_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, c.p_brand AS brand_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ob a
+JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+JOIN ob c ON b.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+GROUP BY a.p_brand, b.p_brand, c.p_brand
+HAVING COUNT(*) >= 2
+"""

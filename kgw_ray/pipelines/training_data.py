@@ -62,6 +62,15 @@ def text_sentence_stats(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(sentence_stats_batch, batch_format="pyarrow")
 
 
+def text_readability(sf_dir: str) -> rd.Dataset:
+    """Per-document integer Flesch reading-ease (alpha-run words,
+    terminator-run sentences, vowel-run syllable proxy — three RE2 scans,
+    milli-unit integer score; stages/textstats.py:readability_batch)."""
+    from kgw_ray.stages.textstats import readability_batch
+
+    return _docs(sf_dir).map_batches(readability_batch, batch_format="pyarrow")
+
+
 def text_quality(sf_dir: str) -> rd.Dataset:
     from kgw_ray.stages.textstats import quality_stats_batch
 

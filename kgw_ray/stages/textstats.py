@@ -96,6 +96,69 @@ FROM documents
 """
 
 
+def readability_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, n_words, n_sentences, n_syllables,
+    flesch_milli): an integer Flesch reading-ease score — the readability
+    gate curation recipes use to route simple vs complex prose.
+
+    Word = alphabetic run ``[A-Za-z]+``; sentence = terminator run
+    ``[.!?]+``; syllable proxy = vowel run ``[aeiouyAEIOUY]+`` (the
+    classic cheap estimator — exact syllabification needs a dictionary).
+    All three counts are single RE2 scans (``pc.count_substring_regex`` —
+    the same regex engine DuckDB links), and the score is pure integer
+    arithmetic in milli-units so the SQL oracle is bit-exact:
+
+        flesch_milli = 206835 - 1015*words//max(sent,1)
+                              - 84600*syll//max(words,1)
+
+    (Flesch 1948: 206.835 - 1.015·w/s - 84.6·syll/w, scaled ×1000 with
+    floor division on both engines.) Zero shuffle; embarrassingly
+    parallel at 100 TB.
+    """
+    text = pc.fill_null(batch.column("text"), "")
+    one = pa.scalar(1, pa.int64())
+    nw = pc.cast(pc.count_substring_regex(text, pattern=r"[A-Za-z]+"), pa.int64())
+    ns = pc.cast(pc.count_substring_regex(text, pattern=r"[.!?]+"), pa.int64())
+    ny = pc.cast(
+        pc.count_substring_regex(text, pattern=r"[aeiouyAEIOUY]+"), pa.int64()
+    )
+    wps = pc.divide(pc.multiply(pa.scalar(1015, pa.int64()), nw),
+                    pc.max_element_wise(ns, one))
+    spw = pc.divide(pc.multiply(pa.scalar(84600, pa.int64()), ny),
+                    pc.max_element_wise(nw, one))
+    score = pc.subtract(
+        pc.subtract(pa.scalar(206_835, pa.int64()), wps), spw
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": nw,
+            "n_sentences": ns,
+            "n_syllables": ny,
+            "flesch_milli": score,
+        }
+    )
+
+
+READABILITY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+')) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '[aeiouyAEIOUY]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015 * n_words) // greatest(n_sentences, 1)
+                   - (84600 * n_syllables) // greatest(n_words, 1)
+            AS BIGINT) AS flesch_milli
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------
