@@ -2585,6 +2585,8 @@ _R5_ROTATE_IN = [
     "events_user_simpson",     # exact-integer concentration census
     "events_weekly_retention", # cohort retention triangle over events
     "orders_basket_triples",   # apriori level-3 itemset support
+    "events_dau_wau_stickiness",  # trailing-window exact COUNT DISTINCT
+    "docs_lang_source_chi2",   # exact-integer contingency chi-square grid
 ]
 _R5_ROTATE_OUT = [
     "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
@@ -2625,6 +2627,8 @@ _R5_ROTATE_OUT = [
     "webkg_entity_linking",      # green r4; LSH linker rides frontier/canon
     "dedup_exact",               # green r1-r4; rides curate_documents_full
     "media_resize_digest",       # green r4; media family replica-checked
+    "kg_statistics",             # green r1-r4; count machinery everywhere
+    "docs_batch_by_token_budget",  # green r4; packing twin docs_pack stays
 ]
 
 
@@ -2860,6 +2864,12 @@ register("events_weekly_retention", _rel.EVENTS_WEEKLY_RETENTION_SQL)(
 )
 register("orders_basket_triples", _rel.ORDERS_BASKET_TRIPLES_SQL)(
     _rel.orders_basket_triples
+)
+register("events_dau_wau_stickiness", _rel.EVENTS_STICKINESS_SQL)(
+    _rel.events_dau_wau_stickiness
+)
+register("docs_lang_source_chi2", _td.LANG_SOURCE_CHI2_SQL)(
+    _td.docs_lang_source_chi2
 )
 
 

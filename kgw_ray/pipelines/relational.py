@@ -7042,3 +7042,129 @@ JOIN ob c ON b.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
 GROUP BY a.p_brand, b.p_brand, c.p_brand
 HAVING COUNT(*) >= 2
 """
+
+_DAY_US = 86_400_000_000
+
+
+def events_dau_wau_stickiness(sf_dir: str) -> rd.Dataset:
+    """STICKINESS time-series — (day, dau, wau, stickiness_permille):
+    per epoch-day, the distinct users active that day (DAU), the distinct
+    users active in the trailing 7-day window (WAU), and the DAU/WAU
+    ratio in integer permille — the engagement metric growth teams track
+    daily.
+
+    Exact windowed COUNT DISTINCT without a window engine: the distinct
+    (user, day) activity table EXPLODES each row to the ≤7 future days
+    whose trailing window it falls in (a fixed ×7 fan-out, never
+    corpus²), a second (user, target-day) distinct collapses multi-day
+    users, and a day-keyed Sum yields WAU; DAU is a plain distinct
+    count. Gap days appear via the WAU spine with dau = 0 (a user's
+    activity keeps windows alive for 6 more days)."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.joins import broadcast_join
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(us, pa.scalar(_DAY_US, pa.int64())),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    act = grouped_aggregate_hybrid(
+        ds.map_batches(to_day, batch_format="pyarrow"),
+        ["user_id", "day"],
+        [("one", "sum", "n")],
+    ).materialize()
+
+    # corpus day bounds: a 2-value aggregate, driver-scalar by design
+    bounds = act.aggregate(Min("day"), Max("day"))
+    mx = int(bounds["max(day)"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = np.repeat(u, 7)
+        tgt = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64), len(d))
+        keep = tgt <= mx
+        return pa.table(
+            {
+                "user_id": pa.array(uu[keep]),
+                "day": pa.array(tgt[keep]),
+                "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    windowed = grouped_aggregate_hybrid(
+        act.map_batches(explode, batch_format="pyarrow"),
+        ["user_id", "day"],
+        [("one", "sum", "n")],
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": t.column("day"),
+                "cnt": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    wau = grouped_aggregate_hybrid(
+        windowed.map_batches(ones, batch_format="pyarrow"),
+        "day",
+        [("cnt", "sum", "wau")],
+    ).materialize()
+    dau = grouped_aggregate_hybrid(
+        act.map_batches(ones, batch_format="pyarrow"),
+        "day",
+        [("cnt", "sum", "dau")],
+    ).materialize()
+
+    # the day spine is calendar-bounded (≤ 36.5k rows/century) — broadcast
+    joined = broadcast_join(wau, dau.to_pandas(), on=["day"], how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.fill_null(t.column("dau"), 0), pa.int64())
+        w = pc.cast(t.column("wau"), pa.int64())
+        return pa.table(
+            {
+                "day": pc.cast(t.column("day"), pa.int64()),
+                "dau": d,
+                "wau": w,
+                "stickiness_permille": pc.divide(
+                    pc.multiply(d, pa.scalar(1000, pa.int64())), w
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_STICKINESS_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events WHERE ts IS NOT NULL
+),
+b AS (SELECT MAX(day) AS mx FROM act),
+exp AS (
+  SELECT DISTINCT user_id, act.day + i AS day
+  FROM act, UNNEST(generate_series(0, 6)) AS t(i), b
+  WHERE act.day + i <= b.mx
+),
+wau AS (SELECT day, COUNT(*) AS wau FROM exp GROUP BY day),
+dau AS (SELECT day, COUNT(*) AS dau FROM act GROUP BY day)
+SELECT CAST(wau.day AS BIGINT) AS day,
+       CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST((COALESCE(dau.dau, 0) * 1000) // wau.wau AS BIGINT)
+         AS stickiness_permille
+FROM wau LEFT JOIN dau ON wau.day = dau.day
+"""
+
+

@@ -4426,3 +4426,86 @@ PARTITIONED_EXPORT_SQL = """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang
 """
+
+
+def docs_lang_source_chi2(sf_dir: str) -> pa.Table:
+    """INDEPENDENCE TEST between corpus dimensions: the full lang × source
+    contingency grid with exact-integer chi-square terms — (lang, source,
+    observed, expected_milli, chi2_term_micro), including the
+    zero-observed cells of the margin cross product. The corpus-health
+    check that catches a crawl source collapsing onto one language (a
+    mixing-weights red flag) BEFORE training.
+
+    expected_milli  = 10³·row_total·col_total // N
+    chi2_term_micro = 10⁶·(o·N − r·c)² // (N·r·c)
+
+    Plan: one (lang×source)-vocabulary-bounded count exchange; the grid
+    arithmetic folds on the driver in PYTHON ints (the products reach
+    (o·N)² — far past int64 at corpus scale; the oracle mirrors with
+    HUGEINT). The driver fold is legitimate under the house rule: the
+    grid is vocabulary², never corpus-sized."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(len(t), dtype=np.int64))
+        )
+
+    counts = (
+        grouped_aggregate_hybrid(
+            docs.map_batches(ones, batch_format="pyarrow"),
+            ["lang", "source"],
+            [("one", "sum", "o")],
+        )
+        .to_pandas()  # vocabulary-bounded: |langs| × |sources| rows
+    )
+    obs = {
+        (r.lang, r.source): int(r.o) for r in counts.itertuples(index=False)
+    }
+    langs = sorted({k[0] for k in obs})
+    sources = sorted({k[1] for k in obs})
+    row_tot = {l: sum(v for (a, _), v in obs.items() if a == l) for l in langs}
+    col_tot = {s: sum(v for (_, b), v in obs.items() if b == s) for s in sources}
+    n = sum(obs.values())
+
+    out_l, out_s, out_o, out_e, out_chi = [], [], [], [], []
+    for l in langs:
+        for s in sources:
+            o = obs.get((l, s), 0)
+            r, c = row_tot[l], col_tot[s]
+            out_l.append(l)
+            out_s.append(s)
+            out_o.append(o)
+            out_e.append((1000 * r * c) // n)
+            d = o * n - r * c
+            out_chi.append((1_000_000 * d * d) // (n * r * c))
+    return pa.table(
+        {
+            "lang": pa.array(out_l, pa.string()),
+            "source": pa.array(out_s, pa.string()),
+            "observed": pa.array(out_o, pa.int64()),
+            "expected_milli": pa.array(out_e, pa.int64()),
+            "chi2_term_micro": pa.array(out_chi, pa.int64()),
+        }
+    )
+
+
+LANG_SOURCE_CHI2_SQL = """
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS o
+  FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, SUM(o) AS rl FROM c GROUP BY lang),
+s AS (SELECT source, SUM(o) AS cs FROM c GROUP BY source),
+n AS (SELECT SUM(o) AS n FROM c)
+SELECT r.lang, s.source,
+       CAST(COALESCE(c.o, 0) AS BIGINT) AS observed,
+       CAST((1000 * r.rl * s.cs) // n.n AS BIGINT) AS expected_milli,
+       CAST((1000000 * (COALESCE(c.o, 0) * n.n - r.rl * s.cs)
+                     * (COALESCE(c.o, 0) * n.n - r.rl * s.cs))
+            // (n.n * r.rl * s.cs) AS BIGINT) AS chi2_term_micro
+FROM r CROSS JOIN s CROSS JOIN n
+LEFT JOIN c ON c.lang = r.lang AND c.source = s.source
+"""

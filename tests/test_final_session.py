@@ -163,3 +163,67 @@ def test_readability_degenerate_text(tmp_path):
     )
     assert (w, s, y) == (4, 2, 4)
     assert df.loc[2, "flesch_milli"] == 206_835 - (1015 * 4) // 2 - (84_600 * 4) // 4
+
+
+def test_stickiness_gap_days_and_window(tmp_path):
+    """Gap day inside the trailing window: dau=0 row appears with the
+    carried-over WAU; window expires after 7 days."""
+    from kgw_ray.pipelines.relational import events_dau_wau_stickiness
+
+    base = pd.Timestamp("2024-01-01 00:00:00")  # epoch day boundary-safe
+    rows = [
+        # two users on day 0, one user on day 2, nothing else until day 9
+        {"event_id": 0, "user_id": 1, "ts": base},
+        {"event_id": 1, "user_id": 2, "ts": base + pd.Timedelta(hours=1)},
+        {"event_id": 2, "user_id": 1, "ts": base + pd.Timedelta(days=2)},
+        {"event_id": 3, "user_id": 3, "ts": base + pd.Timedelta(days=9)},
+    ]
+    df = pd.DataFrame(rows)
+    df["event_type"] = "view"
+    df["value"] = 1.0
+    df["props"] = "{}"
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = to_pandas(events_dau_wau_stickiness(str(tmp_path)))
+    day0 = int(out["day"].min())
+    by = {int(r.day) - day0: (int(r.dau), int(r.wau)) for r in out.itertuples(index=False)}
+    assert by[0] == (2, 2)
+    assert by[1] == (0, 2)       # gap day: dau 0, both users still in window
+    assert by[2] == (1, 2)       # user 1 returns; user 2 still windowed
+    assert by[6] == (0, 2)       # last day user 1/2 activity is windowed
+    assert by[7] == (0, 1)       # day-0 activity expired; day-2 remains
+    assert by[8] == (0, 1)
+    assert by[9] == (1, 1)       # only user 3
+    assert max(by) == 9          # no rows past the corpus max day
+
+
+def test_chi2_zero_cell_and_exactness(tmp_path):
+    """The margin cross product includes zero-observed cells, and the
+    integer chi-square terms match the hand formula."""
+    from kgw_ray.pipelines.training_data import docs_lang_source_chi2
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["t"] * 6,
+            # en appears in both sources, de only in src0 -> (de, src1) is
+            # a zero cell that must still be emitted
+            "lang": ["en", "en", "en", "en", "de", "de"],
+            "source": ["src0", "src1", "src1", "src1", "src0", "src0"],
+            "n_chars": [1] * 6,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+    out = to_pandas(docs_lang_source_chi2(str(tmp_path)))
+    assert len(out) == 4  # 2 langs x 2 sources, zero cell included
+    cell = out.set_index(["lang", "source"])
+    assert cell.loc[("de", "src1"), "observed"] == 0
+    # hand check (de, src1): o=0, r=2 (de), c=3 (src1), n=6 -> d = 0*6 - 6
+    assert cell.loc[("de", "src1"), "expected_milli"] == (1000 * 2 * 3) // 6
+    assert cell.loc[("de", "src1"), "chi2_term_micro"] == (1_000_000 * 36) // (6 * 2 * 3)
