@@ -2873,6 +2873,25 @@ register("docs_lang_source_chi2", _td.LANG_SOURCE_CHI2_SQL)(
 )
 
 
+def _kg_eigenvector_sql() -> str:
+    from kgw_ray.stages.graph import eigenvector_sql
+
+    return eigenvector_sql(_tk.NODES_SQL, _tk.EDGES_SQL)
+
+
+@register("kg_eigenvector", oracle=_kg_eigenvector_sql())
+def q_kg_eigenvector(sf_dir: str) -> rd.Dataset:
+    """Eigenvector (Bonacich) centrality over the TPC-H KG: 3 synchronous
+    power iterations in exact integer micro-units with a deterministic
+    max-rescale each round (stages/graph.py:eigenvector_centrality) —
+    one size-hybrid join + Sum combiner + groupby per round. The oracle
+    unrolls the identical BIGINT iteration into CTEs."""
+    from kgw_ray.stages.graph import eigenvector_centrality
+
+    nodes, edges = _tk.tpch_graph(sf_dir)
+    return eigenvector_centrality(nodes, edges)
+
+
 # run the rotation LAST so every registration above (including the
 # post-rotation-block additions) participates in the ordering
 _rotate_gate_window()

@@ -1356,3 +1356,180 @@ def bfs_depths(
             "rounds — raise max_rounds for this diameter"
         )
     return results
+
+
+def eigenvector_centrality(
+    nodes: rd.Dataset,
+    edges: rd.Dataset,
+    *,
+    iters: int = 3,
+    num_partitions: int | None = None,
+    broadcast_limit: int = 5_000_000,
+) -> rd.Dataset:
+    """EIGENVECTOR CENTRALITY by synchronous power iteration in exact
+    integer micro-units — ``x' (v) = Σ_{(u,v)∈E} x(u)``, renormalized each
+    round by the DETERMINISTIC integer ``x // ceil(max(x)/SCALE)`` so the
+    iterate stays ≤ ~SCALE without any float division (the rescale that
+    makes the oracle hash-exact; a float L2 norm would round differently
+    across engines). Bonacich centrality is the classic "important pages
+    point at important pages" signal next to PageRank — no damping, no
+    out-degree normalization.
+
+    Physical plan per round: ONE size-hybrid join (edges ⋈ current ranks
+    on source_id — broadcast under the limit, hash-partitioned beyond), a
+    per-batch Sum combiner, one ``groupby(target_id).Sum``, and a 1-value
+    Max aggregate for the rescale denominator. Round 1 skips the join
+    (x0 ≡ SCALE ⇒ sums = SCALE·indeg via the sharded exact count). The
+    rescale divides BEFORE any multiply, so nothing exceeds the raw sum
+    (int64-safe to Σ x ≤ 9.2e18, i.e. in-degrees to ~9e12 at SCALE 1e6).
+
+    Output: ``(id, eig_micro: int64)`` — nodes with no in-edges read 0.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid, sharded_count
+    from kgw_ray.stages.joins import broadcast_join
+
+    SCALE = 1_000_000
+    e = edges.select_columns(["source_id", "target_id"]).materialize()
+
+    def _zeros() -> rd.Dataset:
+        return nodes.select_columns(["id"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b.column("id"),
+                    "eig_micro": pa.array(np.zeros(len(b), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    if e.count() == 0:
+        return _zeros()
+
+    ranks = None
+    for t in range(iters):
+        if ranks is None:
+            sums = sharded_count(
+                e.select_columns(["target_id"]), ["target_id"], count_name="s"
+            ).map_batches(
+                lambda b: pa.table(
+                    {
+                        "id": b.column("target_id"),
+                        "x": pc.multiply(
+                            pc.cast(b.column("s"), pa.int64()),
+                            pa.scalar(SCALE, pa.int64()),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            n = ranks.count()
+            if n == 0:
+                return _zeros()
+            if n <= broadcast_limit:
+                j = broadcast_join(
+                    e, ranks.to_pandas(), on=["source_id"], right_on=["id"]
+                )
+            else:
+                j = large_join(
+                    e,
+                    ranks,
+                    on=("source_id",),
+                    right_on=("id",),
+                    num_partitions=num_partitions,
+                )
+            sums = grouped_aggregate_hybrid(
+                j.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "id": b.column("target_id"),
+                            "x": pc.cast(b.column("x"), pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                "id",
+                [("x", "sum", "x")],
+            )
+        sums = sums.materialize()
+        mx = sums.aggregate(Max("x"))["max(x)"]
+        if mx is None:
+            return _zeros()
+        denom = (int(mx) + SCALE - 1) // SCALE
+        denom = max(denom, 1)
+        ranks = sums.map_batches(
+            lambda b, _d=denom: pa.table(
+                {
+                    "id": b.column("id"),
+                    "x": pc.divide(
+                        pc.cast(b.column("x"), pa.int64()),
+                        pa.scalar(_d, pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    rp = ranks.to_pandas() if ranks.count() <= broadcast_limit else None
+    if rp is not None:
+        out = broadcast_join(
+            nodes.select_columns(["id"]), rp, on=["id"], how="left"
+        )
+    else:
+        out = large_join(
+            nodes.select_columns(["id"]),
+            ranks,
+            on=("id",),
+            how="left_outer",
+            num_partitions=num_partitions,
+        )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "id": b.column("id"),
+                "eig_micro": pc.cast(
+                    pc.fill_null(
+                        b.column("x") if "x" in b.column_names else pa.nulls(len(b)),
+                        0,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def eigenvector_sql(nodes_sql: str, edges_sql: str, *, iters: int = 3) -> str:
+    """DuckDB oracle for ``eigenvector_centrality``: the identical
+    micro-unit power iteration unrolled into one (sum, max-rescale) CTE
+    pair per round — pure BIGINT arithmetic, floor division, same
+    ceil-divide rescale."""
+    SCALE = 1_000_000
+    ctes = [
+        f"nodes AS (SELECT id FROM ({nodes_sql}))",
+        f"edges AS (SELECT source_id, target_id FROM ({edges_sql}))",
+        f"s1 AS (SELECT target_id AS id, CAST({SCALE} AS BIGINT) * COUNT(*) AS x\n"
+        "       FROM edges GROUP BY target_id)",
+        f"m1 AS (SELECT greatest((MAX(x) + {SCALE - 1}) // {SCALE}, 1) AS dnm FROM s1)",
+        "x1 AS (SELECT id, x // m1.dnm AS x FROM s1, m1)",
+    ]
+    for t in range(2, iters + 1):
+        ctes.append(
+            f"s{t} AS (SELECT e.target_id AS id, SUM(p.x) AS x\n"
+            f"       FROM edges e JOIN x{t - 1} p ON e.source_id = p.id\n"
+            "       GROUP BY e.target_id)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT greatest((MAX(x) + {SCALE - 1}) // {SCALE}, 1) AS dnm FROM s{t})"
+        )
+        ctes.append(f"x{t} AS (SELECT id, x // m{t}.dnm AS x FROM s{t}, m{t})")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT n.id, CAST(COALESCE(r.x, 0) AS BIGINT) AS eig_micro\n"
+        f"FROM nodes n LEFT JOIN x{iters} r ON n.id = r.id"
+    )

@@ -110,3 +110,46 @@ def test_closeness_landmarks_blockwise(sf_smoke):
         ["id"],
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_eigenvector_shuffle_path(sf_smoke):
+    """eigenvector_centrality: forced large-join rank attachment must
+    match the broadcast path bit-exactly (micro-unit integers)."""
+    from kgw_ray.pipelines.tpch_kg import tpch_graph
+    from kgw_ray.stages.graph import eigenvector_centrality
+
+    nodes, edges = tpch_graph(sf_smoke)
+    a = _sorted_df(eigenvector_centrality(nodes, edges), ["id"])
+    b = _sorted_df(
+        eigenvector_centrality(nodes, edges, broadcast_limit=0), ["id"]
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["eig_micro"] > 0).any()
+
+
+def test_eigenvector_known_graph():
+    """Hand-checkable cycle a->b->c->a with chords c->d, d->a: after 3
+    exact-integer rounds a=b=c=1e6, d=5e5, and the isolated node reads 0.
+    (On a pure DAG the undamped iterate correctly washes out to all-zero
+    — that's eigenvector centrality, not a bug; hence the cycle.)"""
+    from kgw_ray.stages.graph import eigenvector_centrality
+
+    nodes = rd.from_arrow(
+        pa.table({"id": pa.array(["a", "b", "c", "d", "e"], pa.string())})
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "source_id": pa.array(["a", "b", "c", "c", "d"], pa.string()),
+                "target_id": pa.array(["b", "c", "a", "d", "a"], pa.string()),
+            }
+        )
+    )
+    df = (
+        eigenvector_centrality(nodes, edges)
+        .to_pandas()
+        .set_index("id")["eig_micro"]
+    )
+    assert df["a"] == df["b"] == df["c"] == 1_000_000
+    assert df["d"] == 500_000
+    assert df["e"] == 0  # isolated
