@@ -691,6 +691,7 @@ register("top_users_by_value_salted", _rel.TOP_USERS_SQL)(
 register("text_repetition", REPETITION_SQL)(_td.text_repetition)
 register("text_rare_token_stats", _td.RARE_TOKENS_SQL)(_td.text_rare_token_stats)
 register("web_domain_stats", _td.DOMAIN_STATS_SQL)(_td.web_domain_stats)
+register("corpus_pareto_concentration", _td.PARETO_SQL)(_td.pareto_concentration)
 register("sample_per_domain", _td.SAMPLE_PER_DOMAIN_SQL)(_td.sample_per_domain)
 register("ngram_topk", _td.NGRAM_TOPK_SQL)(_td.ngram_topk)
 register("text_normalize", _td.NORMALIZE_SQL)(_td.text_normalize)

@@ -275,6 +275,88 @@ FROM documents GROUP BY source
 """
 
 
+_PARETO_PCTS = (50, 80, 90, 95, 99)
+
+
+def pareto_concentration(sf_dir: str) -> "pa.Table":
+    """Corpus-concentration curve (the 80/20 audit a web-crawl curation run
+    does before domain rebalancing): for each coverage threshold, the
+    MINIMAL number of top sources (by total chars, ties by source name)
+    whose cumulative char mass reaches that fraction of the corpus.
+
+    Physical plan: per-batch ``np.unique`` char-sum combiner (one row per
+    (block, domain) crosses the wire) → ``grouped_aggregate_hybrid`` over
+    the DOMAIN vocabulary → the cumulative scan runs on the driver over
+    the vocabulary-sized table (hosts, not docs — bounded by design; at
+    100 TB the host vocabulary is ~10⁷ rows, still a driver-safe fold).
+    Threshold test is exact integer math (``cum*100 >= pct*total``), so
+    the oracle hashes bit-identically. Reference analog: the corpus
+    statistics reports of kgw's ``*_stats`` sinks (graph.py:get_statistics).
+    """
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(src, return_inverse=True)
+        return pa.table(
+            {
+                "source": pa.array(uq, pa.string()),
+                "c": pa.array(np.bincount(inv, weights=n_chars).astype(np.int64)),
+            }
+        )
+
+    per_src = grouped_aggregate_hybrid(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        "source",
+        [("c", "sum", "c")],
+    )
+    pdf = per_src.to_pandas()
+    if len(pdf) == 0:
+        empty = pa.array([], pa.int64())
+        return pa.table(
+            {"pct": empty, "n_sources": empty, "cum_chars": empty,
+             "total_chars": empty}
+        )
+    pdf = pdf.sort_values(["c", "source"], ascending=[False, True])
+    cum = pdf["c"].to_numpy(dtype=np.int64).cumsum()
+    total = int(cum[-1])
+    rows = {"pct": [], "n_sources": [], "cum_chars": [], "total_chars": []}
+    for pct in _PARETO_PCTS:
+        # first rank whose cumulative mass clears pct% — exact integers
+        idx = int(np.searchsorted(cum * 100, pct * total, side="left"))
+        rows["pct"].append(pct)
+        rows["n_sources"].append(idx + 1)
+        rows["cum_chars"].append(int(cum[idx]))
+        rows["total_chars"].append(total)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+PARETO_SQL = f"""
+WITH s AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM s),
+r AS (
+  SELECT c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, source) AS rn,
+         CAST(SUM(c) OVER (ORDER BY c DESC, source) AS BIGINT) AS cum
+  FROM s
+)
+SELECT CAST(p.pct AS BIGINT) AS pct,
+       CAST(MIN(r.rn) AS BIGINT) AS n_sources,
+       CAST(MIN(r.cum) AS BIGINT) AS cum_chars,
+       CAST(MIN(tot.t) AS BIGINT) AS total_chars
+FROM (VALUES {", ".join(f"({p})" for p in _PARETO_PCTS)}) AS p(pct)
+JOIN tot ON TRUE
+JOIN r ON r.cum * 100 >= p.pct * tot.t
+GROUP BY p.pct
+"""
+
+
 _DOMAIN_CAP = 20
 
 

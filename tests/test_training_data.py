@@ -1694,3 +1694,28 @@ def test_skyline_bruteforce(tmp_path):
 
     want = sorted(r[0] for i, r in enumerate(rows) if not dominated(i))
     assert sorted(got.p_partkey) == want
+
+
+def test_pareto_concentration_minimal_prefix(sf_smoke):
+    """Each reported n_sources is the MINIMAL top-source prefix clearing the
+    threshold: prefix of size n covers >= pct%, size n-1 does not."""
+    from kgw_ray.pipelines.training_data import pareto_concentration
+
+    out = pareto_concentration(sf_smoke).to_pandas().sort_values("pct")
+    docs = read_table(sf_smoke, "documents", columns=["source", "n_chars"])
+    df = docs.to_pandas()
+    per = (
+        df.groupby("source")["n_chars"].sum().reset_index()
+        .sort_values(["n_chars", "source"], ascending=[False, True])
+    )
+    cum = per["n_chars"].to_numpy().cumsum()
+    total = int(cum[-1])
+    assert (out["total_chars"] == total).all()
+    for _, r in out.iterrows():
+        n = int(r["n_sources"])
+        assert int(cum[n - 1]) == int(r["cum_chars"])
+        assert cum[n - 1] * 100 >= r["pct"] * total
+        if n > 1:
+            assert cum[n - 2] * 100 < r["pct"] * total
+    # thresholds are nested: higher pct never needs fewer sources
+    assert out["n_sources"].is_monotonic_increasing
