@@ -2819,6 +2819,9 @@ register("text_keyword_extraction", _td.KEYWORD_EXTRACTION_SQL)(
 register("lineitem_price_quantiles", _rel.LINEITEM_PRICE_QUANTILES_SQL)(
     _rel.lineitem_price_quantiles
 )
+register("lineitem_benford_digits", _rel.LINEITEM_BENFORD_SQL)(
+    _rel.lineitem_benford_digits
+)
 register("events_session_stats", _rel.EVENTS_SESSION_STATS_SQL)(
     _rel.events_session_stats
 )

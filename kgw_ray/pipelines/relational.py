@@ -6476,6 +6476,56 @@ FROM r GROUP BY l_returnflag
 """
 
 
+def lineitem_benford_digits(sf_dir: str) -> rd.Dataset:
+    """Benford first-significant-digit audit over l_extendedprice — the
+    classic financial-data-quality screen (a fabricated or truncated price
+    feed shows a flat digit histogram instead of log10(1+1/d)).
+
+    Exactness: first digit is taken from ``abs(floor(price))`` rendered as
+    a decimal string — pure IEEE floor + integer formatting, identical in
+    numpy and DuckDB, so counts hash bit-for-bit (no log10 near-boundary
+    float hazard). Physical plan: per-batch bincount combiner (≤10 rows
+    per block cross the wire) → tiny digit-keyed groupby. Reference
+    analog: kgw's statistics sinks (graph.py:get_statistics) — corpus
+    audit as a first-class pipeline output."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        ints = np.abs(np.floor(v)).astype(np.int64)
+        # leading decimal digit: format to string, truncate to 1 char —
+        # vectorized (U21→U1 cast keeps only the first code unit)
+        first = ints.astype("U21").astype("U1")
+        digits = first.astype(np.int64)
+        counts = np.bincount(digits, minlength=10)
+        present = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "digit": pa.array(present.astype(np.int64)),
+                "n": pa.array(counts[present].astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "digit",
+        [("n", "sum", "n")],
+    )
+
+
+LINEITEM_BENFORD_SQL = """
+SELECT CAST(substr(CAST(CAST(abs(floor(l_extendedprice)) AS BIGINT)
+                        AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL
+GROUP BY 1
+"""
+
+
 def events_session_stats(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session-length distribution across the whole event log: sessionize
     (same 30-minute-gap rule and sharded-coarse plan as
