@@ -2822,6 +2822,10 @@ register("lineitem_price_quantiles", _rel.LINEITEM_PRICE_QUANTILES_SQL)(
 register("lineitem_benford_digits", _rel.LINEITEM_BENFORD_SQL)(
     _rel.lineitem_benford_digits
 )
+register("events_dow_hour_heatmap", _rel.EVENTS_DOW_HOUR_SQL)(
+    _rel.events_dow_hour_heatmap
+)
+register("corpus_source_gini", _td.SOURCE_GINI_SQL)(_td.source_gini)
 register("events_session_stats", _rel.EVENTS_SESSION_STATS_SQL)(
     _rel.events_session_stats
 )

@@ -6516,6 +6516,53 @@ def lineitem_benford_digits(sf_dir: str) -> rd.Dataset:
     )
 
 
+def events_dow_hour_heatmap(sf_dir: str) -> rd.Dataset:
+    """Traffic heatmap: event counts by (day-of-week, hour-of-day) — the
+    ops-dashboard grid behind load shaping and anomaly baselines.
+
+    Convention-proof exactness: dow/hour are derived with the SAME pure
+    integer epoch arithmetic on both engines — dow = (epoch_days + 4) % 7
+    (1970-01-01 was a Thursday; 0 = Sunday), hour = in-day microseconds
+    // 3.6e9 — so no dayofweek()/strftime() locale or ISO-vs-US mismatch
+    can split Ray from the oracle. Combiner: per-batch bincount over the
+    ≤168-cell grid; one row per (block, cell) crosses the wire."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+    _US_DAY = 86_400_000_000
+    _US_HOUR = 3_600_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // _US_DAY) + 4) % 7
+        hour = (us % _US_DAY) // _US_HOUR
+        cell = dow * 24 + hour
+        counts = np.bincount(cell, minlength=168)
+        present = np.nonzero(counts)[0].astype(np.int64)
+        return pa.table(
+            {
+                "dow": pa.array(present // 24),
+                "hour": pa.array(present % 24),
+                "n": pa.array(counts[present].astype(np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["dow", "hour"],
+        [("n", "sum", "n")],
+    )
+
+
+EVENTS_DOW_HOUR_SQL = """
+SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 LINEITEM_BENFORD_SQL = """
 SELECT CAST(substr(CAST(CAST(abs(floor(l_extendedprice)) AS BIGINT)
                         AS VARCHAR), 1, 1) AS BIGINT) AS digit,

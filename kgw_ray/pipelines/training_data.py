@@ -357,6 +357,74 @@ GROUP BY p.pct
 """
 
 
+def source_gini(sf_dir: str) -> "pa.Table":
+    """Gini coefficient of corpus mass across sources — the scalar
+    companion to ``pareto_concentration`` (0 = perfectly balanced crawl,
+    →1 = one domain owns the corpus). Emitted as the EXACT integer pair
+    (numerator, denominator) of the closed form over ascending-sorted
+    char sums ``c_1..c_n``: G = (2·Σ i·c_i − (n+1)·Σ c_i) / (n·Σ c_i) —
+    no division ever happens, so the oracle hashes bit-for-bit.
+
+    Same physical plan as pareto_concentration: per-batch combiner → one
+    domain-vocabulary exchange → driver fold over the bounded host table.
+    int64 bound: Σ i·c_i ≤ n_hosts·total_chars — overflows only past
+    ~10⁷ hosts × 10¹⁴ chars; swap the fold to Python ints (exact) and
+    the oracle to HUGEINT if a corpus ever gets there."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(src, return_inverse=True)
+        return pa.table(
+            {
+                "source": pa.array(uq, pa.string()),
+                "c": pa.array(np.bincount(inv, weights=n_chars).astype(np.int64)),
+            }
+        )
+
+    per_src = grouped_aggregate_hybrid(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        "source",
+        [("c", "sum", "c")],
+    )
+    pdf = per_src.to_pandas()
+    one = pa.array([0], pa.int64())
+    if len(pdf) == 0:
+        return pa.table({"n_sources": one, "gini_num": one, "gini_den": one})
+    # ascending sort with source tiebreak — rank weights are then pinned
+    pdf = pdf.sort_values(["c", "source"], ascending=[True, True])
+    c = pdf["c"].to_numpy(dtype=np.int64)
+    n = len(c)
+    total = int(c.sum())
+    ranks = np.arange(1, n + 1, dtype=np.int64)
+    num = 2 * int((ranks * c).sum()) - (n + 1) * total
+    return pa.table(
+        {
+            "n_sources": pa.array([n], pa.int64()),
+            "gini_num": pa.array([num], pa.int64()),
+            "gini_den": pa.array([n * total], pa.int64()),
+        }
+    )
+
+
+SOURCE_GINI_SQL = """
+WITH s AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, source) AS rn FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(2 * sum(rn * c) - (count(*) + 1) * sum(c) AS BIGINT) AS gini_num,
+       CAST(count(*) * sum(c) AS BIGINT) AS gini_den
+FROM r
+"""
+
+
 _DOMAIN_CAP = 20
 
 

@@ -1719,3 +1719,20 @@ def test_pareto_concentration_minimal_prefix(sf_smoke):
             assert cum[n - 2] * 100 < r["pct"] * total
     # thresholds are nested: higher pct never needs fewer sources
     assert out["n_sources"].is_monotonic_increasing
+
+
+def test_source_gini_bruteforce(sf_smoke):
+    """Integer Gini pair == textbook mean-absolute-difference definition."""
+    from kgw_ray.pipelines.training_data import source_gini
+    from kgw_ray.sources.readers import read_table_pandas
+
+    out = source_gini(sf_smoke).to_pandas().iloc[0]
+    df = read_table_pandas(sf_smoke, "documents", columns=["source", "n_chars"])
+    c = df.groupby("source")["n_chars"].sum().to_numpy()
+    n, total = len(c), int(c.sum())
+    # G = sum_ij |ci - cj| / (2 n total) — brute force O(n^2)
+    mad = sum(abs(int(a) - int(b)) for a in c for b in c)
+    assert out["n_sources"] == n
+    assert out["gini_den"] == n * total
+    # cross-multiply: gini_num / gini_den == mad / (2 n total)
+    assert int(out["gini_num"]) * 2 * n * total == mad * int(out["gini_den"])
