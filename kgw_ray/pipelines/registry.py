@@ -2900,6 +2900,95 @@ def q_kg_eigenvector(sf_dir: str) -> rd.Dataset:
     return eigenvector_centrality(nodes, edges)
 
 
+def _wet_line_dedup_sql(max_df: int = 3) -> str:
+    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+
+    return f"""
+WITH wet AS (
+  SELECT doc_id,
+         'WARC-Target-URI: https://' || source || '.example.org/doc/'
+         || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+         || chr(10) || 'Content-Language: ' || COALESCE(lang, '')
+         || chr(10) || 'Content-Length: ' || CAST(n_chars AS VARCHAR)
+         || chr(10) || chr(10) || COALESCE(text, '') AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(l) AS line, unnest(range(1, len(l) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM wet)
+),
+lh AS (
+  SELECT doc_id, pos, line, {_MD5_LE_UINT64} AS lh
+  FROM (SELECT doc_id, pos, line, md5(line) AS hx FROM lines)
+),
+ds AS (
+  SELECT lh FROM lh WHERE line <> ''
+  GROUP BY lh HAVING COUNT(DISTINCT doc_id) >= {max_df}
+),
+kept AS (
+  SELECT doc_id, pos, line FROM lh
+  WHERE line = '' OR lh NOT IN (SELECT lh FROM ds)
+),
+base AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_lines AS BIGINT) AS n_lines,
+       CAST(b.n_lines - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+       md5(COALESCE(k.txt, '')) AS kept_md5
+FROM base b
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
+@register("webkg_wet_line_dedup", oracle=_wet_line_dedup_sql())
+def q_webkg_wet_line_dedup(sf_dir: str) -> rd.Dataset:
+    """Line-level corpus dedup over synthesized WET records (RefinedWeb /
+    MassiveText boilerplate-line removal): non-blank lines occurring in
+    ≥ 3 distinct docs drop; output (doc_id, n_lines, n_dropped, kept_md5)
+    hash-gates the full rewrite (pipelines/webkg.py:line_dedup — combiner
+    → vocabulary Sum → broadcast-or-anti-join size hybrid)."""
+    from kgw_ray.pipelines.webkg import wet_line_dedup
+
+    return wet_line_dedup(sf_dir)
+
+
+_KG_RA_SQL = f"""
+WITH tr AS ({TRIPLES_SQL}),
+e0 AS (
+  SELECT DISTINCT least('E:' || subj, 'E:' || obj) AS a,
+                  greatest('E:' || subj, 'E:' || obj) AS b
+  FROM tr WHERE subj <> obj
+),
+sym AS (SELECT a AS c, b AS v FROM e0 UNION ALL SELECT b AS c, a AS v FROM e0),
+deg AS (SELECT c, COUNT(*) AS d FROM sym GROUP BY c)
+SELECT e1.v AS x, e2.v AS y,
+       CAST(SUM(1000000 // d.d) AS BIGINT) AS ra_micro
+FROM sym e1
+JOIN sym e2 ON e1.c = e2.c AND e1.v < e2.v
+JOIN deg d ON d.c = e1.c
+GROUP BY e1.v, e2.v
+"""
+
+
+@register("kg_resource_allocation", oracle=_KG_RA_SQL)
+def q_kg_resource_allocation(sf_dir: str) -> rd.Dataset:
+    """Resource-Allocation link-prediction index (Zhou et al. 2009):
+    RA(x,y) = Σ_z 1_000_000 // deg(z) over shared neighbors — the
+    exact-integer sibling of Adamic-Adar (whose 1/log drifts between
+    engines). Same sharded wedge fold as kg_common_neighbors; deg(z) is
+    the lexsort segment length, so no degree join exists
+    (stages/graph.py:resource_allocation_scores)."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph import resource_allocation_scores
+
+    return resource_allocation_scores(
+        edges_from_triples(triples_dataset(sf_dir))
+    )
+
+
 # run the rotation LAST so every registration above (including the
 # post-rotation-block additions) participates in the ordering
 _rotate_gate_window()

@@ -1504,3 +1504,187 @@ SELECT doc_id,
                  ELSE LENGTH(bin(doc_id)) END AS BIGINT) AS depth
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# WET-record line dedup (RefinedWeb / MassiveText boilerplate-line removal)
+# ---------------------------------------------------------------------------
+
+
+def wet_records(sf_dir: str) -> rd.Dataset:
+    """documents → Common-Crawl-WET-style records: per doc, header lines
+    (target URI / language / length) + a blank separator + the payload
+    text, joined with newlines. Pure Arrow concat (one
+    ``binary_join_element_wise`` kernel, zero per-row Python); URI matches
+    ``sources.pages.url_for``. The repeating header lines ARE the corpus
+    boilerplate a line-level dedup must strip (Content-Language repeats per
+    lang, Content-Length collides across equal-length docs) while URI and
+    payload lines stay unique — real drop/keep variety at every scale."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.sources.readers import read_table
+
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+    def _wet(b: pa.Table) -> pa.Table:
+        src = b.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        rec = pc.binary_join_element_wise(
+            "WARC-Target-URI: https://",
+            src,
+            ".example.org/doc/",
+            pc.utf8_lpad(pc.cast(b.column("doc_id"), pa.string()), 8, "0"),
+            "\nContent-Language: ",
+            pc.fill_null(b.column("lang"), ""),
+            "\nContent-Length: ",
+            pc.cast(b.column("n_chars"), pa.string()),
+            "\n\n",
+            pc.fill_null(b.column("text"), ""),
+            "",
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "text": rec})
+
+    return docs.map_batches(_wet, batch_format="pyarrow")
+
+
+def line_dedup(
+    docs: rd.Dataset,
+    *,
+    max_df: int = 3,
+    broadcast_limit: int = 5_000_000,
+) -> rd.Dataset:
+    """Corpus line-level dedup (the RefinedWeb / MassiveText
+    boilerplate-removal operator): drop every non-blank line occurring in
+    ≥ ``max_df`` DISTINCT documents; blank lines are record structure and
+    always survive. Output one row per doc: (doc_id, n_lines, n_dropped,
+    kept_md5) with kept_md5 = md5 of the surviving lines rejoined.
+
+    Plan: (1) per-batch distinct-(doc, line) combiner
+    (``corpus.line_df_partial``) → vocabulary-sized grouped Sum → the
+    ``df ≥ max_df`` drop vocabulary, materialized; (2) under
+    ``broadcast_limit`` the drop set ships ONCE (``ray.put`` of one sorted
+    uint64 array) and the rewrite is a zero-shuffle task map (a doc's
+    lines live in one row); beyond it the exploded line table anti-joins
+    the drop set (size-hybrid) and docs reassemble per group — the
+    10^9-boilerplate-line path, parity-pinned in
+    tests/test_line_dedup.py. Line identity is the portable md5-LE uint64
+    (functions/porthash.md5_le_u64; SQL twin ``_MD5_LE_UINT64``), so both
+    engines agree bit-for-bit, collisions included.
+
+    Reference scope: the reference dedups whole records
+    (kgw/_shared/transform.py); line-level text dedup extends the
+    LLM-training-data surface (Penedo et al. 2023, Rae et al. 2021).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.corpus import (
+        line_df_partial,
+        line_dedup_mark_batch,
+        line_rows_batch,
+    )
+
+    partials = docs.map_batches(line_df_partial, batch_format="pyarrow")
+    counts = grouped_aggregate_hybrid(partials, "lh", [("n", "sum", "n")])
+    drop = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], max_df)).select(["lh"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if drop.count() <= broadcast_limit:
+        import numpy as np
+
+        chunks = [
+            b["lh"].to_numpy(zero_copy_only=False)
+            for b in drop.iter_batches(batch_format="pyarrow")
+        ]
+        drop_sorted = (
+            np.sort(np.concatenate(chunks)) if chunks else np.zeros(0, np.uint64)
+        )
+        ref = ray.put(drop_sorted)
+        return docs.map_batches(
+            lambda b: line_dedup_mark_batch(b, ray.get(ref)),
+            batch_format="pyarrow",
+        )
+
+    # scale path: exploded lines → size-hybrid anti join on lh → per-doc
+    # reassembly (groups are document-sized)
+    import numpy as np
+
+    from kgw_ray.stages.joins import anti_join
+
+    rows = docs.map_batches(line_rows_batch, batch_format="pyarrow")
+    cands = rows.map_batches(
+        lambda t: t.filter(t["cand"]), batch_format="pyarrow"
+    )
+    blanks = rows.map_batches(
+        lambda t: t.filter(pc.invert(t["cand"])), batch_format="pyarrow"
+    )
+    kept = anti_join(
+        cands, drop, on="lh", key_col="lh", broadcast_limit=broadcast_limit
+    ).union(blanks)
+
+    def _assemble(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("pos")
+        joined = "\n".join(df["line"].tolist())
+        n_lines = int(df["n_lines"].iloc[0])
+        return pa.table(
+            {
+                "doc_id": pa.array([int(df["doc_id"].iloc[0])], pa.int64()),
+                "n_lines": pa.array([n_lines], pa.int64()),
+                "n_dropped": pa.array([n_lines - len(df)], pa.int64()),
+                "kept_md5": pa.array(
+                    [hashlib.md5(joined.encode("utf-8")).hexdigest()], pa.string()
+                ),
+            }
+        )
+
+    out = kept.groupby("doc_id").map_groups(_assemble, batch_format="pandas")
+
+    # docs whose EVERY line dropped vanish from `kept` — reattach them with
+    # kept_md5 = md5('') (exactly the oracle's COALESCE(txt, ''))
+    from kgw_ray.stages.corpus import _batch_lines
+
+    def _base(b: pa.Table) -> pa.Table:
+        counts = (
+            _batch_lines(b)[1] if b.num_rows else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "n_lines": pa.array(counts)}
+        )
+
+    base = docs.map_batches(_base, batch_format="pyarrow")
+    out = out.materialize()
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    missing = anti_join(
+        base, out.select_columns(["doc_id"]), on="doc_id", key_col="doc_id"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_lines": t.column("n_lines"),
+                "n_dropped": t.column("n_lines"),
+                "kept_md5": pa.array([empty_md5] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return out.union(missing)
+
+
+def wet_line_dedup(
+    sf_dir: str, *, max_df: int = 3, broadcast_limit: int = 5_000_000
+) -> rd.Dataset:
+    """WET-record line dedup over the synthesized record corpus — the
+    registry query: header boilerplate (Content-Language, colliding
+    Content-Length) drops at ``df ≥ max_df``; URI, blank-separator and
+    payload lines survive."""
+    return line_dedup(
+        wet_records(sf_dir), max_df=max_df, broadcast_limit=broadcast_limit
+    )

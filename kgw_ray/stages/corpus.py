@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from kgw_ray.functions.porthash import md5_le_u64
 from kgw_ray.functions.tokenize import py_tokens, split_tokens
 from kgw_ray.stages.dedup import _portable_token_hashes, batch_shingle_hashes
 from kgw_ray.stages.textstats import content_md5_list
@@ -518,3 +519,146 @@ def token_heavy_hitters(docs, *, k: int = 64):
         )
 
     return counts.map_batches(_thresh, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup (RefinedWeb / MassiveText boilerplate-line removal)
+# ---------------------------------------------------------------------------
+
+
+def _batch_lines(batch: pa.Table, col: str = "text") -> tuple[np.ndarray, np.ndarray]:
+    """Split each row's ``col`` into newline-delimited lines (ONE vectorized
+    Arrow kernel) → (flat object array of line strings, per-row line counts).
+    ``split_pattern('')`` yields ``['']`` so every row has ≥ 1 line."""
+    text = batch.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    la = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+    flat = np.asarray(la.flatten().to_pandas(), dtype=object)
+    return flat, counts
+
+
+def line_df_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for corpus line document-frequency: distinct
+    (doc, line) pairs → one (lh, n) partial per distinct non-blank line,
+    where ``lh`` is the portable md5-LE uint64 of the line (SQL twin:
+    ``training_data._MD5_LE_UINT64`` over ``md5(line)``) and ``n`` counts
+    the docs in THIS batch containing it. Blank lines (``''``) are excluded
+    — they are record structure, always kept. md5 runs once per DISTINCT
+    line in the batch, never per occurrence."""
+    empty = pa.table(
+        {"lh": pa.array([], pa.uint64()), "n": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    flat, counts = _batch_lines(batch)
+    didx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    cand = np.fromiter((s != "" for s in flat), dtype=bool, count=len(flat))
+    if not cand.any():
+        return empty
+    uniq, inv = np.unique(flat[cand], return_inverse=True)
+    pair = np.unique(didx[cand] * np.int64(len(uniq)) + inv)
+    n = np.bincount(pair % len(uniq), minlength=len(uniq)).astype(np.int64)
+    return pa.table(
+        {"lh": pa.array(md5_le_u64(uniq), pa.uint64()), "n": pa.array(n)}
+    )
+
+
+def _line_drop_flags(flat: np.ndarray, drop_sorted: np.ndarray) -> np.ndarray:
+    """Bool mask over flat lines: non-blank AND hash ∈ drop_sorted (one
+    searchsorted over the sorted drop vocabulary; md5 once per distinct
+    line in the batch)."""
+
+    drop = np.zeros(len(flat), dtype=bool)
+    if len(flat) == 0 or len(drop_sorted) == 0:
+        return drop
+    cand = np.fromiter((s != "" for s in flat), dtype=bool, count=len(flat))
+    if not cand.any():
+        return drop
+    uniq, inv = np.unique(flat[cand], return_inverse=True)
+    lh = md5_le_u64(uniq)
+    pos = np.searchsorted(drop_sorted, lh)
+    pos[pos == len(drop_sorted)] = 0
+    drop[cand] = (drop_sorted[pos] == lh)[inv]
+    return drop
+
+
+def line_dedup_mark_batch(batch: pa.Table, drop_sorted: np.ndarray) -> pa.Table:
+    """Broadcast-path line dedup: each doc's lines live in one row, so the
+    whole rewrite is a zero-shuffle task map. Output one row per doc:
+    (doc_id, n_lines, n_dropped, kept_md5) — kept_md5 = md5 hex of the
+    surviving lines rejoined with newlines (oracle:
+    ``md5(string_agg(line, chr(10) ORDER BY pos))``)."""
+    import hashlib
+
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "n_dropped": pa.array([], pa.int64()),
+                "kept_md5": pa.array([], pa.string()),
+            }
+        )
+    flat, counts = _batch_lines(batch)
+    drop = _line_drop_flags(flat, drop_sorted)
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    nd = np.add.reduceat(drop.astype(np.int64), starts[:-1])
+    md5s = []
+    for i in range(len(counts)):
+        seg = flat[starts[i] : starts[i + 1]]
+        keep = ~drop[starts[i] : starts[i + 1]]
+        kept = "\n".join(seg[keep])
+        md5s.append(hashlib.md5(kept.encode("utf-8")).hexdigest())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(counts),
+            "n_dropped": pa.array(nd),
+            "kept_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
+def line_rows_batch(batch: pa.Table) -> pa.Table:
+    """Scale-path explode: one row per line — (doc_id, pos, line, lh, cand,
+    n_lines). ``pos`` is 1-based (the oracle's unnest ordinal); blank lines
+    carry lh = 0 and cand = false (membership is decided on cand rows only,
+    so the placeholder can never collide into a drop)."""
+
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string()),
+                "lh": pa.array([], pa.uint64()),
+                "cand": pa.array([], pa.bool_()),
+                "n_lines": pa.array([], pa.int64()),
+            }
+        )
+    flat, counts = _batch_lines(batch)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    didx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pos = np.arange(len(flat), dtype=np.int64) - starts[didx] + 1
+    cand = np.fromiter((s != "" for s in flat), dtype=bool, count=len(flat))
+    lh = np.zeros(len(flat), dtype=np.uint64)
+    if cand.any():
+        uniq, inv = np.unique(flat[cand], return_inverse=True)
+        lh[cand] = md5_le_u64(uniq)[inv]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[didx]),
+            "pos": pa.array(pos),
+            "line": pa.array(flat, pa.string()),
+            "lh": pa.array(lh, pa.uint64()),
+            "cand": pa.array(cand),
+            "n_lines": pa.array(counts[didx]),
+        }
+    )
