@@ -96,3 +96,19 @@ MIX64_GOLDEN = {
     2**63: 5196802822362493915,
     2**64 - 1: 16490336266968443936,
 }
+
+
+def bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64s (0 → 0), the integer
+    ``floor(log2(w)) + 1`` that a float ``np.log2`` would get WRONG near
+    powers of two above 2^53 (float64 mantissa rounding). Six shift/compare
+    passes — O(log bits) numpy ops, no per-element Python. SQL twin:
+    ``length(bin(w))`` for w > 0 (DuckDB bin() is minimal-width)."""
+    w = np.asarray(w, dtype=np.uint64).copy()
+    bl = np.zeros(len(w), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = w >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        w[m] >>= np.uint64(s)
+    bl[w > 0] += 1
+    return bl

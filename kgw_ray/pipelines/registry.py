@@ -2989,6 +2989,11 @@ def q_kg_resource_allocation(sf_dir: str) -> rd.Dataset:
     )
 
 
+register("events_hll_registers", _rel.EVENTS_HLL_SQL)(
+    _rel.events_hll_registers
+)
+
+
 # run the rotation LAST so every registration above (including the
 # post-rotation-block additions) participates in the ordering
 _rotate_gate_window()

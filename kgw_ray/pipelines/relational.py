@@ -22,6 +22,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from kgw_ray.functions.arrow_utils import arrow_from_pandas
+from kgw_ray.functions.porthash import bitlen_u64 as _bitlen_u64
 from kgw_ray.functions.porthash import mix64 as _mix64
 from kgw_ray.sources.readers import read_table, read_table_pandas
 from kgw_ray.stages.agg import grouped_aggregate
@@ -7265,3 +7266,115 @@ FROM wau LEFT JOIN dau ON wau.day = dau.day
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (the mergeable COUNT DISTINCT sketch, Flajolet 2007)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 10  # 2^10 = 1024 registers; std err ≈ 1.04/√1024 ≈ 3.3%
+_HLL_WBITS = 64 - _HLL_P
+_HLL_WMASK = np.uint64((1 << _HLL_WBITS) - 1)
+
+
+def events_hll_registers(sf_dir: str) -> rd.Dataset:
+    """Per-event-type HyperLogLog register table over user_id — the third
+    mergeable-sketch primitive next to CMS (events_cms_estimates) and KMV
+    (events_user_distinct_sketch): register = top-10 bits of
+    splitmix64(user_id), rho = leading-zero rank of the remaining 54 bits,
+    state = MAX(rho) per (event_type, register). The register TABLE is the
+    output — it is the exact fixed-size state a 256-node cluster ships to
+    merge windowed distincts, and every cell is an integer both engines
+    derive bit-identically (functions/porthash.mix64 / bitlen_u64 ↔
+    ``mix64_sql`` / ``length(bin(w))``). Only touched registers surface
+    (vocabulary ≤ |types| × 1024). Estimation accuracy is pinned in
+    tests/test_hll.py (within 10%% of exact per type at sf0.01)."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["user_id"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "reg": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _mix64(uid)
+        reg = (h >> np.uint64(_HLL_WBITS)).astype(np.int64)
+        w = h & _HLL_WMASK
+        rho = np.where(w == 0, _HLL_WBITS + 1, _HLL_WBITS - _bitlen_u64(w) + 1)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "reg": reg,
+                    "rho": rho.astype(np.int64),
+                }
+            )
+            .groupby(["event_type", "reg"], sort=False)["rho"]
+            .max()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+                "reg": pa.array(g["reg"].to_numpy()),
+                "rho": pa.array(g["rho"].to_numpy()),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["event_type", "reg"],
+        [("rho", "max", "max_rho")],
+    )
+
+
+def _hll_sql() -> str:
+    from kgw_ray.functions.porthash import mix64_sql
+
+    h = mix64_sql("CAST(user_id AS UBIGINT)")
+    wm = f"CAST({(1 << _HLL_WBITS) - 1} AS UBIGINT)"
+    return f"""
+WITH h AS (
+  SELECT event_type, {h} AS h FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type,
+         CAST(h >> {_HLL_WBITS} AS BIGINT) AS reg,
+         CASE WHEN (h & {wm}) = CAST(0 AS UBIGINT) THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS} - length(bin(h & {wm})) + 1 END AS rho
+  FROM h
+)
+SELECT event_type, reg, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY event_type, reg
+"""
+
+
+EVENTS_HLL_SQL = _hll_sql()
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = _HLL_P) -> float:
+    """Driver-side HLL cardinality estimate from ONE group's register rows
+    (reg, max_rho) — the standard raw estimator with linear counting for
+    the small range (Flajolet et al. 2007). Float is fine HERE: estimation
+    is post-gate analytics, the gated artifact is the integer register
+    table."""
+    import math
+
+    m = 1 << p
+    regs = np.zeros(m)
+    regs[registers["reg"].to_numpy()] = registers["max_rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int(np.sum(regs == 0))
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return float(raw)
