@@ -2992,6 +2992,9 @@ def q_kg_resource_allocation(sf_dir: str) -> rd.Dataset:
 register("events_hll_registers", _rel.EVENTS_HLL_SQL)(
     _rel.events_hll_registers
 )
+register("docs_hybrid_search_rrf", _td.HYBRID_RRF_SQL)(
+    _td.docs_hybrid_search_rrf
+)
 
 
 # run the rotation LAST so every registration above (including the

@@ -4659,3 +4659,133 @@ SELECT r.lang, s.source,
 FROM r CROSS JOIN s CROSS JOIN n
 LEFT JOIN c ON c.lang = r.lang AND c.source = s.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of keyword + model rankings
+# ---------------------------------------------------------------------------
+
+_RRF_QUERY_TOKENS = ("join", "scan", "filter")
+_RRF_K = 60
+_RRF_DEPTH = 100
+_RRF_TOPN = 20
+
+
+def docs_hybrid_search_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid document retrieval by Reciprocal-Rank Fusion (Cormack et al.
+    2009): ranking A = keyword tf of a fixed query token set (matching docs
+    only), ranking B = the bundled warm-model quality logit, each cut to
+    the top ``_RRF_DEPTH`` under a (score desc, doc_id) TOTAL order, fused
+    as ``rrf_micro = Σ 1_000_000 // (60 + rank)`` — integer floor per term,
+    so both engines agree bit-for-bit where float 1/(k+r) would drift.
+    Output: top ``_RRF_TOPN`` of (doc_id, rrf_micro, kw_rank, q_rank)
+    (rank 0 = absent from that ranking).
+
+    Plan: two independent streaming rankings — a zero-shuffle tf map +
+    ``distributed_topk`` (per-block top-k, driver merge of ≤ blocks×k
+    rows), and the QualityModelScorer actor pool (weights load once per
+    actor) + the same top-k — then a ≤ 2·depth-row driver fuse. Nothing
+    corpus-sized leaves the workers; depth caps the exchange regardless
+    of corpus size."""
+    from kgw_ray.pipelines.relational import distributed_topk
+    from kgw_ray.stages.corpus import flat_tokens
+    from kgw_ray.stages.scoring import QualityModelScorer
+
+    docs = _docs(sf_dir)
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        d, toks = flat_tokens(batch)
+        hit = np.isin(toks, np.array(_RRF_QUERY_TOKENS, dtype=object))
+        tf = np.bincount(d[hit], minlength=batch.num_rows).astype(np.int64)
+        keep = tf > 0
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(ids[keep]), "tf": pa.array(tf[keep])}
+        )
+
+    kw = distributed_topk(
+        docs.map_batches(_tf, batch_format="pyarrow"),
+        ["tf", "doc_id"],
+        [True, False],
+        _RRF_DEPTH,
+    ).to_pandas()
+    kw = kw.sort_values(["tf", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    kw["kw_rank"] = np.arange(1, len(kw) + 1, dtype=np.int64)
+
+    scored = _docs(sf_dir).map_batches(
+        QualityModelScorer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+    q = distributed_topk(
+        scored, ["logit_micro", "doc_id"], [True, False], _RRF_DEPTH
+    ).to_pandas()
+    q = q.sort_values(
+        ["logit_micro", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    q["q_rank"] = np.arange(1, len(q) + 1, dtype=np.int64)
+
+    fused = pd.merge(
+        kw[["doc_id", "kw_rank"]],
+        q[["doc_id", "q_rank"]],
+        on="doc_id",
+        how="outer",
+    ).fillna(0)
+    fused = fused.astype({"kw_rank": "int64", "q_rank": "int64"})
+    kr = fused["kw_rank"].to_numpy()
+    qr = fused["q_rank"].to_numpy()
+    fused["rrf_micro"] = np.where(
+        kr > 0, 1_000_000 // (_RRF_K + kr), 0
+    ) + np.where(qr > 0, 1_000_000 // (_RRF_K + qr), 0)
+    fused = fused.sort_values(
+        ["rrf_micro", "doc_id"], ascending=[False, True]
+    ).head(_RRF_TOPN)
+    return pa.table(
+        {
+            "doc_id": pa.array(fused["doc_id"].to_numpy().astype(np.int64)),
+            "rrf_micro": pa.array(fused["rrf_micro"].to_numpy()),
+            "kw_rank": pa.array(fused["kw_rank"].to_numpy()),
+            "q_rank": pa.array(fused["q_rank"].to_numpy()),
+        }
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from kgw_ray.stages.scoring import quality_model_sql
+
+    toks = ", ".join(f"'{t}'" for t in _RRF_QUERY_TOKENS)
+    return f"""
+WITH kwscore AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+              x -> x IN ({toks}))) AS BIGINT) AS tf
+  FROM documents
+),
+kwrank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS r
+  FROM kwscore WHERE tf > 0
+  ORDER BY tf DESC, doc_id LIMIT {_RRF_DEPTH}
+),
+qm AS ({quality_model_sql()}),
+qrank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY logit_micro DESC, doc_id) AS r
+  FROM qm ORDER BY logit_micro DESC, doc_id LIMIT {_RRF_DEPTH}
+),
+fused AS (
+  SELECT doc_id,
+         COALESCE(1000000 // ({_RRF_K} + k.r), 0)
+           + COALESCE(1000000 // ({_RRF_K} + s.r), 0) AS rrf_micro,
+         COALESCE(k.r, 0) AS kw_rank,
+         COALESCE(s.r, 0) AS q_rank
+  FROM kwrank k FULL OUTER JOIN qrank s USING (doc_id)
+)
+SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       CAST(kw_rank AS BIGINT) AS kw_rank, CAST(q_rank AS BIGINT) AS q_rank
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOPN}
+"""
+
+
+HYBRID_RRF_SQL = _hybrid_rrf_sql()
