@@ -2997,6 +2997,42 @@ register("docs_hybrid_search_rrf", _td.HYBRID_RRF_SQL)(
 )
 
 
+def _webkg_matching_sql() -> str:
+    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+    from kgw_ray.stages.graph_metrics import maximal_matching_sql
+
+    edges_sql = (
+        "SELECT CAST(src_doc_id AS VARCHAR) AS s, "
+        "CAST(dst_doc_id AS VARCHAR) AS t "
+        f"FROM ({_LINK_GRAPH_SQL})"
+    )
+    return maximal_matching_sql(
+        edges_sql, rounds=4, md5_le_expr=f"({_MD5_LE_UINT64})"
+    )
+
+
+@register("webkg_matching", oracle=_webkg_matching_sql())
+def q_webkg_matching(sf_dir: str) -> rd.Dataset:
+    """Deterministic parallel greedy maximal matching over the undirected
+    doc link graph — the edge analog of webkg_mis (Israeli–Itai family):
+    per-round portable edge priorities, an edge matches iff it is the
+    strict min at BOTH endpoints, 4 fixed rounds
+    (stages/graph_metrics.py:greedy_maximal_matching)."""
+    from kgw_ray.pipelines.webkg import link_graph
+    from kgw_ray.stages.graph_metrics import greedy_maximal_matching
+
+    edges = link_graph(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "source_id": t.column("src_doc_id").cast(pa.string()),
+                "target_id": t.column("dst_doc_id").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return greedy_maximal_matching(edges, rounds=4)
+
+
 # run the rotation LAST so every registration above (including the
 # post-rotation-block additions) participates in the ordering
 _rotate_gate_window()

@@ -2368,15 +2368,18 @@ def luby_mis(
     for r in range(1, rounds + 1):
         if undecided.count() == 0:
             break
+        # materialize between the chained semi-joins AND before the
+        # touched_a/b joins below: join-output blocks can be empty-schema
+        # and a downstream hash join then fails at aggregator finalize —
+        # _compact_if_sparse (stages/joins.py:78) repairs exactly this,
+        # but only on MATERIALIZED inputs (latent at gate scale, bites at
+        # tiny/skewed partition counts)
+        half = semi_join_dataset(
+            pairs, undecided, on="a", key_col="id", broadcast_limit=_bl
+        ).materialize()
         live = semi_join_dataset(
-            semi_join_dataset(
-                pairs, undecided, on="a", key_col="id", broadcast_limit=_bl
-            ),
-            undecided,
-            on="b",
-            key_col="id",
-            broadcast_limit=_bl,
-        )
+            half, undecided, on="b", key_col="id", broadcast_limit=_bl
+        ).materialize()
 
         def _sym_keys(t: pa.Table, *, _r=r) -> pa.Table:
             a = t.column("a").to_numpy(zero_copy_only=False)
@@ -2935,4 +2938,240 @@ supf AS (
 SELECT e.a, e.b, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
 FROM {prev} e LEFT JOIN supf s ON s.a = e.a AND s.b = e.b"""
     )
+    return "\n".join(parts)
+
+
+def greedy_maximal_matching(
+    edges: rd.Dataset,
+    *,
+    rounds: int = 4,
+    src: str = "source_id",
+    dst: str = "target_id",
+    broadcast_limit: int | None = None,
+) -> rd.Dataset:
+    """DETERMINISTIC parallel greedy MAXIMAL MATCHING — the edge analog of
+    ``luby_mis`` (Israeli–Itai 1986 family): each round every live edge
+    (both endpoints unmatched) draws the portable priority
+    ``mix64(mix64(ha ^ round) ^ hb)`` over the endpoints' base md5-LE
+    hashes and is matched iff its packed (priority, a, b) key is the
+    strict MIN among live edges at BOTH endpoints — two adjacent edges can
+    never both win (keys are unique per node), and the globally smallest
+    live edge always wins, so every round makes progress. Fixed-round:
+    leftovers simply stay unmatched and both engines agree on them.
+    Output: (a, b, round_matched) for the matched edge set.
+
+    Physical plan per round (the luby_mis machinery): live edges via two
+    size-hybrid semi-joins against the unmatched-node Dataset, ONE
+    packed-key grouped Min per endpoint, winner filter via two size-hybrid
+    attaches of the (Dataset-valued) min-key table, unmatched update via
+    anti-joins — every exchanged table is edge- or node-vocabulary-sized
+    and nothing graph-scale is pulled to the driver. Base hashes are
+    computed ONCE per endpoint (never per round); per-round keys are one
+    vectorized splitmix64. Zero-row blocks pass through every kernel."""
+    from kgw_ray.functions.porthash import md5_le_u64, mix64, u64_to_key20
+    from kgw_ray.stages.joins import anti_join, semi_join_dataset
+
+    _bl = 5_000_000 if broadcast_limit is None else broadcast_limit
+
+    def _base_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "ha": pa.array(md5_le_u64(a), pa.uint64()),
+                "hb": pa.array(md5_le_u64(b), pa.uint64()),
+            }
+        )
+
+    pairs = (
+        _distinct_undirected_pairs(edges, src, dst)
+        .map_batches(_base_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    unmatched = nodes_from_edges(pairs, src="a", dst="b").materialize()
+    matched_parts: list[rd.Dataset] = []
+
+    def _edge_keys(t: pa.Table, *, _r: int) -> np.ndarray:
+        if t.num_rows == 0:
+            return np.zeros(0, dtype=object)
+        ha = t.column("ha").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = t.column("hb").to_numpy(zero_copy_only=False).astype(np.uint64)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        pri = u64_to_key20(mix64(mix64(ha ^ np.uint64(_r)) ^ hb))
+        return np.char.add(
+            np.char.add(np.char.add(pri, a.astype("U")), "|"), b.astype("U")
+        )
+
+    for r in range(1, rounds + 1):
+        if unmatched.count() == 0:
+            break
+        # materialize between the chained semi-joins: a join-output block
+        # can be empty-schema, and the downstream hash join's aggregator
+        # then fails at finalize — _compact_if_sparse (stages/joins.py:78)
+        # repairs exactly this, but only on MATERIALIZED inputs
+        half = semi_join_dataset(
+            pairs, unmatched, on="a", key_col="id", broadcast_limit=_bl
+        ).materialize()
+        live = semi_join_dataset(
+            half, unmatched, on="b", key_col="id", broadcast_limit=_bl
+        )
+
+        def _keyed(t: pa.Table, *, _r=r) -> pa.Table:
+            return pa.table(
+                {
+                    "a": t.column("a"),
+                    "b": t.column("b"),
+                    "ek": pa.array(_edge_keys(t, _r=_r), pa.string()),
+                }
+            )
+
+        keyed = live.map_batches(_keyed, batch_format="pyarrow").materialize()
+
+        def _melt(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ek = t.column("ek").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "c": pa.array(np.concatenate([a, b]), pa.string()),
+                    "ek": pa.array(np.concatenate([ek, ek]), pa.string()),
+                }
+            )
+
+        mk = grouped_aggregate_hybrid(
+            keyed.map_batches(_melt, batch_format="pyarrow"),
+            "c",
+            [("ek", "min", "mk")],
+        ).materialize()
+        if mk.count() == 0:
+            break
+
+        wa = _hybrid_attach(
+            keyed, mk, on="a", right_on="c", broadcast_limit=broadcast_limit
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t["ek"], t["mk"])).select(
+                ["a", "b", "ek"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()  # chained-attach hazard: see the semi-join note
+        winners = _hybrid_attach(
+            wa, mk, on="b", right_on="c", broadcast_limit=broadcast_limit
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t["ek"], t["mk"])).select(["a", "b"]),
+            batch_format="pyarrow",
+        ).materialize()
+
+        def _tag(t: pa.Table, *, _r=r) -> pa.Table:
+            return pa.table(
+                {
+                    "a": t.column("a"),
+                    "b": t.column("b"),
+                    "round_matched": pa.array(
+                        np.full(t.num_rows, _r, dtype=np.int64)
+                    ),
+                }
+            )
+
+        matched_parts.append(
+            winners.map_batches(_tag, batch_format="pyarrow").materialize()
+        )
+
+        def _ends(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ids = np.unique(np.concatenate([a, b]))
+            return pa.table({"id": pa.array(ids, pa.string())})
+
+        ends = winners.map_batches(_ends, batch_format="pyarrow")
+        ends = grouped_aggregate_hybrid(
+            ends.map_batches(
+                lambda t: t.append_column(
+                    "one",
+                    pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                ),
+                batch_format="pyarrow",
+            ),
+            "id",
+            [("one", "sum", "n")],
+        ).select_columns(["id"])
+        unmatched = anti_join(
+            unmatched, ends, on="id", key_col="id", broadcast_limit=_bl
+        ).materialize()
+
+    if not matched_parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "round_matched": pa.array([], pa.int64()),
+                }
+            )
+        )
+    out = matched_parts[0]
+    for p in matched_parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def maximal_matching_sql(
+    edges_sql: str, *, rounds: int = 4, md5_le_expr: str = ""
+) -> str:
+    """The identical fixed-round deterministic matching unrolled into
+    MATERIALIZED CTEs (the luby_mis_sql technique): per-edge priority =
+    splitmix64(splitmix64(ha ^ round) ^ hb) over once-hashed endpoint
+    bases, packed as lpad(pri, 20) || a || '|' || b; an edge wins iff its
+    key is the per-node MIN at both endpoints."""
+    if not md5_le_expr:
+        raise ValueError(
+            "maximal_matching_sql: md5_le_expr is required (an empty "
+            "default would silently generate invalid SQL)"
+        )
+    from kgw_ray.functions.porthash import mix64_sql
+
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM ({edges_sql}) WHERE s <> t),""",
+        "n AS (SELECT a AS id FROM e UNION SELECT b FROM e),",
+        "bs AS MATERIALIZED (SELECT id, "
+        f"({md5_le_expr}) AS base FROM (SELECT id, md5(id) AS hx FROM n)),",
+        "u0 AS MATERIALIZED (SELECT id FROM n)",
+    ]
+    sels = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        inner = mix64_sql(f"xor(ba.base, CAST({r} AS UBIGINT))")
+        pri = mix64_sql(f"xor(CAST({inner} AS UBIGINT), bb.base)")
+        parts.append(
+            f""",
+live{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e
+  JOIN u{p} ua ON ua.id = e.a JOIN u{p} ub ON ub.id = e.b),
+ek{r} AS MATERIALIZED (
+  SELECT l.a, l.b,
+         lpad(CAST({pri} AS VARCHAR), 20, '0') || l.a || '|' || l.b AS key
+  FROM live{r} l
+  JOIN bs ba ON ba.id = l.a JOIN bs bb ON bb.id = l.b),
+mk{r} AS MATERIALIZED (
+  SELECT c, MIN(key) AS mk FROM (
+    SELECT a AS c, key FROM ek{r}
+    UNION ALL
+    SELECT b AS c, key FROM ek{r}
+  ) GROUP BY c),
+w{r} AS MATERIALIZED (
+  SELECT k.a, k.b FROM ek{r} k
+  JOIN mk{r} ma ON ma.c = k.a AND ma.mk = k.key
+  JOIN mk{r} mb ON mb.c = k.b AND mb.mk = k.key),
+u{r} AS MATERIALIZED (
+  SELECT id FROM u{p}
+  WHERE id NOT IN (SELECT a FROM w{r}) AND id NOT IN (SELECT b FROM w{r}))"""
+        )
+        sels.append(
+            f"SELECT a, b, CAST({r} AS BIGINT) AS round_matched FROM w{r}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(sels))
     return "\n".join(parts)
