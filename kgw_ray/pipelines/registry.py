@@ -2995,6 +2995,9 @@ register("events_hll_registers", _rel.EVENTS_HLL_SQL)(
 register("docs_hybrid_search_rrf", _td.HYBRID_RRF_SQL)(
     _td.docs_hybrid_search_rrf
 )
+register("text_cooccurrence_lift", _td.COOC_LIFT_SQL)(
+    _td.text_cooccurrence_lift
+)
 
 
 def _webkg_matching_sql() -> str:

@@ -4789,3 +4789,136 @@ FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOPN}
 
 
 HYBRID_RRF_SQL = _hybrid_rrf_sql()
+
+
+# ---------------------------------------------------------------------------
+# Doc-level token co-occurrence lift (collocation beyond adjacency)
+# ---------------------------------------------------------------------------
+
+_COOC_VOCAB = 100
+_COOC_MIN_CO = 5
+_COOC_TOPN = 50
+
+
+def text_cooccurrence_lift(sf_dir: str) -> pa.Table:
+    """Document-level token co-occurrence association: for the top
+    ``_COOC_VOCAB`` tokens by document frequency, every pair's exact lift
+    ``co_df · N · 10⁶ // (df_x · df_y)`` (arbitrary-precision on both
+    engines — Python int here, HUGEINT in the oracle), co_df ≥
+    ``_COOC_MIN_CO``, top ``_COOC_TOPN`` under (lift desc, x, y). The
+    doc-LEVEL complement of text_bigram_lift's adjacency collocation —
+    "appear in the same document" vs "appear adjacent".
+
+    Plan: one df pass (the shared ``df_partial`` combiner → vocabulary
+    Sum) picks the head vocabulary under a (df desc, tok) total order and
+    broadcasts it ONCE sorted; the pair pass maps each doc's distinct
+    in-vocab tokens to indices and emits integer-packed upper-triangle
+    pair partials (≤ V²-bounded), one Sum exchange, Python-int driver
+    fold over ≤ V² rows. The head-vocabulary cap is the scale guard: the
+    pair space is V², never corpus-vocabulary²."""
+    import ray
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+    from kgw_ray.stages.corpus import df_partial, distinct_doc_grams, flat_tokens
+
+    docs = _docs(sf_dir)
+    dfs = grouped_aggregate_hybrid(
+        docs.map_batches(df_partial, batch_format="pyarrow"),
+        "tok",
+        [("df", "sum", "df")],
+    ).to_pandas()  # vocabulary-sized pull
+    n_docs = docs.count()
+    dfs = (
+        dfs.sort_values(["df", "tok"], ascending=[False, True])
+        .head(_COOC_VOCAB)
+        .reset_index(drop=True)
+    )
+    vocab_sorted = np.sort(dfs["tok"].to_numpy())
+    df_of = dict(zip(dfs["tok"], dfs["df"].astype(int)))
+    V = len(vocab_sorted)
+    ref = ray.put(vocab_sorted)
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        d, toks = flat_tokens(batch)
+        dd, tt = distinct_doc_grams(d, toks)
+        if len(tt):
+            pos = np.searchsorted(vs, tt)
+            pos[pos == len(vs)] = 0
+            hit = vs[pos] == tt
+            dd, idx = dd[hit], np.searchsorted(vs, tt[hit])
+        else:
+            idx = np.zeros(0, np.int64)
+        keys = []
+        if len(idx):
+            order = np.lexsort((idx, dd))
+            dd, idx = dd[order], idx[order]
+            seg = np.nonzero(np.concatenate(([True], dd[1:] != dd[:-1])))[0]
+            ends = np.append(seg[1:], len(dd))
+            for s, e in zip(seg, ends):
+                m = e - s
+                if m < 2:
+                    continue
+                i, j = np.triu_indices(m, 1)
+                keys.append(idx[s:e][i] * np.int64(V) + idx[s:e][j])
+        if not keys:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        uq, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table(
+            {"k": pa.array(uq.astype(np.int64)), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    co = grouped_aggregate_hybrid(
+        docs.map_batches(_pair_partial, batch_format="pyarrow"),
+        "k",
+        [("n", "sum", "co_df")],
+    ).to_pandas()  # ≤ V² rows
+    rows = []
+    for k, co_df in zip(co["k"].astype(int), co["co_df"].astype(int)):
+        if co_df < _COOC_MIN_CO:
+            continue
+        x, y = vocab_sorted[k // V], vocab_sorted[k % V]
+        lift = co_df * n_docs * 1_000_000 // (df_of[x] * df_of[y])
+        rows.append((x, y, co_df, lift))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:_COOC_TOPN]
+    return pa.table(
+        {
+            "x": pa.array([r[0] for r in rows], pa.string()),
+            "y": pa.array([r[1] for r in rows], pa.string()),
+            "co_df": pa.array([r[2] for r in rows], pa.int64()),
+            "lift_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+COOC_LIFT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> ''
+         ))) AS tok
+  FROM documents
+),
+df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+vocab AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT {_COOC_VOCAB}),
+vt AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok)),
+pairs AS (
+  SELECT a.tok AS x, b.tok AS y, COUNT(*) AS co_df
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT p.x, p.y, CAST(p.co_df AS BIGINT) AS co_df,
+       CAST(CAST(p.co_df AS HUGEINT) * n.n_docs * 1000000
+            // (CAST(dx.df AS HUGEINT) * dy.df) AS BIGINT) AS lift_micro
+FROM pairs p
+JOIN vocab dx ON dx.tok = p.x
+JOIN vocab dy ON dy.tok = p.y
+CROSS JOIN n
+WHERE p.co_df >= {_COOC_MIN_CO}
+ORDER BY lift_micro DESC, p.x, p.y
+LIMIT {_COOC_TOPN}
+"""
