@@ -2588,6 +2588,13 @@ _R5_ROTATE_IN = [
     "orders_basket_triples",   # apriori level-3 itemset support
     "events_dau_wau_stickiness",  # trailing-window exact COUNT DISTINCT
     "docs_lang_source_chi2",   # exact-integer contingency chi-square grid
+    # fifth-session additions — brand-new machinery, externally gated
+    "webkg_wet_line_dedup",    # RefinedWeb line-level boilerplate dedup
+    "kg_resource_allocation",  # exact-integer RA link prediction
+    "events_hll_registers",    # HyperLogLog register sketch (mergeable)
+    "docs_hybrid_search_rrf",  # reciprocal-rank fusion hybrid retrieval
+    "webkg_matching",          # parallel greedy maximal matching
+    "text_cooccurrence_lift",  # doc-level co-occurrence association
 ]
 _R5_ROTATE_OUT = [
     "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
@@ -2630,6 +2637,14 @@ _R5_ROTATE_OUT = [
     "media_resize_digest",       # green r4; media family replica-checked
     "kg_statistics",             # green r1-r4; count machinery everywhere
     "docs_batch_by_token_budget",  # green r4; packing twin docs_pack stays
+    # fifth-session displacements — externally green in round 4,
+    # machinery stays replica-checked every run
+    "events_latest_per_user",    # green r4; arg-max rides latest_pages/CDC
+    "events_funnel",             # green r4; ordered-pass rides journeys
+    "join_lineitem_orders_bloom",  # green r4; bloom join rides hash twin
+    "curate_documents_full",     # green r4; recipe composes gated stages
+    "kg_scc",                    # green r4; coloring loop rides bowtie
+    "webkg_edges_incremental",   # green r4; merge rides edge_deltas/CDC
 ]
 
 
@@ -2997,6 +3012,12 @@ register("docs_hybrid_search_rrf", _td.HYBRID_RRF_SQL)(
 )
 register("text_cooccurrence_lift", _td.COOC_LIFT_SQL)(
     _td.text_cooccurrence_lift
+)
+register("users_decayed_engagement", _rel.USERS_DECAYED_SQL)(
+    _rel.users_decayed_engagement
+)
+register("users_activity_bitmap", _rel.USERS_BITMAP_SQL)(
+    _rel.users_activity_bitmap
 )
 
 

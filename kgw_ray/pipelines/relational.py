@@ -7378,3 +7378,182 @@ def hll_estimate(registers: pd.DataFrame, p: int = _HLL_P) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return float(raw)
+
+
+# ---------------------------------------------------------------------------
+# Recency feature engineering: decayed engagement + L28 activity bitmaps
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _events_ref_day(ds: rd.Dataset) -> int:
+    """Max epoch-day in the corpus — the deterministic 'now' anchor both
+    engines derive from the data (no wall clock)."""
+    mx = ds.max("ts")
+    ts_us = pa.scalar(mx, pa.timestamp("us")).cast(pa.int64()).as_py()
+    return ts_us // _US_PER_DAY
+
+
+def users_decayed_engagement(sf_dir: str) -> rd.Dataset:
+    """Per-user exponentially time-decayed engagement value with a 1-week
+    half-life, EXACT: each event contributes ``cents >> age_weeks``
+    (integer floor per event, order-independent, identical to the oracle's
+    ``cents // (1 << LEAST(age_weeks, 62))``), anchored at the corpus max
+    event day. The classic recency-weighted scoring feature computed
+    without a single float. Plan: one tiny max(ts) pass for the anchor,
+    then per-batch per-user partial sums → one user-vocabulary Sum."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ref_day = _events_ref_day(ds)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "dc": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        day = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _US_PER_DAY
+        )
+        wk = np.minimum((ref_day - day) // 7, 62)
+        dec = cents // (np.int64(1) << wk)
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "dc": dec,
+                    "n": np.ones(len(dec), dtype=np.int64),
+                }
+            )
+            .groupby("user_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy()),
+                "dc": pa.array(g["dc"].to_numpy()),
+                "n": pa.array(g["n"].to_numpy()),
+            }
+        )
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    return grouped_aggregate_hybrid(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        "user_id",
+        [("dc", "sum", "decayed_cents"), ("n", "sum", "n_events")],
+    )
+
+
+USERS_DECAYED_SQL = """
+WITH ref AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(max(ts) AS DATE))
+         AS BIGINT) AS rd
+  FROM events
+),
+e AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(cents // (CAST(1 AS BIGINT)
+                << LEAST((ref.rd - d) // 7, 62))) AS BIGINT) AS decayed_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e, ref GROUP BY user_id
+"""
+
+
+def users_activity_bitmap(sf_dir: str) -> rd.Dataset:
+    """Per-user L28 daily-activity bitmap: bit k set iff the user was
+    active k days before the corpus max day (k < 28) — the fixed-width
+    engagement feature a training pipeline joins onto every example, plus
+    its popcount. Exact integers; the bitmap is ``Σ 2^k`` over DISTINCT
+    active offsets, so the plan is two bounded exchanges: a grouped
+    distinct over (user, k) — users × 28 rows — then a user-keyed Sum.
+    n_active_days = the distinct-day count (no popcount kernel needed)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    ref_day = _events_ref_day(ds)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        day = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _US_PER_DAY
+        )
+        k = ref_day - day
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        keep = k < 28
+        pairs = np.unique(
+            np.stack([uid[keep], k[keep]], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0]),
+                "k": pa.array(pairs[:, 1]),
+                "one": pa.array(np.ones(len(pairs), dtype=np.int64)),
+            }
+        )
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    distinct = grouped_aggregate_hybrid(
+        ds.map_batches(_pairs, batch_format="pyarrow"),
+        ["user_id", "k"],
+        [("one", "max", "one")],
+    )
+
+    def _bits(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "bit": pa.array(np.int64(1) << k),
+                "one": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        distinct.map_batches(_bits, batch_format="pyarrow"),
+        "user_id",
+        [("bit", "sum", "l28_bitmap"), ("one", "sum", "n_active_days")],
+    )
+
+
+USERS_BITMAP_SQL = """
+WITH ref AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(max(ts) AS DATE))
+         AS BIGINT) AS rd
+  FROM events
+),
+d AS (
+  SELECT DISTINCT user_id,
+         ref.rd - CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS BIGINT) AS k
+  FROM events, ref
+  WHERE ref.rd - CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) < 28
+)
+SELECT user_id,
+       CAST(SUM(CAST(1 AS BIGINT) << k) AS BIGINT) AS l28_bitmap,
+       CAST(COUNT(*) AS BIGINT) AS n_active_days
+FROM d GROUP BY user_id
+"""
