@@ -3035,6 +3035,42 @@ def _webkg_matching_sql() -> str:
     )
 
 
+def _webkg_coloring_sql() -> str:
+    from kgw_ray.pipelines.training_data import _MD5_LE_UINT64
+    from kgw_ray.stages.graph_metrics import jp_coloring_sql
+
+    edges_sql = (
+        "SELECT CAST(src_doc_id AS VARCHAR) AS s, "
+        "CAST(dst_doc_id AS VARCHAR) AS t "
+        f"FROM ({_LINK_GRAPH_SQL})"
+    )
+    return jp_coloring_sql(
+        edges_sql, rounds=5, md5_le_expr=f"({_MD5_LE_UINT64})"
+    )
+
+
+@register("webkg_coloring", oracle=_webkg_coloring_sql())
+def q_webkg_coloring(sf_dir: str) -> rd.Dataset:
+    """Deterministic Jones–Plassmann greedy coloring of the undirected doc
+    link graph — static portable priorities, max-key winners per round,
+    smallest-unused-color via the lowest-zero-bit identity; 5 fixed
+    rounds (stages/graph_metrics.py:jones_plassmann_coloring). Proper by
+    construction: same-round winners are independent."""
+    from kgw_ray.pipelines.webkg import link_graph
+    from kgw_ray.stages.graph_metrics import jones_plassmann_coloring
+
+    edges = link_graph(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "source_id": t.column("src_doc_id").cast(pa.string()),
+                "target_id": t.column("dst_doc_id").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return jones_plassmann_coloring(edges, rounds=5)
+
+
 @register("webkg_matching", oracle=_webkg_matching_sql())
 def q_webkg_matching(sf_dir: str) -> rd.Dataset:
     """Deterministic parallel greedy maximal matching over the undirected

@@ -3175,3 +3175,363 @@ u{r} AS MATERIALIZED (
         )
     parts.append("\n" + "\nUNION ALL\n".join(sels))
     return "\n".join(parts)
+
+
+def jones_plassmann_coloring(
+    edges: rd.Dataset,
+    *,
+    rounds: int = 5,
+    src: str = "source_id",
+    dst: str = "target_id",
+    broadcast_limit: int | None = None,
+) -> rd.Dataset:
+    """DETERMINISTIC Jones–Plassmann greedy graph coloring (Jones &
+    Plassmann 1993) — the third member of the parallel symmetry-breaking
+    family next to ``luby_mis`` (nodes) and ``greedy_maximal_matching``
+    (edges): every node holds ONE static portable priority key
+    (zfill20(mix64(md5_le(id))) || id); each round the undecided nodes
+    whose key exceeds every undecided neighbor's key color themselves with
+    the smallest color unused by their already-colored neighbors.
+    Same-round winners are independent in the undecided subgraph (one of
+    two adjacent undecided nodes has the larger key), so the parallel
+    assignment is race-free and the coloring is PROPER by construction.
+    Fixed-round: leftovers report color −1 / round −1 and both engines
+    agree on them. Output: (id, color, round_colored).
+
+    Physical plan per round: live undecided-subgraph edges via two
+    size-hybrid semi-joins (materialized between — the chained-join
+    empty-block rule), ONE grouped MAX of neighbor keys, winners by
+    vectorized key compare, used-color bitmaps as Σ 2^color over the
+    DISTINCT (winner, neighbor-color) pairs (two bounded exchanges —
+    colors < round, so bitmaps are tiny ints), smallest-unused-color via
+    the lowest-zero-bit identity bitlen((~bm) & (bm+1)) − 1 (exactly the
+    oracle's CASE chain). Node-vocabulary-sized exchanges throughout."""
+    from kgw_ray.functions.porthash import (
+        bitlen_u64,
+        md5_le_u64,
+        mix64,
+        u64_to_key20,
+    )
+    from kgw_ray.stages.joins import anti_join, semi_join_dataset
+
+    _bl = 5_000_000 if broadcast_limit is None else broadcast_limit
+
+    def _keyed_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        ka = _static_keys(a)
+        kb = _static_keys(b)
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "ka": pa.array(ka, pa.string()),
+                "kb": pa.array(kb, pa.string()),
+            }
+        )
+
+    def _static_keys(ids: np.ndarray) -> np.ndarray:
+        if len(ids) == 0:
+            return np.zeros(0, dtype=object)
+        pri = u64_to_key20(mix64(md5_le_u64(ids)))
+        return np.char.add(pri, ids.astype("U"))
+
+    pairs = (
+        _distinct_undirected_pairs(edges, src, dst)
+        .map_batches(_keyed_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _node_keys(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id": t.column("id"),
+                "own": pa.array(_static_keys(ids), pa.string()),
+            }
+        )
+
+    undecided = (
+        nodes_from_edges(pairs, src="a", dst="b")
+        .map_batches(_node_keys, batch_format="pyarrow")
+        .materialize()
+    )
+    colored: rd.Dataset | None = None
+    colored_parts: list[rd.Dataset] = []
+
+    for r in range(1, rounds + 1):
+        if undecided.count() == 0:
+            break
+        half = semi_join_dataset(
+            pairs, undecided, on="a", key_col="id", broadcast_limit=_bl
+        ).materialize()
+        live = semi_join_dataset(
+            half, undecided, on="b", key_col="id", broadcast_limit=_bl
+        ).materialize()
+
+        def _melt(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ka = t.column("ka").to_numpy(zero_copy_only=False)
+            kb = t.column("kb").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "c": pa.array(np.concatenate([a, b]), pa.string()),
+                    "nkey": pa.array(np.concatenate([kb, ka]), pa.string()),
+                }
+            )
+
+        mx = grouped_aggregate_hybrid(
+            live.map_batches(_melt, batch_format="pyarrow"),
+            "c",
+            [("nkey", "max", "mx")],
+        ).materialize()
+
+        if mx.count() == 0:
+            winners = undecided.select_columns(["id"]).materialize()
+        else:
+            attached = _hybrid_attach(
+                undecided,
+                mx,
+                on="id",
+                right_on="c",
+                how="left",
+                broadcast_limit=broadcast_limit,
+            )
+
+            def _winners(t: pa.Table) -> pa.Table:
+                mxc = (
+                    t.column("mx")
+                    if "mx" in t.column_names
+                    else pa.nulls(t.num_rows, pa.string())
+                )
+                win = pc.fill_null(pc.greater(t.column("own"), mxc), True)
+                return pa.table({"id": t.filter(win).column("id")})
+
+            winners = attached.map_batches(
+                _winners, batch_format="pyarrow"
+            ).materialize()
+
+        # used-color bitmap per winner from ALREADY-colored neighbors
+        if colored is None or colored.count() == 0:
+            bm = None
+        else:
+            wa = semi_join_dataset(
+                pairs, winners, on="a", key_col="id", broadcast_limit=_bl
+            ).materialize()
+            ca = _hybrid_attach(
+                wa.map_batches(
+                    lambda t: pa.table(
+                        {"w": t.column("a"), "nb": t.column("b")}
+                    ),
+                    batch_format="pyarrow",
+                ).materialize(),  # chained-join empty-block rule
+                colored,
+                on="nb",
+                right_on="id",
+                how="inner",
+                broadcast_limit=broadcast_limit,
+            )
+            wb = semi_join_dataset(
+                pairs, winners, on="b", key_col="id", broadcast_limit=_bl
+            ).materialize()
+            cb = _hybrid_attach(
+                wb.map_batches(
+                    lambda t: pa.table(
+                        {"w": t.column("b"), "nb": t.column("a")}
+                    ),
+                    batch_format="pyarrow",
+                ).materialize(),  # chained-join empty-block rule
+                colored,
+                on="nb",
+                right_on="id",
+                how="inner",
+                broadcast_limit=broadcast_limit,
+            )
+
+            def _wc(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "w": t.column("w"),
+                        "color": t.column("color"),
+                        "one": pa.array(
+                            np.ones(t.num_rows, dtype=np.int64)
+                        ),
+                    }
+                )
+
+            wc = grouped_aggregate_hybrid(
+                ca.map_batches(_wc, batch_format="pyarrow").union(
+                    cb.map_batches(_wc, batch_format="pyarrow")
+                ),
+                ["w", "color"],
+                [("one", "max", "one")],
+            )
+
+            def _bits(t: pa.Table) -> pa.Table:
+                c = t.column("color").to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "w": t.column("w"),
+                        "bit": pa.array(np.int64(1) << c),
+                    }
+                )
+
+            bm = grouped_aggregate_hybrid(
+                wc.map_batches(_bits, batch_format="pyarrow"),
+                "w",
+                [("bit", "sum", "bm")],
+            ).materialize()
+
+        if bm is None or bm.count() == 0:
+            withbm = winners.map_batches(
+                lambda t: t.append_column(
+                    "bm", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            withbm = _hybrid_attach(
+                winners,
+                bm,
+                on="id",
+                right_on="w",
+                how="left",
+                broadcast_limit=broadcast_limit,
+            ).map_batches(
+                lambda t: pa.table(
+                    {
+                        "id": t.column("id"),
+                        "bm": pc.fill_null(
+                            t.column("bm")
+                            if "bm" in t.column_names
+                            else pa.nulls(t.num_rows, pa.int64()),
+                            0,
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+        def _assign(t: pa.Table, *, _r=r) -> pa.Table:
+            bmv = t.column("bm").to_numpy(zero_copy_only=False).astype(np.int64)
+            low = (~bmv) & (bmv + 1)  # lowest zero bit of the bitmap
+            color = bitlen_u64(low.astype(np.uint64)) - 1
+            return pa.table(
+                {
+                    "id": t.column("id"),
+                    "color": pa.array(color.astype(np.int64)),
+                    "round_colored": pa.array(
+                        np.full(t.num_rows, _r, dtype=np.int64)
+                    ),
+                }
+            )
+
+        newly = withbm.map_batches(_assign, batch_format="pyarrow").materialize()
+        colored_parts.append(newly)
+        colored = (
+            newly
+            if colored is None
+            else colored.union(newly).materialize()
+        )
+        undecided = anti_join(
+            undecided, winners, on="id", key_col="id", broadcast_limit=_bl
+        ).materialize()
+
+    def _tag_und(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t.column("id"),
+                "color": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "round_colored": pa.array(
+                    np.full(t.num_rows, -1, dtype=np.int64)
+                ),
+            }
+        )
+
+    out = undecided.select_columns(["id"]).map_batches(
+        _tag_und, batch_format="pyarrow"
+    )
+    for p in colored_parts:
+        out = out.union(p)
+    return out
+
+
+def jp_coloring_sql(
+    edges_sql: str, *, rounds: int = 5, md5_le_expr: str = ""
+) -> str:
+    """The identical fixed-round Jones–Plassmann iteration unrolled into
+    MATERIALIZED CTEs: static packed keys, per-round MAX-neighbor winner
+    rule, used-color bitmaps as SUM(DISTINCT-pair 2^color), and the
+    smallest-unused-color CASE chain (colors assigned in round r are
+    < r, so the chain is bounded by the round index)."""
+    if not md5_le_expr:
+        raise ValueError(
+            "jp_coloring_sql: md5_le_expr is required (an empty default "
+            "would silently generate invalid SQL)"
+        )
+    from kgw_ray.functions.porthash import mix64_sql
+
+    key = mix64_sql("b.base")
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM ({edges_sql}) WHERE s <> t),""",
+        "n AS (SELECT a AS id FROM e UNION SELECT b FROM e),",
+        "bs0 AS MATERIALIZED (SELECT id, "
+        f"({md5_le_expr}) AS base FROM (SELECT id, md5(id) AS hx FROM n)),",
+        "k AS MATERIALIZED (SELECT b.id, "
+        f"lpad(CAST({key} AS VARCHAR), 20, '0') || b.id AS key FROM bs0 b),",
+        "u0 AS MATERIALIZED (SELECT id FROM n),",
+        "c0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS color, "
+        "CAST(0 AS BIGINT) AS round_colored FROM n WHERE 1 = 0)",
+    ]
+    sels = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        case = " ".join(
+            f"WHEN (bm >> {c}) % 2 = 0 THEN {c}" for c in range(r)
+        )
+        parts.append(
+            f""",
+live{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e
+  JOIN u{p} ua ON ua.id = e.a JOIN u{p} ub ON ub.id = e.b),
+mx{r} AS MATERIALIZED (
+  SELECT c, MAX(nkey) AS mx FROM (
+    SELECT l.a AS c, kb.key AS nkey FROM live{r} l JOIN k kb ON kb.id = l.b
+    UNION ALL
+    SELECT l.b AS c, ka.key AS nkey FROM live{r} l JOIN k ka ON ka.id = l.a
+  ) GROUP BY c),
+w{r} AS MATERIALIZED (
+  SELECT u.id FROM u{p} u
+  JOIN k ON k.id = u.id
+  LEFT JOIN mx{r} m ON m.c = u.id
+  WHERE m.mx IS NULL OR k.key > m.mx),
+bm{r} AS MATERIALIZED (
+  SELECT w, CAST(SUM(CAST(1 AS BIGINT) << color) AS BIGINT) AS bm FROM (
+    SELECT DISTINCT x.w, x.color FROM (
+      SELECT e.a AS w, c.color FROM e
+      JOIN w{r} ww ON ww.id = e.a JOIN c{p} c ON c.id = e.b
+      UNION ALL
+      SELECT e.b AS w, c.color FROM e
+      JOIN w{r} ww ON ww.id = e.b JOIN c{p} c ON c.id = e.a
+    ) x
+  ) GROUP BY w),
+c{r} AS MATERIALIZED (
+  SELECT id, color, round_colored FROM c{p}
+  UNION ALL
+  SELECT id,
+         CAST(CASE {case} ELSE {r} END AS BIGINT) AS color,
+         CAST({r} AS BIGINT) AS round_colored
+  FROM (SELECT ww.id, COALESCE(b.bm, 0) AS bm
+        FROM w{r} ww LEFT JOIN bm{r} b ON b.w = ww.id) t),
+u{r} AS MATERIALIZED (
+  SELECT id FROM u{p} WHERE id NOT IN (SELECT id FROM w{r}))"""
+        )
+    sels.append(f"SELECT id, color, round_colored FROM c{rounds}")
+    sels.append(
+        f"SELECT id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM u{rounds}"
+    )
+    parts.append("\n" + "\nUNION ALL\n".join(sels))
+    return "\n".join(parts)

@@ -149,6 +149,19 @@ def large_join(
         rt = _empty_arrow_like(right)
         lt = _empty_arrow_like(left)
         if rt is None or lt is None:
+            # a schema-less empty side (a never-executed map over an empty
+            # join output) would crash the distributed join's aggregator
+            # (FieldRef on a column-less block); the ROW-wise result is
+            # known without any schema, so short-circuit the safe cases
+            if left_empty and how in (
+                "inner",
+                "left_outer",
+                "left_semi",
+                "left_anti",
+            ):
+                return left  # zero rows either way
+            if right_empty and how in ("inner", "left_semi"):
+                return left.limit(0)
             return _distributed_join(left, right, on, right_on, how, num_partitions)
         keys = list(on)
         rkeys = list(right_on) if right_on else None
