@@ -3093,6 +3093,79 @@ def q_webkg_matching(sf_dir: str) -> rd.Dataset:
     return greedy_maximal_matching(edges, rounds=4)
 
 
+def _webkg_vertex_cover_sql() -> str:
+    mm = _webkg_matching_sql()
+    return f"""
+WITH m AS ({mm})
+SELECT id FROM (SELECT a AS id FROM m UNION SELECT b FROM m)
+"""
+
+
+@register("webkg_vertex_cover", oracle=_webkg_vertex_cover_sql())
+def q_webkg_vertex_cover(sf_dir: str) -> rd.Dataset:
+    """2-approximate minimum vertex cover (Gavril): the endpoint set of
+    the deterministic greedy maximal matching — every edge touches a
+    matched endpoint (maximality), and no cover can be smaller than half
+    the endpoints (matching edges are disjoint). Pure derivation of the
+    gated webkg_matching machinery; one extra melt + distinct."""
+    from kgw_ray.pipelines.registry import q_webkg_matching
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    import numpy as np
+
+    m = q_webkg_matching(sf_dir)
+
+    def _ends(t: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        ids = np.unique(np.concatenate([a, b]))
+        return _pa.table(
+            {
+                "id": _pa.array(ids, _pa.string()),
+                "one": _pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        m.map_batches(_ends, batch_format="pyarrow"), "id", [("one", "max", "one")]
+    ).select_columns(["id"])
+
+
+_KG_C4_SQL = f"""
+WITH cn AS ({_KG_CN_SQL})
+SELECT CAST(COALESCE(SUM(n_common * (n_common - 1) // 2), 0) // 2 AS BIGINT)
+       AS n_four_cycles
+FROM cn
+"""
+
+
+@register("kg_four_cycles", oracle=_KG_C4_SQL)
+def q_kg_four_cycles(sf_dir: str) -> pa.Table:
+    """EXACT global 4-cycle count over the undirected simple KG: each C4
+    u–a–v–b–u is determined by its two opposite pairs, so
+    #C4 = Σ_{{x<y}} C(codeg(x,y), 2) / 2 over the common-neighbor table —
+    one extra vectorized fold on the gated wedge machinery (the classic
+    rectangle-counting identity). Integer-exact in both engines."""
+    from kgw_ray.pipelines.webkg import edges_from_triples, triples_dataset
+    from kgw_ray.stages.graph import common_neighbor_counts
+
+    import numpy as np
+
+    cn = common_neighbor_counts(edges_from_triples(triples_dataset(sf_dir)))
+
+    def _fold(t: pa.Table) -> pa.Table:
+        n = t.column("n_common").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"s": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())}
+        )
+
+    parts = cn.map_batches(_fold, batch_format="pyarrow").to_pandas()
+    total = int(parts["s"].sum()) // 2 if len(parts) else 0
+    return pa.table({"n_four_cycles": pa.array([total], pa.int64())})
+
+
 # run the rotation LAST so every registration above (including the
 # post-rotation-block additions) participates in the ordering
 _rotate_gate_window()
