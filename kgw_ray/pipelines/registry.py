@@ -3019,6 +3019,9 @@ register("users_decayed_engagement", _rel.USERS_DECAYED_SQL)(
 register("users_activity_bitmap", _rel.USERS_BITMAP_SQL)(
     _rel.users_activity_bitmap
 )
+register("events_user_active_time", _rel.EVENTS_ACTIVE_TIME_SQL)(
+    _rel.events_user_active_time
+)
 
 
 def _webkg_matching_sql() -> str:

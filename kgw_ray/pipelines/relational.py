@@ -7557,3 +7557,114 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_active_days
 FROM d GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage: exact per-user active time
+# ---------------------------------------------------------------------------
+
+_ACTIVE_WINDOW_US = 300_000_000  # each event opens a 5-minute activity window
+
+
+def events_user_active_time(sf_dir: str) -> rd.Dataset:
+    """EXACT per-user union-of-intervals coverage: every event opens the
+    interval [ts, ts + 5 min); overlapping intervals merge, and the output
+    is (user_id, active_us, n_intervals, n_islands) — total covered
+    microseconds, raw interval count, and merged-run count. The classic
+    gaps-and-islands interval-union op (billing/engagement coverage) that
+    plain GROUP BY cannot express.
+
+    Sharded-coarse plan (the house per-user window machinery): ONE
+    shuffle on ``user_id % 64``, then per shard a pandas sort +
+    ``groupby.cummax`` (C-level over users) finds island breaks — an
+    interval starts a new island iff its start exceeds the running max
+    end of everything before it — and one (user, island) groupby folds
+    max(end) − min(start). Integer µs end to end; the oracle re-derives
+    the same islands with a MAX window frame."""
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "active_us": pa.array([], pa.int64()),
+            "n_intervals": pa.array([], pa.int64()),
+            "n_islands": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _empty
+        s = g["ts"].astype("int64").to_numpy()
+        df = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "s": s, "e": s + _ACTIVE_WINDOW_US}
+        ).sort_values(["user_id", "s", "e"], kind="mergesort")
+        prev_max_e = (
+            df.groupby("user_id", sort=False)["e"].cummax().shift(1)
+        )
+        first = ~df["user_id"].duplicated()
+        brk = (df["s"] > prev_max_e) | first
+        df["isl"] = brk.cumsum()  # global island ids (unique across users)
+        isl = (
+            df.groupby(["user_id", "isl"], sort=False)
+            .agg(smin=("s", "min"), emax=("e", "max"), n=("s", "size"))
+            .reset_index()
+        )
+        out = (
+            isl.assign(length=isl["emax"] - isl["smin"])
+            .groupby("user_id", sort=False)
+            .agg(
+                active_us=("length", "sum"),
+                n_intervals=("n", "sum"),
+                n_islands=("length", "size"),
+            )
+            .reset_index()
+        )
+        return arrow_from_pandas(
+            out.astype(
+                {
+                    "user_id": "int64",
+                    "active_us": "int64",
+                    "n_intervals": "int64",
+                    "n_islands": "int64",
+                }
+            )
+        )
+
+    return (
+        ds.map_batches(_shard_by_user, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+EVENTS_ACTIVE_TIME_SQL = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_ACTIVE_WINDOW_US} AS e
+  FROM events
+),
+w AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM w
+),
+isl AS (
+  SELECT user_id, isl, MAX(e) - MIN(s) AS len, COUNT(*) AS n
+  FROM g GROUP BY user_id, isl
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS active_us,
+       CAST(SUM(n) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM isl GROUP BY user_id
+"""
