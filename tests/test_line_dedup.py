@@ -142,3 +142,58 @@ def test_wet_line_dedup_drops_headers(sf_smoke):
     assert (df["n_dropped"] >= 1).all()
     assert (df["n_lines"] == 5).all()
     assert (df["n_dropped"] <= 2).all()  # URI/blank/text always survive
+
+
+# --- property-based: kernels vs pure-Python brute force -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_line = st.text(alphabet="ab\n ", max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(_line, min_size=1, max_size=8),
+    max_df=st.integers(min_value=1, max_value=4),
+)
+def test_line_kernels_match_brute(texts, max_df):
+    """df partial + mark batch over ONE batch == the brute-force rule for
+    any corpus (exercises blank runs, whitespace-only and dup lines)."""
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    # brute drop set
+    df = {}
+    for t in texts:
+        for ln in set(t.split("\n")):
+            if ln != "":
+                df[ln] = df.get(ln, 0) + 1
+    drop_lines = {ln for ln, n in df.items() if n >= max_df}
+
+    # engine drop set from the partial (single batch → df is exact)
+    part = line_df_partial(batch)
+    import numpy as np
+    from kgw_ray.functions.porthash import md5_le_u64
+
+    lh = part.column("lh").to_numpy(zero_copy_only=False)
+    n = part.column("n").to_numpy(zero_copy_only=False)
+    drop_sorted = np.sort(lh[n >= max_df])
+    expect_drop_hashes = (
+        set(md5_le_u64(sorted(drop_lines)).tolist()) if drop_lines else set()
+    )
+    assert set(drop_sorted.tolist()) == expect_drop_hashes
+
+    out = line_dedup_mark_batch(batch, drop_sorted).to_pandas()
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        kept = [ln for ln in lines if ln == "" or ln not in drop_lines]
+        row = out[out["doc_id"] == i].iloc[0]
+        assert int(row["n_lines"]) == len(lines)
+        assert int(row["n_dropped"]) == len(lines) - len(kept)
+        assert row["kept_md5"] == hashlib.md5(
+            "\n".join(kept).encode()
+        ).hexdigest()
