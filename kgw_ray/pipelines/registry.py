@@ -3022,6 +3022,27 @@ register("users_activity_bitmap", _rel.USERS_BITMAP_SQL)(
 register("events_user_active_time", _rel.EVENTS_ACTIVE_TIME_SQL)(
     _rel.events_user_active_time
 )
+register("events_hourly_dispersion", _rel.EVENTS_DISPERSION_SQL)(
+    _rel.events_hourly_dispersion
+)
+
+
+def _ttr_sql() -> str:
+    from kgw_ray.stages.textstats import TTR_SQL
+
+    return TTR_SQL
+
+
+@register("text_ttr", oracle=_ttr_sql())
+def q_text_ttr(sf_dir: str) -> rd.Dataset:
+    """Per-document type-token ratio (lexical diversity QC) — integer
+    permille over the pinned tokenizer; zero shuffle
+    (stages/textstats.py:ttr_batch)."""
+    from kgw_ray.stages.textstats import ttr_batch
+
+    return read_table(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).map_batches(ttr_batch, batch_format="pyarrow")
 
 
 def _webkg_matching_sql() -> str:

@@ -7668,3 +7668,82 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_islands
 FROM isl GROUP BY user_id
 """
+
+
+def events_hourly_dispersion(sf_dir: str) -> pa.Table:
+    """Per-event-type burstiness: the index of dispersion of HOURLY event
+    counts, D = sample-variance/mean, in exact integer milli-units —
+    ``d_milli = 1000·(N·Σc² − S²) // ((N−1)·S)`` over the N observed
+    hours (Poisson arrivals ⇒ D ≈ 1; bursty ⇒ D ≫ 1). One (type, hour)
+    grouped count (vocabulary-bounded), then a per-type Python-int fold
+    over ≤ |types|·|hours| rows — nothing corpus-scale on the driver.
+    Types with a single observed hour are excluded (variance undefined)."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        hour = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "hour": hour,
+                }
+            )
+            .groupby(["event_type", "hour"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+                "hour": pa.array(g["hour"].to_numpy()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    counts = grouped_aggregate_hybrid(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        [("c", "sum", "c")],
+    ).to_pandas()  # |types| × |hours| rows
+    rows = []
+    for et, g in counts.groupby("event_type"):
+        c = [int(x) for x in g["c"]]
+        n = len(c)
+        if n < 2:
+            continue
+        s, s2 = sum(c), sum(x * x for x in c)
+        rows.append((et, n, 1000 * (n * s2 - s * s) // ((n - 1) * s)))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_hours": pa.array([r[1] for r in rows], pa.int64()),
+            "d_milli": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+EVENTS_DISPERSION_SQL = """
+WITH hc AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         COUNT(*) AS c
+  FROM events GROUP BY event_type, hour
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(c) AS s, SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM hc GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       CAST(1000 * (n * s2 - CAST(s AS HUGEINT) * s)
+            // ((n - 1) * CAST(s AS HUGEINT)) AS BIGINT) AS d_milli
+FROM agg WHERE n >= 2
+"""

@@ -709,3 +709,60 @@ SELECT doc_id, CAST({count_sum} AS BIGINT) AS n_redactions,
        md5(s{n}) AS redacted_md5
 FROM st{n}
 """
+
+
+def ttr_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, n_tokens, n_distinct, ttr_permille) —
+    type-token ratio, the standard lexical-diversity QC signal (low TTR =
+    templated/repetitive text). Integer permille = 1000·distinct//total
+    (0 for empty docs); the pinned whitespace tokenizer, one Arrow split +
+    one lexsort-distinct per batch. (The flat-tokens helpers live in
+    stages/corpus.py, which imports THIS module — inlined here to keep the
+    import DAG acyclic and the kernel worker-shippable.)"""
+    text = pc.fill_null(batch.column("text"), "")
+    splits = split_tokens(text)
+    sizes = pc.cast(pc.list_value_length(splits), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    flat = pc.list_flatten(splits)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    d = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)[keep]
+    toks = flat.to_numpy(zero_copy_only=False)[keep]
+    n = batch.num_rows
+    total = np.bincount(d, minlength=n).astype(np.int64)
+    if len(toks):
+        order = np.lexsort((toks, d))
+        ds_, ts_ = d[order], toks[order]
+        new = np.ones(len(ts_), dtype=bool)
+        new[1:] = (ds_[1:] != ds_[:-1]) | (ts_[1:] != ts_[:-1])
+        distinct = np.bincount(ds_[new], minlength=n).astype(np.int64)
+    else:
+        distinct = np.zeros(n, dtype=np.int64)
+    ttr = np.where(total > 0, 1000 * distinct // np.maximum(total, 1), 0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(total),
+            "n_distinct": pa.array(distinct),
+            "ttr_permille": pa.array(ttr.astype(np.int64)),
+        }
+    )
+
+
+TTR_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(list_filter(
+                string_split_regex(COALESCE(text, ''), '\\s+'),
+                x -> x <> ''))) AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN len(list_filter(string_split_regex(
+                      COALESCE(text, ''), '\\s+'), x -> x <> '')) > 0
+            THEN 1000 * len(list_distinct(list_filter(
+                     string_split_regex(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '')))
+                 // len(list_filter(string_split_regex(
+                     COALESCE(text, ''), '\\s+'), x -> x <> ''))
+            ELSE 0 END AS BIGINT) AS ttr_permille
+FROM documents
+"""
