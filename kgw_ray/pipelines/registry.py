@@ -2595,6 +2595,10 @@ _R5_ROTATE_IN = [
     "docs_hybrid_search_rrf",  # reciprocal-rank fusion hybrid retrieval
     "webkg_matching",          # parallel greedy maximal matching
     "text_cooccurrence_lift",  # doc-level co-occurrence association
+    "webkg_coloring",          # Jones-Plassmann greedy coloring
+    "events_user_active_time", # exact interval-union coverage
+    "users_decayed_engagement",  # exact half-life decayed scoring
+    "text_ttr",                # lexical-diversity QC permille
 ]
 _R5_ROTATE_OUT = [
     "q5_revenue_by_nation",      # broadcast-join chain; q3 twin stays gated
@@ -2645,6 +2649,10 @@ _R5_ROTATE_OUT = [
     "curate_documents_full",     # green r4; recipe composes gated stages
     "kg_scc",                    # green r4; coloring loop rides bowtie
     "webkg_edges_incremental",   # green r4; merge rides edge_deltas/CDC
+    "page_text_extraction",      # green r1-r4; extractor rides webkg_edges
+    "triple_mentions",           # green r1-r4; chain rides webkg_edges/nodes
+    "q1_pricing_summary",        # green r1-r4; agg shape everywhere
+    "q3_top_orders",             # green r1-r4; join chain rides q5_hash twin
 ]
 
 
@@ -3012,6 +3020,9 @@ register("docs_hybrid_search_rrf", _td.HYBRID_RRF_SQL)(
 )
 register("text_cooccurrence_lift", _td.COOC_LIFT_SQL)(
     _td.text_cooccurrence_lift
+)
+register("docs_span_corruption", _td.SPAN_CORRUPTION_SQL)(
+    _td.docs_span_corruption
 )
 register("users_decayed_engagement", _rel.USERS_DECAYED_SQL)(
     _rel.users_decayed_engagement

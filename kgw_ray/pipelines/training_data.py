@@ -4922,3 +4922,117 @@ WHERE p.co_df >= {_COOC_MIN_CO}
 ORDER BY lift_micro DESC, p.x, p.y
 LIMIT {_COOC_TOPN}
 """
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption mask planning (T5 pretraining objective prep)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 3
+_SPAN_RATE = 20  # a span starts at ~1/20 of eligible positions (≈15% masked)
+
+
+def docs_span_corruption(sf_dir: str) -> rd.Dataset:
+    """Deterministic T5-style span-corruption mask plan (Raffel et al.
+    2020): at every token position p ≤ n−2 a length-3 mask span starts
+    iff ``mix64(mix64(doc_id) ^ p) % 20 == 0``; overlapping/adjacent
+    spans merge (the dup-spans gaps-and-islands rule). Output per doc:
+    (doc_id, n_tokens, n_spans, n_masked) — the mask layout every
+    denoising-pretraining data pipeline must plan per document, pure
+    function of (doc_id, token count) so any engine regenerates it
+    bit-identically (no RNG state to ship).
+
+    Zero shuffle: token counts and mask islands are batch-local (a doc's
+    tokens live in one row); the hash is the vectorized portable splitmix
+    (functions/porthash), the island merge is the shared
+    ``corpus.covered_spans`` kernel with k = 3."""
+    from kgw_ray.functions.porthash import mix64
+    from kgw_ray.stages.corpus import covered_spans, flat_tokens
+
+    docs = _docs(sf_dir)
+
+    def _plan(batch: pa.Table) -> pa.Table:
+        nb = batch.num_rows
+        if nb == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "n_masked": pa.array([], pa.int64()),
+                }
+            )
+        d_tok, _ = flat_tokens(batch)
+        n = np.bincount(d_tok, minlength=nb).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_elig = np.maximum(n - _SPAN_K + 1, 0)
+        d = np.repeat(np.arange(nb, dtype=np.int64), n_elig)
+        offs = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(n_elig, out=offs[1:])
+        pos = np.arange(len(d), dtype=np.int64) - offs[d] + 1
+        seed = mix64(ids[d].astype(np.uint64))
+        r = mix64(seed ^ pos.astype(np.uint64))
+        hit = (r % np.uint64(_SPAN_RATE)) == 0
+        spans = covered_spans(ids, d[hit], pos[hit], _SPAN_K).to_pandas()
+        n_spans = np.zeros(nb, dtype=np.int64)
+        n_masked = np.zeros(nb, dtype=np.int64)
+        if len(spans):
+            idx = {int(i): j for j, i in enumerate(ids)}
+            rows = spans.assign(
+                j=[idx[int(x)] for x in spans["doc_id"]],
+                length=spans["span_end"] - spans["span_start"] + 1,
+            )
+            g = rows.groupby("j")
+            n_spans[g.size().index] = g.size().to_numpy()
+            n_masked[g["length"].sum().index] = g["length"].sum().to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(n),
+                "n_spans": pa.array(n_spans),
+                "n_masked": pa.array(n_masked),
+            }
+        )
+
+    return docs.map_batches(_plan, batch_format="pyarrow")
+
+
+def _span_corruption_sql() -> str:
+    from kgw_ray.functions.porthash import mix64_sql
+
+    seed = mix64_sql("CAST(doc_id AS UBIGINT)")
+    r = mix64_sql(f"xor(CAST({seed} AS UBIGINT), CAST(s.i AS UBIGINT))")
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+nn AS (SELECT doc_id, len(w) AS n FROM toks),
+starts AS (
+  SELECT nn.doc_id, s.i AS st
+  FROM nn, UNNEST(generate_series(1, nn.n - {_SPAN_K} + 1)) AS s(i)
+  WHERE nn.n >= {_SPAN_K} AND ({r}) % {_SPAN_RATE} = 0
+),
+cov AS (
+  SELECT doc_id, st,
+    CASE WHEN st - lag(st) OVER (PARTITION BY doc_id ORDER BY st)
+              <= {_SPAN_K} THEN 0 ELSE 1 END AS brk
+  FROM starts
+),
+isl AS (
+  SELECT doc_id, st, SUM(brk) OVER (PARTITION BY doc_id ORDER BY st) AS g
+  FROM cov
+),
+sp AS (
+  SELECT doc_id, MIN(st) AS s, MAX(st) + {_SPAN_K} - 1 AS e
+  FROM isl GROUP BY doc_id, g
+)
+SELECT nn.doc_id, CAST(nn.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(agg.cnt, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(agg.msk, 0) AS BIGINT) AS n_masked
+FROM nn
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS cnt, SUM(e - s + 1) AS msk
+  FROM sp GROUP BY doc_id
+) agg USING (doc_id)
+"""
+
+
+SPAN_CORRUPTION_SQL = _span_corruption_sql()

@@ -37,3 +37,16 @@ def test_decayed_engagement_bounds(sf_correct):
     # the corpus spans ~30 days, so decay weights 1/1..1/16 all occur and
     # at least one user must actually be decayed below its raw total
     assert (m["decayed_cents"] < m["cents"]).any()
+
+
+def test_span_corruption_mask_fraction(sf_correct):
+    from kgw_ray.pipelines.training_data import docs_span_corruption
+
+    df = docs_span_corruption(sf_correct).to_pandas()
+    assert (df["n_masked"] <= df["n_tokens"]).all()
+    # every merged island covers >= 3 tokens (spans are length-3 and only
+    # full spans start, so clipping can't occur)
+    assert (df["n_masked"] >= 3 * df["n_spans"]).all()
+    # corpus-level mask rate lands near the planned ~15% (span 3 / rate 20)
+    rate = df["n_masked"].sum() / df["n_tokens"].sum()
+    assert 0.08 < rate < 0.22, rate
