@@ -3024,6 +3024,9 @@ register("text_cooccurrence_lift", _td.COOC_LIFT_SQL)(
 register("docs_span_corruption", _td.SPAN_CORRUPTION_SQL)(
     _td.docs_span_corruption
 )
+register("dedup_prefix_docs", _td.DEDUP_PREFIX_SQL)(
+    _td.dedup_prefix_docs
+)
 register("users_decayed_engagement", _rel.USERS_DECAYED_SQL)(
     _rel.users_decayed_engagement
 )

@@ -5036,3 +5036,99 @@ LEFT JOIN (
 
 
 SPAN_CORRUPTION_SQL = _span_corruption_sql()
+
+
+# ---------------------------------------------------------------------------
+# Prefix-redundant document detection (sorted-successor dedup)
+# ---------------------------------------------------------------------------
+
+
+def dedup_prefix_docs(sf_dir: str) -> rd.Dataset:
+    """Prefix-redundant docs — every document whose GLOBAL lexicographic
+    successor (by (text, doc_id)) starts with it: truncation artifacts,
+    re-crawl prefixes and exact-dup copies in one rule (if ANY doc extends
+    A, the lexicographically next doc after A extends A, so one successor
+    probe decides). Output (doc_id, n_chars) of flagged docs.
+
+    Distributed WITHOUT a global sort: a strict prefix shares its first
+    character, so non-empty docs shard by first char (ONE groupby over ≤
+    |alphabet| groups) and the per-shard sorted LEAD is exactly the
+    global successor test — the cross-shard successor starts with a
+    different character and can never match. Empty docs are a prefix of
+    everything: all are flagged when any non-empty doc exists; among
+    all-empty corpora every one but the (text, doc_id)-last is flagged.
+    The oracle runs the plain global-window form; both agree because the
+    sharding is semantics-preserving, not an approximation."""
+    docs = _docs(sf_dir)
+
+    def _shard(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = pc.fill_null(t.column("text"), "")
+        first = pc.utf8_slice_codeunits(txt, 0, 1)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": txt,
+                "shard": first,
+            }
+        )
+
+    sharded = docs.map_batches(_shard, batch_format="pyarrow")
+    n_nonempty = sharded.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array(
+                    [int(np.sum(np.array(t.column("shard")) != ""))], pa.int64()
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+
+    def _flag(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["text", "doc_id"], kind="mergesort")
+        texts = df["text"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        if len(df) and df["shard"].iloc[0] == "":
+            # the empty-text shard: every doc has a successor that starts
+            # with '' — all flagged except the last IF no non-empty doc
+            # exists anywhere
+            flag = np.ones(len(df), dtype=bool)
+            if not n_nonempty:
+                flag[-1] = False
+        else:
+            nxt = np.roll(texts, -1)
+            flag = np.zeros(len(df), dtype=bool)
+            if len(df) > 1:
+                flag[:-1] = np.fromiter(
+                    (n.startswith(t) for t, n in zip(texts[:-1], nxt[:-1])),
+                    dtype=bool,
+                    count=len(df) - 1,
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[flag].astype(np.int64)),
+                "n_chars": pa.array(
+                    np.fromiter(
+                        (len(t) for t in texts[flag]),
+                        dtype=np.int64,
+                        count=int(flag.sum()),
+                    )
+                ),
+            }
+        )
+
+    return sharded.groupby("shard").map_groups(_flag, batch_format="pandas")
+
+
+DEDUP_PREFIX_SQL = """
+WITH o AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+w AS (
+  SELECT doc_id, text,
+         LEAD(text) OVER (ORDER BY text, doc_id) AS nxt
+  FROM o
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM w WHERE nxt IS NOT NULL AND starts_with(nxt, text)
+"""

@@ -197,3 +197,71 @@ def test_line_kernels_match_brute(texts, max_df):
         assert row["kept_md5"] == hashlib.md5(
             "\n".join(kept).encode()
         ).hexdigest()
+
+
+# --- prefix-redundant docs: crafted cases vs the oracle rule --------------
+
+
+def test_dedup_prefix_docs_crafted(tmp_path):
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from kgw_ray.pipelines.training_data import (
+        DEDUP_PREFIX_SQL,
+        dedup_prefix_docs,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "text": pa.array(
+                [
+                    "hello world",      # extended by 2 → flagged
+                    "hello world and more",
+                    "hello",            # prefix of 1 and 2 → flagged
+                    "zebra",            # no extension → clean
+                    "",                 # empty: prefix of everything → flagged
+                    "hello world and more",  # exact dup of 2 → flagged
+                    "x",                # no extension → clean
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "corpus"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = sorted(dedup_prefix_docs(str(d)).to_pandas()["doc_id"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = sorted(con.sql(DEDUP_PREFIX_SQL).df()["doc_id"])
+    assert got == want
+    assert 1 in got and 3 in got and 5 in got
+    assert 4 not in got and 7 not in got
+    # exactly one of the two exact-dup copies is flagged (its successor is
+    # the other copy); the LAST copy's successor is a non-prefix
+    assert (2 in got) != (6 in got)
+
+
+def test_dedup_prefix_all_empty(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from kgw_ray.pipelines.training_data import dedup_prefix_docs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(["", "", ""]),
+        }
+    )
+    d = tmp_path / "corpus"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = sorted(dedup_prefix_docs(str(d)).to_pandas()["doc_id"])
+    assert got == [10, 11]  # the (text, doc_id)-last empty is unflagged
