@@ -3027,6 +3027,9 @@ register("docs_span_corruption", _td.SPAN_CORRUPTION_SQL)(
 register("dedup_prefix_docs", _td.DEDUP_PREFIX_SQL)(
     _td.dedup_prefix_docs
 )
+register("docs_model_heuristic_confusion", _td.MODEL_CONFUSION_SQL)(
+    _td.docs_model_heuristic_confusion
+)
 register("users_decayed_engagement", _rel.USERS_DECAYED_SQL)(
     _rel.users_decayed_engagement
 )

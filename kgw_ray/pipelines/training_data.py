@@ -5132,3 +5132,101 @@ w AS (
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
 FROM w WHERE nxt IS NOT NULL AND starts_with(nxt, text)
 """
+
+
+# ---------------------------------------------------------------------------
+# Curation-filter agreement: model × heuristic confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def docs_model_heuristic_confusion(sf_dir: str) -> rd.Dataset:
+    """Filter-agreement confusion matrix — the table a curation pipeline
+    reads before swapping a heuristic for a learned filter: warm-model
+    label (keep/drop, the gated QualityModelScorer) × the p10–p90
+    length-band heuristic (in_band/outlier, the gated docs_length_band
+    rule), with exact doc counts per cell. Two verified operators
+    composed; the only exchange is the 4-cell count Sum."""
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import exact_quantiles, grouped_aggregate_hybrid
+    from kgw_ray.stages.scoring import QualityModelScorer
+
+    qs = exact_quantiles(
+        read_table(sf_dir, "documents", columns=["n_chars"]), "n_chars", [0.1, 0.9]
+    )
+    lo, hi = int(qs[0.1]), int(qs[0.9])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    def _with_band(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        band = np.where((nc >= lo) & (nc <= hi), "in_band", "outlier")
+        g = (
+            pd.DataFrame(
+                {
+                    "model_label": t.column("label").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "length_band": band,
+                }
+            )
+            .groupby(["model_label", "length_band"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "model_label": pa.array(
+                    g["model_label"].to_numpy(), pa.string()
+                ),
+                "length_band": pa.array(
+                    g["length_band"].to_numpy(), pa.string()
+                ),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    # the scorer drops n_chars from its output — subclass to carry it
+    # through (setup still happens once per actor in __init__)
+    class _ScorerKeepChars(QualityModelScorer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            return out.append_column("n_chars", batch.column("n_chars"))
+
+    scored = docs.map_batches(
+        _ScorerKeepChars,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+    return grouped_aggregate_hybrid(
+        scored.map_batches(_with_band, batch_format="pyarrow"),
+        ["model_label", "length_band"],
+        [("n", "sum", "n")],
+    )
+
+
+def _confusion_sql() -> str:
+    from kgw_ray.stages.scoring import quality_model_sql
+
+    return f"""
+WITH qm AS ({quality_model_sql()}),
+s AS (
+  SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents WHERE n_chars IS NOT NULL
+),
+lo AS (SELECT n_chars AS v FROM s WHERE rn = CAST(ceil(0.1 * n) AS BIGINT)),
+hi AS (SELECT n_chars AS v FROM s WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)),
+band AS (
+  SELECT doc_id,
+         CASE WHEN n_chars BETWEEN lo.v AND hi.v
+              THEN 'in_band' ELSE 'outlier' END AS length_band
+  FROM documents, lo, hi
+)
+SELECT qm.label AS model_label, band.length_band,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM qm JOIN band USING (doc_id)
+GROUP BY qm.label, band.length_band
+"""
+
+
+MODEL_CONFUSION_SQL = _confusion_sql()
