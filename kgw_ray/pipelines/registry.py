@@ -3030,6 +3030,54 @@ register("dedup_prefix_docs", _td.DEDUP_PREFIX_SQL)(
 register("docs_model_heuristic_confusion", _td.MODEL_CONFUSION_SQL)(
     _td.docs_model_heuristic_confusion
 )
+register("embeddings_dim_stats", _td.EMB_DIM_STATS_SQL)(
+    _td.embeddings_dim_stats
+)
+
+
+_KG_CENTRALIZATION_SQL = f"""
+WITH edges AS ({_tk.EDGES_SQL}),
+deg AS (SELECT source_id, COUNT(*) AS degree FROM edges GROUP BY source_id),
+agg AS (SELECT COUNT(*) AS n, MAX(degree) AS dmax, SUM(degree) AS sdeg
+        FROM deg)
+SELECT CAST(n AS BIGINT) AS n_nodes, CAST(dmax AS BIGINT) AS max_degree,
+       CAST(CASE WHEN n >= 3
+            THEN 1000000 * (n * dmax - sdeg) // ((n - 1) * (n - 2))
+            ELSE 0 END AS BIGINT) AS centralization_micro
+FROM agg
+"""
+
+
+@register("kg_centralization", oracle=_KG_CENTRALIZATION_SQL)
+def q_kg_centralization(sf_dir: str) -> pa.Table:
+    """Freeman out-degree centralization of the TPC-H KG —
+    1e6·Σ(dmax−d_i) // ((n−1)(n−2)) over the out-degree table (star graph
+    → 1e6, regular graph → 0): ONE fold over the vocabulary-sized degree
+    aggregate of the gated degree machinery."""
+    from kgw_ray.stages.graph import degree_distribution
+
+    dist = degree_distribution(_tk.tpch_graph(sf_dir)[1]).to_pandas()
+    if len(dist) == 0:
+        return pa.table(
+            {
+                "n_nodes": pa.array([0], pa.int64()),
+                "max_degree": pa.array([0], pa.int64()),
+                "centralization_micro": pa.array([0], pa.int64()),
+            }
+        )
+    n = int(dist["n_nodes"].sum())
+    dmax = int(dist["degree"].max())
+    sdeg = int((dist["degree"] * dist["n_nodes"]).sum())
+    cz = (
+        1_000_000 * (n * dmax - sdeg) // ((n - 1) * (n - 2)) if n >= 3 else 0
+    )
+    return pa.table(
+        {
+            "n_nodes": pa.array([n], pa.int64()),
+            "max_degree": pa.array([dmax], pa.int64()),
+            "centralization_micro": pa.array([cz], pa.int64()),
+        }
+    )
 register("users_decayed_engagement", _rel.USERS_DECAYED_SQL)(
     _rel.users_decayed_engagement
 )

@@ -5230,3 +5230,87 @@ GROUP BY qm.label, band.length_band
 
 
 MODEL_CONFUSION_SQL = _confusion_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (whitening / normalization prep)
+# ---------------------------------------------------------------------------
+
+
+def embeddings_dim_stats(sf_dir: str) -> pa.Table:
+    """Per-dimension first/second moments of the embedding matrix in
+    exact quantized integers: each element quantizes to
+    ``round(v · 10⁶)`` FIRST (both engines, element-wise), then integer
+    sums — (dim, n, sum_micro, sumsq_micro), the feature-scaling /
+    whitening statistics a preprocessing stage broadcasts. One zero-
+    shuffle pass: per-batch numpy column sums → a dim-bounded Python-int
+    driver fold (HUGEINT oracle); dim is the vector width, never the
+    corpus."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "s2": pa.array([], pa.int64()),
+                }
+            )
+        m = np.stack(col.to_numpy(zero_copy_only=False))
+        x = m.astype(np.float64) * 1_000_000
+        # DuckDB ROUND is half-AWAY-FROM-ZERO; np.rint is half-to-even —
+        # match the oracle exactly
+        q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, q.shape[1] + 1, dtype=np.int64)),
+                "n": pa.array(np.full(q.shape[1], q.shape[0], dtype=np.int64)),
+                "s": pa.array(q.sum(axis=0)),
+                "s2": pa.array((q.astype(object) ** 2).sum(axis=0)),
+            }
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pa.table(
+            {
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_micro": pa.array([], pa.string()),
+                "sumsq_micro": pa.array([], pa.string()),
+            }
+        )
+    g = parts.groupby("dim", sort=True).agg(
+        n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum")
+    )
+    # sums are Python-int exact; emit decimal strings so >2^63 survives
+    # the driver's value compare (HUGEINT casts to VARCHAR on the oracle)
+    return pa.table(
+        {
+            "dim": pa.array(g.index.to_numpy().astype(np.int64)),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            "sum_micro": pa.array([str(int(x)) for x in g["s"]], pa.string()),
+            "sumsq_micro": pa.array([str(int(x)) for x in g["s2"]], pa.string()),
+        }
+    )
+
+
+EMB_DIM_STATS_SQL = """
+WITH el AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS sum_micro,
+       CAST(CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS VARCHAR)
+         AS sumsq_micro
+FROM el GROUP BY dim ORDER BY dim
+"""
