@@ -3015,6 +3015,9 @@ def q_kg_resource_allocation(sf_dir: str) -> rd.Dataset:
 register("events_hll_registers", _rel.EVENTS_HLL_SQL)(
     _rel.events_hll_registers
 )
+register("events_daily_hll_trailing", _rel.EVENTS_HLL_TRAILING_SQL)(
+    _rel.events_daily_hll_trailing
+)
 register("docs_hybrid_search_rrf", _td.HYBRID_RRF_SQL)(
     _td.docs_hybrid_search_rrf
 )

@@ -7747,3 +7747,109 @@ SELECT event_type, CAST(n AS BIGINT) AS n_hours,
             // ((n - 1) * CAST(s AS HUGEINT)) AS BIGINT) AS d_milli
 FROM agg WHERE n >= 2
 """
+
+
+def events_daily_hll_trailing(sf_dir: str) -> rd.Dataset:
+    """Trailing-7-day sliding-window HLL registers over user_id — HOW a
+    100 TB pipeline serves sliding COUNT DISTINCT when the exact ×7
+    explode (events_dau_wau_stickiness) stops being affordable: per-day
+    registers fold once (day-vocabulary-sized), then each day's register
+    table max-merges into its next 7 target days (a ×7 explode over
+    REGISTERS — days × 1024 rows — never over events). Output
+    (day, reg, max_rho): the exact integer sketch state per target day,
+    from which the estimate is one driver-side fold
+    (relational.hll_estimate). Mergeability is the load-bearing property
+    and is exactly what the hash gate pins."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["user_id"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "d": pa.array([], pa.int64()),
+                    "reg": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        day = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _US_PER_DAY
+        )
+        h = _mix64(uid)
+        reg = (h >> np.uint64(_HLL_WBITS)).astype(np.int64)
+        w = h & _HLL_WMASK
+        rho = np.where(w == 0, _HLL_WBITS + 1, _HLL_WBITS - _bitlen_u64(w) + 1)
+        g = (
+            pd.DataFrame({"d": day, "reg": reg, "rho": rho.astype(np.int64)})
+            .groupby(["d", "reg"], sort=False)["rho"]
+            .max()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "d": pa.array(g["d"].to_numpy()),
+                "reg": pa.array(g["reg"].to_numpy()),
+                "rho": pa.array(g["rho"].to_numpy()),
+            }
+        )
+
+    daily = grouped_aggregate_hybrid(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["d", "reg"],
+        [("rho", "max", "rho")],
+    )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        reg = t.column("reg").to_numpy(zero_copy_only=False)
+        rho = t.column("rho").to_numpy(zero_copy_only=False)
+        off = np.arange(7, dtype=np.int64)
+        return pa.table(
+            {
+                "day": pa.array((d[:, None] + off[None, :]).ravel()),
+                "reg": pa.array(np.repeat(reg, 7)),
+                "rho": pa.array(np.repeat(rho, 7)),
+            }
+        )
+
+    return grouped_aggregate_hybrid(
+        daily.map_batches(_explode, batch_format="pyarrow"),
+        ["day", "reg"],
+        [("rho", "max", "max_rho")],
+    )
+
+
+def _hll_trailing_sql() -> str:
+    from kgw_ray.functions.porthash import mix64_sql
+
+    h = mix64_sql("CAST(user_id AS UBIGINT)")
+    wm = f"CAST({(1 << _HLL_WBITS) - 1} AS UBIGINT)"
+    return f"""
+WITH h AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         {h} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT d,
+         CAST(h >> {_HLL_WBITS} AS BIGINT) AS reg,
+         CASE WHEN (h & {wm}) = CAST(0 AS UBIGINT) THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS} - length(bin(h & {wm})) + 1 END AS rho
+  FROM h
+),
+daily AS (SELECT d, reg, MAX(rho) AS rho FROM r GROUP BY d, reg),
+t AS (
+  SELECT daily.d + o.off AS day, reg, rho
+  FROM daily, UNNEST(generate_series(0, 6)) AS o(off)
+)
+SELECT day, reg, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM t GROUP BY day, reg
+"""
+
+
+EVENTS_HLL_TRAILING_SQL = _hll_trailing_sql()

@@ -66,3 +66,36 @@ def test_hll_rho_range(sf_correct):
     assert regs["reg"].between(0, (1 << _HLL_P) - 1).all()
     assert regs["max_rho"].between(1, 64 - _HLL_P + 1).all()
     assert not regs.duplicated(["event_type", "reg"]).any()
+
+
+def test_trailing_hll_estimates_track_exact_wau(sf_correct):
+    """The trailing-merged registers must estimate the exact trailing-7-day
+    distinct within HLL tolerance for days fully inside the corpus span."""
+    import pyarrow.compute  # noqa: F401
+
+    from kgw_ray.pipelines.relational import events_daily_hll_trailing
+
+    regs = events_daily_hll_trailing(sf_correct).to_pandas()
+    con = duckdb.connect()
+    exact = con.sql(
+        f"""
+        WITH d AS (SELECT DISTINCT user_id,
+                     CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                          AS BIGINT) AS d
+                   FROM read_parquet('{sf_correct}/events.parquet')),
+        days AS (SELECT DISTINCT d FROM d)
+        SELECT t.d AS day, COUNT(DISTINCT x.user_id) AS n
+        FROM days t JOIN d x ON x.d BETWEEN t.d - 6 AND t.d
+        GROUP BY t.d
+        """
+    ).df()
+    checked = 0
+    for _, r in exact.iterrows():
+        day, true = int(r["day"]), int(r["n"])
+        grp = regs[regs["day"] == day][["reg", "max_rho"]]
+        if len(grp) == 0 or true < 50:
+            continue
+        est = hll_estimate(grp)
+        assert abs(est - true) / true < 0.12, (day, est, true)
+        checked += 1
+    assert checked > 5
