@@ -3018,6 +3018,9 @@ register("events_hll_registers", _rel.EVENTS_HLL_SQL)(
 register("events_daily_hll_trailing", _rel.EVENTS_HLL_TRAILING_SQL)(
     _rel.events_daily_hll_trailing
 )
+register("events_top3_users_per_type", _rel.EVENTS_TOP3_SQL)(
+    _rel.events_top3_users_per_type
+)
 register("docs_hybrid_search_rrf", _td.HYBRID_RRF_SQL)(
     _td.docs_hybrid_search_rrf
 )

@@ -7853,3 +7853,82 @@ FROM t GROUP BY day, reg
 
 
 EVENTS_HLL_TRAILING_SQL = _hll_trailing_sql()
+
+
+def events_top3_users_per_type(sf_dir: str) -> rd.Dataset:
+    """Per-group leaderboard: the top-3 users by total value (exact
+    cents) within each event type, rank included — the grouped top-k
+    shape (trending-per-category, leaderboards) distinct from global
+    top-k (distributed_topk) and full per-user windows. Plan: one
+    (type, user) Sum — the only corpus-scale exchange — then per-type
+    top-3 inside a |types|-group map_groups under the (cents desc,
+    user_id) total order."""
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "user_id": t.column("user_id").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "c": cents,
+                }
+            )
+            .groupby(["event_type", "user_id"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+                "user_id": pa.array(g["user_id"].to_numpy()),
+                "c": pa.array(g["c"].to_numpy()),
+            }
+        )
+
+    sums = grouped_aggregate_hybrid(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        [("c", "sum", "total_cents")],
+    )
+
+    def _top3(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["total_cents", "user_id"], ascending=[False, True]
+        ).head(3)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64))
+        return arrow_from_pandas(
+            df[["event_type", "user_id", "total_cents", "rank"]].astype(
+                {"user_id": "int64", "total_cents": "int64", "rank": "int64"}
+            )
+        )
+
+    return sums.groupby("event_type").map_groups(_top3, batch_format="pandas")
+
+
+EVENTS_TOP3_SQL = """
+WITH s AS (
+  SELECT event_type, user_id,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, total_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY total_cents DESC, user_id) AS rank
+  FROM s
+)
+SELECT event_type, user_id, CAST(total_cents AS BIGINT) AS total_cents,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
