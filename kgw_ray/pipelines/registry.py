@@ -3021,6 +3021,22 @@ register("events_daily_hll_trailing", _rel.EVENTS_HLL_TRAILING_SQL)(
 register("events_top3_users_per_type", _rel.EVENTS_TOP3_SQL)(
     _rel.events_top3_users_per_type
 )
+
+
+def _mirror_sql() -> str:
+    from kgw_ray.pipelines.webkg import MIRROR_HOSTS_SQL
+
+    return MIRROR_HOSTS_SQL
+
+
+@register("webkg_mirror_hosts", oracle=_mirror_sql())
+def q_webkg_mirror_hosts(sf_dir: str) -> rd.Dataset:
+    """Mirror/syndication host pairs by outlink-set Jaccard >= 250 permille
+    over the host graph (pipelines/webkg.py:mirror_host_pairs) — the
+    host-level near-dup the doc-level dedup family cannot see."""
+    from kgw_ray.pipelines.webkg import mirror_host_pairs
+
+    return mirror_host_pairs(sf_dir)
 register("docs_hybrid_search_rrf", _td.HYBRID_RRF_SQL)(
     _td.docs_hybrid_search_rrf
 )

@@ -1688,3 +1688,137 @@ def wet_line_dedup(
     return line_dedup(
         wet_records(sf_dir), max_df=max_df, broadcast_limit=broadcast_limit
     )
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection: outlink-set Jaccard over the host graph
+# ---------------------------------------------------------------------------
+
+_MIRROR_MIN_PERMILLE = 250
+
+
+def mirror_host_pairs(sf_dir: str) -> rd.Dataset:
+    """Mirror/syndication host detection: host pairs whose DISTINCT
+    outlink-target sets overlap with Jaccard ≥ 250‰ — near-identical
+    linking behavior flags mirrors, link farms and boilerplate syndicates
+    at the HOST level (the |hosts|-sized problem the doc-level dedup
+    family can't see). Output (h1, h2, n_common, jaccard_permille),
+    h1 < h2, exact integers.
+
+    Plan: the host graph collapses first (the gated webkg_host_graph
+    aggregate — vocabulary-sized), then shared-target pairs enumerate by
+    center-sharded wedge fold over the bipartite (dst → srcs) adjacency
+    (lexsort + per-segment triu, the common_neighbor_counts shape; Σ
+    fan-in² work, cap popular targets upstream at open-web scale) and
+    set sizes attach from a host-vocabulary broadcast."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    hg = host_graph(sf_dir).select_columns(["src_host", "dst_host"])
+
+    def _ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_host": t.column("src_host"),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    sizes = grouped_aggregate_hybrid(
+        hg.map_batches(_ones, batch_format="pyarrow"),
+        "src_host",
+        [("one", "sum", "n")],
+    ).to_pandas()  # host-vocabulary-sized
+    import ray as _ray
+
+    size_ref = _ray.put(dict(zip(sizes["src_host"], sizes["n"].astype(int))))
+
+    def _shard(t: pa.Table) -> pa.Table:
+        d = t.column("dst_host").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(d, hash_key="kgw_ray_mirrorsh") % 64
+        return t.append_column("shard", pa.array(h.astype("int64")))
+
+    def _pairs(df: pd.DataFrame) -> pa.Table:
+        d = df["dst_host"].to_numpy()
+        s = df["src_host"].to_numpy()
+        order = np.lexsort((s, d))
+        d, s = d[order], s[order]
+        seg = np.nonzero(np.concatenate(([True], d[1:] != d[:-1])))[0]
+        ends = np.append(seg[1:], len(d))
+        xs, ys = [], []
+        for a, e in zip(seg, ends):
+            m = e - a
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, 1)
+            xs.append(s[a:e][i])
+            ys.append(s[a:e][j])
+        if not xs:
+            e0 = pa.array([], pa.string())
+            return pa.table({"h1": e0, "h2": e0, "n": pa.array([], pa.int64())})
+        packed = pd.DataFrame(
+            {"h1": np.concatenate(xs), "h2": np.concatenate(ys)}
+        )
+        cnt = packed.groupby(["h1", "h2"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "h1": pa.array(cnt["h1"].to_numpy(), pa.string()),
+                "h2": pa.array(cnt["h2"].to_numpy(), pa.string()),
+                "n": pa.array(cnt["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    pairs = grouped_aggregate_hybrid(
+        hg.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_pairs, batch_format="pandas"),
+        ["h1", "h2"],
+        [("n", "sum", "n_common")],
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        import ray
+
+        size_of = ray.get(size_ref)
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        n = t.column("n_common").to_numpy(zero_copy_only=False)
+        na = np.fromiter((size_of[x] for x in h1), dtype=np.int64, count=len(h1))
+        nb = np.fromiter((size_of[x] for x in h2), dtype=np.int64, count=len(h2))
+        jp = 1000 * n // (na + nb - n)
+        keep = jp >= _MIRROR_MIN_PERMILLE
+        return pa.table(
+            {
+                "h1": pa.array(h1[keep], pa.string()),
+                "h2": pa.array(h2[keep], pa.string()),
+                "n_common": pa.array(n[keep]),
+                "jaccard_permille": pa.array(jp[keep].astype(np.int64)),
+            }
+        )
+
+    return pairs.map_batches(_score, batch_format="pyarrow")
+
+
+def _mirror_hosts_sql() -> str:
+    return f"""
+WITH hg AS (SELECT DISTINCT src_host, dst_host FROM ({HOST_GRAPH_SQL})),
+sz AS (SELECT src_host, COUNT(*) AS n FROM hg GROUP BY src_host),
+p AS (
+  SELECT a.src_host AS h1, b.src_host AS h2, COUNT(*) AS n_common
+  FROM hg a JOIN hg b
+    ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+  GROUP BY a.src_host, b.src_host
+)
+SELECT h1, h2, CAST(n_common AS BIGINT) AS n_common,
+       CAST(1000 * n_common // (sa.n + sb.n - n_common) AS BIGINT)
+         AS jaccard_permille
+FROM p
+JOIN sz sa ON sa.src_host = p.h1
+JOIN sz sb ON sb.src_host = p.h2
+WHERE 1000 * n_common // (sa.n + sb.n - n_common) >= {_MIRROR_MIN_PERMILLE}
+"""
+
+
+MIRROR_HOSTS_SQL = _mirror_hosts_sql()
