@@ -3029,6 +3029,23 @@ def _mirror_sql() -> str:
     return MIRROR_HOSTS_SQL
 
 
+def _host_simpson_sql() -> str:
+    from kgw_ray.pipelines.webkg import HOST_OUTLINK_SIMPSON_SQL
+
+    return HOST_OUTLINK_SIMPSON_SQL
+
+
+@register("webkg_host_outlink_simpson", oracle=_host_simpson_sql())
+def q_webkg_host_outlink_simpson(sf_dir: str) -> rd.Dataset:
+    """Per-host exact-integer Simpson concentration of the weighted
+    outlink distribution (nav-template / link-farm signal) — one fold
+    over the gated host-graph aggregate
+    (pipelines/webkg.py:host_outlink_simpson)."""
+    from kgw_ray.pipelines.webkg import host_outlink_simpson
+
+    return host_outlink_simpson(sf_dir)
+
+
 @register("webkg_mirror_hosts", oracle=_mirror_sql())
 def q_webkg_mirror_hosts(sf_dir: str) -> rd.Dataset:
     """Mirror/syndication host pairs by outlink-set Jaccard >= 250 permille

@@ -1822,3 +1822,44 @@ WHERE 1000 * n_common // (sa.n + sb.n - n_common) >= {_MIRROR_MIN_PERMILLE}
 
 
 MIRROR_HOSTS_SQL = _mirror_hosts_sql()
+
+
+def host_outlink_simpson(sf_dir: str) -> rd.Dataset:
+    """Per-host outlink concentration: the exact-integer Simpson index of
+    each host's weighted outlink distribution, ``1e6·Σw² // W²`` over the
+    host-graph link counts — a navigation-template / link-farm signal
+    (all links to one target → 1e6; uniform spread → 1e6/k). Host-graph
+    aggregate first (the gated webkg_host_graph exchange), then one
+    host-vocabulary fold; no corpus-scale work after the collapse."""
+    import numpy as np
+
+    hg = host_graph(sf_dir)
+
+    def _fold(df: pd.DataFrame) -> pa.Table:
+        w = df["n_links"].to_numpy().astype(np.int64)
+        W = int(w.sum())
+        s2 = int((w.astype(object) ** 2).sum())
+        return pa.table(
+            {
+                "src_host": pa.array([df["src_host"].iloc[0]], pa.string()),
+                "n_targets": pa.array([len(w)], pa.int64()),
+                "total_links": pa.array([W], pa.int64()),
+                "simpson_micro": pa.array(
+                    [1_000_000 * s2 // (W * W)], pa.int64()
+                ),
+            }
+        )
+
+    return hg.groupby("src_host").map_groups(_fold, batch_format="pandas")
+
+
+HOST_OUTLINK_SIMPSON_SQL = f"""
+WITH hg AS ({HOST_GRAPH_SQL})
+SELECT src_host,
+       CAST(COUNT(*) AS BIGINT) AS n_targets,
+       CAST(SUM(n_links) AS BIGINT) AS total_links,
+       CAST(1000000 * SUM(CAST(n_links AS HUGEINT) * n_links)
+            // (CAST(SUM(n_links) AS HUGEINT) * SUM(n_links)) AS BIGINT)
+         AS simpson_micro
+FROM hg GROUP BY src_host
+"""
