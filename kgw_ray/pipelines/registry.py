@@ -3021,6 +3021,9 @@ register("events_daily_hll_trailing", _rel.EVENTS_HLL_TRAILING_SQL)(
 register("events_top3_users_per_type", _rel.EVENTS_TOP3_SQL)(
     _rel.events_top3_users_per_type
 )
+register("events_markov_stationary", _rel.EVENTS_MARKOV_PI_SQL)(
+    _rel.events_markov_stationary
+)
 
 
 def _mirror_sql() -> str:

@@ -7932,3 +7932,78 @@ SELECT event_type, user_id, CAST(total_cents AS BIGINT) AS total_cents,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 3
 """
+
+
+_MARKOV_PI_ROUNDS = 3
+
+
+def events_markov_stationary(sf_dir: str) -> pa.Table:
+    """Stationary-distribution estimate of the event-type Markov chain:
+    3 exact integer power-iteration rounds of ``π' _j = Σ_i π_i·C_ij //
+    R_i`` (floor per term, micro units, uniform start 1e6 // k) over the
+    gated transition counts — the behavioral equilibrium profile a
+    session simulator seeds from. All state is |types|²-bounded: the
+    count matrix pulls once (vocabulary rule) and the iteration is
+    Python-int exact; the oracle unrolls the identical floor arithmetic
+    into CTE rounds."""
+    counts = events_markov_transitions(sf_dir).to_pandas()  # ≤ |types|² rows
+    types = sorted(
+        set(counts["from_type"]) | set(counts["to_type"])
+    )
+    k = len(types)
+    if k == 0:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "pi_micro": pa.array([], pa.int64()),
+            }
+        )
+    c = {
+        (r["from_type"], r["to_type"]): int(r["n"])
+        for _, r in counts.iterrows()
+    }
+    row = {}
+    for (a, _b), n in c.items():
+        row[a] = row.get(a, 0) + n
+    pi = {t: 1_000_000 // k for t in types}
+    for _ in range(_MARKOV_PI_ROUNDS):
+        nxt = {t: 0 for t in types}
+        for (a, b), n in c.items():
+            nxt[b] += pi[a] * n // row[a]
+        pi = nxt
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "pi_micro": pa.array([pi[t] for t in types], pa.int64()),
+        }
+    )
+
+
+def _markov_stationary_sql() -> str:
+    body = EVENTS_MARKOV_SQL.strip().rstrip(";")
+    parts = [
+        f"""WITH c AS ({body}),
+r AS (SELECT from_type, SUM(n) AS rn FROM c GROUP BY from_type),
+ty AS (SELECT from_type AS t FROM c UNION SELECT to_type FROM c),
+k AS (SELECT COUNT(*) AS k FROM ty),
+p0 AS (SELECT ty.t, 1000000 // k.k AS pi FROM ty, k)"""
+    ]
+    for i in range(1, _MARKOV_PI_ROUNDS + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT ty.t,
+         CAST(COALESCE(SUM(p.pi * c.n // r.rn), 0) AS BIGINT) AS pi
+  FROM ty
+  LEFT JOIN c ON c.to_type = ty.t
+  LEFT JOIN p{i - 1} p ON p.t = c.from_type
+  LEFT JOIN r ON r.from_type = c.from_type
+  GROUP BY ty.t)"""
+        )
+    parts.append(
+        f"\nSELECT t AS event_type, pi AS pi_micro FROM p{_MARKOV_PI_ROUNDS}"
+    )
+    return "".join(parts)
+
+
+EVENTS_MARKOV_PI_SQL = _markov_stationary_sql()
