@@ -7389,8 +7389,11 @@ _US_PER_DAY = 86_400_000_000
 
 def _events_ref_day(ds: rd.Dataset) -> int:
     """Max epoch-day in the corpus — the deterministic 'now' anchor both
-    engines derive from the data (no wall clock)."""
+    engines derive from the data (no wall clock). Empty corpus → 0 (the
+    downstream maps then see zero rows anyway)."""
     mx = ds.max("ts")
+    if mx is None:
+        return 0
     ts_us = pa.scalar(mx, pa.timestamp("us")).cast(pa.int64()).as_py()
     return ts_us // _US_PER_DAY
 
@@ -7714,6 +7717,8 @@ def events_hourly_dispersion(sf_dir: str) -> pa.Table:
         [("c", "sum", "c")],
     ).to_pandas()  # |types| × |hours| rows
     rows = []
+    if len(counts) == 0 or "event_type" not in counts.columns:
+        counts = pd.DataFrame({"event_type": [], "hour": [], "c": []})
     for et, g in counts.groupby("event_type"):
         c = [int(x) for x in g["c"]]
         n = len(c)
@@ -7947,6 +7952,8 @@ def events_markov_stationary(sf_dir: str) -> pa.Table:
     Python-int exact; the oracle unrolls the identical floor arithmetic
     into CTE rounds."""
     counts = events_markov_transitions(sf_dir).to_pandas()  # ≤ |types|² rows
+    if len(counts) == 0 or "from_type" not in counts.columns:
+        counts = pd.DataFrame({"from_type": [], "to_type": [], "n": []})
     types = sorted(
         set(counts["from_type"]) | set(counts["to_type"])
     )

@@ -4828,6 +4828,17 @@ def text_cooccurrence_lift(sf_dir: str) -> pa.Table:
         [("df", "sum", "df")],
     ).to_pandas()  # vocabulary-sized pull
     n_docs = docs.count()
+    if len(dfs) == 0 or "df" not in dfs.columns:
+        # empty corpus: a zero-row pull drops its columns (repo-wide
+        # empty-pull hazard) — return the typed empty result
+        return pa.table(
+            {
+                "x": pa.array([], pa.string()),
+                "y": pa.array([], pa.string()),
+                "co_df": pa.array([], pa.int64()),
+                "lift_micro": pa.array([], pa.int64()),
+            }
+        )
     dfs = (
         dfs.sort_values(["df", "tok"], ascending=[False, True])
         .head(_COOC_VOCAB)
@@ -5154,6 +5165,16 @@ def docs_model_heuristic_confusion(sf_dir: str) -> rd.Dataset:
     qs = exact_quantiles(
         read_table(sf_dir, "documents", columns=["n_chars"]), "n_chars", [0.1, 0.9]
     )
+    if qs[0.1] is None:  # empty corpus: typed empty confusion table
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "model_label": pa.array([], pa.string()),
+                    "length_band": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
     lo, hi = int(qs[0.1]), int(qs[0.9])
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
     def _with_band(t: pa.Table) -> pa.Table:
