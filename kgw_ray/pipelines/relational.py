@@ -1644,6 +1644,14 @@ def docs_compact_small_files(sf_dir: str) -> pa.Table:
 
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     ds = read_table(sf_dir, "documents", columns=cols)
+    if ds.count() == 0:  # empty corpus: the oracle's COUNT/SUM-over-empty row
+        return pa.table(
+            {
+                "n_rows": pa.array([0], pa.int64()),
+                "n_files": pa.array([0], pa.int64()),
+                "checksum": pa.array([None], pa.string()),
+            }
+        )
     out_dir = tempfile.mkdtemp(prefix="kgw_ray_compact_")
     stats = compact_parquet(ds, out_dir, target_rows_per_file=_COMPACT_TARGET)
     r = table_checksum(rd.read_parquet(out_dir, columns=cols), cols)
@@ -3726,9 +3734,10 @@ def events_cms_estimates(sf_dir: str) -> rd.Dataset:
 
     sk_df = sketch.to_pandas()
     grid = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
-    grid[sk_df["row"].to_numpy(), sk_df["bucket"].to_numpy()] = sk_df[
-        "cnt"
-    ].to_numpy()
+    if len(sk_df) and "row" in sk_df.columns:  # empty-pull column loss
+        grid[sk_df["row"].to_numpy(), sk_df["bucket"].to_numpy()] = sk_df[
+            "cnt"
+        ].to_numpy()
     grid_ref = _ray.put(grid)
 
     def estimate(t: pa.Table) -> pa.Table:
@@ -7182,6 +7191,17 @@ def events_dau_wau_stickiness(sf_dir: str) -> rd.Dataset:
 
     # corpus day bounds: a 2-value aggregate, driver-scalar by design
     bounds = act.aggregate(Min("day"), Max("day"))
+    if bounds is None or bounds.get("max(day)") is None:  # empty corpus
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "dau": pa.array([], pa.int64()),
+                    "wau": pa.array([], pa.int64()),
+                    "stickiness_permille": pa.array([], pa.int64()),
+                }
+            )
+        )
     mx = int(bounds["max(day)"])
 
     def explode(t: pa.Table) -> pa.Table:

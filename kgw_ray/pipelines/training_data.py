@@ -930,6 +930,8 @@ def _query_matrix(sf_dir: str):
         .to_pandas()
         .sort_values("vec_id")
     )
+    if len(qt) == 0:  # empty corpus: no query vectors
+        return np.zeros((0, 0)), np.zeros(0, np.int64)
     return np.vstack(qt["embedding"].to_numpy()), qt["vec_id"].to_numpy()
 
 
@@ -938,6 +940,14 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
     from kgw_ray.stages.similarity import brute_force_topk
 
     Q, qids = _query_matrix(sf_dir)
+    if len(qids) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return brute_force_topk(emb, Q, qids, k=_TOPK).select(
         ["query_id", "vec_id", "rank"]
@@ -3508,6 +3518,14 @@ def embeddings_knn_graph(sf_dir: str, k: int = _KNN_K) -> pa.Table:
     emb_df = read_table_pandas(
         sf_dir, "embeddings", columns=["vec_id", "embedding"]
     ).sort_values("vec_id")
+    if len(emb_df) == 0:  # empty corpus: typed empty kNN graph
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
     Q = np.vstack(emb_df["embedding"].to_numpy())
     qids = emb_df["vec_id"].to_numpy()
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -4709,6 +4727,8 @@ def docs_hybrid_search_rrf(sf_dir: str) -> pa.Table:
         [True, False],
         _RRF_DEPTH,
     ).to_pandas()
+    if "doc_id" not in kw.columns:  # empty-pull column loss
+        kw = pd.DataFrame({"doc_id": [], "tf": []})
     kw = kw.sort_values(["tf", "doc_id"], ascending=[False, True]).reset_index(
         drop=True
     )
@@ -4723,6 +4743,8 @@ def docs_hybrid_search_rrf(sf_dir: str) -> pa.Table:
     q = distributed_topk(
         scored, ["logit_micro", "doc_id"], [True, False], _RRF_DEPTH
     ).to_pandas()
+    if "doc_id" not in q.columns:  # empty-pull column loss
+        q = pd.DataFrame({"doc_id": [], "logit_micro": []})
     q = q.sort_values(
         ["logit_micro", "doc_id"], ascending=[False, True]
     ).reset_index(drop=True)

@@ -605,6 +605,15 @@ def personalized_pagerank(
     seeds = sorted(set(seed_ids))
     seed_arr = pa.array(seeds, pa.string())
     broadcast_limit = 5_000_000
+    if nodes.count() == 0:  # empty graph: typed empty rank table
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([], pa.string()),
+                    "ppr_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def _hybrid_left(left_ds, right_mat, *, on, right_key):
         if right_mat.count() <= broadcast_limit:

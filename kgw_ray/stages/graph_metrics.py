@@ -1542,6 +1542,15 @@ def betweenness_from_counts(
     driver. At open-vocabulary scale feed a seed-sampled σ table and
     divide by the seed fraction."""
     apsp = apsp.materialize()
+    if apsp.count() == 0:  # empty graph: typed empty result
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([], pa.string()),
+                    "betweenness_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
     if not force_exchange and apsp.count() <= driver_limit:
         ap = apsp.to_pandas()
         nodes = pd.unique(ap["src"])
@@ -1895,6 +1904,12 @@ def strongly_connected_components(
     else:
         raise RuntimeError(
             f"strongly_connected_components: {max_peels} peels exhausted"
+        )
+    if not done_parts:  # empty graph: typed empty component table
+        return rd.from_arrow(
+            pa.table(
+                {"id": pa.array([], pa.string()), "scc": pa.array([], pa.string())}
+            )
         )
     out = done_parts[0]
     for p in done_parts[1:]:

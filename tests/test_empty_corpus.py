@@ -11,70 +11,37 @@ import pytest
 
 @pytest.fixture(scope="module")
 def empty_sf(tmp_path_factory):
+    """Every corpus table, zero rows, real schemas (taken from the
+    sf0.001 fixtures so the empties track the driver's schemas)."""
+    from kgw_ray.sources.readers import TABLES
+
     d = tmp_path_factory.mktemp("empty_sf")
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "text": pa.array([], pa.string()),
-                "lang": pa.array([], pa.string()),
-                "source": pa.array([], pa.string()),
-                "n_chars": pa.array([], pa.int64()),
-            }
-        ),
-        os.path.join(d, "documents.parquet"),
-    )
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array([], pa.int64()),
-                "ts": pa.array([], pa.timestamp("us")),
-                "user_id": pa.array([], pa.int64()),
-                "event_type": pa.array([], pa.string()),
-                "value": pa.array([], pa.float64()),
-                "props": pa.array([], pa.string()),
-            }
-        ),
-        os.path.join(d, "events.parquet"),
-    )
-    pq.write_table(
-        pa.table(
-            {
-                "vec_id": pa.array([], pa.int64()),
-                "embedding": pa.array([], pa.list_(pa.float32())),
-                "label": pa.array([], pa.int32()),
-            }
-        ),
-        os.path.join(d, "embeddings.parquet"),
-    )
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        sch = pq.read_schema(os.path.join(sf, f"{t}.parquet"))
+        pq.write_table(sch.empty_table(), os.path.join(d, f"{t}.parquet"))
     return str(d)
 
 
-_OPS = [
-    "webkg_wet_line_dedup",
-    "text_ttr",
-    "dedup_prefix_docs",
-    "docs_span_corruption",
-    "text_cooccurrence_lift",
-    "docs_model_heuristic_confusion",
-    "events_hll_registers",
-    "events_daily_hll_trailing",
-    "users_decayed_engagement",
-    "users_activity_bitmap",
-    "events_user_active_time",
-    "events_hourly_dispersion",
-    "events_top3_users_per_type",
-    "events_markov_stationary",
-    "embeddings_dim_stats",
-]
+def _window_names():
+    from kgw_ray.pipelines.registry import QUERIES
+
+    return list(QUERIES)[:50]
 
 
-@pytest.mark.parametrize("name", _OPS)
-def test_runs_on_empty_corpus(name, empty_sf):
+@pytest.mark.parametrize("name", _window_names())
+def test_window_runs_on_empty_corpus(name, empty_sf):
+    """Every externally-gated query must survive an all-empty corpus —
+    the zero-row regime a filter chain or partition hands any stage."""
     from kgw_ray.pipelines.registry import QUERIES
 
     import ray.data as rd
 
     r = QUERIES[name](empty_sf)
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
-    assert n == 0, f"{name} produced rows from an empty corpus"
+    if name == "docs_compact_small_files":
+        # scalar-report query: one all-zero row mirroring the oracle's
+        # COUNT-over-empty aggregate row
+        assert n == 1
+    else:
+        assert n == 0, f"{name} produced rows from an empty corpus"
