@@ -24,3 +24,16 @@ def strip_meta(batch: pa.Table) -> pa.Table:
 def arrow_from_pandas(df: pd.DataFrame) -> pa.Table:
     """pandas → Arrow without the pandas schema-metadata payload."""
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def typed_pandas(ds, columns):
+    """Driver-side pull that survives the repo-wide empty-pull hazard: a
+    zero-row Ray ``to_pandas()`` drops its columns, so rebuild the typed
+    empty frame from ``columns`` (the caller's expected names) when they
+    are missing. Nonempty pulls pass through untouched."""
+    import pandas as pd
+
+    df = ds.to_pandas()
+    if len(df) == 0 and not set(columns).issubset(df.columns):
+        return pd.DataFrame({c: [] for c in columns})
+    return df

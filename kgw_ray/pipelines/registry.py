@@ -2106,13 +2106,16 @@ def q_kg_personalized_pagerank(sf_dir: str) -> rd.Dataset:
 
     from kgw_ray.stages.graph import personalized_pagerank
 
+    from kgw_ray.functions.arrow_utils import typed_pandas
+
     nodes, edges = _tk.tpch_graph(sf_dir)
-    seed_tbl = (
+    seed_tbl = typed_pandas(
         nodes.map_batches(
             lambda b: b.filter(_pc.equal(b.column("type"), "nation")).select(["id"]),
             batch_format="pyarrow",
-        ).to_pandas()  # bounded: one row per nation
-    )
+        ),
+        ["id"],
+    )  # bounded: one row per nation
     return personalized_pagerank(nodes, edges, seed_tbl["id"].tolist())
 
 

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from kgw_ray.functions.arrow_utils import arrow_from_pandas
+from kgw_ray.functions.arrow_utils import arrow_from_pandas, typed_pandas
 from kgw_ray.functions.porthash import bitlen_u64 as _bitlen_u64
 from kgw_ray.functions.porthash import mix64 as _mix64
 from kgw_ray.sources.readers import read_table, read_table_pandas
@@ -138,7 +138,14 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     # output cardinality is bounded by |returnflag|x|linestatus| (6 rows at
     # ANY scale) — order the tiny result on the driver instead of paying the
     # all-to-all Sort operator for presentation order
-    out = merged.map_batches(finalize, batch_format="pandas").to_pandas()
+    out = typed_pandas(
+        merged.map_batches(finalize, batch_format="pandas"),
+        [
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+            "avg_disc", "count_order",
+        ],
+    )
     return arrow_from_pandas(
         out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     )
@@ -327,7 +334,10 @@ def q5_revenue_by_nation(sf_dir: str, *, force_hash_join: bool = False) -> rd.Da
         )
 
     # bounded by |nation| (25 rows) — driver-order the tiny result
-    out = merged.map_batches(finalize, batch_format="pandas").to_pandas()
+    out = typed_pandas(
+        merged.map_batches(finalize, batch_format="pandas"),
+        ["n_name", "revenue"],
+    )
     return arrow_from_pandas(
         out.sort_values(
             ["revenue", "n_name"], ascending=[False, True]
@@ -1005,6 +1015,16 @@ def events_range_join(sf_dir: str) -> rd.Dataset:
     the signup side replicates to its ≤2 overlapping buckets, one hash
     join co-locates candidates, and an exact vectorized filter keeps true
     pairs. Output: (signup_id, purchase_id, delta_s)."""
+    if read_table(sf_dir, "events", columns=["event_id"]).count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "signup_id": pa.array([], pa.int64()),
+                    "purchase_id": pa.array([], pa.int64()),
+                    "delta_s": pa.array([], pa.int64()),
+                }
+            )
+        )
     from kgw_ray.stages.joins import range_join
 
     # materialized once: both join inputs filter off this read — lazy, the
@@ -1446,11 +1466,14 @@ def events_rollup(sf_dir: str) -> pa.Table:
 
     from kgw_ray.stages.agg import grouped_aggregate_hybrid
 
-    detail = grouped_aggregate_hybrid(
-        ds.map_batches(partial, batch_format="pandas"),
-        ["event_type", "hour"],
-        [("n", "sum", "n"), ("sum_value", "sum", "sum_value")],
-    ).to_pandas()
+    detail = typed_pandas(
+        grouped_aggregate_hybrid(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "hour"],
+            [("n", "sum", "n"), ("sum_value", "sum", "sum_value")],
+        ),
+        ["event_type", "hour", "n", "sum_value"],
+    )
     lvl1 = (
         detail.groupby("event_type", sort=False)
         .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
@@ -1501,7 +1524,8 @@ def events_snapshot_diff(sf_dir: str) -> rd.Dataset:
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-    cutoff = ds.max("event_id") // 2
+    mx_id = ds.max("event_id")
+    cutoff = (mx_id // 2) if mx_id is not None else 0
 
     def pack(batch: pa.Table) -> pa.Table:
         ts_us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
@@ -1698,6 +1722,17 @@ def orders_period_diff(sf_dir: str) -> rd.Dataset:
     aggregate could compute the same table — this operator exists to keep
     the outer-join machinery under the value gate). The halfway cutoff is
     integer epoch-µs arithmetic on both engines."""
+    if read_table(sf_dir, "orders", columns=["o_orderkey"]).count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "n_h1": pa.array([], pa.int64()),
+                    "n_h2": pa.array([], pa.int64()),
+                    "status": pa.array([], pa.string()),
+                }
+            )
+        )
     import numpy as np
     import pyarrow.compute as pc
 
@@ -1712,8 +1747,11 @@ def orders_period_diff(sf_dir: str) -> rd.Dataset:
     bounds = ds.aggregate(
         Min("o_orderdate", alias_name="lo"), Max("o_orderdate", alias_name="hi")
     )
-    lo = pc.cast(pa.scalar(bounds["lo"]), pa.timestamp("us")).cast(pa.int64()).as_py()
-    hi = pc.cast(pa.scalar(bounds["hi"]), pa.timestamp("us")).cast(pa.int64()).as_py()
+    if bounds is None or bounds.get("lo") is None:  # empty orders table
+        lo = hi = 0
+    else:
+        lo = pc.cast(pa.scalar(bounds["lo"]), pa.timestamp("us")).cast(pa.int64()).as_py()
+        hi = pc.cast(pa.scalar(bounds["hi"]), pa.timestamp("us")).cast(pa.int64()).as_py()
     cut = (lo + hi) // 2
 
     def half_counts(which_first: bool):
@@ -2157,11 +2195,14 @@ def events_cube(sf_dir: str) -> pa.Table:
 
     from kgw_ray.stages.agg import grouped_aggregate_hybrid
 
-    cells = grouped_aggregate_hybrid(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["event_type", "hour"],
-        [("n", "sum", "n"), ("cents", "sum", "cents")],
-    ).to_pandas()  # |types|·24 rows — bounded
+    cells = typed_pandas(
+        grouped_aggregate_hybrid(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "hour"],
+            [("n", "sum", "n"), ("cents", "sum", "cents")],
+        ),
+        ["event_type", "hour", "n", "cents"],
+    )
 
     frames = [cells.assign(grp=0)]
     by_type = (
@@ -2390,7 +2431,10 @@ def events_user_skew(sf_dir: str) -> pa.Table:
             }
         )
 
-    parts = ranked.map_batches(fold_partial, batch_format="pyarrow").to_pandas()
+    parts = typed_pandas(
+        ranked.map_batches(fold_partial, batch_format="pyarrow"),
+        ["n", "tot", "mx", "w"],
+    )
     n = int(parts["n"].sum())
     tot = int(parts["tot"].sum())
     mx = int(parts["mx"].max()) if len(parts) else 0
@@ -2444,14 +2488,16 @@ def events_value_mad(sf_dir: str) -> pa.Table:
         return pa.table({"cents": pa.array(c)})
 
     cents = ds.map_batches(cents_of, batch_format="pyarrow")
-    med = int(exact_quantiles(cents, "cents", [0.5])[0.5])
+    med_q = exact_quantiles(cents, "cents", [0.5])[0.5]
+    med = int(med_q) if med_q is not None else 0
 
     def dev_of(t: pa.Table) -> pa.Table:
         c = t.column("cents").to_numpy(zero_copy_only=False)
         return pa.table({"dev": pa.array(np.abs(c - med).astype(np.int64))})
 
     devs = cents.map_batches(dev_of, batch_format="pyarrow")
-    mad = int(exact_quantiles(devs, "dev", [0.5])[0.5])
+    mad_q = exact_quantiles(devs, "dev", [0.5])[0.5]
+    mad = int(mad_q) if mad_q is not None else 0
     return pa.table(
         {
             "median_cents": pa.array([med], pa.int64()),
@@ -2572,17 +2618,17 @@ def events_value_outliers(sf_dir: str) -> rd.Dataset:
         return pa.table({"event_id": t.column("event_id"), "cents": pa.array(c)})
 
     cents = ds.map_batches(cents_of, batch_format="pyarrow").materialize()
-    med = int(exact_quantiles(cents, "cents", [0.5])[0.5])
+    med_q = exact_quantiles(cents, "cents", [0.5])[0.5]
+    med = int(med_q) if med_q is not None else 0
 
     def dev_of(t: pa.Table) -> pa.Table:
         c = t.column("cents").to_numpy(zero_copy_only=False)
         return pa.table({"dev": pa.array(np.abs(c - med).astype(np.int64))})
 
-    mad = int(
-        exact_quantiles(
-            cents.map_batches(dev_of, batch_format="pyarrow"), "dev", [0.5]
-        )[0.5]
-    )
+    mad_q = exact_quantiles(
+        cents.map_batches(dev_of, batch_format="pyarrow"), "dev", [0.5]
+    )[0.5]
+    mad = int(mad_q) if mad_q is not None else 0
     cut = 5 * mad
 
     def flag(t: pa.Table) -> pa.Table:
@@ -3841,14 +3887,18 @@ def events_late_arrivals(sf_dir: str) -> rd.Dataset:
         )
 
     hist = (
-        proj.map_batches(_bmax, batch_format="pyarrow")
-        .to_pandas()
+        typed_pandas(
+            proj.map_batches(_bmax, batch_format="pyarrow"), ["bucket", "m"]
+        )
         .groupby("bucket")["m"]
         .max()
     )
     NEG = np.iinfo(np.int64).min
     bmax = np.full(_LATE_BUCKETS, NEG, dtype=np.int64)
-    bmax[hist.index.to_numpy()] = hist.to_numpy()
+    if len(hist):
+        bmax[hist.index.to_numpy().astype(np.int64)] = hist.to_numpy().astype(
+            np.int64
+        )
     # exclusive prefix max = each bucket's carry-in watermark
     carry = np.concatenate(([NEG], np.maximum.accumulate(bmax)[:-1]))
 
@@ -4463,10 +4513,12 @@ def orders_backlog_timeline(sf_dir: str) -> pa.Table:
 
     closed = closes.map_batches(close_day_partial, batch_format="pyarrow")
     daily = (
-        grouped_aggregate_hybrid(
-            opened.union(closed), "day", [("net", "sum", "net")]
+        typed_pandas(
+            grouped_aggregate_hybrid(
+                opened.union(closed), "day", [("net", "sum", "net")]
+            ),
+            ["day", "net"],
         )
-        .to_pandas()
         .sort_values("day")
         .reset_index(drop=True)
     )
@@ -4528,12 +4580,14 @@ def events_anomalous_hours(sf_dir: str) -> pa.Table:
         )
 
     hourly = (
-        grouped_aggregate_hybrid(
-            ds.map_batches(partial, batch_format="pyarrow"),
-            "hour",
-            [("n", "sum", "n")],
+        typed_pandas(
+            grouped_aggregate_hybrid(
+                ds.map_batches(partial, batch_format="pyarrow"),
+                "hour",
+                [("n", "sum", "n")],
+            ),
+            ["hour", "n"],
         )
-        .to_pandas()
         .sort_values("hour")
         .reset_index(drop=True)
     )
@@ -5027,11 +5081,14 @@ def q13_order_count_distribution(sf_dir: str) -> pa.Table:
             {"n_orders": pa.array(k, pa.int64()), "m": pa.array(n.astype(np.int64))}
         )
 
-    buckets = grouped_aggregate_hybrid(
-        per_cust.map_batches(dist, batch_format="pyarrow"),
-        "n_orders",
-        [("m", "sum", "n_customers")],
-    ).to_pandas()  # bounded: one row per distinct order count
+    buckets = typed_pandas(
+        grouped_aggregate_hybrid(
+            per_cust.map_batches(dist, batch_format="pyarrow"),
+            "n_orders",
+            [("m", "sum", "n_customers")],
+        ),
+        ["n_orders", "n_customers"],
+    )  # bounded: one row per distinct order count
 
     n_total = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
     zero = n_total - int(per_cust.count())
@@ -5215,11 +5272,14 @@ def q17_small_quantity_revenue(sf_dir: str) -> pa.Table:
         )
         return arrow_from_pandas(g)
 
-    stats = grouped_aggregate_hybrid(
-        line.map_batches(qstats, batch_format="pandas"),
-        "l_partkey",
-        [("sq", "sum", "sq"), ("cq", "sum", "cq")],
-    ).to_pandas()  # bounded by the brand's part count
+    stats = typed_pandas(
+        grouped_aggregate_hybrid(
+            line.map_batches(qstats, batch_format="pandas"),
+            "l_partkey",
+            [("sq", "sum", "sq"), ("cq", "sum", "cq")],
+        ),
+        ["l_partkey", "sq", "cq"],
+    )
     sq = stats.set_index("l_partkey")["sq"]
     cq = stats.set_index("l_partkey")["cq"]
 
@@ -5243,6 +5303,8 @@ def q17_small_quantity_revenue(sf_dir: str) -> pa.Table:
         "one",
         [("n_items", "sum", "n_items"), ("revenue_c", "sum", "revenue_c")],
     ).to_pandas()
+    if len(out) == 0 or "n_items" not in out.columns:
+        out = pd.DataFrame({"n_items": [0], "revenue_c": [0]})
     return arrow_from_pandas(out[["n_items", "revenue_c"]])
 
 
@@ -5301,6 +5363,8 @@ def q19_bracketed_revenue(sf_dir: str) -> pa.Table:
         "one",
         [("n_items", "sum", "n_items"), ("revenue_e4", "sum", "revenue_e4")],
     ).to_pandas()
+    if len(out) == 0 or "n_items" not in out.columns:
+        out = pd.DataFrame({"n_items": [0], "revenue_e4": [0]})
     return arrow_from_pandas(out[["n_items", "revenue_e4"]])
 
 
@@ -5351,7 +5415,10 @@ def q22_idle_customer_balance(sf_dir: str) -> rd.Dataset:
         "one",
         [("s", "sum", "s"), ("n", "sum", "n")],
     ).to_pandas()
-    sum_pos, n_pos = int(pos["s"].iloc[0]), int(pos["n"].iloc[0])
+    if len(pos) == 0 or "s" not in pos.columns:
+        sum_pos, n_pos = 0, 0
+    else:
+        sum_pos, n_pos = int(pos["s"].iloc[0]), int(pos["n"].iloc[0])
 
     def rich(t: pa.Table) -> pa.Table:
         bal = np.rint(t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
@@ -5445,6 +5512,14 @@ def q2_min_balance_supplier_per_part(sf_dir: str) -> rd.Dataset:
         np.rint(supp["s_acctbal"].to_numpy() * 100.0).astype(np.int64),
         index=supp["s_suppkey"].to_numpy(),
     )
+    if len(supp) == 0:  # empty supplier table: nothing to argmin over
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_acctbal": pa.array([], pa.float64()),
+            }
+        )
     assert bal_c.abs().max() < 2_000_000 and int(supp["s_suppkey"].max()) < 10_000_000
 
     line = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
@@ -5824,6 +5899,16 @@ def q21_waiting_suppliers(sf_dir: str) -> rd.Dataset:
     late supplier's identity packed into max(late * (suppkey + 1)) — so
     the sole-late-supplier test and its argmax need no second pass over
     the pairs. Names attach on the supplier-bounded result."""
+    if read_table(sf_dir, "orders", columns=["o_orderkey"]).count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "numwait": pa.array([], pa.int64()),
+                }
+            )
+        )
     import pyarrow.dataset as pads
 
     from kgw_ray.stages.agg import grouped_aggregate_hybrid
@@ -6033,6 +6118,11 @@ def events_type_lift(sf_dir: str) -> pa.Table:
             [("n", "sum", "n")],
         )
         .to_pandas()
+        .pipe(
+            lambda df: df
+            if "event_type" in df.columns
+            else pd.DataFrame({"event_type": [], "n": []})
+        )
         .set_index("event_type")["n"]
     )
 

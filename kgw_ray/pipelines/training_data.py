@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from kgw_ray.functions.arrow_utils import typed_pandas
 from kgw_ray.functions.tokenize import split_tokens
 from kgw_ray.sources.readers import read_table
 
@@ -3227,6 +3228,8 @@ def embeddings_top_component(sf_dir: str) -> pa.Table:
     magnitudes the two agree. Output: (pos, component), the direction
     scaled to max|component| = 10^6."""
     gram = embeddings_gram_quantized(sf_dir).to_pandas()
+    if len(gram) == 0 or "i" not in gram.columns:
+        gram = pd.DataFrame({"i": [], "j": [], "gram": []})
     d = int(gram["i"].max()) + 1 if len(gram) else 0
     G = [[0] * d for _ in range(d)]
     for i, j, g in zip(gram["i"], gram["j"], gram["gram"]):
@@ -3393,6 +3396,14 @@ def embeddings_scatter_quantized(sf_dir: str, *, scale: int = 1000) -> pa.Table:
         ["i", "j"],
         [("v", "sum", "v")],
     ).to_pandas()
+    if len(merged) == 0 or "i" not in merged.columns:
+        return pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "scatter": pa.array([], pa.int64()),
+            }
+        )
     n = int(merged.loc[(merged.i == -1) & (merged.j == -1), "v"].iloc[0])
     sums = merged[(merged.j == -1) & (merged.i >= 0)].set_index("i")["v"]
     gram = merged[(merged.j >= 0)]
@@ -3657,12 +3668,14 @@ def webkg_crawl_budget(sf_dir: str, budget: int = _CRAWL_BUDGET) -> pa.Table:
         )
 
     counts = (
-        grouped_aggregate_hybrid(
-            docs.map_batches(partial, batch_format="pyarrow"),
-            "host",
-            [("n_pages", "sum", "n_pages")],
+        typed_pandas(
+            grouped_aggregate_hybrid(
+                docs.map_batches(partial, batch_format="pyarrow"),
+                "host",
+                [("n_pages", "sum", "n_pages")],
+            ),
+            ["host", "n_pages"],
         )
-        .to_pandas()
         .sort_values("host")
         .reset_index(drop=True)
     )
@@ -3746,12 +3759,14 @@ def docs_interleave_roundrobin(sf_dir: str) -> rd.Dataset:
         )
 
     counts = (
-        grouped_aggregate_hybrid(
-            docs.map_batches(count_partial, batch_format="pyarrow"),
-            "source",
-            [("n", "sum", "n")],
+        typed_pandas(
+            grouped_aggregate_hybrid(
+                docs.map_batches(count_partial, batch_format="pyarrow"),
+                "source",
+                [("n", "sum", "n")],
+            ),
+            ["source", "n"],
         )
-        .to_pandas()
         .sort_values("source")
         .reset_index(drop=True)
     )
@@ -3980,11 +3995,17 @@ def docs_vocab_growth(sf_dir: str) -> pa.Table:
     from kgw_ray.stages.agg import grouped_aggregate_hybrid
 
     docs = _docs(sf_dir)
-    m = int(
-        read_table(sf_dir, "documents", columns=["doc_id"]).aggregate(
-            Max("doc_id", alias_name="m")
-        )["m"]
-    ) + 1
+    _mx = read_table(sf_dir, "documents", columns=["doc_id"]).aggregate(
+        Max("doc_id", alias_name="m")
+    )["m"]
+    if _mx is None:  # empty corpus: empty growth curve
+        return pa.table(
+            {
+                "decile": pa.array([], pa.int64()),
+                "vocab_size": pa.array([], pa.int64()),
+            }
+        )
+    m = int(_mx) + 1
 
     def tok_partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -4071,7 +4092,10 @@ def semdedup_pairs(sf_dir: str, threshold: float = _SEMDEDUP_T) -> rd.Dataset:
     from kgw_ray.stages.similarity import kmeans_assignments
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    asg = kmeans_assignments(emb, k=8, iters=3).to_pandas()
+    asg = typed_pandas(
+        kmeans_assignments(emb, k=8, iters=3),
+        ["vec_id", "embedding", "cluster"],
+    )
     import ray as _ray
 
     asg_ref = _ray.put(
@@ -4254,11 +4278,14 @@ def docs_lang_source_contingency(sf_dir: str) -> rd.Dataset:
         g = df.groupby(["lang", "source"], sort=False).size().rename("n").reset_index()
         return arrow_from_pandas(g)
 
-    cells = grouped_aggregate_hybrid(
-        ds.map_batches(partial, batch_format="pandas"),
-        ["lang", "source"],
-        [("n", "sum", "n_docs")],
-    ).to_pandas()  # bounded: |langs| x |sources| rows
+    cells = typed_pandas(
+        grouped_aggregate_hybrid(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["lang", "source"],
+            [("n", "sum", "n_docs")],
+        ),
+        ["lang", "source", "n_docs"],
+    )  # bounded: |langs| x |sources| rows
     row_tot = cells.groupby("lang")["n_docs"].sum()
     col_tot = cells.groupby("source")["n_docs"].sum()
     total = int(cells["n_docs"].sum())

@@ -1309,7 +1309,17 @@ def chain_hops(sf_dir: str) -> rd.Dataset:
         f = t.filter(m)
         return pa.table({"node": f.column("src_doc_id"), "to": f.column("dst_doc_id")})
 
-    jump = anchors.map_batches(half_edges, batch_format="pyarrow")
+    jump = anchors.map_batches(half_edges, batch_format="pyarrow").materialize()
+    if jump.count() == 0:  # empty corpus: typed empty ancestor table
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "anc2": pa.array([], pa.int64()),
+                    "anc4": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def double(j: rd.Dataset) -> rd.Dataset:
         right = j.map_batches(
@@ -1448,10 +1458,17 @@ def chain_depth(sf_dir: str, *, driver_limit: int = 2_000_000) -> rd.Dataset:
     jump = anchors.map_batches(half_w, batch_format="pyarrow").materialize()
 
     # rounds: 2^R ≥ max chain depth = bit_length(max_id)
-    max_id = int(
-        read_table(sf_dir, "documents", columns=["doc_id"])
-        .max("doc_id")
-    )
+    _mx = read_table(sf_dir, "documents", columns=["doc_id"]).max("doc_id")
+    if _mx is None:  # empty corpus: typed empty depth table
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "depth": pa.array([], pa.int64()),
+                }
+            )
+        )
+    max_id = int(_mx)
     depth_bound = max(1, max_id.bit_length())
     rounds = max(1, (depth_bound - 1).bit_length())
 
@@ -1730,7 +1747,10 @@ def mirror_host_pairs(sf_dir: str) -> rd.Dataset:
         hg.map_batches(_ones, batch_format="pyarrow"),
         "src_host",
         [("one", "sum", "n")],
-    ).to_pandas()  # host-vocabulary-sized
+    )
+    from kgw_ray.functions.arrow_utils import typed_pandas as _tp
+
+    sizes = _tp(sizes, ["src_host", "n"])
     import ray as _ray
 
     size_ref = _ray.put(dict(zip(sizes["src_host"], sizes["n"].astype(int))))

@@ -341,6 +341,26 @@ def render_pages_parquet(sf_dir: str, *, repeat: int = 1) -> str:
         pages_dataset(
             sf_dir, repeat=repeat, override_num_blocks=n_blocks
         ).write_parquet(out)
+        os.makedirs(out, exist_ok=True)  # empty write may not create it
         n = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        if n == 0:
+            # empty corpus: write_parquet emits no files and a read of the
+            # bare directory raises — persist ONE typed empty shard
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "warc_ts": pa.array([], pa.timestamp("us")),
+                        "html": pa.array([], pa.binary()),
+                        "text": pa.array([], pa.string()),
+                        "lang": pa.array([], pa.string()),
+                        "doc_id": pa.array([], pa.int64()),
+                    }
+                ),
+                os.path.join(out, "empty.parquet"),
+            )
+            n = 1
         open(done, "w").write(f"{key}|{n}")
     return out

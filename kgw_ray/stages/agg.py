@@ -79,6 +79,18 @@ def sharded_count(
     # ALL-null would otherwise infer float64/null in pandas→arrow and break
     # cross-block schema unification
     sch = ds.schema()
+    if sch is None:
+        # never-executed empty input: no schema to pin key types from —
+        # hand back a zero-row count table (string-typed keys; an empty
+        # result's key types are inert, the repo-wide empty rule)
+        import pyarrow as _pa
+
+        return rd.from_arrow(
+            _pa.table(
+                {**{k: _pa.array([], _pa.string()) for k in list(keys)},
+                 count_name: _pa.array([], _pa.int64())}
+            )
+        )
     type_of = dict(zip(sch.names, sch.types))
 
     def shard(batch: pa.Table) -> pa.Table:

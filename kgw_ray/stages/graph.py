@@ -77,8 +77,10 @@ def type_histogram(ds: rd.Dataset) -> rd.Dataset:
 def graph_statistics(nodes: rd.Dataset, edges: rd.Dataset) -> pa.Table:
     """statistics.json content as one row (reference load.py:10-81):
     num_nodes, num_edges, num_node_types, num_edge_types."""
-    nh = type_histogram(nodes).to_pandas()
-    eh = type_histogram(edges).to_pandas()
+    from kgw_ray.functions.arrow_utils import typed_pandas
+
+    nh = typed_pandas(type_histogram(nodes), ["type", "n"])
+    eh = typed_pandas(type_histogram(edges), ["type", "n"])
     return pa.table(
         {
             "num_nodes": pa.array([int(nh["n"].sum())], pa.int64()),
@@ -91,8 +93,10 @@ def graph_statistics(nodes: rd.Dataset, edges: rd.Dataset) -> pa.Table:
 
 def statistics_dict(nodes: rd.Dataset, edges: rd.Dataset) -> dict:
     """Full statistics payload incl. per-type counts (load.py:69-76 shape)."""
-    nh = type_histogram(nodes).to_pandas()
-    eh = type_histogram(edges).to_pandas()
+    from kgw_ray.functions.arrow_utils import typed_pandas
+
+    nh = typed_pandas(type_histogram(nodes), ["type", "n"])
+    eh = typed_pandas(type_histogram(edges), ["type", "n"])
     # empty pulls drop their schema — reindex so the payload stays shaped
     for df in (nh, eh):
         if "type" not in df.columns:
@@ -364,6 +368,16 @@ def pagerank(
 
     from kgw_ray.stages.agg import sharded_count
     from kgw_ray.stages.joins import broadcast_join, large_join
+
+    if nodes.count() == 0:  # empty graph: typed empty rank table
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([], pa.string()),
+                    "pagerank_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     SCALE = 1_000_000
     damp_micro = round(damping * SCALE)
@@ -971,7 +985,9 @@ def triangle_counts(
         )
 
     if degrees.count() <= broadcast_limit:
-        dpdf = degrees.to_pandas()
+        from kgw_ray.functions.arrow_utils import typed_pandas
+
+        dpdf = typed_pandas(degrees, ["id", "deg"])
         order = np.argsort(dpdf["id"].to_numpy())
         ref = ray.put(
             (
@@ -1099,7 +1115,9 @@ def triangle_counts(
     # triangle counts ride a ray.put lookup over the degree table, beyond
     # it a left hash join (the same hybrid rule as the degree attach).
     if tri.count() <= broadcast_limit:
-        tdf = tri.to_pandas()
+        from kgw_ray.functions.arrow_utils import typed_pandas
+
+        tdf = typed_pandas(tri, ["id", "n_triangles"])
         t_order = np.argsort(tdf["id"].to_numpy())
         tref = ray.put(
             (

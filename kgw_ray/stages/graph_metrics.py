@@ -212,7 +212,9 @@ def _attach_degrees(
     zero-copy), two hash joins beyond it."""
     ca, cb = cols
     if degrees.count() <= broadcast_limit:
-        dpdf = degrees.to_pandas()
+        from kgw_ray.functions.arrow_utils import typed_pandas
+
+        dpdf = typed_pandas(degrees, ["id", "deg"])
         order = np.argsort(dpdf["id"].to_numpy())
         ref = ray.put(
             (

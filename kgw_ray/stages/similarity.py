@@ -200,6 +200,10 @@ class IVFIndex:
             n_cells = int(min(4096, max(16, round(np.sqrt(max(n, 1))))))
         sample_n = max(sample_n, 16 * n_cells)
         sample = embeds.limit(sample_n).to_pandas()
+        if len(sample) == 0:  # empty corpus: a 0-cell index (assign no-ops)
+            C = np.zeros((0, 0), dtype=np.float64)
+            ref = ray.put(C)
+            return cls(C, embeds, id_col, vec_col)
         M = _normalize(np.vstack(sample[vec_col].to_numpy()).astype(np.float64))
         C = _centroids_from_sample(M, n_cells)
         ref = ray.put(C)
