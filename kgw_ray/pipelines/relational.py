@@ -210,8 +210,7 @@ def q3_top_orders(
     )
     orders_side = orders.select_columns(["o_orderkey", "o_orderdate"]).materialize()
     if not force_hash_join and orders_side.count() <= _BROADCAST_SIDE_LIMIT:
-        j = broadcast_join(
-            line, orders_side.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"]
+        j = broadcast_join(line, orders_side, on=["l_orderkey"], right_on=["o_orderkey"]
         )
     else:
         probe = line
@@ -305,7 +304,7 @@ def q5_revenue_by_nation(sf_dir: str, *, force_hash_join: bool = False) -> rd.Da
         .materialize()
     )
     if not force_hash_join and o2n.count() <= _BROADCAST_SIDE_LIMIT:
-        j = broadcast_join(line, o2n.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"])
+        j = broadcast_join(line, o2n, on=["l_orderkey"], right_on=["o_orderkey"])
     else:
         j = large_join(line, o2n, on=("l_orderkey",), right_on=("o_orderkey",))
     s2n = supplier[["s_suppkey", "s_nationkey"]]
@@ -459,7 +458,7 @@ def events_hourly_gapfill(sf_dir: str) -> "rd.Dataset | pa.Table":
         ),
         batch_format="pyarrow",
     )
-    joined = broadcast_join(spine, counts.to_pandas(), on=["he"], how="left")
+    joined = broadcast_join(spine, counts, on=["he"], how="left")
 
     def finalize(df: pd.DataFrame) -> pa.Table:
         he = df["he"].to_numpy().astype(np.int64)
@@ -3122,9 +3121,7 @@ def q12_priority_by_returnflag(sf_dir: str) -> rd.Dataset:
         sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
     ).materialize()
     if orders_side.count() <= _BROADCAST_SIDE_LIMIT:
-        j = broadcast_join(
-            line,
-            orders_side.to_pandas(),
+        j = broadcast_join(line, orders_side,
             on=["l_orderkey"],
             right_on=["o_orderkey"],
         )
@@ -4003,8 +4000,7 @@ def star_revenue_by_nation_parttype(sf_dir: str) -> rd.Dataset:
         .materialize()
     )
     if o2n.count() <= _BROADCAST_SIDE_LIMIT:
-        j = broadcast_join(
-            line, o2n.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"]
+        j = broadcast_join(line, o2n, on=["l_orderkey"], right_on=["o_orderkey"]
         )
     else:
         j = large_join(line, o2n, on=("l_orderkey",), right_on=("o_orderkey",))
@@ -4232,8 +4228,7 @@ def orders_fill_rate(sf_dir: str) -> rd.Dataset:
     o = orders.map_batches(proj, batch_format="pyarrow").materialize()
     line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
     if o.count() <= _BROADCAST_SIDE_LIMIT:
-        j = broadcast_join(
-            line, o.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"]
+        j = broadcast_join(line, o, on=["l_orderkey"], right_on=["o_orderkey"]
         )
     else:
         j = large_join(line, o, on=("l_orderkey",), right_on=("o_orderkey",))
@@ -4667,8 +4662,7 @@ def _orders_join(line: rd.Dataset, orders_side: rd.Dataset, cols=None) -> rd.Dat
     beyond it (fact-scale on a cluster) — the q12/q18 pattern shared."""
     orders_side = orders_side.materialize()
     if orders_side.count() <= _BROADCAST_SIDE_LIMIT:
-        return broadcast_join(
-            line, orders_side.to_pandas(), on=["l_orderkey"], right_on=["o_orderkey"]
+        return broadcast_join(line, orders_side, on=["l_orderkey"], right_on=["o_orderkey"]
         )
     return large_join(line, orders_side, on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -7112,7 +7106,7 @@ def events_weekly_retention(sf_dir: str) -> rd.Dataset:
     ).materialize()
 
     if first.count() <= _BROADCAST_SIDE_LIMIT:
-        joined = broadcast_join(user_week, first.to_pandas(), on=["user_id"])
+        joined = broadcast_join(user_week, first, on=["user_id"])
     else:
         joined = large_join(user_week, first, on=("user_id",))
 
@@ -7334,7 +7328,7 @@ def events_dau_wau_stickiness(sf_dir: str) -> rd.Dataset:
     ).materialize()
 
     # the day spine is calendar-bounded (≤ 36.5k rows/century) — broadcast
-    joined = broadcast_join(wau, dau.to_pandas(), on=["day"], how="left")
+    joined = broadcast_join(wau, dau, on=["day"], how="left")
 
     def finalize(t: pa.Table) -> pa.Table:
         d = pc.cast(pc.fill_null(t.column("dau"), 0), pa.int64())

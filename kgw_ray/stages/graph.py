@@ -388,8 +388,7 @@ def pagerank(
         # right_mat is materialized; count-then-pull double-exec rule holds
         n = right_mat.count()
         if n <= broadcast_limit:
-            return broadcast_join(
-                left_ds, right_mat.to_pandas(), on=[on], right_on=[right_key], how=how
+            return broadcast_join(left_ds, right_mat, on=[on], right_on=[right_key], how=how
             )
         return large_join(
             left_ds,
@@ -631,8 +630,7 @@ def personalized_pagerank(
 
     def _hybrid_left(left_ds, right_mat, *, on, right_key):
         if right_mat.count() <= broadcast_limit:
-            return broadcast_join(
-                left_ds, right_mat.to_pandas(), on=[on], right_on=[right_key], how="left"
+            return broadcast_join(left_ds, right_mat, on=[on], right_on=[right_key], how="left"
             )
         return large_join(
             left_ds,
@@ -1510,8 +1508,7 @@ def eigenvector_centrality(
             if n == 0:
                 return _zeros()
             if n <= broadcast_limit:
-                j = broadcast_join(
-                    e, ranks.to_pandas(), on=["source_id"], right_on=["id"]
+                j = broadcast_join(e, ranks, on=["source_id"], right_on=["id"]
                 )
             else:
                 j = large_join(

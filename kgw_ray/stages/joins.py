@@ -35,9 +35,22 @@ def broadcast_join(
     concurrency: int = 8,
 ) -> rd.Dataset:
     """Map-side hash join: ``small`` is broadcast via the object store once,
-    merged into every batch with a vectorized pandas merge."""
+    merged into every batch with a vectorized pandas merge.
+
+    ``small`` may be a pandas DataFrame or a (materialized) Dataset — the
+    Dataset form is preferred: a zero-row ``to_pandas()`` drops its
+    columns (the repo-wide empty-pull hazard) and the probe merge then
+    KeyErrors; passing the Dataset lets the pull rebuild the typed empty
+    frame from the Arrow schema."""
     right_on = list(right_on or on)
     on = list(on)
+    if isinstance(small, rd.Dataset):
+        pdf = small.to_pandas()
+        if len(pdf) == 0 and not set(right_on).issubset(pdf.columns):
+            et = _empty_arrow_like(small)
+            if et is not None:
+                pdf = et.to_pandas()
+        small = pdf
     ref = ray.put(small)
 
     from kgw_ray.functions.arrow_utils import arrow_from_pandas
