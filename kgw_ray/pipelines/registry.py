@@ -3027,6 +3027,9 @@ register("events_top3_users_per_type", _rel.EVENTS_TOP3_SQL)(
 register("events_markov_stationary", _rel.EVENTS_MARKOV_PI_SQL)(
     _rel.events_markov_stationary
 )
+register("docs_sample_weighted_per_lang", _td.SAMPLE_WEIGHTED_PER_LANG_SQL)(
+    _td.docs_sample_weighted_per_lang
+)
 
 
 def _mirror_sql() -> str:

@@ -5384,3 +5384,87 @@ SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
          AS sumsq_micro
 FROM el GROUP BY dim ORDER BY dim
 """
+
+
+_WSAMPLE_GROUP_K = 5
+
+
+def docs_sample_weighted_per_lang(sf_dir: str, k: int = _WSAMPLE_GROUP_K) -> rd.Dataset:
+    """PER-GROUP deterministic weighted sampling — the data-mixing form
+    of docs_sample_weighted: the k lowest Efraimidis-Spirakis priorities
+    (splitmix64(doc_id) >> 1 // n_chars, longer docs win proportionally)
+    WITHIN EACH LANGUAGE, with rank — how a mixing stage draws a
+    length-weighted representative subset per source/language bucket in
+    one pass, bit-reproducible at any layout. Plan: per-block per-lang
+    k-smallest partials (one pandas groupby-head per block — blocks
+    collapse to ≤ |langs|·k rows each), then a |langs|-group map_groups
+    picks the global per-lang top-k under the (priority, doc_id) total
+    order. Output (lang, doc_id, n_chars, priority, rank)."""
+    from kgw_ray.functions.arrow_utils import arrow_from_pandas
+    from kgw_ray.functions.porthash import mix64
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (mix64(ids.astype(np.uint64)) >> np.uint64(1)).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": t.column("lang").to_numpy(zero_copy_only=False),
+                "doc_id": ids,
+                "n_chars": w,
+                "priority": h // np.maximum(w, 1),
+            }
+        )
+        local = (
+            df.sort_values(["priority", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+        return arrow_from_pandas(local)
+
+    def per_lang(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["priority", "doc_id"]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return arrow_from_pandas(
+            g[["lang", "doc_id", "n_chars", "priority", "rank"]].astype(
+                {
+                    "doc_id": "int64",
+                    "n_chars": "int64",
+                    "priority": "int64",
+                    "rank": "int64",
+                }
+            )
+        )
+
+    return (
+        docs.map_batches(prio_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(per_lang, batch_format="pandas")
+    )
+
+
+def _sample_weighted_per_lang_sql() -> str:
+    from kgw_ray.functions.porthash import mix64_sql
+
+    hu = mix64_sql("CAST(doc_id AS UBIGINT)")
+    return f"""
+WITH p AS (
+  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(CAST(({hu}) >> 1 AS BIGINT) // greatest(n_chars, 1) AS BIGINT)
+           AS priority
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id, n_chars, priority,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY priority, doc_id) AS rank
+  FROM p
+)
+SELECT lang, doc_id, n_chars, priority, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_WSAMPLE_GROUP_K}
+"""
+
+
+SAMPLE_WEIGHTED_PER_LANG_SQL = _sample_weighted_per_lang_sql()
