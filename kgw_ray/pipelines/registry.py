@@ -3030,6 +3030,9 @@ register("events_markov_stationary", _rel.EVENTS_MARKOV_PI_SQL)(
 register("docs_sample_weighted_per_lang", _td.SAMPLE_WEIGHTED_PER_LANG_SQL)(
     _td.docs_sample_weighted_per_lang
 )
+register("events_selfjoin_size_estimate", _rel.EVENTS_SELFJOIN_SQL)(
+    _rel.events_selfjoin_size_estimate
+)
 
 
 def _mirror_sql() -> str:

@@ -8118,3 +8118,132 @@ p{i} AS (
 
 
 EVENTS_MARKOV_PI_SQL = _markov_stationary_sql()
+
+
+def events_selfjoin_size_estimate(sf_dir: str) -> pa.Table:
+    """JOIN-SIZE ESTIMATION — the query-planning primitive: the exact
+    self-join cardinality |events ⋈ events on user_id| = Σ_u c_u² next to
+    its COUNT-MIN inner-product estimate min_r Σ_b grid[r][b]² (AMS/CMS
+    F₂ estimation, Alon-Matias-Szegedy / Cormode-Muthukrishnan) — the
+    fixed-memory statistic a planner uses to choose broadcast vs shuffle
+    before running the join. Estimate ≥ exact always (collisions only
+    inflate); over_permille quantifies the gap. Exact integers end to end
+    (HUGEINT oracle, decimal-string output for > 2^63); the sketch is the
+    SAME portable-splitmix grid the gated events_cms_estimates builds.
+
+    Plan: one user-vocabulary count fold, a per-batch Σc² partial (int64
+    partials, bound asserted), and the (depth × width)-bounded sketch
+    Sum; everything after the count fold is sketch-sized."""
+    from kgw_ray.stages.agg import grouped_aggregate_hybrid
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        uq, cnt = np.unique(
+            t.column("user_id").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uq.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = grouped_aggregate_hybrid(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        "user_id",
+        [("n", "sum", "n")],
+    ).materialize()
+    if counts.count() == 0:
+        return pa.table(
+            {
+                "exact_selfjoin": pa.array([], pa.string()),
+                "cms_estimate": pa.array([], pa.string()),
+                "over_permille": pa.array([], pa.int64()),
+            }
+        )
+
+    def sq_partial(t: pa.Table) -> pa.Table:
+        c = t.column("n").to_numpy(zero_copy_only=False)
+        s = int((c.astype(object) ** 2).sum())
+        assert s < 2**62, "selfjoin partial overflows int64 — shard finer"
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    exact = int(
+        counts.map_batches(sq_partial, batch_format="pyarrow")
+        .to_pandas()["s"]
+        .sum()
+    )
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        uids = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        b = _cms_buckets(uids)
+        rows, buckets, cnts = [], [], []
+        for j in range(_CMS_DEPTH):
+            g = (
+                pd.DataFrame({"bucket": b[:, j], "cnt": n})
+                .groupby("bucket", sort=False)["cnt"]
+                .sum()
+            )
+            rows.append(np.full(len(g), j, dtype=np.int64))
+            buckets.append(g.index.to_numpy().astype(np.int64))
+            cnts.append(g.to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                "cnt": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    sk = (
+        grouped_aggregate_hybrid(
+            counts.map_batches(grid_partial, batch_format="pyarrow"),
+            ["row", "bucket"],
+            [("cnt", "sum", "cnt")],
+        ).to_pandas()  # ≤ depth × width rows
+    )
+    est = min(
+        int(sum(int(x) ** 2 for x in g["cnt"]))
+        for _, g in sk.groupby("row")
+    )
+    return pa.table(
+        {
+            "exact_selfjoin": pa.array([str(exact)], pa.string()),
+            "cms_estimate": pa.array([str(est)], pa.string()),
+            "over_permille": pa.array([1000 * est // exact], pa.int64()),
+        }
+    )
+
+
+def _selfjoin_sql() -> str:
+    from kgw_ray.functions.porthash import mix64_sql
+
+    js = ", ".join(str(j) for j in range(_CMS_DEPTH))
+    base = mix64_sql("CAST(user_id AS UBIGINT)")
+    hu = mix64_sql(f"xor(({base}), CAST(j AS UBIGINT))")
+    return f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+hb AS (
+  SELECT user_id, j, CAST(({hu}) % {_CMS_WIDTH} AS BIGINT) AS bucket
+  FROM counts, UNNEST([{js}]) AS t(j)
+),
+sk AS (
+  SELECT hb.j, hb.bucket, SUM(c.n) AS cnt
+  FROM hb JOIN counts c USING (user_id) GROUP BY hb.j, hb.bucket
+),
+ex AS (SELECT SUM(CAST(n AS HUGEINT) * n) AS v FROM counts),
+rs AS (SELECT j, SUM(CAST(cnt AS HUGEINT) * cnt) AS s FROM sk GROUP BY j),
+est AS (SELECT MIN(s) AS v FROM rs)
+SELECT CAST(ex.v AS VARCHAR) AS exact_selfjoin,
+       CAST(est.v AS VARCHAR) AS cms_estimate,
+       CAST(1000 * est.v // ex.v AS BIGINT) AS over_permille
+FROM ex, est
+"""
+
+
+EVENTS_SELFJOIN_SQL = _selfjoin_sql()
